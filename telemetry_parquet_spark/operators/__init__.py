@@ -1,0 +1,1 @@
+"""Relational + aggregate operator library (SURVEY.md §2 inventory)."""

@@ -1,0 +1,17 @@
+"""Query registry — import all query modules so their ``@query`` decorators run."""
+
+from telemetry_parquet_spark.queries.registry import ORACLE, QUERIES
+
+# Importing for registration side effects:
+from telemetry_parquet_spark.queries import relational  # noqa: F401, E402
+from telemetry_parquet_spark.queries import semistructured  # noqa: F401, E402
+from telemetry_parquet_spark.queries import windows  # noqa: F401, E402
+from telemetry_parquet_spark.queries import datapipe  # noqa: F401, E402
+
+
+def all_queries():
+    return dict(QUERIES)
+
+
+def all_oracles():
+    return dict(ORACLE)

@@ -1,0 +1,275 @@
+"""LLM-data-pipeline queries over documents + embeddings (Phase 4 surface).
+
+Oracle-checked where DuckDB can express the same semantics; the xxhash64-based
+sketch pipelines (MinHash/SimHash) register without an oracle (driver records
+the rows-only check) and carry pytest coverage instead
+(tests/test_datapipe.py) since their hash family is Spark-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.queries.registry import query
+from telemetry_parquet_spark.sources.tables import load_table
+
+
+@query(
+    "dd_exact_dedup_groups",
+    oracle="""
+    SELECT
+      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_md5,
+      MIN(doc_id) AS keeper_id,
+      COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dd_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on normalized-content md5; shuffle
+    carries (hash, id) only."""
+    from telemetry_parquet_spark.datapipe.dedup import exact_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+@query(
+    "dd_prefix_fingerprint_groups",
+    oracle="""
+    SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM (
+      SELECT doc_id,
+        md5(array_to_string(
+          (list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> length(t) > 0))[1:5], ' ')) AS fp
+      FROM documents
+    )
+    GROUP BY fp
+    """,
+)
+def dd_prefix_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: first-5-normalized-words prefix hash (the
+    md5 variant so DuckDB can check; the library's xxhash64 variant is
+    pytest-covered)."""
+    from telemetry_parquet_spark.datapipe.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(tokens(F.lower(F.col("text"))), 1, 5), " "))
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(length(text) AS BIGINT) AS q_n_chars,
+      CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                           t -> length(t) > 0)) AS BIGINT) AS q_n_tokens,
+      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        / len(list_filter(string_split_regex(text, '\\s+'),
+                          t -> length(t) > 0)) AS q_mean_token_len,
+      CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text)
+        AS q_punct_ratio,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)
+        AS q_alpha_ratio,
+      CAST(len(list_filter(string_split_regex(text, '\\s+'),
+             t -> list_contains(['the','a','of','and','to','in','is','it'],
+                                lower(t)))) AS DOUBLE)
+        / len(list_filter(string_split_regex(text, '\\s+'),
+                          t -> length(t) > 0)) AS q_stopword_ratio
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document (length / punctuation / stopword
+    ratios) — all JVM-side expressions, no UDF."""
+    from telemetry_parquet_spark.datapipe.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return quality_features(docs).select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_tokens",
+        "q_mean_token_len",
+        "q_punct_ratio",
+        "q_alpha_ratio",
+        "q_stopword_ratio",
+    )
+
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_transform(
+          list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0),
+          t -> lower(t)) AS w
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+        len(list_filter(w, t -> list_contains(
+          ['the','a','of','and','to','in','is','it'], t))) AS h_en,
+        len(list_filter(w, t -> list_contains(
+          ['el','la','de','y','en','que','los','es'], t))) AS h_es,
+        len(list_filter(w, t -> list_contains(
+          ['der','die','das','und','in','zu','den','ist'], t))) AS h_de,
+        len(list_filter(w, t -> list_contains(
+          ['le','la','de','et','en','que','les','est'], t))) AS h_fr
+      FROM toks
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+           WHEN h_fr >= h_en AND h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+           WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+           WHEN h_en >= h_de THEN 'en'
+           ELSE 'de' END AS lang_pred
+    FROM hits
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language ID (argmax over per-language hit counts;
+    ties break toward the lexicographically-later language code, which is
+    what the struct-max implements)."""
+    from telemetry_parquet_spark.datapipe.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+@query(
+    "sim_brute_force_topk",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), pairs AS (
+      SELECT e.vec_id,
+             UNNEST(CAST(e.embedding AS DOUBLE[])) AS a,
+             UNNEST(q.qv) AS b
+      FROM embeddings e, q
+    ), scored AS (
+      SELECT vec_id,
+             round(SUM(a*b) / (sqrt(SUM(a*a)) * sqrt(SUM(b*b))), 6) AS cosine_sim
+      FROM pairs GROUP BY vec_id
+    )
+    SELECT vec_id, cosine_sim
+    FROM scored
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query vector = embedding of vec_id 0,
+    broadcast cross join + double-precision fold + TakeOrderedAndProject.
+    Scores rounded to 6 digits on both sides so the float fold order can't
+    flip the comparison."""
+    from telemetry_parquet_spark.datapipe.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("__qv")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "dd_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> length(t) > 0) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS shingles
+      FROM toks
+    ), exploded AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM exploded GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_common
+      FROM exploded l JOIN exploded r USING (shingle)
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+             AS jaccard_sim
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) via an
+    inverted shingle index — the verification path MinHash candidates feed."""
+    from telemetry_parquet_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+# --- sketch pipelines: registered without oracle (rows-only driver check) ---
+
+
+@query("dd_minhash_near_dup_pairs")
+def dd_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified ≥ 0.5 (shingle → 64
+    minhashes → 16 bands → bucket join → exact verify). Hash family is
+    xxhash64 (Spark-side) so no SQL oracle; pytest checks it agrees with
+    exact Jaccard on fixtures."""
+    from telemetry_parquet_spark.datapipe.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.5)
+
+
+@query("dd_simhash_near_dup_pairs")
+def dd_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit fingerprints, 4-chunk pigeonhole
+    buckets, Hamming ≤ 3)."""
+    from telemetry_parquet_spark.datapipe.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs)
+
+
+@query("a7_hll_distinct_users")
+def a7_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 mergeable HLL sketches (spark-hyperloglog analog, udfs.scala:12-26):
+    per-day user sketches → union across days → estimate. Estimates are
+    sketch-algorithm-specific, so no DuckDB oracle; pytest bounds the error
+    against exact counts."""
+    from telemetry_parquet_spark.operators.aggregates import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyyMMdd")
+    )
+    daily = hll_sketch(events, keys=["day", "event_type"], value_col="user_id")
+    merged = hll_merge(daily, keys=["event_type"])
+    return hll_estimate(merged).select("event_type", "distinct_estimate")

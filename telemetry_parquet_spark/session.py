@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Replaces the reference's session plumbing (``getOrCreateSparkSession``,
+reference ``src/main/scala/com/mozilla/telemetry/utils/package.scala:71-98``)
+with a Spark-4-era configuration: AQE on (runtime coalescing, skew-join
+handling), Arrow on (fast pandas interchange), UTC session time zone (oracle
+comparability), and dynamic partition overwrite (obsoletes the reference's
+manual partition-path discipline, ``SyncView.scala:88-98``).
+
+Scale notes (100 TB / 1000-executor design):
+- ``spark.sql.shuffle.partitions`` here is sized for local[32] test runs; on a
+  real cluster AQE's ``coalescePartitions`` makes the initial number mostly
+  irrelevant as long as it is an upper bound — set it to ~3x total cores.
+- ``maxPartitionBytes`` 128m is the scan-split knob that actually governs
+  parallelism of the 100 TB read; we leave the default.
+- skew is handled by AQE skew-join, not manual salting, unless an operator
+  documents otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # parquet output sizing: the reference tuned parquet.block.size to
+    # 256-512 MiB for S3-friendly files (MainEventsView.scala:34-36); modern
+    # equivalent is the writer block size + AQE-coalesced output partitions.
+    "spark.hadoop.parquet.block.size": str(256 * 1024 * 1024),
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(
+    app_name: str = "telemetry_parquet_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    tests, bench, and the driver all agree; pass an explicit master for
+    cluster deployment.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = {**DEFAULT_CONF, **(extra_conf or {})}
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

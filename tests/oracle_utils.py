@@ -1,0 +1,99 @@
+"""Local emulation of the driver's DuckDB-oracle comparison:
+row count + column names + order-insensitive exact value multiset
+(columns sorted by name). Exact cell equality — any float that differs in
+the low bits here would hash-mismatch in the driver, so queries must be
+written deterministically (see queries/registry.py docstring)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, Decimal):
+        return f"f:{float(v)!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, _dt.datetime):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, _dt.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return f"s:{v}"
+
+
+def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, canonicalize cells, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def spark_result(df) -> tuple[list[str], list[tuple]]:
+    rows = [tuple(r) for r in df.collect()]
+    return df.columns, rows
+
+
+def duckdb_result(con, sql: str) -> tuple[list[str], list[tuple]]:
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def compare(spark_df, con, sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = parity)."""
+    problems: list[str] = []
+    scols, srows = spark_result(spark_df)
+    dcols, drows = duckdb_result(con, sql)
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"columns differ: spark={sorted(scols)} duckdb={sorted(dcols)}")
+        return problems
+    if len(srows) != len(drows):
+        problems.append(f"row count differs: spark={len(srows)} duckdb={len(drows)}")
+    sc = canon_rows(scols, srows)
+    dc = canon_rows(dcols, drows)
+    if sc != dc:
+        only_s = [r for r in sc if r not in set(dc)][:5]
+        only_d = [r for r in dc if r not in set(sc)][:5]
+        problems.append(
+            f"values differ; sample only-in-spark={only_s} only-in-duckdb={only_d}"
+        )
+    return problems

@@ -1,0 +1,22 @@
+"""Smoke the driver contract: entry() runs, queries()/oracle_sql() align."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(
+        ["event_id", "user_id", "event_type", "prop_k", "day_key", "ts_millis", "value"]
+    ) == set(df.columns)
+
+
+def test_contract_shapes(spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    assert set(oracles) <= set(qs)
+    for name, fn in qs.items():
+        assert callable(fn), name
