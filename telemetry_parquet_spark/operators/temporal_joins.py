@@ -1,0 +1,112 @@
+"""As-of and range joins — operators Spark lacks natively (SURVEY.md §2.3
+notes the reference has none either; they are engine-completeness surface,
+per the common-OLAP-pattern list in the public Spark guidance).
+
+Both avoid the naive O(N·M) nested-loop plan:
+
+- ``as_of_join``: union-and-window. Tag right rows, union with left rows,
+  sort within each key by (ts, tag) once, and carry the latest right payload
+  forward with ``last(ignorenulls)``. One shuffle on the key, no join at all —
+  this is the merge-asof algorithm expressed relationally, and it scales as a
+  single window over (key, time)-sorted data.
+- ``range_join``: bucketize the time axis, explode each right-side interval
+  to the buckets it covers, equi-join on (key?, bucket), then re-apply the
+  exact range predicate. Shuffle keys are (key, bucket) — broadcastable when
+  the interval side is small; bucket width trades fan-out vs selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` for the same ``on`` key (ties: right row at the
+    exact same timestamp wins, i.e. 'backward' semantics inclusive).
+
+    ``tolerance_seconds`` drops matches older than the window (like
+    pandas ``merge_asof(tolerance=...)``)."""
+    payload_cols = right_payload or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    lhs = left.withColumn("__ts", F.col(left_ts)).withColumn("__tag", F.lit(1))
+    rhs = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.struct(
+            F.col(right_ts).alias(f"{right_ts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+        ).alias("__r"),
+    )
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    # right rows (tag 0) sort before left rows (tag 1) at equal __ts, so an
+    # exact-timestamp right row is visible to the left row — inclusive asof.
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    out = carried.where(F.col("__tag") == 1)
+    if tolerance_seconds is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(
+                F.unix_timestamp(F.col("__ts"))
+                - F.unix_timestamp(F.col(f"__match.{right_ts}{suffix}"))
+                <= tolerance_seconds,
+                F.col("__match"),
+            ),
+        )
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        F.col(f"__match.{right_ts}{suffix}").alias(f"{right_ts}{suffix}"),
+        *[
+            F.col(f"__match.{c}{suffix}").alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    on: str | None = None,
+    bucket_seconds: int = 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to interval rows where
+    ``start_col <= left_ts < end_col`` (optionally also equi on ``on``).
+
+    Implementation: explode each interval into the time buckets it overlaps,
+    equi-join points on their bucket (+ key), then apply the exact predicate.
+    Equivalent to the 'bucketize the range key' strategy; never a nested
+    loop."""
+    bucket = (F.unix_timestamp(F.col(left_ts)) / bucket_seconds).cast("long")
+    start_b = (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long")
+    end_b = (F.unix_timestamp(F.col(end_col)) / bucket_seconds).cast("long")
+
+    exploded = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(start_b, end_b))
+    )
+    pts = left.withColumn("__bucket", bucket)
+    keys = ["__bucket"] + ([on] if on else [])
+    joined = pts.join(exploded, on=keys, how=how)
+    return joined.where(
+        (F.col(start_col) <= F.col(left_ts)) & (F.col(left_ts) < F.col(end_col))
+    ).drop("__bucket")

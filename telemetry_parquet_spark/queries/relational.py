@@ -85,8 +85,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
-      AND l_shipdate > TIMESTAMP '2024-06-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
@@ -99,7 +99,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle (at 100 TB customer-by-segment still fits broadcast
     thresholds after the filter; AQE would pick this anyway at runtime).
     """
-    cutoff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
@@ -351,7 +351,7 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderstatus = 'F'
       AND o_totalprice >= 50000
-      AND o_orderdate >= TIMESTAMP '2024-03-01 00:00:00'
+      AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
     """,
 )
 def p2_dynamic_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,7 +362,7 @@ def p2_dynamic_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = [
         F.col("o_orderstatus") == F.lit("F"),
         F.col("o_totalprice") >= F.lit(50000),
-        F.col("o_orderdate") >= F.lit("2024-03-01 00:00:00").cast("timestamp"),
+        F.col("o_orderdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"),
     ]
     orders = _t(spark, sf_dir, "orders")
     return orders.where(reduce(lambda a, b: a & b, preds)).select(

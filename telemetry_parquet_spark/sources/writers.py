@@ -1,0 +1,72 @@
+"""Versioned, date-partitioned dataset sinks — SURVEY.md §1.4 / S7-S8.
+
+The reference wrote each day into a manually-built partition path
+(``.../<job>/v<N>/submission_date_s3=YYYYMMDD``) because Spark 2.x couldn't
+"replace exactly one day", then deleted ``_SUCCESS`` markers
+(``SyncView.scala:88-106``, ``MainEventsView.scala:55-66``). Our engine uses
+the feature that obsoletes the whole discipline: dynamic partition overwrite
+— ``partitionBy(...)`` + ``partitionOverwriteMode=dynamic`` rewrites exactly
+the partitions present in the incoming frame and leaves all others intact.
+
+Scale notes:
+- output file sizing replaces the reference's ``repartition(1)`` (Y1): we
+  coalesce to ``files_per_partition`` per date partition via a partition-key
+  repartition, letting AQE handle the small-file problem at other stages;
+- parquet block size (the reference's 256-512 MiB tuning, Y6) comes from the
+  session conf (session.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dataset_path(base: str, name: str, version: int) -> str:
+    """``<base>/<name>/v<version>`` — the reference's versioned layout."""
+    return os.path.join(base, name, f"v{version}")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] = ("submission_date_s3",),
+    files_per_partition: int | None = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Atomic per-partition overwrite (S7). With ``mode='overwrite'`` and
+    dynamic overwrite enabled (session default), only the partitions present
+    in ``df`` are replaced — the reference's "replace exactly one day"."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = df
+    if files_per_partition:
+        out = df.repartition(files_per_partition, *partition_cols)
+    out.write.mode(mode).partitionBy(*list(partition_cols)).parquet(path)
+
+
+def overwrite_single_day(
+    df: DataFrame,
+    path: str,
+    day: str,
+    date_col: str = "submission_date_s3",
+    files_per_partition: int | None = 1,
+) -> None:
+    """Reference-faithful day job: constrain the frame to one day then
+    dynamic-overwrite that partition only."""
+    from pyspark.sql import functions as F
+
+    one_day = df.where(F.col(date_col) == day)
+    write_partitioned(one_day, path, [date_col], files_per_partition)
+
+
+def read_dataset(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
+    """S2/S3: partitioned dataset scan, optional schema merge
+    (DatasetComparator.scala:92). Partition values stay strings (yyyyMMdd
+    day keys must not be inferred to int — reference layout §1.4)."""
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
