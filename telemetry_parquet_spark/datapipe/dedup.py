@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from telemetry_parquet_spark.datapipe import spread
 from telemetry_parquet_spark.datapipe.text import tokens
 
 
@@ -85,17 +86,19 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column:
-    """K-permutation MinHash: for seed i, min over shingles of
-    xxhash64(shingle, seed=i). Output array<bigint> of length K.
+def _rotl64(c: Column, i: int) -> Column:
+    """Bitwise 64-bit rotate-left (overflow-free under ANSI mode)."""
+    if i % 64 == 0:
+        return c
+    i = i % 64
+    return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
 
-    Each hash family member is Spark's xxhash64 with a distinct seed — a
-    public, deterministic 64-bit hash; min over a distinct-shingle set is
-    permutation-stable."""
-    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    return F.array(
-        *[F.array_min(F.transform(c, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
-    )
+
+def _hash_family(h1: Column, h2: Column, i: int) -> Column:
+    """K-member hash family from two base hashes (Carter-Wegman style, with
+    XOR+rotate instead of multiply so ANSI overflow checking never fires):
+    g_i = h1 XOR rotl(h2, i) XOR i."""
+    return h1.bitwiseXOR(_rotl64(h2, (i * 7 + 1) % 63 + 1)).bitwiseXOR(F.lit(i))
 
 
 def minhash_docs(
@@ -105,9 +108,32 @@ def minhash_docs(
     shingle_n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    return df.select(
+    """K-permutation MinHash signatures as (id, minhash array<bigint>).
+
+    Shape for scale: explode distinct shingles once, compute TWO base
+    xxhash64 values per shingle, derive the K family members with bit
+    arithmetic, and take K min() aggregates in a single vectorized hash-agg
+    (map-side partials, one shuffle on the doc id). The naive form — K
+    array transforms per document — re-hashes every shingle K times inside
+    one giant codegen expression and was the bench's hot spot."""
+    ex = (
+        spread(df)
+        .select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
+        .select(
+            F.col(id_col),
+            F.xxhash64("__sh", F.lit(1)).alias("__h1"),
+            F.xxhash64("__sh", F.lit(2)).alias("__h2"),
+        )
+    )
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min(_hash_family(F.col("__h1"), F.col("__h2"), i)).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
         F.col(id_col),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("minhash"),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash"),
     )
 
 
@@ -177,10 +203,8 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates → exact
     Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard_sim)."""
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-    sigs = sh.select(
-        F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("minhash")
-    )
+    sh = spread(df).select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sigs = minhash_docs(df, id_col, text_col, shingle_n, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -216,7 +240,7 @@ def ngram_jaccard_pairs(
     Scale: the shuffle key is the shingle hash; hot shingles are bounded by
     dropping the most frequent shingles (document-frequency cap) before the
     join — the standard inverted-index guard."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col),
         F.explode(shingles(text_col, shingle_n)).alias("shingle"),
     ).withColumn("shingle", F.xxhash64("shingle"))
@@ -266,7 +290,7 @@ def simhash_fingerprints(
     Shape for scale: explode tokens → hash → one hash-aggregation with 64
     conditional-sum columns (vectorized, map-side partials), then OR the
     winning bit masks. One shuffle on the doc id; no Python, no UDAF."""
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__t")
     ).withColumn("__h", F.xxhash64("__t"))
     votes = toks.groupBy(id_col).agg(

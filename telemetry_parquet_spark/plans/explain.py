@@ -53,9 +53,37 @@ def has_nested_loop_join(df: DataFrame) -> bool:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan."""
-    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", formatted_plan(df)))
+    """Number of shuffle exchanges in the physical plan (formatted mode
+    numbers each operator as '(n) Exchange' with its partitioning on the
+    Arguments line; broadcast exchanges are 'BroadcastExchange' and are NOT
+    counted — they are not shuffles)."""
+    return len(re.findall(r"^\(\d+\) Exchange\b", formatted_plan(df), re.MULTILINE))
+
+
+def simple_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+    """Number of whole-stage-codegen subtrees. AQE defers codegen planning
+    (the adaptive wrapper reports 0 subtrees before execution), so plan with
+    AQE off for the inspection only."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # a Dataset's physical plan is cached at first use; derive a fresh
+        # (optimizer-identity) Dataset so planning re-runs under AQE-off
+        from pyspark.sql import functions as F
+
+        replanned = df.where(F.lit(True))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            replanned.explain("codegen")
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+        return int(m.group(1)) if m else 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

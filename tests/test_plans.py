@@ -1,0 +1,75 @@
+"""Physical-plan guardrails: these assert the properties that matter at
+100 TB — pushdown reaching the parquet scan, column pruning, broadcast (not
+shuffle/nested-loop) joins, bounded shuffle counts — not just correct rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.plans.explain import (
+    exchange_count,
+    formatted_plan,
+    has_broadcast_join,
+    has_nested_loop_join,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from telemetry_parquet_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["p2_dynamic_predicates"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in pushed
+    assert "o_totalprice" in pushed
+    assert "o_orderdate" in pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    df = QUERIES["j1_anti_orders_without_lineitems"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    # lineitem side must be pruned to the join key only
+    assert "l_orderkey" in cols
+    assert "l_quantity" not in cols and "l_extendedprice" not in cols
+
+
+def test_events_flatten_prunes_and_pushes(spark, sf_dir):
+    df = QUERIES["events_flatten"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "IsNotNull" in plan  # not-null filters exist
+    cols = read_schema_columns(df)
+    assert cols <= {"event_id", "user_id", "event_type", "props", "ts", "value"}
+
+
+def test_broadcast_joins_chosen(spark, sf_dir):
+    assert has_broadcast_join(QUERIES["j3_broadcast_enrich"](spark, sf_dir))
+    assert has_broadcast_join(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    df = QUERIES["range_clicks_after_purchase"](spark, sf_dir)
+    assert not has_nested_loop_join(df)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union-and-window as-of join must cost exactly one exchange
+    (hash partition by key) — that's its whole point."""
+    df = QUERIES["asof_last_purchase_before_view"](spark, sf_dir)
+    assert exchange_count(df) == 1
+
+
+def test_q1_single_shuffle_and_codegen(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert exchange_count(df) == 1  # partial agg -> exchange -> final agg
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Both window passes and the final agg share the user_id partitioning —
+    one exchange total."""
+    df = QUERIES["sessionize_events"](spark, sf_dir)
+    assert exchange_count(df) == 1
