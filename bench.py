@@ -26,16 +26,24 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q18_large_volume_customers",
     "w1_latest_order_per_customer",
     "w2_running_order_total",
+    "w4_rank_suite",
     "sessionize_events",
     "a4_map_sum",
     "a5_search_counts_pivot",
     "x1_token_explode",
+    "asof_last_purchase_before_view",
+    "range_clicks_after_purchase",
     "dd_exact_dedup_groups",
     "dd_minhash_near_dup_pairs",
+    "dd_ngram_jaccard_pairs",
+    "tfidf_top_terms",
     "sim_brute_force_topk",
+    "embedding_centroids",
     "a7_hll_distinct_users",
+    "stream_tumbling_hourly",
 ]
 
 

@@ -1,0 +1,37 @@
+"""Skew-mitigation operators.
+
+AQE's skew-join handling covers joins; for *aggregations* with a pathological
+hot key, two-phase salted aggregation bounds any single task's input:
+phase 1 aggregates on (key, salt) — the hot key's rows split across N salt
+partitions with map-side partials — phase 2 merges the N partials per key.
+Works for any algebraic aggregate (sum/count/min/max); the result is
+identical to the direct groupBy (oracle-checked in the query pack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    salt_buckets: int = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation: ``aggs`` maps output name → (merge_fn_name,
+    phase-1 aggregate expression), where merge_fn is 'sum'|'min'|'max'
+    (how phase-2 combines phase-1 partials). COUNT is expressed as a
+    phase-1 ``F.count(...)`` merged with 'sum'."""
+    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, (_, expr) in aggs.items()]
+    )
+    merge = {"sum": F.sum, "min": F.min, "max": F.max}
+    phase2 = phase1.groupBy(*keys).agg(
+        *[merge[fn](F.col(name)).alias(name) for name, (fn, _) in aggs.items()]
+    )
+    return phase2

@@ -61,6 +61,28 @@ def overwrite_single_day(
     write_partitioned(one_day, path, [date_col], files_per_partition)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at WRITE
+    time so later equi-joins/aggregations on those columns skip the shuffle
+    entirely (verified by plan assertion in tests/test_bucketing.py).
+
+    At 100 TB this is the cheapest repeated-join strategy there is: pay one
+    shuffle when the dataset lands, then every downstream join on the key is
+    exchange-free. The modern replacement for the reference's deleted
+    ConsistentPartitioner co-partitioning (GRAVEYARD.md:10)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def read_dataset(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
     """S2/S3: partitioned dataset scan, optional schema merge
     (DatasetComparator.scala:92). Partition values stay strings (yyyyMMdd
