@@ -1,0 +1,69 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.10 — net-new surface; the reference had no streaming at all).
+
+``running_user_stats`` keeps per-key state across micro-batches: event count,
+value sum, and last-seen timestamp, emitting one updated row per key per
+batch. This is the building block the reference's accumulator-style job
+metrics (A10) would become in a continuous pipeline.
+
+State design for scale: state lives in the state store keyed by the group
+key — bounded by key cardinality, not stream length; a ProcessingTimeTimeout
+evicts idle keys (``idle_timeout_ms``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, last_ts timestamp"
+)
+STATE_SCHEMA = "n bigint, total double, last_ts timestamp"
+
+
+def _update_user_stats(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total, last_ts = state.get if state.exists else (0, 0.0, None)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+    state.update((n, total, last_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def running_user_stats(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Per-user running (count, sum, last_ts) maintained in streaming state;
+    emits the updated row for every key seen in each micro-batch."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

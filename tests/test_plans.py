@@ -68,6 +68,32 @@ def test_q1_single_shuffle_and_codegen(spark, sf_dir):
     assert wholestage_codegen_spans(df) >= 1
 
 
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """S1: the reference pruned S3 prefixes by dimension predicates on the
+    driver (SyncView.scala:53-62); our engine writes Hive-partitioned
+    datasets and Catalyst prunes partitions from WHERE clauses — the scan's
+    PartitionFilters must carry the predicate and the other days' files
+    must not be listed into the plan."""
+    import re
+
+    from telemetry_parquet_spark.plans.explain import formatted_plan
+    from telemetry_parquet_spark.sources.writers import read_dataset, write_partitioned
+
+    path = str(tmp_path / "parts")
+    df = spark.createDataFrame(
+        [(i, f"2024010{1 + i % 3}") for i in range(30)],
+        ["id", "submission_date_s3"],
+    )
+    write_partitioned(df, path)
+    pruned = read_dataset(spark, path).where(
+        F.col("submission_date_s3") == "20240102"
+    )
+    plan = formatted_plan(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "submission_date_s3" in m.group(1), plan[:1500]
+    assert pruned.count() == 10
+
+
 def test_sessionize_single_shuffle(spark, sf_dir):
     """Both window passes and the final agg share the user_id partitioning —
     one exchange total."""
