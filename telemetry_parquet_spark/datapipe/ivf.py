@@ -1,0 +1,103 @@
+"""IVF (inverted-file) approximate nearest neighbor — the clustered scale
+path for similarity search, alongside the hyperplane-LSH variant
+(datapipe/similarity.py).
+
+Build: KMeans (pyspark.ml) over a sample → centroid table (tiny, broadcast).
+Assign: each corpus vector to its nearest centroid (one pass, JVM-side fold).
+Query: probe the ``nprobe`` nearest centroids, exact-rescore only vectors in
+those cells — at 100 TB the probe prunes the corpus by ~n_cells/nprobe while
+the centroid table stays a broadcast literal.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.datapipe.similarity import cosine, dot
+
+
+@dataclass
+class IVFIndex:
+    assigned: DataFrame      # corpus + cell_id
+    centroids: list[list[float]]
+    id_col: str
+    vec_col: str
+
+
+def _nearest_centroid(vec: F.Column, centroids: list[list[float]]):
+    """Argmin over squared L2 distance to each centroid, as a fold over a
+    literal struct array — no UDF, no join."""
+    best_id, best_d = None, None
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        d = dot(vec, vec) - 2 * dot(vec, cvec) + dot(cvec, cvec)
+        if best_id is None:
+            best_id, best_d = F.lit(i), d
+        else:
+            closer = d < best_d
+            best_id = F.when(closer, F.lit(i)).otherwise(best_id)
+            best_d = F.when(closer, d).otherwise(best_d)
+    return best_id
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> IVFIndex:
+    """KMeans the (sampled) corpus into cells; assign every vector."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml unavailable") from e
+
+    train = corpus if sample_fraction is None else corpus.sample(
+        fraction=sample_fraction, seed=seed
+    )
+    feat = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feat)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    assigned = corpus.withColumn(
+        "cell_id", _nearest_centroid(F.col(vec_col).cast("array<double>"), centroids)
+    )
+    return IVFIndex(assigned=assigned, centroids=centroids, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_top_k(
+    index: IVFIndex,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the ``nprobe`` centroids nearest the query, exact-rescore their
+    cells, return top-k (cosine, deterministic tie-break)."""
+    import math
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe_cells = sorted(
+        range(len(index.centroids)),
+        key=lambda i: d2(index.centroids[i], query_vec),
+    )[:nprobe]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cells = index.assigned.where(F.col("cell_id").isin(probe_cells))
+    return (
+        cells.select(
+            F.col(index.id_col),
+            F.round(cosine(F.col(index.vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(index.id_col))
+        .limit(k)
+    )

@@ -1,0 +1,61 @@
+"""Ingestion round-trip query: the VARIANT ping pipeline (sources/
+json_ingest.py) under the DuckDB correctness gate.
+
+Ping documents are synthesized in-flight from the events table (one ping per
+user; one sync per event), pushed through the REAL ingestion path
+(parse_pings → nested_sync_view with required-field rejection), and the
+flattened output is compared against an oracle computed relationally from
+the same events rows — so X3 explode, typed variant extraction, and the
+defaulting rules are all value-checked, not just pytest-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.queries.registry import query
+from telemetry_parquet_spark.sources.tables import load_table
+
+
+@query(
+    "ping_ingestion_roundtrip",
+    oracle="""
+    SELECT
+      CAST(user_id AS VARCHAR) AS uid,
+      epoch_ms(ts) AS "when",
+      CAST(floor(value) AS BIGINT) AS took,
+      event_type AS why
+    FROM events
+    """,
+)
+def ping_ingestion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build one ping JSON per user (syncs = that user's events), ingest via
+    the variant pipeline, emit (uid, when, took, why) per sync row."""
+    from telemetry_parquet_spark.sources.json_ingest import (
+        nested_sync_view,
+        parse_pings,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sync = F.struct(
+        F.unix_millis("ts").alias("when"),
+        F.floor("value").cast("long").alias("took"),
+        F.col("event_type").alias("why"),
+    )
+    pings = (
+        events.groupBy("user_id")
+        .agg(F.collect_list(sync).alias("syncs"))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.col("user_id").cast("string").alias("uid"),
+                        F.col("syncs"),
+                    ).alias("payload")
+                )
+            ).alias("json")
+        )
+    )
+    nested = nested_sync_view(parse_pings(pings))
+    return nested.select("uid", "when", "took", "why")

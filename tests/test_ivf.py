@@ -1,0 +1,29 @@
+"""IVF ANN: index on the embeddings fixture; probing must recover the
+brute-force top-k when the query's cell(s) are probed."""
+
+from __future__ import annotations
+
+from telemetry_parquet_spark.datapipe.ivf import build_ivf_index, ivf_top_k
+from telemetry_parquet_spark.datapipe.similarity import brute_force_top_k
+from telemetry_parquet_spark.sources.tables import load_table
+
+
+def test_ivf_recovers_bruteforce_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+
+    index = build_ivf_index(emb, n_cells=8)
+    # all vectors assigned to exactly one cell
+    assert index.assigned.count() == emb.count()
+    assert index.assigned.select("cell_id").distinct().count() <= 8
+
+    exact = [r.vec_id for r in brute_force_top_k(emb, qvec, k=5).collect()]
+    # probing every cell == brute force (sanity ceiling)
+    full = [r.vec_id for r in ivf_top_k(index, qvec, k=5, nprobe=8).collect()]
+    assert full == exact
+
+    # probing half the cells: recall of the top-5 should be high on this
+    # fixture (the query vector's own cell holds its near neighbors)
+    approx = [r.vec_id for r in ivf_top_k(index, qvec, k=5, nprobe=4).collect()]
+    assert len(set(approx) & set(exact)) >= 3
+    assert approx[0] == 0  # the query vector itself is always found
