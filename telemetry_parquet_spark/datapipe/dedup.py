@@ -44,7 +44,8 @@ def exact_dedup_groups(
     """Duplicate-group summary: one row per distinct content hash with the
     earliest id as keeper and the duplicate count."""
     return (
-        df.select(F.col(id_col), content_hash(text_col).alias("content_md5"))
+        spread(df)
+        .select(F.col(id_col), content_hash(text_col).alias("content_md5"))
         .groupBy("content_md5")
         .agg(
             F.min(id_col).alias("keeper_id"),
@@ -57,7 +58,7 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Keep the earliest row (by id) per distinct content hash."""
     from telemetry_parquet_spark.operators.dedup import earliest_per_key
 
-    hashed = df.withColumn("__content_md5", content_hash(text_col))
+    hashed = spread(df).withColumn("__content_md5", content_hash(text_col))
     return earliest_per_key(
         hashed, keys=["__content_md5"], order_cols=[id_col]
     ).drop("__content_md5")
