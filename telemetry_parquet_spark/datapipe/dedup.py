@@ -204,9 +204,22 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates → exact
     Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard_sim)."""
-    sh = spread(df).select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     sigs = minhash_docs(df, id_col, text_col, shingle_n, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands)
+    # the candidate set is tiny and reused three times below (ids for both
+    # pair sides + the semi-join filter); materialize it once so the
+    # signature pipeline doesn't recompute per consumer (Y4-style lineage
+    # break, AddonRecommender.scala:221-222)
+    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands).localCheckpoint()
+    # verification shingles only for docs that appear in a candidate pair —
+    # prunes the second full-corpus shingle pass to a broadcast-semi-joined
+    # subset
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    )
+    sh = (
+        spread(df.join(F.broadcast(cand_ids), id_col, "left_semi"))
+        .select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (

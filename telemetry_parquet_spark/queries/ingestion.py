@@ -59,3 +59,51 @@ def ping_ingestion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nested = nested_sync_view(parse_pings(pings))
     return nested.select("uid", "when", "took", "why")
+
+
+@query(
+    "ping_events_roundtrip",
+    oracle="""
+    SELECT
+      CAST(user_id AS VARCHAR) AS uid,
+      epoch_ms(ts) AS event_timestamp,
+      event_type AS event_category,
+      CAST(event_id AS VARCHAR) AS flow
+    FROM events
+    """,
+)
+def ping_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 positional heterogeneous event arrays under the gate: build raw
+    JSON pings whose payload.events are ``[ts, category, method, object,
+    null, {mapValues}]`` positional arrays (plus one malformed entry per
+    ping, which the parser must silently skip — Events.scala:32-80
+    semantics), run the real events_view, emit per-event rows."""
+    from telemetry_parquet_spark.sources.json_ingest import events_view, parse_pings
+
+    events = load_table(spark, sf_dir, "events")
+    ev_json = F.format_string(
+        '[%s,"%s","method","object",null,{"flow":"%s"}]',
+        F.unix_millis("ts").cast("string"),
+        F.col("event_type"),
+        F.col("event_id").cast("string"),
+    )
+    pings = (
+        events.groupBy("user_id")
+        .agg(F.collect_list(ev_json).alias("__evs"))
+        .select(
+            F.concat(
+                F.lit('{"payload":{"uid":"'),
+                F.col("user_id").cast("string"),
+                F.lit('","events":['),
+                F.concat_ws(",", F.col("__evs")),
+                F.lit(',["malformed"]]}}'),
+            ).alias("json")
+        )
+    )
+    out = events_view(parse_pings(pings))
+    return out.select(
+        "uid",
+        "event_timestamp",
+        "event_category",
+        F.element_at("event_map_values", "flow").alias("flow"),
+    )

@@ -115,13 +115,19 @@ def run_available_now(
     build,
     schema=None,
     output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Replay a static parquet file through a genuine streaming query:
     file source → ``build(stream_df)`` → memory sink, availableNow trigger,
     processed synchronously. Returns the materialized result frame.
 
     This is the reference's batch-reprocessing story told with streaming
-    machinery — identical code path to a live stream, but terminating."""
+    machinery — identical code path to a live stream, but terminating.
+
+    ``state_partitions`` sizes the stateful-operator shuffle: each shuffle
+    partition owns a state store, and store setup dominates small local
+    replays (32 stores ≈ 5 s vs 8 ≈ 1.2 s at sf0.1). Size it to key
+    cardinality in production; the conf is restored after the run."""
     if schema is None:
         schema = spark.read.parquet(parquet_path).schema
     # the file source wants a directory; a single-file table is streamed by
@@ -139,12 +145,21 @@ def run_available_now(
         stream = spark.readStream.schema(schema).format("parquet").load(parquet_path)
     out = build(stream)
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(int(prev_parts), state_partitions)),
+            )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
