@@ -46,6 +46,56 @@ def f10_bucketed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "percentile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           median(l_quantity) AS med,
+           quantile_cont(l_quantity, 0.9) AS q90,
+           quantile_cont(l_extendedprice, 0.5) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles/median per group — Spark `percentile`
+    and DuckDB `quantile_cont` agree bit-for-bit (both linear
+    interpolation); the approximate variant (`percentile_approx`) exists for
+    the 100 TB path but is sketch-specific and pytest-covered instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.median("l_quantity").alias("med"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("q90"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price"),
+    )
+
+
+@query(
+    "events_flatten_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+           event_type
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def events_flatten_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events_flatten JSON extraction done through the VARIANT type
+    (parse_json + try_variant_get) instead of get_json_object — the
+    single-parse path that scales when many fields are extracted from one
+    document (get_json_object re-parses per call)."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    return events.where(F.col("props").isNotNull()).select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("prop_k"),
+        "event_type",
+    )
+
+
+@query(
     "grouping_sets_volume",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders

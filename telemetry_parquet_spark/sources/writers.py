@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def dataset_path(base: str, name: str, version: int) -> str:
@@ -59,6 +60,41 @@ def overwrite_single_day(
 
     one_day = df.where(F.col(date_col) == day)
     write_partitioned(one_day, path, [date_col], files_per_partition)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str] = ("submission_date_s3",),
+    target_file_bytes: int = 256 << 20,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite each partition of a dataset into
+    ~``target_file_bytes`` files (the lake-maintenance operator that keeps a
+    streamed-into dataset scannable — thousands of micro-batch files per
+    day otherwise destroy scan parallelism bookkeeping and metadata reads).
+
+    Sizing is derived from the partition's current on-disk bytes; the
+    rewrite is a per-partition dynamic overwrite, so concurrent readers of
+    other partitions are unaffected. Returns {partition_value: n_files}."""
+    import glob
+
+    df = read_dataset(spark, path)
+    pcol = partition_cols[0]
+    sizes: dict[str, int] = {}
+    for pdir in glob.glob(os.path.join(path, f"{pcol}=*")):
+        val = os.path.basename(pdir).split("=", 1)[1]
+        nbytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(pdir)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        n_files = max(1, -(-nbytes // target_file_bytes))  # ceil
+        part = df.where(F.col(pcol) == val).repartition(n_files)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        part.write.mode("overwrite").partitionBy(*list(partition_cols)).parquet(path)
+        sizes[val] = n_files
+    return sizes
 
 
 def write_bucketed_table(

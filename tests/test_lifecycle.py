@@ -66,6 +66,46 @@ def test_run_daily(spark, tmp_path):
     assert read_dataset(spark, path).count() == 6
 
 
+def test_schema_merge_read(spark, tmp_path):
+    """S3: schema evolution across partitions reconciled with mergeSchema
+    (DatasetComparator.scala:92)."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "20240101")], ["id", "submission_date_s3"])
+    write_partitioned(v1, path)
+    v2 = spark.createDataFrame(
+        [(2, "new-col", "20240102")], ["id", "extra", "submission_date_s3"]
+    )
+    write_partitioned(v2, path)
+    merged = read_dataset(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"id", "extra", "submission_date_s3"}
+    rows = {r.id: r.extra for r in merged.collect()}
+    assert rows == {1: None, 2: "new-col"}
+
+
+def test_compaction(spark, tmp_path):
+    import glob
+    import os
+
+    from telemetry_parquet_spark.sources.writers import compact_dataset
+
+    path = str(tmp_path / "fragmented")
+    # simulate micro-batch fragmentation: 12 files in one day partition
+    df = spark.createDataFrame(
+        [(i, "20240101") for i in range(120)], ["id", "submission_date_s3"]
+    )
+    write_partitioned(df, path, files_per_partition=None, mode="overwrite")
+    frag = df.repartition(12)
+    frag.write.mode("overwrite").partitionBy("submission_date_s3").parquet(path)
+    before = len(glob.glob(os.path.join(path, "submission_date_s3=20240101", "*.parquet")))
+    assert before >= 10
+
+    compact_dataset(spark, path, target_file_bytes=1 << 30)
+    after = len(glob.glob(os.path.join(path, "submission_date_s3=20240101", "*.parquet")))
+    assert after == 1
+    got = read_dataset(spark, path)
+    assert got.count() == 120 and got.select("id").distinct().count() == 120
+
+
 def test_comparator(spark):
     left = spark.createDataFrame(
         [(1, "a", None), (2, "b", "x"), (3, "c", "y")], ["id", "s", "nullable"]
