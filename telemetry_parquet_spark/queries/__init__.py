@@ -13,6 +13,7 @@ from telemetry_parquet_spark.queries import advanced  # noqa: F401, E402
 from telemetry_parquet_spark.queries import tpch  # noqa: F401, E402
 from telemetry_parquet_spark.queries import ingestion  # noqa: F401, E402
 from telemetry_parquet_spark.queries import scalar_extra  # noqa: F401, E402
+from telemetry_parquet_spark.queries import longitudinal  # noqa: F401, E402
 
 
 def all_queries():
