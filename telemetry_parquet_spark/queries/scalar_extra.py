@@ -96,6 +96,32 @@ def events_flatten_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_upsert_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO emulation (operators/merge.py): upsert a changed subset
+    (BUILDING customers with doubled balances) into the customer table —
+    matched rows replaced, others untouched."""
+    from telemetry_parquet_spark.operators.merge import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    source = cust.where(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") * 2
+    )
+    merged = merge_upsert(cust, source, keys=["c_custkey"])
+    return merged.select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
     "grouping_sets_volume",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
