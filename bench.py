@@ -55,8 +55,14 @@ def main() -> None:
     spark = get_session("tps-bench")
     queries = all_queries()
 
-    # warm up the JVM + parquet footer caches with a trivial action
+    # warm up the JVM (codegen/JIT) and the parquet file-index/footer caches
+    # so per-query timings measure steady-state execution, not one-time
+    # session costs
     spark.range(1_000_000).count()
+    from telemetry_parquet_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).limit(1).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
