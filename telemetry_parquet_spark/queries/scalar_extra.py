@@ -96,6 +96,55 @@ def events_flatten_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "comparator_summary",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer) AS left_rows,
+      (SELECT COUNT(*) FROM customer) AS right_rows,
+      (SELECT COUNT(*) FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal <> -c_acctbal)
+        AS left_minus_right,
+      (SELECT COUNT(*) FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal <> -c_acctbal)
+        AS right_minus_left,
+      (SELECT CAST(SUM(CAST(c_acctbal IS NULL AS INT)) AS BIGINT)
+         FROM customer) AS n_null_diff_base
+    """,
+)
+def comparator_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DatasetComparator in the gate (DatasetComparator.scala:73-160): run
+    the comparator between the customer table and a drifted copy (BUILDING
+    balances negated) and emit its single-row summary — row counts,
+    symmetric exceptAll diffs, null counts — exactly the reference's JSON
+    result record shape (S9)."""
+    from telemetry_parquet_spark.operators.compare import compare_datasets
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    drifted = cust.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_mktsegment") == "BUILDING", -F.col("c_acctbal")
+        ).otherwise(F.col("c_acctbal")),
+    )
+    res = compare_datasets(cust, drifted, key_columns=["c_custkey", "c_acctbal"])
+    return spark.createDataFrame(
+        [
+            (
+                res.left_rows,
+                res.right_rows,
+                res.left_minus_right,
+                res.right_minus_left,
+                len(res.null_count_diffs),
+            )
+        ],
+        "left_rows bigint, right_rows bigint, left_minus_right bigint, "
+        "right_minus_left bigint, n_null_diff_base bigint",
+    )
+
+
+@query(
     "merge_upsert_customers",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -93,6 +93,36 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_halfhour",
+    oracle="""
+    WITH wins AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+                            * 1000000) AS w0
+      FROM events
+    ), expanded AS (
+      SELECT event_type, w0 AS wstart FROM wins
+      UNION ALL
+      SELECT event_type, w0 - INTERVAL 30 MINUTE AS wstart FROM wins
+    )
+    SELECT wstart AS window_start,
+           wstart + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM expanded
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide) through a real streaming
+    query; the oracle expands each event into its two overlapping windows
+    relationally."""
+    from telemetry_parquet_spark.streaming.pipelines import sliding_counts
+
+    return _run(spark, sf_dir, lambda ev: sliding_counts(ev, streaming=True))
+
+
+@query(
     "stream_dedup_keys",
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events

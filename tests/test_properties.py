@@ -130,6 +130,41 @@ def test_sessionize_gap_invariants(spark, ts_lists, gap):
 
 @SLOW
 @given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=12),
+    right_ts=st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=12),
+)
+def test_as_of_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    """as_of_join == pandas merge_asof (backward, inclusive) on one key."""
+    import pandas as pd
+
+    from telemetry_parquet_spark.operators.temporal_joins import as_of_join
+
+    left_ts = sorted(set(left_ts))
+    right_ts = sorted(set(right_ts))
+    ldf = spark.createDataFrame(
+        [("k", t) for t in left_ts], "k string, t long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"))
+    rdf = spark.createDataFrame(
+        [("k", t, f"r{t}") for t in right_ts], "k string, t long, tag string"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "tag")
+
+    out = as_of_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+                     right_payload=["tag"])
+    got = {int(r.ts.timestamp()): r.tag_right for r in out.collect()}
+
+    lp = pd.DataFrame({"ts": pd.to_datetime(left_ts, unit="s")})
+    rp = pd.DataFrame({"ts": pd.to_datetime(right_ts, unit="s"),
+                       "tag": [f"r{t}" for t in right_ts]})
+    expected = pd.merge_asof(lp, rp, on="ts", direction="backward")
+    exp = {
+        int(row.ts.timestamp()): (None if pd.isna(row.tag) else row.tag)
+        for row in expected.itertuples()
+    }
+    assert got == exp
+
+
+@SLOW
+@given(
     texts=st.lists(
         st.text(
             alphabet=st.sampled_from("ab cd"), min_size=0, max_size=40
