@@ -157,7 +157,16 @@ def nested_sync_view(pings: DataFrame) -> DataFrame:
     Old-style pings (sync fields directly under payload, no ``syncs`` array)
     are normalized to a one-element array before the explode. Records
     missing required fields (uid, when) are rejected — count them with
-    ``ingest_metrics`` around this transform."""
+    ``nested_sync_view_observed`` (single-pass) or ``ingest_metrics``."""
+    out = _nested_sync_rows(pings)
+    # P9 required-field rejection (uid: SyncPingConversion.scala:468-497;
+    # when: :546): drop, don't null-fill.
+    return out.where(F.col("uid").isNotNull() & F.col("when").isNotNull())
+
+
+def _nested_sync_rows(pings: DataFrame) -> DataFrame:
+    """The nested view before required-field rejection (shared by the plain
+    and observed entry points)."""
     v = F.col("v")
     syncs = F.coalesce(
         _vget(v, "$.payload.syncs", "array<variant>"),
@@ -202,9 +211,7 @@ def nested_sync_view(pings: DataFrame) -> DataFrame:
         ).alias("engines"),
         _vget(s, "$.devices", DEVICE_DDL).alias("devices"),
     )
-    # P9 required-field rejection (uid: SyncPingConversion.scala:468-497;
-    # when: :546): drop, don't null-fill.
-    return out.where(F.col("uid").isNotNull() & F.col("when").isNotNull())
+    return out
 
 
 def flat_sync_view(nested: DataFrame) -> DataFrame:
@@ -322,6 +329,38 @@ def enrich_events_with_devices(events: DataFrame, nested: DataFrame) -> DataFram
         )
         .drop("device_uid", "device_id_key")
     )
+
+
+def nested_sync_view_observed(raw: DataFrame, json_col: str = "json"):
+    """Single-pass ingestion with accumulator-style metrics (A10,
+    SyncView.scala:49-51,115-117): returns ``(nested_df, observations)``
+    where the two ``Observation`` objects resolve after the FIRST action on
+    the returned frame — one pipeline execution yields both the data and the
+    processed/failed/ignored counts, exactly like the reference's
+    accumulators (vs ``ingest_metrics``'s three separate counts).
+
+    observations: {"parse": Observation(records_total, records_failed),
+                   "syncs": Observation(syncs_exploded, syncs_rejected)}."""
+    from pyspark.sql import Observation
+
+    obs_parse = Observation("ingest_parse")
+    obs_syncs = Observation("ingest_syncs")
+
+    parsed = parse_pings(raw, json_col).observe(
+        obs_parse,
+        F.count(F.lit(1)).alias("records_total"),
+        F.sum(F.col("v").isNull().cast("long")).alias("records_failed"),
+    )
+    unfiltered = _nested_sync_rows(parsed)
+    observed = unfiltered.observe(
+        obs_syncs,
+        F.count(F.lit(1)).alias("syncs_exploded"),
+        F.sum(
+            (F.col("uid").isNull() | F.col("when").isNull()).cast("long")
+        ).alias("syncs_rejected"),
+    )
+    accepted = observed.where(F.col("uid").isNotNull() & F.col("when").isNotNull())
+    return accepted, {"parse": obs_parse, "syncs": obs_syncs}
 
 
 def ingest_metrics(raw: DataFrame, parsed: DataFrame, accepted: DataFrame) -> dict[str, int]:

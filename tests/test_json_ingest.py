@@ -161,6 +161,24 @@ def test_metrics(spark, parsed):
     assert m["rows_processed"] == 4
 
 
+def test_observed_metrics_single_pass(spark):
+    """A10 single-pass accumulators: one action yields data AND counts."""
+    from telemetry_parquet_spark.sources.json_ingest import nested_sync_view_observed
+
+    raw = spark.createDataFrame(
+        [(MULTI_SYNC,), (OLD_STYLE,), (NO_UID,), (NOT_JSON,)], ["json"]
+    )
+    nested, obs = nested_sync_view_observed(raw)
+    n = nested.count()  # the single action
+    parse = obs["parse"].get
+    syncs = obs["syncs"].get
+    assert n == 3  # 2 multi + 1 old-style
+    assert parse["records_total"] == 4
+    assert parse["records_failed"] == 1      # NOT_JSON
+    assert syncs["syncs_rejected"] == 1      # NO_UID's sync
+    assert syncs["syncs_exploded"] == 4
+
+
 def test_flat_sync_view(spark, parsed):
     _, pings = parsed
     flat = flat_sync_view(nested_sync_view(pings))
