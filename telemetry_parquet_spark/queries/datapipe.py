@@ -230,6 +230,64 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+@query(
+    "dd_duplicate_components",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> length(t) > 0) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS shingles
+      FROM toks
+    ), exploded AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM exploded GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_common
+      FROM exploded l JOIN exploded r USING (shingle)
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), pairsq AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairsq
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairsq
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def dd_duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components (iterative min-
+    label propagation with per-round localCheckpoint) over the exact
+    n-gram-Jaccard pair graph — chains of near-dups collapse to one
+    component. Oracle: DuckDB recursive-CTE transitive closure of the same
+    pair set."""
+    from telemetry_parquet_spark.datapipe.clusters import connected_components
+    from telemetry_parquet_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
 # --- sketch pipelines: registered without oracle (rows-only driver check) ---
 
 
