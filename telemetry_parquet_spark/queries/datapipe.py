@@ -291,6 +291,53 @@ def dd_duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sketch pipelines: registered without oracle (rows-only driver check) ---
 
 
+@query(
+    "dd_embedding_cosine_pairs",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 1000
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             UNNEST(a.v) AS x, UNNEST(b.v) AS y
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             round(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 6)
+               AS cosine_sim
+      FROM pairs GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.5
+    """,
+)
+def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline on a bounded block
+    (vec_id < 1000): the oracle for the LSH-blocked scale path
+    (dd_embedding_near_dup_lsh)."""
+    from telemetry_parquet_spark.datapipe.embedding_dedup import (
+        embedding_cosine_pairs_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    return embedding_cosine_pairs_exact(emb, threshold=0.5)
+
+
+@query("dd_embedding_near_dup_lsh")
+def dd_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs (scale path; recall < 1 by
+    design so rows-only check — pytest proves the pair set is a subset of
+    the exact pairs and catches planted duplicates)."""
+    from telemetry_parquet_spark.datapipe.embedding_dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # bits=4 / threshold=0.3 chosen so the synthetic corpus (random unit
+    # vectors, no planted twins) yields a non-trivial blocked pair set;
+    # production near-dup settings are threshold≥0.9 with bits 8-16
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.3, bits=4)
+
+
 @query("dd_minhash_near_dup_pairs")
 def dd_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified ≥ 0.5 (shingle → 64

@@ -121,6 +121,39 @@ def test_brute_force_vs_lsh_similarity(spark):
     assert 0 in lsh_ids
 
 
+def test_embedding_near_dup(spark):
+    """Planted near-identical vectors must be found by both the exact and
+    the LSH-blocked path; LSH output ⊆ exact output."""
+    import random
+
+    from telemetry_parquet_spark.datapipe.embedding_dedup import (
+        embedding_cosine_pairs_exact,
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(3)
+    dim = 16
+
+    def unit(v):
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    base = unit([rng.gauss(0, 1) for _ in range(dim)])
+    rows = [(0, base), (1, unit([x + rng.gauss(0, 0.005) for x in base]))]
+    for i in range(2, 40):
+        rows.append((i, unit([rng.gauss(0, 1) for _ in range(dim)])))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_cosine_pairs_exact(emb, threshold=0.99).collect()}
+    assert (0, 1) in exact
+
+    lsh = {(r.id_a, r.id_b) for r in
+           embedding_near_dup_pairs(emb, dim=dim, threshold=0.99, bits=8).collect()}
+    assert (0, 1) in lsh           # near-identical vectors share the signature
+    assert lsh <= exact            # verification keeps precision exact
+
+
 def test_quality_and_language(spark):
     df = spark.createDataFrame(
         [
