@@ -184,6 +184,83 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: view-based max — the revenue view is computed once and reused
+    for both the max subquery and the join (a window-max avoids scanning
+    twice)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    w = W.partitionBy()  # global window over the (tiny) aggregated view
+    top = revenue.withColumn(
+        "__max", F.max("total_revenue").over(w)
+    ).where(F.col("total_revenue") == F.col("__max"))
+    return top.join(
+        F.broadcast(supp), top.supplier_no == supp.s_suppkey
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS qty_limit
+          FROM lineitem GROUP BY l_partkey) lim
+      ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_limit
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: correlated per-part average subquery, decorrelated to a join
+    against the per-part aggregate (the scan is shared; Catalyst reuses the
+    exchange). avg comparison stays in double on both engines (same single
+    division), only the summed output goes through decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    limits = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(limits, li.l_partkey == limits.pk)
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
     "q2_min_cost_supplier",
     oracle="""
     WITH costs AS (
