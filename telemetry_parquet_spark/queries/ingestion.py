@@ -39,7 +39,7 @@ def ping_ingestion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     sync = F.struct(
-        F.unix_millis("ts").alias("when"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("when"),
         F.floor("value").cast("long").alias("took"),
         F.col("event_type").alias("why"),
     )
@@ -83,7 +83,7 @@ def ping_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     ev_json = F.format_string(
         '[%s,"%s","method","object",null,{"flow":"%s"}]',
-        F.unix_millis("ts").cast("string"),
+        F.unix_millis(F.col("ts").cast("timestamp")).cast("string"),
         F.col("event_type"),
         F.col("event_id").cast("string"),
     )

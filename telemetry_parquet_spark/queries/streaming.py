@@ -19,6 +19,8 @@ def _events_stream_build(transform):
     with the pipeline under test."""
 
     def build(stream: DataFrame) -> DataFrame:
+        # watermarks require TIMESTAMP (not NTZ) event time; convert to NTZ
+        # only on the OUTPUT side (_run) for oracle-comparable columns
         fixed = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return transform(fixed)
 
@@ -31,9 +33,20 @@ def _run(spark: SparkSession, sf_dir: str, transform, output_mode="complete") ->
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
-    return run_available_now(
+    out = run_available_now(
         spark, path, _events_stream_build(transform), output_mode=output_mode
     )
+    # session timezone is UTC, so TS -> NTZ keeps the same wall-clock values
+    # the (naive) oracle produces
+    from pyspark.sql.types import TimestampType
+
+    casts = [
+        F.col(f.name).cast("timestamp_ntz").alias(f.name)
+        if isinstance(f.dataType, TimestampType)
+        else F.col(f.name)
+        for f in out.schema.fields
+    ]
+    return out.select(*casts)
 
 
 @query(

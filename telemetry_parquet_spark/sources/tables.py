@@ -51,8 +51,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # cast to TIMESTAMP_NTZ: parquet-native timestamps read as NTZ, and
+        # DuckDB's are naive — a tz-aware TimestampType here would surface
+        # as arrow timestamp[us, tz=UTC] vs the oracle's naive timestamp[us]
+        # in any arrow-level comparison
         return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
