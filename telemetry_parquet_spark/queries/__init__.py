@@ -11,6 +11,7 @@ from telemetry_parquet_spark.queries import temporal  # noqa: F401, E402
 from telemetry_parquet_spark.queries import streaming  # noqa: F401, E402
 from telemetry_parquet_spark.queries import advanced  # noqa: F401, E402
 from telemetry_parquet_spark.queries import tpch  # noqa: F401, E402
+from telemetry_parquet_spark.queries import tpch2  # noqa: F401, E402
 from telemetry_parquet_spark.queries import ingestion  # noqa: F401, E402
 from telemetry_parquet_spark.queries import scalar_extra  # noqa: F401, E402
 from telemetry_parquet_spark.queries import longitudinal  # noqa: F401, E402
