@@ -15,6 +15,7 @@ from telemetry_parquet_spark.queries import tpch2  # noqa: F401, E402
 from telemetry_parquet_spark.queries import ingestion  # noqa: F401, E402
 from telemetry_parquet_spark.queries import scalar_extra  # noqa: F401, E402
 from telemetry_parquet_spark.queries import longitudinal  # noqa: F401, E402
+from telemetry_parquet_spark.queries import ml_media  # noqa: F401, E402
 
 
 def all_queries():
