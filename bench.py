@@ -44,6 +44,10 @@ HEADLINE = [
     "embedding_centroids",
     "a7_hll_distinct_users",
     "stream_tumbling_hourly",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "mm_decoded_features",
 ]
 
 

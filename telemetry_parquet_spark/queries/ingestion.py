@@ -107,3 +107,110 @@ def ping_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_category",
         F.element_at("event_map_values", "flow").alias("flow"),
     )
+
+
+@query(
+    "ping_flat_sync_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(user_id AS VARCHAR) AS uid,
+             epoch_ms(ts) AS sync_when,
+             strftime(ts, '%Y%m%d') AS sync_day,
+             event_type, event_id, value
+      FROM events
+    )
+    SELECT uid, sync_when, sync_day,
+           event_type AS engine_name,
+           CAST(floor(value) AS BIGINT) AS engine_took,
+           CAST(NULL AS VARCHAR) AS engine_status,
+           CAST(event_id % 5 AS BIGINT) AS engine_incoming_applied,
+           CAST(2 AS INTEGER) AS engine_outgoing_batch_count,
+           CAST(event_id % 3 + 2 AS BIGINT) AS engine_outgoing_total_sent,
+           CAST(1 AS BIGINT) AS engine_outgoing_total_failed
+    FROM base
+    UNION ALL
+    SELECT uid, sync_when, sync_day,
+           'bookmarks' AS engine_name,
+           CAST(0 AS BIGINT) AS engine_took,
+           'ok' AS engine_status,
+           CAST(0 AS BIGINT) AS engine_incoming_applied,
+           CAST(0 AS INTEGER) AS engine_outgoing_batch_count,
+           CAST(0 AS BIGINT) AS engine_outgoing_total_sent,
+           CAST(0 AS BIGINT) AS engine_outgoing_total_failed
+    FROM base
+    """,
+)
+def ping_flat_sync_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 sync × engine flatten under the gate (singleEngineFlatSyncType,
+    SyncPingConversion.scala:526-640): pings are synthesized with TWO
+    engines per sync — one carrying took/incoming/outgoing (the outgoing
+    array rolls up via the F13 higher-order aggregate), one sparse engine
+    exercising every defaulting rule (absent numerics → 0, absent struct →
+    null, absent outgoing → batch_count 0). One flat row per sync × engine;
+    the synthesized-when-absent sync_id (F17 uuid) is excluded as
+    intentionally non-deterministic."""
+    from telemetry_parquet_spark.sources.json_ingest import (
+        flat_sync_view,
+        nested_sync_view,
+        parse_pings,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    engine_full = F.struct(
+        F.col("event_type").alias("name"),
+        F.floor("value").cast("long").alias("took"),
+        F.struct((F.col("event_id") % 5).alias("applied")).alias("incoming"),
+        F.array(
+            F.struct(
+                (F.col("event_id") % 3).alias("sent"),
+                F.lit(1).cast("long").alias("failed"),
+            ),
+            F.struct(
+                F.lit(2).cast("long").alias("sent"),
+                F.lit(None).cast("long").alias("failed"),
+            ),
+        ).alias("outgoing"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    engine_sparse = F.struct(
+        F.lit("bookmarks").alias("name"),
+        F.lit(None).cast("long").alias("took"),
+        F.lit(None).cast("struct<applied:bigint>").alias("incoming"),
+        F.lit(None).cast(
+            "array<struct<sent:bigint,failed:bigint>>"
+        ).alias("outgoing"),
+        F.lit("ok").alias("status"),
+    )
+    sync = F.struct(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("when"),
+        F.array(engine_full, engine_sparse).alias("engines"),
+    )
+    pings = (
+        events.groupBy("user_id")
+        .agg(F.collect_list(sync).alias("syncs"))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.col("user_id").cast("string").alias("uid"),
+                        F.col("syncs"),
+                    ).alias("payload")
+                )
+            ).alias("json")
+        )
+    )
+    flat = flat_sync_view(nested_sync_view(parse_pings(pings)))
+    return flat.select(
+        "uid",
+        F.col("when").alias("sync_when"),
+        "sync_day",
+        "engine_name",
+        "engine_took",
+        "engine_status",
+        "engine_incoming_applied",
+        "engine_outgoing_batch_count",
+        F.col("engine_outgoing_batch_total_sent").alias("engine_outgoing_total_sent"),
+        F.col("engine_outgoing_batch_total_failed").alias(
+            "engine_outgoing_total_failed"
+        ),
+    )

@@ -64,9 +64,12 @@ def mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed inside the pandas worker from the payload bytes, so a match
     against octet_length proves the binary column survived the Arrow
     round-trip intact."""
+    from telemetry_parquet_spark.datapipe import spread
     from telemetry_parquet_spark.datapipe.multimodal import decode_media
 
-    media = _media_from_documents(spark, sf_dir)
+    # single-file scan = one partition = one Python decode worker; spread
+    # before the CPU-bound mapInPandas stage (no-op on a real multi-split scan)
+    media = spread(_media_from_documents(spark, sf_dir))
     decoded = decode_media(media)
     return decoded.groupBy("kind").agg(
         F.count("*").alias("n_media"),

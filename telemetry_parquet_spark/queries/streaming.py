@@ -156,3 +156,36 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="append",
     )
+
+
+@query(
+    "stream_user_running_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           round(SUM(value), 6) AS total_value,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) under the exact
+    gate: per-user running (count, value sum, last ts) state. A single
+    availableNow replay of one file = one micro-batch, so update-mode emits
+    exactly one final row per user — which must equal the batch GROUP BY.
+    Cross-batch state evolution is covered in test_stateful_streaming.py."""
+    from telemetry_parquet_spark.streaming.stateful import running_user_stats
+
+    out = _run(
+        spark,
+        sf_dir,
+        lambda ev: running_user_stats(ev),
+        output_mode="update",
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+        "last_ts",
+    )
