@@ -288,3 +288,40 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.where(
         (F.col("q_n_tokens") >= 20) & (F.col("q_stopword_ratio") >= 0.05)
     ).select("doc_id", "n_chars")
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_base_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_price', sum_base_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt) over an aggregate — the inverse of the
+    A5 pivot shape (``MainSummaryView.scala`` search-counts). Spark's native
+    ``DataFrame.unpivot`` expands rows without a shuffle (the only exchange
+    is the upstream groupBy); at 100 TB the melt is a map-side projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_discount")).cast("double").alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "sum_disc"],
+        "measure",
+        "value",
+    )
