@@ -325,3 +325,65 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@query(
+    "stat_moments_by_flag",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+      CAST(n AS BIGINT) AS n_items,
+      ROUND(sqrt(((n * sxx) - (sx * sx)) / (n * (n - 1))), 6) AS std_qty,
+      ROUND(sqrt(((n * syy) - (sy * sy)) / (n * (n - 1))), 6) AS std_price,
+      ROUND(((n * sxy) - (sx * sy))
+        / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))), 9)
+        AS corr_qty_price
+    FROM s
+    """,
+)
+def stat_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev_samp / corr) via exact sufficient
+    statistics: decimal sums of x, x², xy (order-independent, mergeable —
+    the single-pass map-side-combinable form that scales to 100 TB), then
+    one identical double-arithmetic epilogue per group on both engines.
+    Outputs are rounded (6 dp for stddevs, 9 dp for corr): the decimal sums
+    exceed 2^53 so each engine's decimal->double cast can differ by ulps;
+    rounding absorbs that while native stddev/corr would stay order-dependent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ["n", "sx", "sy", "sxx", "syy", "sxy"])
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_items"),
+        F.round(
+            F.sqrt(((n * sxx) - (sx * sx)) / (n * (n - F.lit(1.0)))), 6
+        ).alias("std_qty"),
+        F.round(
+            F.sqrt(((n * syy) - (sy * sy)) / (n * (n - F.lit(1.0)))), 6
+        ).alias("std_price"),
+        F.round(
+            ((n * sxy) - (sx * sy))
+            / (F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy))),
+            9,
+        ).alias("corr_qty_price"),
+    )
