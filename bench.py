@@ -48,6 +48,7 @@ HEADLINE = [
     "q13_customer_distribution",
     "q21_waiting_suppliers",
     "mm_decoded_features",
+    "stat_moments_by_flag",
 ]
 
 
