@@ -13,6 +13,7 @@ evicts idle keys (``idle_timeout_ms``).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,6 +30,7 @@ def _update_user_stats(
     key: tuple,
     batches: Iterator[pd.DataFrame],
     state: GroupState,
+    idle_timeout_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     if state.hasTimedOut:
         state.remove()
@@ -40,6 +42,11 @@ def _update_user_stats(
         batch_max = pdf["ts"].max()
         last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
     state.update((n, total, last_ts))
+    if idle_timeout_ms:
+        # re-arm the idle-eviction clock on every batch that touches the key;
+        # a key with no arrivals for idle_timeout_ms gets the hasTimedOut
+        # branch above and is removed from the state store
+        state.setTimeoutDuration(idle_timeout_ms)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -60,8 +67,9 @@ def running_user_stats(
         if idle_timeout_ms
         else GroupStateTimeout.NoTimeout
     )
+    update_fn = functools.partial(_update_user_stats, idle_timeout_ms=idle_timeout_ms)
     return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
-        _update_user_stats,
+        update_fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

@@ -48,3 +48,73 @@ def test_state_accumulates_across_batches(spark, tmp_path):
         )
     assert latest[1] == (2, 12.5)  # state carried across micro-batches
     assert latest[2] == (1, 5.0)
+
+
+def test_idle_key_evicted_after_timeout(spark, tmp_path):
+    """Keys idle for > idle_timeout_ms must be dropped from the state store
+    (ProcessingTimeTimeout): when they reappear, their running counts
+    restart from zero. Without the timeout, the companion test above proves
+    the same keys DO accumulate across batches — together they pin the
+    eviction behavior, not just state loss.
+
+    One continuous query with a manual stop: an availableNow trigger cannot
+    be used with processing-time timers — the engine keeps scheduling empty
+    batches for the timer clock and never reaches termination. The engine
+    runs those timer batches while idle, so any key past its deadline is
+    evicted before the next file arrives."""
+    import os
+    import time
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ["user_id", "t", "value"]).select(
+            "user_id", F.col("t").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.parquet(f"{d}/{name}")
+
+    # batch 1 exists before the stream starts: both keys enter state
+    write_batch("b1", [(1, "2024-01-01 00:00:00", 10.0), (2, "2024-01-01 00:00:30", 5.0)])
+
+    got = []
+
+    def sink(bdf, _bid):
+        got.extend(bdf.collect())
+
+    schema = spark.read.parquet(f"{d}/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(d)
+    )
+    q = (
+        running_user_stats(stream, idle_timeout_ms=1000)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+
+    def wait_rows(n, timeout=120.0):
+        t0 = time.time()
+        while len(got) < n:
+            assert time.time() - t0 < timeout, f"only {len(got)}/{n} rows: {got}"
+            time.sleep(0.2)
+
+    try:
+        wait_rows(2)  # batch 1 processed: rows for users 1 and 2
+        # idle both keys past the timeout; the engine's timer batches run
+        # while no files arrive and evict both states
+        time.sleep(3.0)
+        write_batch("b2", [(1, "2024-01-01 00:01:00", 2.5), (2, "2024-01-01 00:01:01", 7.0)])
+        wait_rows(4)
+    finally:
+        q.stop()
+
+    latest = {r.user_id: (r.n_events, r.total_value) for r in got}
+    # fresh state after idling: counts restart at 1, totals at the new value
+    # (without eviction these would be (2, 12.5) / (2, 12.0) — exactly what
+    # test_state_accumulates_across_batches asserts for the no-timeout path)
+    assert latest[1] == (1, 2.5), "idle key 1 was not evicted"
+    assert latest[2] == (1, 7.0), "idle key 2 was not evicted"
