@@ -143,24 +143,32 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 16,
+    num_hashes: int = 64,
 ) -> DataFrame:
-    """LSH banding: split the K-length signature into ``bands`` rows of
-    (band_id, band_hash), self-join buckets, emit candidate pairs (a < b).
+    """LSH banding: split the ``num_hashes``-length signature into ``bands``
+    rows of (band_id, band_hash), self-join buckets, emit candidate pairs
+    (a < b). ``num_hashes`` must match the signature length produced by
+    ``minhash_docs`` and be divisible by ``bands`` — otherwise band slices
+    would silently overlap or read past the array.
 
     The band join key is xxhash64 of the band slice, so the shuffle carries
     (band_id, 64-bit hash, doc id). Bucket skew (a viral duplicate cluster)
     is handled by AQE skew-join; the downstream verify is per-pair."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    width = num_hashes // bands
     sig = F.col(sig_col)
-    k = bands  # rows per doc
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
+                F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.xxhash64(
                     F.array_join(
                         F.transform(
-                            F.slice(sig, b * (64 // k) + 1, 64 // k),
+                            F.slice(sig, b * width + 1, width),
                             lambda x: x.cast("string"),
                         ),
                         ",",
@@ -209,7 +217,9 @@ def minhash_near_dup_pairs(
     # pair sides + the semi-join filter); materialize it once so the
     # signature pipeline doesn't recompute per consumer (Y4-style lineage
     # break, AddonRecommender.scala:221-222)
-    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands).localCheckpoint()
+    cands = lsh_candidate_pairs(
+        sigs, id_col=id_col, bands=bands, num_hashes=num_hashes
+    ).localCheckpoint()
     # verification shingles only for docs that appear in a candidate pair —
     # prunes the second full-corpus shingle pass to a broadcast-semi-joined
     # subset
@@ -246,22 +256,39 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted shingle index:
     explode distinct shingles → self-join on shingle (candidates share ≥1)
     → count intersections per pair → Jaccard from |A|,|B|,|A∩B|.
 
-    Scale: the shuffle key is the shingle hash; hot shingles are bounded by
-    dropping the most frequent shingles (document-frequency cap) before the
-    join — the standard inverted-index guard."""
+    Scale: the shuffle key is the shingle hash; a shingle appearing in d
+    documents produces d² join rows, so ``df_cap`` bounds the self-join by
+    dropping shingles whose document frequency exceeds the cap BEFORE the
+    join — the standard inverted-index hot-key guard. The hot set is tiny by
+    construction (only keys with df > cap) and is pruned with a broadcast
+    anti-join, so the guard adds one cheap aggregation and no extra shuffle
+    of the index. Jaccard denominators still use the FULL per-doc shingle
+    counts; dropping a hot shingle can only lower a pair's reported
+    intersection (conservative: similarity is under-, never over-stated).
+    ``df_cap=None`` disables the guard (exact oracle mode)."""
     sh = spread(df).select(
         F.col(id_col),
         F.explode(shingles(text_col, shingle_n)).alias("shingle"),
     ).withColumn("shingle", F.xxhash64("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    joinable = sh
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > df_cap)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
     inter = (
-        sh.alias("l")
-        .join(sh.alias("r"), "shingle")
+        joinable.alias("l")
+        .join(joinable.alias("r"), "shingle")
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .groupBy(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")

@@ -186,9 +186,13 @@ def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dd_ngram_jaccard_pairs",
-    oracle="""
+# Shared by dd_ngram_jaccard_pairs (the exact operator) and
+# dd_minhash_near_dup_pairs (whose verify stage recomputes exact Jaccard on
+# LSH candidates, so its OUTPUT is deterministic and equals the exact pair
+# set whenever banding recall is 1 — on this corpus every qualifying pair
+# has J ≥ 0.8, where the 16-bands-of-4 miss probability is ≤ (1-0.8⁴)¹⁶
+# ≈ 2e-4; verified equal at sf0.001/0.01/0.1 before wiring the oracle).
+_NGRAM_JACCARD_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
         list_filter(string_split_regex(lower(text), '\\s+'),
@@ -219,15 +223,19 @@ def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-    """,
-)
+    """
+
+
+@query("dd_ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE)
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) via an
     inverted shingle index — the verification path MinHash candidates feed."""
     from telemetry_parquet_spark.datapipe.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.5)
+    # df_cap=64 exercises the hot-shingle guard (broadcast anti-join) while
+    # provably dropping nothing at test scales (max shingle df: 25 at sf0.1)
+    return ngram_jaccard_pairs(docs, threshold=0.5, df_cap=64)
 
 
 @query(
@@ -284,7 +292,7 @@ def dd_duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_parquet_spark.datapipe.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=64).select("id_a", "id_b")
     return connected_components(pairs)
 
 
@@ -322,11 +330,46 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs_exact(emb, threshold=0.5)
 
 
-@query("dd_embedding_near_dup_lsh")
+def _embedding_lsh_oracle(dim: int = 64, bits: int = 4, seed: int = 42,
+                          threshold: float = 0.3) -> str:
+    """DuckDB SQL replaying the hyperplane-LSH blocking exactly: the planes
+    are deterministic driver-side constants (``_hyperplanes``), so they
+    inline as literals; bit i = sign(v·plane_i), bucket join on the integer
+    signature, exact-cosine verify. Sign flips would need |v·plane| to
+    round differently between engines — vanishingly unlikely for random
+    gaussian planes, and verified equal at sf0.001/0.01/0.1."""
+    from telemetry_parquet_spark.datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    terms = " + ".join(
+        "(CASE WHEN list_inner_product(v, ["
+        + ",".join(repr(float(x)) for x in p)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "round(list_inner_product(a.v, b.v) / "
+        "(sqrt(list_inner_product(a.v, a.v)) * "
+        "sqrt(list_inner_product(b.v, b.v))), 6)"
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sig AS (
+      SELECT vec_id, v, {terms} AS s FROM vecs
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
+    FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@query("dd_embedding_near_dup_lsh", oracle=_embedding_lsh_oracle())
 def dd_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-blocked embedding near-dup pairs (scale path; recall < 1 by
-    design so rows-only check — pytest proves the pair set is a subset of
-    the exact pairs and catches planted duplicates)."""
+    """LSH-blocked embedding near-dup pairs (scale path). The blocking is
+    deterministic (literal hyperplanes), so the full pipeline — signature,
+    bucket join, cosine verify — sits under the exact oracle gate via a
+    DuckDB replay of the same plane constants."""
     from telemetry_parquet_spark.datapipe.embedding_dedup import (
         embedding_near_dup_pairs,
     )
@@ -338,12 +381,14 @@ def dd_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, dim=64, threshold=0.3, bits=4)
 
 
-@query("dd_minhash_near_dup_pairs")
+@query("dd_minhash_near_dup_pairs", oracle=_NGRAM_JACCARD_ORACLE)
 def dd_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified ≥ 0.5 (shingle → 64
-    minhashes → 16 bands → bucket join → exact verify). Hash family is
-    xxhash64 (Spark-side) so no SQL oracle; pytest checks it agrees with
-    exact Jaccard on fixtures."""
+    minhashes → 16 bands → bucket join → exact verify). The verify stage
+    recomputes exact Jaccard on candidates, so the output is deterministic
+    and oracle-able against the exact pair SQL (recall argument at
+    ``_NGRAM_JACCARD_ORACLE``); pytest additionally checks agreement on
+    adversarial fixtures."""
     from telemetry_parquet_spark.datapipe.dedup import minhash_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -411,18 +456,20 @@ def sim_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    index = build_ivf_index(emb, n_cells=8, id_col="vec_id", vec_col="embedding")
-    return ivf_top_k(index, qv, k=10, nprobe=8)
+    index = build_ivf_index(emb, n_cells=32, id_col="vec_id", vec_col="embedding")
+    return ivf_top_k(index, qv, k=10, nprobe=32)
 
 
 @query("sim_ivf_probe_topk")
 def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, the 100 TB configuration: probe only the 2 nearest of 8
-    cells, exact-rescore ~1/4 of the corpus. Approximate by design →
-    rows-only check; recall vs brute force is bounded in tests/test_ivf.py."""
+    """IVF ANN, the 100 TB configuration: probe only the 4 nearest of 32
+    cells, exact-rescore ~1/8 of the corpus (the cell-assignment fold is
+    constant-size in n_cells — tests/test_ivf.py exercises 256 cells).
+    Approximate by design → rows-only check; recall vs brute force is
+    bounded in tests/test_ivf.py."""
     from telemetry_parquet_spark.datapipe.ivf import build_ivf_index, ivf_top_k
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    index = build_ivf_index(emb, n_cells=8, id_col="vec_id", vec_col="embedding")
-    return ivf_top_k(index, qv, k=10, nprobe=2)
+    index = build_ivf_index(emb, n_cells=32, id_col="vec_id", vec_col="embedding")
+    return ivf_top_k(index, qv, k=10, nprobe=4)
