@@ -28,19 +28,33 @@ class IVFIndex:
 
 
 def _nearest_centroid(vec: F.Column, centroids: list[list[float]]):
-    """Argmin over squared L2 distance to each centroid, as a fold over a
-    literal struct array — no UDF, no join."""
-    best_id, best_d = None, None
-    for i, c in enumerate(centroids):
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        d = dot(vec, vec) - 2 * dot(vec, cvec) + dot(cvec, cvec)
-        if best_id is None:
-            best_id, best_d = F.lit(i), d
-        else:
-            closer = d < best_d
-            best_id = F.when(closer, F.lit(i)).otherwise(best_id)
-            best_d = F.when(closer, d).otherwise(best_d)
-    return best_id
+    """Argmin over squared L2 distance to each centroid.
+
+    The centroid table is a literal ``array<struct<d2_bias, c>>`` column and
+    the argmin is ONE ``transform`` + ``array_min`` over it — the generated
+    code is constant-size regardless of n_cells (a chained CASE WHEN per
+    centroid, the naive form, blows past the JVM codegen limits and falls
+    back to interpreted mode at the thousands of cells a 100 TB index
+    needs). ``dot(vec, vec)`` is constant per row, so the comparison key is
+    ``dot(c, c) - 2*dot(vec, c)``; struct ordering breaks exact-distance
+    ties by the lower cell id, matching the sequential-scan argmin."""
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(float(sum(x * x for x in c))).alias("cc"),
+                F.lit(i).alias("id"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    scored = F.transform(
+        cent,
+        lambda s: F.struct(
+            (s["cc"] - 2 * dot(vec, s["c"])).alias("d"), s["id"].alias("id")
+        ),
+    )
+    return F.array_min(scored)["id"]
 
 
 def build_ivf_index(
@@ -50,8 +64,15 @@ def build_ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float | None = None,
+    max_iter: int = 8,
 ) -> IVFIndex:
-    """KMeans the (sampled) corpus into cells; assign every vector."""
+    """KMeans the (sampled) corpus into cells; assign every vector.
+
+    ``max_iter`` defaults well below KMeans convergence: IVF cells only
+    need a balanced partition of the space, not converged centroids —
+    recall comes from nprobe, and the full-probe == brute-force exactness
+    gate holds for ANY assignment. Each extra iteration is a full pass
+    over the training sample (a distributed job per iteration)."""
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -64,7 +85,9 @@ def build_ivf_index(
     feat = train.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feat)
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(feat)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     assigned = corpus.withColumn(

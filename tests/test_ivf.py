@@ -27,3 +27,23 @@ def test_ivf_recovers_bruteforce_topk(spark, sf_dir):
     approx = [r.vec_id for r in ivf_top_k(index, qvec, k=5, nprobe=4).collect()]
     assert len(set(approx) & set(exact)) >= 3
     assert approx[0] == 0  # the query vector itself is always found
+
+
+def test_ivf_many_cells_constant_codegen(spark, sf_dir):
+    """A realistic 100 TB index has hundreds-to-thousands of cells; the cell
+    assignment must stay ONE fold over a literal centroid array, not a
+    per-centroid chained CASE WHEN that outgrows the JVM codegen limits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+
+    index = build_ivf_index(emb, n_cells=256)
+    plan = index.assigned._jdf.queryExecution().toString()
+    # the argmin is array_min(transform(...)) — no CASE WHEN chain scaling
+    # with n_cells in the analyzed plan
+    assert plan.count("CASE WHEN") <= 2
+    assert index.assigned.count() == emb.count()
+
+    # full probe over 256 cells still reproduces brute force exactly
+    exact = [r.vec_id for r in brute_force_top_k(emb, qvec, k=5).collect()]
+    full = [r.vec_id for r in ivf_top_k(index, qvec, k=5, nprobe=256).collect()]
+    assert full == exact
