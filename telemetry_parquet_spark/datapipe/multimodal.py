@@ -1,12 +1,19 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata (BASELINE.json north star).
+"""Multimodal columns: image/audio/video as opaque binary columns with typed
+metadata (BASELINE.json north star).
 
-The Spark-side machinery (schemas, batch iteration, partition sizing) is
-real and tested; the codec work itself is STUBBED — image/audio libraries
-are not in this container, so ``decode_images``/``sample_frames`` run a
-deterministic fake decoder behind the same ``mapInPandas`` plumbing a real
-Pillow/ffmpeg implementation would use (swap ``_fake_decode`` for the real
-codec; the Spark contract does not change).
+The codecs are REAL pure-Python parsers (``struct`` only — the container has
+no Pillow/ffmpeg, and none are needed for these formats):
+
+- **WAV/PCM** (RIFF chunk walk): sample rate, bit depth, channel count, and
+  the decoded sample values come from the actual header + data chunk.
+- **BMP** (BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bpp): width/height from
+  the header, pixel content from the (row-padded) pixel array.
+- **TPSV** (a deterministic toy video container: magic + frame directory +
+  fixed-size frames): per-frame extraction for ``sample_frames``.
+
+``decode_media`` sniffs the magic bytes — it does NOT trust the ``kind``
+column — and returns ok=False (nulls elsewhere) for truncated or foreign
+payloads instead of raising, so one corrupt blob cannot fail a 100 TB scan.
 
 Design for 100 TB of media:
 - binary payloads ride in their own column so column pruning keeps metadata
@@ -21,6 +28,7 @@ Design for 100 TB of media:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,72 +50,259 @@ MEDIA_SCHEMA = T.StructType(
 
 DECODED_SCHEMA = (
     "media_id bigint, kind string, n_bytes bigint, ok boolean, "
-    "feature array<float>"
+    "format string, width int, height int, sample_rate int, n_samples bigint, "
+    "n_frames int, duration_ms bigint, content_sum bigint, feature array<float>"
 )
 
+TPSV_MAGIC = b"TPSV"
+TPSV_FRAME_BYTES = 16
+TPSV_FRAME_MS = 40  # 25 fps
 
-def _fake_decode(payload: bytes | None, dim: int = 8) -> list[float] | None:
-    """Deterministic stand-in for a codec+featurizer: a byte-histogram
-    projection. REPLACE with the real decoder; same signature."""
+
+# ---------------------------------------------------------------------------
+# Encoders (test/synthesis side — deterministic, byte-exact)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(data: bytes, sample_rate: int = 8000) -> bytes:
+    """8-bit mono PCM WAV: 44-byte RIFF header + ``data`` as raw samples."""
+    n = len(data)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", n)
+        + data
+    )
+
+
+def encode_bmp(data: bytes, width: int = 16) -> bytes:
+    """24-bpp BMP whose pixels are gray levels of ``data`` bytes, row-major
+    top-down (negative height), zero-padded to fill the last row. Row stride
+    is width*3 padded to a 4-byte boundary per the BMP spec."""
+    height = max((len(data) + width - 1) // width, 1)
+    padded = data + b"\x00" * (width * height - len(data))
+    stride = (width * 3 + 3) & ~3
+    rowpad = b"\x00" * (stride - width * 3)
+    pixels = b"".join(
+        b"".join(bytes([b, b, b]) for b in padded[r * width : (r + 1) * width])
+        + rowpad
+        for r in range(height)
+    )
+    header_size = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", header_size + len(pixels), 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, width, -height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+        + pixels
+    )
+
+
+def encode_tpsv(data: bytes) -> bytes:
+    """Toy video container: magic, frame count, frame size, data length, then
+    fixed-size frames (data zero-padded to a whole number of frames)."""
+    n_frames = max((len(data) + TPSV_FRAME_BYTES - 1) // TPSV_FRAME_BYTES, 1)
+    padded = data + b"\x00" * (n_frames * TPSV_FRAME_BYTES - len(data))
+    return (
+        TPSV_MAGIC
+        + struct.pack("<III", n_frames, TPSV_FRAME_BYTES, len(data))
+        + padded
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoders (engine side — sniff magic, parse, never raise)
+# ---------------------------------------------------------------------------
+
+
+def _decode_wav(p: bytes) -> dict | None:
+    """RIFF chunk walk; returns None unless a valid fmt + data chunk pair is
+    found. Supports the PCM subset (what the encoder writes)."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos, fmt, samples = 12, None, None
+    while pos + 8 <= len(p):
+        cid, size = p[pos : pos + 4], struct.unpack("<I", p[pos + 4 : pos + 8])[0]
+        body = p[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            samples = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or samples is None or fmt[0] != 1 or fmt[5] != 8 or fmt[1] != 1:
+        return None
+    rate = fmt[2]
+    n = len(samples)
+    return {
+        "format": "wav",
+        "sample_rate": rate,
+        "n_samples": n,
+        "duration_ms": n * 1000 // max(rate, 1),
+        "content_sum": sum(samples),
+        "content": samples,
+    }
+
+
+def _decode_bmp(p: bytes) -> dict | None:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bpp uncompressed; sums the
+    gray level (R channel) of every pixel, skipping row padding."""
+    if len(p) < 54 or p[:2] != b"BM":
+        return None
+    data_offset = struct.unpack("<I", p[10:14])[0]
+    hdr_size, width, height, _planes, bpp = struct.unpack("<IiiHH", p[14:30])
+    compression = struct.unpack("<I", p[30:34])[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if len(p) < data_offset + stride * height:
+        return None  # truncated pixel array
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    content = bytearray()
+    for r in rows:
+        row = p[data_offset + r * stride : data_offset + r * stride + width * 3]
+        content += row[2::3]  # R channel (BGR order), gray so any channel works
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "content_sum": sum(content),
+        "content": bytes(content),
+    }
+
+
+def _decode_tpsv(p: bytes) -> dict | None:
+    if len(p) < 16 or p[:4] != TPSV_MAGIC:
+        return None
+    n_frames, frame_size, data_len = struct.unpack("<III", p[4:16])
+    body = p[16:]
+    if len(body) < n_frames * frame_size or data_len > n_frames * frame_size:
+        return None  # truncated
+    data = body[:data_len]
+    return {
+        "format": "tpsv",
+        "n_frames": n_frames,
+        "duration_ms": n_frames * TPSV_FRAME_MS,
+        "content_sum": sum(data),
+        "content": data,
+        "frames": [
+            body[i * frame_size : (i + 1) * frame_size] for i in range(n_frames)
+        ],
+    }
+
+
+def decode_payload(payload: bytes | None) -> dict | None:
+    """Magic-byte dispatch to the right parser; None for null/foreign/corrupt
+    payloads (a 100 TB decode stage must skip, not throw)."""
     if payload is None:
         return None
+    for dec in (_decode_wav, _decode_bmp, _decode_tpsv):
+        try:
+            out = dec(payload)
+        except (struct.error, IndexError, ValueError):
+            out = None
+        if out is not None:
+            return out
+    return None
+
+
+def _feature_histogram(content: bytes, dim: int = 8) -> list[float]:
+    """Fixed-length feature from decoded content: mean byte value per
+    ``dim``-stripe — ready for the similarity operators."""
     acc = [0] * dim
-    for i, b in enumerate(payload):
+    for i, b in enumerate(content):
         acc[i % dim] += b
-    n = max(len(payload), 1)
+    n = max(len(content), 1)
     return [float(a) / n for a in acc]
 
 
 def decode_media(df: DataFrame, feature_dim: int = 8) -> DataFrame:
-    """Binary payloads → features via Arrow-batched mapInPandas (the real
-    codec slots into ``_fake_decode``)."""
+    """Binary payloads → parsed metadata + content features via Arrow-batched
+    ``mapInPandas``. Corrupt/unknown payloads yield ok=False rows."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(lambda p: _fake_decode(p, feature_dim))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(
-                        lambda p: len(p) if p is not None else 0
-                    ),
-                    "ok": feats.notna(),
-                    "feature": feats,
-                }
-            )
+            out = {k: [] for k in (
+                "media_id", "kind", "n_bytes", "ok", "format", "width",
+                "height", "sample_rate", "n_samples", "n_frames",
+                "duration_ms", "content_sum", "feature",
+            )}
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                d = decode_payload(p)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(p) if p is not None else 0)
+                out["ok"].append(d is not None)
+                out["format"].append(d.get("format") if d else None)
+                out["width"].append(d.get("width") if d else None)
+                out["height"].append(d.get("height") if d else None)
+                out["sample_rate"].append(d.get("sample_rate") if d else None)
+                out["n_samples"].append(d.get("n_samples") if d else None)
+                out["n_frames"].append(d.get("n_frames") if d else None)
+                out["duration_ms"].append(d.get("duration_ms") if d else None)
+                out["content_sum"].append(d.get("content_sum") if d else None)
+                out["feature"].append(
+                    _feature_histogram(d["content"], feature_dim) if d else None
+                )
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(op, schema=DECODED_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling STUB: emits (media_id, frame_ts_ms) rows for
-    videos from metadata only — the actual frame extraction would decode
-    ``payload`` inside the same mapInPandas pattern as ``decode_media``."""
-    vids = df.where(F.col("kind") == "video")
-    return vids.select(
-        "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.coalesce(F.col("duration_ms"), F.lit(0)),
-                F.lit(every_ms),
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_ts_ms bigint, frame_sum bigint"
+
+
+def sample_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame extraction: decode TPSV payloads in ``mapInPandas``
+    and emit one row per sampled frame (every ``every_n``-th) with its
+    timestamp and byte checksum. Non-video / undecodable rows emit nothing
+    — same skip-don't-throw contract as ``decode_media``."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, sums = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_payload(p)
+                if not d or d.get("format") != "tpsv":
+                    continue
+                for i in range(0, d["n_frames"], every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * TPSV_FRAME_MS)
+                    sums.append(sum(d["frames"][i]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss,
+                 "frame_sum": sums}
             )
-        ).alias("frame_ts_ms"),
-    )
+
+    return df.select("media_id", "payload").mapInPandas(op, schema=FRAME_SCHEMA)
 
 
 def media_repartition_by_bytes(df: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
-    """Partition by cumulative payload size rather than row count: assign a
-    byte-bucketed salt key and repartition on it. At 100 TB this is what
-    keeps a decode stage's memory bounded."""
+    """Partition a media frame so the EXPECTED payload bytes per partition is
+    ~``target_bytes``: one cheap aggregate measures the total payload size,
+    the partition count is total/target, and rows scatter by
+    (size class, hash(media_id)) — the size class in the key keeps the
+    outlier payloads (which dominate decode memory) spread across
+    partitions instead of hash-colliding. This is a statistical bound, not
+    strict bin packing (strict packing needs a global prefix sum — a
+    single-partition bottleneck at 100 TB); with payloads ≪ target_bytes
+    the per-partition deviation concentrates tightly around the mean. Costs
+    one extra pass over payload lengths, amortized by the decode stage that
+    follows."""
     with_size = df.withColumn(
         "__bytes", F.coalesce(F.length("payload").cast("long"), F.lit(0))
     )
-    # deterministic salt: media_id spread × size class
+    total = with_size.agg(F.sum("__bytes")).first()[0] or 0
+    floor_n = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    n = max(floor_n, -(-total // target_bytes))  # ceil
+    # deterministic scatter: media_id spread × size class
     size_class = F.floor(F.log2(F.col("__bytes") + 2)).cast("int")
-    n = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     salt = F.pmod(F.xxhash64("media_id"), F.lit(n)).cast("int")
-    return (
-        with_size.repartition(n, size_class, salt).drop("__bytes")
-    )
+    return with_size.repartition(n, size_class, salt).drop("__bytes")

@@ -1,13 +1,15 @@
 """Queries putting the ML + multimodal surface under the driver's gate.
 
-The media table is synthesized deterministically from ``documents`` (payload
-= UTF-8 bytes of the text, kind = doc_id mod 3) so the mapInPandas decode
-plumbing (datapipe/multimodal.py) runs against real Arrow batches with a
-DuckDB-checkable output: ``n_bytes`` is computed INSIDE the pandas UDF from
-the binary payload and must equal ``octet_length(text)`` on the oracle side,
-proving the binary round-trip through Arrow. The codec itself stays stubbed
-(no image/audio libs in this container) — what's verified is the Spark
-contract: schema, batching, null handling, explode fan-out.
+The media table is synthesized deterministically from ``documents``: the
+text's UTF-8 bytes become REAL media payloads — an 8-bit-PCM WAV for audio
+rows, a 24-bpp BMP (gray pixels) for image rows, a TPSV frame container for
+video rows (kind cycles by doc_id mod 3; documents text is pure ASCII at
+every test sf, so byte value == codepoint). ``decode_media`` then parses
+those payloads back with the pure-Python struct codecs
+(datapipe/multimodal.py) and the oracle recomputes the decoded facts —
+sample counts, pixel dimensions, frame counts, and the content byte-sum —
+from the text in DuckDB. A hash match proves encode → Arrow → parse →
+feature round-trips byte-exactly, not just that the plumbing ran.
 
 ALS (ml/recommender.py) is iterative/approximate — registered rows-only; its
 numeric behavior is covered by test_ml_multimodal.py.
@@ -15,8 +17,10 @@ numeric behavior is covered by test_ml_multimodal.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from telemetry_parquet_spark.queries.registry import query
 from telemetry_parquet_spark.sources.tables import load_table
@@ -24,46 +28,82 @@ from telemetry_parquet_spark.sources.tables import load_table
 _KINDS = ["image", "audio", "video"]
 
 
+@F.pandas_udf(T.BinaryType())
+def _synthesize_payload(kind: pd.Series, text: pd.Series) -> pd.Series:
+    """text → real container bytes per kind (encoders are deterministic)."""
+    from telemetry_parquet_spark.datapipe.multimodal import (
+        encode_bmp,
+        encode_tpsv,
+        encode_wav,
+    )
+
+    enc = {"image": encode_bmp, "audio": encode_wav, "video": encode_tpsv}
+    return pd.Series(
+        [
+            None if t is None else enc[k](t.encode("utf-8"))
+            for k, t in zip(kind, text)
+        ]
+    )
+
+
 def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → MEDIA_SCHEMA-shaped frame: payload is the UTF-8 encoding
-    of the text, kind cycles by doc_id, video duration derives from length."""
+    """documents → MEDIA_SCHEMA-shaped frame: payload is a real WAV/BMP/TPSV
+    container built from the text bytes, kind cycles by doc_id."""
+    from telemetry_parquet_spark.datapipe.multimodal import TPSV_FRAME_MS
+
     docs = load_table(spark, sf_dir, "documents")
     kind = F.element_at(
         F.array(*[F.lit(k) for k in _KINDS]),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
+    mime = F.element_at(
+        F.array(F.lit("image/bmp"), F.lit("audio/wav"), F.lit("video/x-tpsv")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    n_frames = F.ceil(F.octet_length("text") / 16).cast("long")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.lit(None).cast("string").alias("mime"),
+        mime.alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
-        F.when(
-            kind == "video", (F.octet_length("text") * 10).cast("long")
-        ).alias("duration_ms"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.when(kind == "video", n_frames * TPSV_FRAME_MS).alias("duration_ms"),
+        _synthesize_payload(kind, F.col("text")).alias("payload"),
     )
 
 
 @query(
     "mm_decoded_features",
     oracle="""
-    SELECT CASE CAST(doc_id % 3 AS INTEGER)
-             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           COUNT(*) AS n_media,
-           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
-           CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_decoded
-    FROM documents
-    GROUP BY 1
+    WITH d AS (
+      SELECT CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             length(text) AS n,
+             list_aggregate(list_transform(range(1, length(text) + 1),
+                                           i -> ord(substr(text, i, 1))),
+                            'sum') AS csum
+      FROM documents
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(COUNT(*) AS BIGINT) AS n_decoded,
+           CAST(SUM(csum) AS BIGINT) AS total_content_sum,
+           CAST(SUM(CASE WHEN kind = 'audio' THEN n END) AS BIGINT)
+             AS total_samples,
+           CAST(SUM(CASE WHEN kind = 'image' THEN 16 * ((n + 15) // 16) END)
+                AS BIGINT) AS total_pixels,
+           CAST(SUM(CASE WHEN kind = 'video' THEN (n + 15) // 16 END)
+                AS BIGINT) AS total_frames
+    FROM d GROUP BY kind
     """,
 )
 def mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing under the exact gate: binary payloads →
-    mapInPandas (Arrow batches) → per-kind byte totals. n_bytes/ok are
-    computed inside the pandas worker from the payload bytes, so a match
-    against octet_length proves the binary column survived the Arrow
-    round-trip intact."""
+    """Multimodal decode under the exact gate: real WAV/BMP/TPSV payloads →
+    mapInPandas struct parsers → per-kind decoded totals. content_sum,
+    n_samples, width×height, and n_frames are computed inside the pandas
+    worker FROM THE PARSED PAYLOAD, so the oracle match proves the codec
+    path (header walk, row-padding skip, frame directory), not just Arrow
+    transport."""
     from telemetry_parquet_spark.datapipe import spread
     from telemetry_parquet_spark.datapipe.multimodal import decode_media
 
@@ -73,35 +113,42 @@ def mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_media(media)
     return decoded.groupBy("kind").agg(
         F.count("*").alias("n_media"),
-        F.sum("n_bytes").alias("total_bytes"),
         F.sum(F.col("ok").cast("long")).alias("n_decoded"),
+        F.sum("content_sum").alias("total_content_sum"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum(
+            F.col("width").cast("long") * F.col("height").cast("long")
+        ).alias("total_pixels"),
+        F.sum(F.col("n_frames").cast("long")).alias("total_frames"),
     )
 
 
 @query(
     "mm_frame_samples",
     oracle="""
-    SELECT doc_id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
-           CAST(MAX(ts) AS BIGINT) AS last_frame_ms
-    FROM (
-      SELECT doc_id, UNNEST(generate_series(0,
-               CAST(octet_length(CAST(text AS BLOB)) * 10 AS BIGINT), 1000)) AS ts
-      FROM documents WHERE doc_id % 3 = 2
-    ) frames
-    GROUP BY doc_id
+    SELECT doc_id AS media_id,
+           CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames,
+           CAST(((length(text) + 15) // 16 - 1) * 40 AS BIGINT)
+             AS last_frame_ms,
+           CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+                                              i -> ord(substr(text, i, 1))),
+                               'sum') AS BIGINT) AS total_frame_sum
+    FROM documents WHERE doc_id % 3 = 2
     """,
 )
 def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling stub (metadata-driven explode of the sampling
-    timeline — the decode would slot into the same mapInPandas op): per
-    video, frame count and last sampled timestamp vs generate_series."""
+    """REAL frame extraction: TPSV payloads decoded in mapInPandas, one row
+    per frame with its byte checksum; per video, frame count, last frame
+    timestamp, and the total checksum (zero padding contributes nothing, so
+    it must equal the text byte-sum recomputed by DuckDB)."""
     from telemetry_parquet_spark.datapipe.multimodal import sample_frames
 
     media = _media_from_documents(spark, sf_dir)
-    frames = sample_frames(media, every_ms=1000)
+    frames = sample_frames(media, every_n=1)
     return frames.groupBy("media_id").agg(
         F.count("*").alias("n_frames"),
-        F.max("frame_ts_ms").cast("long").alias("last_frame_ms"),
+        F.max("frame_ts_ms").alias("last_frame_ms"),
+        F.sum("frame_sum").alias("total_frame_sum"),
     )
 
 

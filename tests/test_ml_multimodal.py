@@ -57,33 +57,108 @@ def test_recommender_latest_dedup_and_allowlist(spark):
     assert pairs == {("c1", "x"), ("c2", "y")}  # z filtered, duplicates collapsed
 
 
+def test_codecs_roundtrip_pure_python():
+    """encode→decode is byte-exact for every container, without Spark."""
+    from telemetry_parquet_spark.datapipe.multimodal import (
+        decode_payload,
+        encode_bmp,
+        encode_tpsv,
+        encode_wav,
+    )
+
+    data = b"hello multimodal world, 0123456789" * 3
+
+    wav = decode_payload(encode_wav(data, sample_rate=8000))
+    assert wav["format"] == "wav"
+    assert wav["sample_rate"] == 8000
+    assert wav["n_samples"] == len(data)
+    assert wav["content"] == data
+    assert wav["content_sum"] == sum(data)
+
+    bmp = decode_payload(encode_bmp(data, width=16))
+    assert bmp["format"] == "bmp"
+    assert bmp["width"] == 16
+    assert bmp["height"] == (len(data) + 15) // 16
+    assert bmp["content"][: len(data)] == data  # zero padding after
+    assert bmp["content_sum"] == sum(data)
+
+    vid = decode_payload(encode_tpsv(data))
+    assert vid["format"] == "tpsv"
+    assert vid["n_frames"] == (len(data) + 15) // 16
+    assert vid["content"] == data
+    assert len(vid["frames"]) == vid["n_frames"]
+    assert all(len(f) == 16 for f in vid["frames"])
+
+    # odd BMP width exercises the per-row 4-byte stride padding skip
+    bmp5 = decode_payload(encode_bmp(data, width=5))
+    assert bmp5["width"] == 5 and bmp5["content_sum"] == sum(data)
+
+    # corrupt / truncated / foreign payloads: None, never an exception
+    assert decode_payload(None) is None
+    assert decode_payload(b"") is None
+    assert decode_payload(b"\x89PNG not actually supported") is None
+    assert decode_payload(encode_wav(data)[:30]) is None  # truncated header
+    assert decode_payload(encode_wav(data)[:-5]) is None  # truncated samples
+    assert decode_payload(encode_tpsv(data)[:-3]) is None  # truncated frame
+    assert decode_payload(encode_bmp(data)[:-7]) is None  # truncated pixels
+
+
 def test_decode_media_plumbing(spark):
     from telemetry_parquet_spark.datapipe.multimodal import (
         MEDIA_SCHEMA,
         decode_media,
+        encode_tpsv,
+        encode_wav,
         media_repartition_by_bytes,
         sample_frames,
     )
 
+    audio = bytes(range(48))
+    video = bytes(range(40))  # 3 frames: 16 + 16 + 8(+pad)
     rows = [
-        (1, "image", "image/png", 4, 4, None, bytes(range(16))),
-        (2, "image", "image/png", 2, 2, None, None),
-        (3, "video", "video/mp4", 640, 480, 3000, b"\x00" * 64),
+        (1, "audio", "audio/wav", None, None, None, encode_wav(audio)),
+        (2, "image", "image/png", 2, 2, None, None),  # null payload
+        (3, "video", "video/x-tpsv", None, None, 120, encode_tpsv(video)),
+        (4, "image", "image/bmp", None, None, None, b"BM garbage"),  # corrupt
     ]
     df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
     decoded = decode_media(df, feature_dim=4)
     got = {r.media_id: r for r in decoded.collect()}
-    assert got[1].ok and len(got[1].feature) == 4
-    assert got[1].n_bytes == 16
+    assert got[1].ok and got[1].format == "wav"
+    assert got[1].n_samples == 48 and got[1].sample_rate == 8000
+    assert got[1].content_sum == sum(audio)
+    assert len(got[1].feature) == 4
     assert not got[2].ok and got[2].feature is None
+    assert got[3].ok and got[3].n_frames == 3 and got[3].duration_ms == 120
+    assert not got[4].ok  # corrupt BMP skipped, not raised
     # determinism: same payload -> same feature
     again = {r.media_id: r for r in decode_media(df, feature_dim=4).collect()}
     assert again[1].feature == got[1].feature
 
-    frames = sample_frames(df, every_ms=1000)
-    assert [r.frame_ts_ms for r in frames.orderBy("frame_ts_ms").collect()] == [
-        0, 1000, 2000, 3000,
+    frames = sample_frames(df).orderBy("frame_idx").collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 40, 80]
+    assert [r.frame_sum for r in frames] == [
+        sum(video[:16]), sum(video[16:32]), sum(video[32:]),
     ]
 
-    assert media_repartition_by_bytes(df).count() == 3
+    assert media_repartition_by_bytes(df).count() == 4
+
+
+def test_media_repartition_sizes_from_byte_totals(spark):
+    """Partition count must derive from total payload bytes / target, not
+    just the core count."""
+    from telemetry_parquet_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        media_repartition_by_bytes,
+    )
+
+    rows = [
+        (i, "image", "image/bmp", None, None, None, bytes([i % 256]) * 1000)
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    # 64 KB of payload at a 1 KB target → 64 partitions (> the 32-core floor)
+    out = media_repartition_by_bytes(df, target_bytes=1000)
+    assert out.rdd.getNumPartitions() == 64
+    assert out.count() == 64
