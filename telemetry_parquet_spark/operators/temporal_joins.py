@@ -94,19 +94,36 @@ def range_join(
     ``start_col <= left_ts < end_col`` (optionally also equi on ``on``).
 
     Implementation: explode each interval into the time buckets it overlaps,
-    equi-join points on their bucket (+ key), then apply the exact predicate.
-    Equivalent to the 'bucketize the range key' strategy; never a nested
-    loop."""
+    equi-join points on their bucket (+ key) with the exact range predicate
+    INSIDE the join condition. Equivalent to the 'bucketize the range key'
+    strategy; never a nested loop. A matching pair coincides in exactly one
+    bucket (the point's), so no post-join dedup is needed.
+
+    Because the exact predicate is part of the join condition (not a WHERE
+    after it), ``how='left'`` keeps unmatched point rows with nulls in the
+    interval columns instead of silently collapsing to inner semantics."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"range_join supports inner/left joins, got {how!r}")
     bucket = (F.unix_timestamp(F.col(left_ts)) / bucket_seconds).cast("long")
     start_b = (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long")
     end_b = (F.unix_timestamp(F.col(end_col)) / bucket_seconds).cast("long")
 
     exploded = intervals.withColumn(
         "__bucket", F.explode(F.sequence(start_b, end_b))
+    ).alias("__r")
+    pts = left.withColumn("__bucket", bucket).alias("__l")
+    cond = F.col("__l.__bucket") == F.col("__r.__bucket")
+    if on:
+        cond &= F.col(f"__l.{on}") == F.col(f"__r.{on}")
+    cond &= (F.col(f"__r.{start_col}") <= F.col(f"__l.{left_ts}")) & (
+        F.col(f"__l.{left_ts}") < F.col(f"__r.{end_col}")
     )
-    pts = left.withColumn("__bucket", bucket)
-    keys = ["__bucket"] + ([on] if on else [])
-    joined = pts.join(exploded, on=keys, how=how)
-    return joined.where(
-        (F.col(start_col) <= F.col(left_ts)) & (F.col(left_ts) < F.col(end_col))
-    ).drop("__bucket")
+    joined = pts.join(exploded, cond, how)
+    # merge the equi-key columns back to single names (left side wins; for
+    # inner joins the sides are equal, for left joins the right side is null)
+    drops = [F.col("__l.__bucket"), F.col("__r.__bucket")]
+    if on:
+        drops.append(F.col(f"__r.{on}"))
+    for c in drops:
+        joined = joined.drop(c)
+    return joined

@@ -187,3 +187,39 @@ def test_as_of_join_tolerance_and_edges(spark):
                        right_payload=["rtag"], tolerance_seconds=10)
     got = {r.tag: r.rtag_right for r in tight.collect()}
     assert got == {"l1": "r-exact", "l2": None, "l3": None}
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    """The exact range predicate lives in the join condition, so left joins
+    keep points that fall inside no interval (nulls on the interval side)
+    instead of collapsing to inner semantics."""
+    import pytest
+
+    from telemetry_parquet_spark.operators.temporal_joins import range_join
+
+    pts = spark.createDataFrame(
+        [("u", 100, "in"), ("u", 5000, "out"), ("w", 100, "other-key")],
+        "k string, t long, tag string",
+    ).select("k", F.timestamp_seconds("t").alias("pts_ts"), "tag")
+    iv = spark.createDataFrame(
+        [("u", 50, 200, "iv1")],
+        "k string, s long, e long, iv string",
+    ).select(
+        "k",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+        "iv",
+    )
+
+    inner = range_join(pts, iv, left_ts="pts_ts", start_col="start_ts",
+                       end_col="end_ts", on="k", bucket_seconds=60)
+    assert {r.tag: r.iv for r in inner.collect()} == {"in": "iv1"}
+
+    left = range_join(pts, iv, left_ts="pts_ts", start_col="start_ts",
+                      end_col="end_ts", on="k", bucket_seconds=60, how="left")
+    got = {r.tag: r.iv for r in left.collect()}
+    assert got == {"in": "iv1", "out": None, "other-key": None}
+
+    with pytest.raises(ValueError, match="inner/left"):
+        range_join(pts, iv, left_ts="pts_ts", start_col="start_ts",
+                   end_col="end_ts", how="full")
