@@ -75,7 +75,14 @@ def compact_dataset(
 
     Sizing is derived from the partition's current on-disk bytes; the
     rewrite is a per-partition dynamic overwrite, so concurrent readers of
-    other partitions are unaffected. Returns {partition_value: n_files}."""
+    other partitions are unaffected. Each partition is materialized
+    (``localCheckpoint``) BEFORE its overwrite starts: the write otherwise
+    reads lazily from the very files the overwrite deletes, and a mid-job
+    failure would lose the partition. With the checkpoint, the data is
+    pinned in executor storage first, so a crash leaves either the old or
+    the new complete partition. The loop is still per-partition (not
+    cross-partition atomic) by design — that is what bounds the blast
+    radius to one partition. Returns {partition_value: n_files}."""
     import glob
 
     df = read_dataset(spark, path)
@@ -90,9 +97,12 @@ def compact_dataset(
             if not f.startswith(("_", "."))
         )
         n_files = max(1, -(-nbytes // target_file_bytes))  # ceil
-        part = df.where(F.col(pcol) == val).repartition(n_files)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        part.write.mode("overwrite").partitionBy(*list(partition_cols)).parquet(path)
+        part = df.where(F.col(pcol) == val).repartition(n_files).localCheckpoint()
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            part.write.mode("overwrite").partitionBy(*list(partition_cols)).parquet(path)
+        finally:
+            part.unpersist()
         sizes[val] = n_files
     return sizes
 
