@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
@@ -54,11 +55,17 @@ def _normalize_iso_offset(ts: str | None) -> str | None:
     return out.isoformat()
 
 
-normalize_iso_timestamp_udf = F.udf(_normalize_iso_offset, StringType())
+@F.pandas_udf(StringType())
+def normalize_iso_timestamp_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched wrapper over the scalar rewrite: Python is unavoidable
+    (no builtin understands out-of-range offsets) but the transfer is
+    columnar — no per-row serialization like a plain F.udf."""
+    return s.map(_normalize_iso_offset, na_action="ignore")
 
 
 def normalize_iso_timestamp(col: Column | str) -> Column:
-    """F2 — see module docstring. UDF (row-level string rewrite, no builtin)."""
+    """F2 — see module docstring. pandas_udf (row-level string rewrite, no
+    builtin exists; Arrow batching keeps it off the slow per-row path)."""
     c = F.col(col) if isinstance(col, str) else col
     return normalize_iso_timestamp_udf(c)
 
