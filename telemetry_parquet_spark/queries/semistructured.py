@@ -291,3 +291,93 @@ def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower("c_mktsegment"), F.lit("a"), F.lit("@")
         ).alias("seg_mangled"),
     )
+
+
+@query(
+    "json_union_coercion",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN '{"s":"t' || doc_id || '","n":' || doc_id ||
+                      ',"d":' || doc_id || '.5,"b":true}'
+          WHEN 1 THEN '{"s":' || doc_id || ',"n":' || doc_id ||
+                      '.5,"d":' || doc_id || ',"b":"true"}'
+          WHEN 2 THEN '{"s":true,"n":"x","d":' || doc_id || '.25,"b":false}'
+          ELSE '{bad json'
+        END AS payload
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id, TRY_CAST(payload AS JSON) AS j FROM src
+    )
+    SELECT doc_id,
+      CASE WHEN json_type(j, '$.s') IN
+                ('VARCHAR', 'BIGINT', 'UBIGINT', 'DOUBLE', 'BOOLEAN')
+           THEN json_extract_string(j, '$.s') END AS s_str,
+      CASE WHEN json_type(j, '$.n') IN ('BIGINT', 'UBIGINT')
+           THEN CAST(json_extract(j, '$.n') AS BIGINT) END AS n_int,
+      CASE WHEN json_type(j, '$.d') = 'DOUBLE'
+           THEN CAST(json_extract(j, '$.d') AS DOUBLE) END AS d_double,
+      CASE WHEN json_type(j, '$.b') = 'BOOLEAN'
+           THEN CAST(json_extract(j, '$.b') AS BOOLEAN) END AS b_bool,
+      j IS NOT NULL AS parsed_ok
+    FROM parsed
+    """,
+)
+def json_union_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON2Avro union-as-optional coercion semantics
+    (reference avro/JSON2Avro.scala:60-133) over Spark VARIANT:
+
+    - string target accepts string/int/decimal/double/bool tokens,
+      stringified (``parseString``, :60-73);
+    - int target accepts ONLY integer tokens — doubles and numeric strings
+      become null (``parseInt``, :75-81);
+    - double target accepts ONLY non-integer numeric tokens — an integer
+      token is rejected, exactly as json4s maps 2 to JInt, never JDouble
+      (``parseDouble``, :88-94);
+    - boolean target accepts only true/false (``parseBoolean``, :96-102);
+    - union [null, T] degrades mismatches to null instead of failing the
+      row (``parse`` UNION branch, :116-117), and a malformed document
+      nulls every field (try_parse_json) — the ingestion never throws.
+
+    The mixed-type corpus is synthesized per doc_id so every coercion row
+    is deterministic and DuckDB replays the same rules via json_type()."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.format_string('{"s":"t%s","n":%s,"d":%s.5,"b":true}',
+                            "doc_id", "doc_id", "doc_id"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.format_string('{"s":%s,"n":%s.5,"d":%s,"b":"true"}',
+                            "doc_id", "doc_id", "doc_id"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.format_string('{"s":true,"n":"x","d":%s.25,"b":false}', "doc_id"),
+        )
+        .otherwise(F.lit("{bad json"))
+    )
+    v = F.try_parse_json(payload)
+
+    def typ(path: str):
+        return F.schema_of_variant(F.try_variant_get(v, path, "variant"))
+
+    is_num_str = typ("$.s").isin("STRING", "BIGINT", "DOUBLE", "BOOLEAN") | typ(
+        "$.s"
+    ).startswith("DECIMAL")
+    is_double = (typ("$.d") == "DOUBLE") | typ("$.d").startswith("DECIMAL")
+    return docs.select(
+        "doc_id",
+        F.when(is_num_str, F.try_variant_get(v, "$.s", "string")).alias("s_str"),
+        F.when(
+            typ("$.n") == "BIGINT", F.try_variant_get(v, "$.n", "bigint")
+        ).alias("n_int"),
+        F.when(is_double, F.try_variant_get(v, "$.d", "double")).alias("d_double"),
+        F.when(
+            typ("$.b") == "BOOLEAN", F.try_variant_get(v, "$.b", "boolean")
+        ).alias("b_bool"),
+        v.isNotNull().alias("parsed_ok"),
+    )

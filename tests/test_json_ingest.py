@@ -225,3 +225,27 @@ def test_enrich_events_with_devices(spark, parsed):
     assert by_ts[1704240000001].device_version == "135.0"
     assert by_ts[1704240000001].device_os == "WINNT"
     assert by_ts[1704240000002].device_version is None
+
+
+def test_json_union_coercion_matrix(spark, sf_dir):
+    """JSON2Avro union-as-optional rules, pinned cell by cell (independent of
+    the DuckDB oracle): string accepts any primitive; int only integer
+    tokens; double only non-integer numeric tokens; bool only true/false;
+    malformed rows null every field instead of failing the load."""
+    from telemetry_parquet_spark.queries.semistructured import json_union_coercion
+
+    rows = {r.doc_id: r for r in json_union_coercion(spark, sf_dir).collect()}
+    m0 = next(r for i, r in rows.items() if i % 4 == 0)
+    assert (m0.s_str, m0.n_int, m0.d_double, m0.b_bool, m0.parsed_ok) == (
+        f"t{m0.doc_id}", m0.doc_id, m0.doc_id + 0.5, True, True)
+    m1 = next(r for i, r in rows.items() if i % 4 == 1)
+    # int token stringifies; double token is NOT an int; int token is NOT a
+    # double; "true" (string) is NOT a bool
+    assert (m1.s_str, m1.n_int, m1.d_double, m1.b_bool, m1.parsed_ok) == (
+        str(m1.doc_id), None, None, None, True)
+    m2 = next(r for i, r in rows.items() if i % 4 == 2)
+    assert (m2.s_str, m2.n_int, m2.d_double, m2.b_bool, m2.parsed_ok) == (
+        "true", None, m2.doc_id + 0.25, False, True)
+    m3 = next(r for i, r in rows.items() if i % 4 == 3)
+    assert (m3.s_str, m3.n_int, m3.d_double, m3.b_bool, m3.parsed_ok) == (
+        None, None, None, None, False)
