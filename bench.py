@@ -49,6 +49,9 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "mm_decoded_features",
     "stat_moments_by_flag",
+    # round 2 additions: track both ANN families (VERDICT r1 §8)
+    "dd_simhash_near_dup_pairs",
+    "sim_ivf_probe_topk",
 ]
 
 
