@@ -29,3 +29,15 @@ def test_every_query_documents_its_parity(spark):
         assert fn.__doc__ and len(fn.__doc__.strip()) > 20, (
             f"{name} lacks a meaningful docstring"
         )
+
+
+def test_driver_priority_window_is_first():
+    """The driver evaluates the first 50 registered queries; the names still
+    missing a driver verdict must occupy that window (regression guard for
+    accidental registration reordering)."""
+    from telemetry_parquet_spark.queries import _DRIVER_PRIORITY, all_queries
+
+    names = list(all_queries())
+    expected_head = [n for n in _DRIVER_PRIORITY if n in set(names)]
+    assert names[: len(expected_head)] == expected_head
+    assert len(expected_head) <= 50
