@@ -145,6 +145,28 @@ def test_decode_media_plumbing(spark):
     assert media_repartition_by_bytes(df).count() == 4
 
 
+def test_media_metadata_query_prunes_payload_column(spark, tmp_path):
+    """The payload rides in its own binary column so metadata-only queries
+    never read the bytes: the parquet scan's ReadSchema must exclude
+    payload — at PB scale this is the difference between a metadata agg
+    touching kilobytes and touching everything."""
+    from telemetry_parquet_spark.datapipe.multimodal import MEDIA_SCHEMA, encode_wav
+    from telemetry_parquet_spark.plans.explain import read_schema_columns
+
+    rows = [
+        (i, "audio", "audio/wav", None, None, None, encode_wav(bytes([i]) * 100))
+        for i in range(20)
+    ]
+    path = str(tmp_path / "media")
+    spark.createDataFrame(rows, schema=MEDIA_SCHEMA).write.parquet(path)
+
+    media = spark.read.parquet(path)
+    meta_query = media.groupBy("kind").count()
+    cols = read_schema_columns(meta_query)
+    assert "payload" not in cols, cols
+    assert meta_query.count() == 1
+
+
 def test_media_repartition_sizes_from_byte_totals(spark):
     """Partition count must derive from total payload bytes / target, not
     just the core count."""
