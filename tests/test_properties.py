@@ -189,3 +189,83 @@ def test_shingles_properties(spark, texts):
             expect_words = min(3, len(toks))
             for s in r.sh:
                 assert len(s.split(" ")) == expect_words
+
+
+@given(
+    data=st.binary(min_size=0, max_size=2000),
+    rate=st.integers(min_value=1, max_value=192_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_codec_roundtrip_property(data, rate):
+    """Pure-Python property (no Spark): any byte payload survives
+    encode→decode byte-exactly with correct header facts."""
+    from telemetry_parquet_spark.datapipe.multimodal import (
+        decode_payload,
+        encode_wav,
+    )
+
+    d = decode_payload(encode_wav(data, sample_rate=rate))
+    assert d["format"] == "wav"
+    assert d["sample_rate"] == rate
+    assert d["n_samples"] == len(data)
+    assert d["content"] == data
+    assert d["duration_ms"] == len(data) * 1000 // rate
+
+
+@given(
+    data=st.binary(min_size=1, max_size=2000),
+    width=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_bmp_codec_roundtrip_property(data, width):
+    """BMP stride padding must never corrupt content for any width."""
+    from telemetry_parquet_spark.datapipe.multimodal import (
+        decode_payload,
+        encode_bmp,
+    )
+
+    d = decode_payload(encode_bmp(data, width=width))
+    assert d["format"] == "bmp"
+    assert d["width"] == width
+    assert d["height"] == (len(data) + width - 1) // width
+    assert d["content"][: len(data)] == data
+    assert all(b == 0 for b in d["content"][len(data):])  # row-fill padding
+
+
+@given(data=st.binary(min_size=0, max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_tpsv_codec_roundtrip_property(data):
+    from telemetry_parquet_spark.datapipe.multimodal import (
+        TPSV_FRAME_BYTES,
+        decode_payload,
+        encode_tpsv,
+    )
+
+    d = decode_payload(encode_tpsv(data))
+    assert d["format"] == "tpsv"
+    assert d["content"] == data
+    assert d["n_frames"] == max(
+        (len(data) + TPSV_FRAME_BYTES - 1) // TPSV_FRAME_BYTES, 1
+    )
+    assert b"".join(d["frames"])[: len(data)] == data
+
+
+@given(junk=st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_decode_never_raises_property(junk):
+    """Corrupt/foreign bytes must decode to None, never raise — the
+    skip-don't-throw contract a 100 TB scan depends on."""
+    from telemetry_parquet_spark.datapipe.multimodal import decode_payload
+
+    decode_payload(junk)  # any outcome but an exception
+    # truncations of valid containers must also never raise
+    from telemetry_parquet_spark.datapipe.multimodal import (
+        encode_bmp,
+        encode_tpsv,
+        encode_wav,
+    )
+
+    for enc in (encode_wav, encode_bmp, encode_tpsv):
+        payload = enc(junk) if junk else enc(b"x")
+        for cut in (1, len(payload) // 2, len(payload) - 1):
+            decode_payload(payload[:cut])
