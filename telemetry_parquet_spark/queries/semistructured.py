@@ -360,24 +360,35 @@ def json_union_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("{bad json"))
     )
-    v = F.try_parse_json(payload)
-
-    def typ(path: str):
-        return F.schema_of_variant(F.try_variant_get(v, path, "variant"))
-
-    is_num_str = typ("$.s").isin("STRING", "BIGINT", "DOUBLE", "BOOLEAN") | typ(
-        "$.s"
-    ).startswith("DECIMAL")
-    is_double = (typ("$.d") == "DOUBLE") | typ("$.d").startswith("DECIMAL")
-    return docs.select(
+    # materialize the parsed variant + per-field sub-variants in their own
+    # projections: every coercion below references them several times, and
+    # variant expressions run interpreted (no codegen CSE) — without the
+    # barrier Catalyst inlines parseJson ~10× per row
+    parsed = docs.select("doc_id", F.try_parse_json(payload).alias("__v"))
+    fields = parsed.select(
         "doc_id",
-        F.when(is_num_str, F.try_variant_get(v, "$.s", "string")).alias("s_str"),
-        F.when(
-            typ("$.n") == "BIGINT", F.try_variant_get(v, "$.n", "bigint")
-        ).alias("n_int"),
-        F.when(is_double, F.try_variant_get(v, "$.d", "double")).alias("d_double"),
-        F.when(
-            typ("$.b") == "BOOLEAN", F.try_variant_get(v, "$.b", "boolean")
-        ).alias("b_bool"),
-        v.isNotNull().alias("parsed_ok"),
+        F.col("__v").isNotNull().alias("parsed_ok"),
+        *[
+            F.try_variant_get(F.col("__v"), f"$.{f}", "variant").alias(f"__{f}")
+            for f in ("s", "n", "d", "b")
+        ],
+    )
+
+    def typ(f: str):
+        return F.schema_of_variant(F.col(f"__{f}"))
+
+    def get(f: str, t: str):
+        return F.try_variant_get(F.col(f"__{f}"), "$", t)
+
+    is_num_str = typ("s").isin("STRING", "BIGINT", "DOUBLE", "BOOLEAN") | typ(
+        "s"
+    ).startswith("DECIMAL")
+    is_double = (typ("d") == "DOUBLE") | typ("d").startswith("DECIMAL")
+    return fields.select(
+        "doc_id",
+        F.when(is_num_str, get("s", "string")).alias("s_str"),
+        F.when(typ("n") == "BIGINT", get("n", "bigint")).alias("n_int"),
+        F.when(is_double, get("d", "double")).alias("d_double"),
+        F.when(typ("b") == "BOOLEAN", get("b", "boolean")).alias("b_bool"),
+        "parsed_ok",
     )
