@@ -41,3 +41,14 @@ def test_driver_priority_window_is_first():
     expected_head = [n for n in _DRIVER_PRIORITY if n in set(names)]
     assert names[: len(expected_head)] == expected_head
     assert len(expected_head) <= 50
+
+
+def test_bench_headline_names_registered():
+    """bench.py must never reference a renamed/removed query — the driver
+    runs it unattended per round."""
+    import bench
+
+    from telemetry_parquet_spark.queries import all_queries
+
+    missing = [n for n in bench.HEADLINE if n not in all_queries()]
+    assert not missing, missing
