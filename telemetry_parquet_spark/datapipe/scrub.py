@@ -1,0 +1,157 @@
+"""Training-data scrubbing operators: PII redaction, deterministic
+train/holdout splitting, and benchmark-contamination detection.
+
+These are the governance passes a large-scale LLM data pipeline runs after
+dedup/quality filtering (net-new surface — the reference predates the use
+case; the brief's "operations a training-data pipeline would need").
+
+Design for 100 TB:
+- Redaction is a chain of ``regexp_replace`` expressions — whole-stage
+  codegen, no Python, no shuffle; patterns are RE2-compatible so the DuckDB
+  oracle replays them verbatim.
+- The split is a pure hash of (id, salt) — no shuffle, no state, stable
+  across reruns and cluster sizes, and computed identically by any engine
+  with md5 (the bucket is the first hex byte of the digest, so no
+  hex-to-int support is needed oracle-side).
+- Contamination joins the corpus's exploded n-gram *hashes* (16-byte md5,
+  never the raw text) against a broadcast benchmark n-gram set: shuffle
+  payload is (doc_id, digest), the benchmark side is tiny by construction,
+  and the per-doc aggregation is a map-side-combinable count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.datapipe import spread
+
+# RE2-safe (no lookaround/backrefs): the same pattern strings run in Spark
+# (java.util.regex) and DuckDB (RE2) with identical results on these shapes.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,19}\b", "<NUM>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace e-mail / phone / IPv4 / long-digit-run matches with typed
+    placeholder tokens. Order matters: earlier (more specific) classes must
+    not be re-matched by later (digit-run) ones."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-class match counts on the ORIGINAL text (audit columns)."""
+    c = F.col(text) if isinstance(text, str) else text
+    names = {"<EMAIL>": "n_email", "<PHONE>": "n_phone", "<IP>": "n_ip",
+             "<NUM>": "n_number"}
+    return {
+        names[token]: F.regexp_count(c, F.lit(pattern))
+        for pattern, token in PII_PATTERNS
+    }
+
+
+def hash_split(
+    key: Column | str, train_pct: int = 90, salt: str = "split-v1"
+) -> Column:
+    """Deterministic train/holdout label from md5(key ∥ salt).
+
+    The bucket is the digest's FIRST HEX BYTE (0..255) compared against
+    ``round(256 * train_pct / 100)`` — engine-portable (string compare on
+    the hex prefix; no hex-to-int needed) and stable under reruns, reparti-
+    tioning, and cluster size. Changing ``salt`` re-rolls the assignment."""
+    if not 0 < train_pct < 100:
+        raise ValueError(f"train_pct must be in (0, 100), got {train_pct}")
+    c = F.col(key) if isinstance(key, str) else key
+    threshold = format(round(256 * train_pct / 100), "02x")
+    prefix = F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 2)
+    return F.when(prefix < F.lit(threshold), F.lit("train")).otherwise(
+        F.lit("holdout")
+    )
+
+
+def _raw_word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams WITH duplicates (order preserved) — the repetition and
+    contamination operators need multiplicity, unlike dedup's distinct
+    shingles."""
+    from telemetry_parquet_spark.datapipe.text import tokens
+
+    toks = tokens(F.lower(text))
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(text: Column | str, ns: tuple[int, ...] = (2, 3)) -> dict[str, Column]:
+    """Gopher-style repetition signals: for each n, the fraction of n-gram
+    OCCURRENCES that are repeats of an earlier occurrence
+    (1 - distinct/total; 0 for docs shorter than n words). High values flag
+    boilerplate/spam documents that survive exact dedup."""
+    c = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for n in ns:
+        grams = _raw_word_ngrams(c, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        out[f"dup_{n}gram_frac"] = F.when(
+            total > 0, F.round(1.0 - distinct / total, 6)
+        ).otherwise(F.lit(0.0))
+    return out
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the count
+    and fraction of its word ``n``-grams that appear in ANY benchmark
+    document. Join key is md5 of the n-gram (16-byte shuffle payload, never
+    raw text); the distinct benchmark n-gram set is broadcast. Returns
+    (id, n_ngrams, n_contaminated, contamination_frac) for contaminated
+    docs only."""
+    doc_grams = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.explode(_raw_word_ngrams(F.col(text_col), n)).alias("__g"),
+        )
+        .select(F.col(id_col), F.md5("__g").alias("__h"))
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(_raw_word_ngrams(F.col(text_col), n)).alias("__g")
+        )
+        .select(F.md5("__g").alias("__h"))
+        .distinct()
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, id_col)
+        .select(
+            F.col(id_col),
+            "n_ngrams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6).alias(
+                "contamination_frac"
+            ),
+        )
+    )

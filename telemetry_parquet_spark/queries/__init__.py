@@ -69,6 +69,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ml_als_recommendations",
     # new in round 2 — no driver row yet
     "json_union_coercion",
+    "pii_redaction",
+    "rep_repetition_features",
+    "split_train_holdout",
+    "contamination_ngram_overlap",
 )
 
 

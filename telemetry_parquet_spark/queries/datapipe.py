@@ -473,3 +473,197 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     index = build_ivf_index(emb, n_cells=32, id_col="vec_id", vec_col="embedding")
     return ivf_top_k(index, qv, k=10, nprobe=4)
+
+
+# --- scrubbing / governance passes (datapipe/scrub.py) ---
+
+
+@query(
+    "pii_redaction",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+        text || CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+          WHEN 1 THEN ' call 555-123-4567 from 10.0.' || (doc_id % 256) || '.9'
+          ELSE ' card 4111111111111111 expires soon'
+        END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+      CAST(len(regexp_extract_all(t,
+        '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b')) AS INT) AS n_phone,
+      CAST(len(regexp_extract_all(t,
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip,
+      CAST(len(regexp_extract_all(t, '\\b\\d{13,19}\\b')) AS INT) AS n_number,
+      md5(r4.t4) AS redacted_md5
+    FROM src,
+    LATERAL (SELECT regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1) r1,
+    LATERAL (SELECT regexp_replace(r1.t1,
+      '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b', '<PHONE>', 'g') AS t2) r2,
+    LATERAL (SELECT regexp_replace(r2.t2,
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t3) r3,
+    LATERAL (SELECT regexp_replace(r3.t3, '\\b\\d{13,19}\\b', '<NUM>', 'g') AS t4)
+      r4
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (datapipe/scrub.py): deterministic synthetic PII is
+    appended to each document (e-mail / phone+IP / card number by doc_id
+    class), then redacted with the RE2-portable pattern chain. Output is the
+    per-class audit counts plus md5 of the redacted text — the oracle
+    replays the identical patterns in DuckDB, so a hash match proves the
+    redaction transform byte-for-byte, not just the counts."""
+    from telemetry_parquet_spark.datapipe.scrub import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.format_string(" contact user%s@example.com now", "doc_id"),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.format_string(
+                    " call 555-123-4567 from 10.0.%s.9",
+                    (F.col("doc_id") % 256).cast("string"),
+                ),
+            )
+            .otherwise(F.lit(" card 4111111111111111 expires soon")),
+        ).alias("t"),
+    )
+    counts = pii_counts("t")
+    return injected.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ip"].alias("n_ip"),
+        counts["n_number"].alias("n_number"),
+        F.md5(redact_pii("t")).alias("redacted_md5"),
+    )
+
+
+@query(
+    "rep_repetition_features",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> length(t) > 0) AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 2
+             THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+             ELSE [] END AS g2,
+        CASE WHEN len(w) >= 3
+             THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+             ELSE [] END AS g3
+      FROM toks
+    )
+    SELECT doc_id,
+      CASE WHEN len(g2) > 0
+           THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+           ELSE 0.0 END AS dup_2gram_frac,
+      CASE WHEN len(g3) > 0
+           THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+           ELSE 0.0 END AS dup_3gram_frac
+    FROM grams
+    """,
+)
+def rep_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: per document, the fraction
+    of 2-gram / 3-gram occurrences that repeat an earlier occurrence —
+    the filter that catches boilerplate/spam documents exact dedup misses.
+    All higher-order array expressions, no shuffle beyond the scan."""
+    from telemetry_parquet_spark.datapipe.scrub import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = repetition_features("text", ns=(2, 3))
+    return docs.select(
+        "doc_id",
+        feats["dup_2gram_frac"].alias("dup_2gram_frac"),
+        feats["dup_3gram_frac"].alias("dup_3gram_frac"),
+    )
+
+
+@query(
+    "split_train_holdout",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 2)
+                     < 'e6' THEN 'train' ELSE 'holdout' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/holdout split by md5(id ∥ salt) — stable
+    under reruns, repartitioning, and engine choice (the bucket is the
+    digest's first hex byte, string-compared, so any md5-capable system
+    reproduces the assignment). No shuffle: the label is a pure projection;
+    the aggregation here exists to make the assignment oracle-checkable."""
+    from telemetry_parquet_spark.datapipe.scrub import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(hash_split("doc_id", train_pct=90).alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> length(t) > 0) AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 8
+             THEN list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))
+             ELSE [] END AS g
+      FROM toks
+    ), exploded AS (
+      SELECT doc_id, UNNEST(g) AS gram FROM grams
+    ), bench AS (
+      SELECT DISTINCT gram FROM exploded WHERE doc_id % 50 = 0
+    ), totals AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams FROM exploded GROUP BY doc_id
+    ), hits AS (
+      SELECT e.doc_id, COUNT(*) AS n_contaminated
+      FROM exploded e JOIN bench b ON e.gram = b.gram
+      GROUP BY e.doc_id
+    )
+    SELECT t.doc_id, t.n_ngrams, h.n_contaminated,
+           round(CAST(h.n_contaminated AS DOUBLE) / t.n_ngrams, 6)
+             AS contamination_frac
+    FROM totals t JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: docs sharing any word 8-gram with
+    the benchmark set (doc_id % 50 = 0 stands in for a held-out eval set).
+    The Spark join key is md5 of the n-gram — 16-byte shuffle payload, the
+    tiny benchmark side broadcast; the oracle joins raw grams, proving the
+    hashed join loses nothing."""
+    from telemetry_parquet_spark.datapipe.scrub import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return ngram_contamination(docs, bench, n=8)

@@ -1,0 +1,95 @@
+"""Scrubbing/governance operators: PII redaction, hash split, repetition,
+benchmark contamination (datapipe/scrub.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.datapipe.scrub import (
+    hash_split,
+    ngram_contamination,
+    pii_counts,
+    redact_pii,
+    repetition_features,
+)
+
+
+def test_redact_pii_classes(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org today"),
+        (2, "call 555-123-4567 or visit 10.20.30.40 please"),
+        (3, "card 4111111111111111 but year 2024 stays"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    counts = pii_counts("t")
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("red"),
+            *[v.alias(k) for k, v in counts.items()],
+        ).collect()
+    }
+    assert got[1].red == "mail me at <EMAIL> today" and got[1].n_email == 1
+    assert got[2].red == "call <PHONE> or visit <IP> please"
+    assert (got[2].n_phone, got[2].n_ip) == (1, 1)
+    assert got[3].red == "card <NUM> but year 2024 stays"  # short runs kept
+    assert got[3].n_number == 1
+    assert got[4].red == "nothing sensitive here"
+    assert sum([got[4].n_email, got[4].n_phone, got[4].n_ip, got[4].n_number]) == 0
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["id"])
+    labeled = df.select("id", hash_split("id", train_pct=90).alias("s"))
+    counts = {r.s: r["count"] for r in labeled.groupBy("s").count().collect()}
+    frac = counts["train"] / 5000
+    assert 0.87 < frac < 0.93  # first-hex-byte buckets: 230/256 ≈ 0.898
+    # rerun → identical assignment (pure function of id+salt)
+    again = {r.id: r.s for r in df.select("id", hash_split("id").alias("s")).collect()}
+    first = {r.id: r.s for r in labeled.collect()}
+    assert first == again
+    # different salt → different assignment for some ids
+    other = {r.id: r.s
+             for r in df.select("id", hash_split("id", salt="v2").alias("s")).collect()}
+    assert first != other
+    with pytest.raises(ValueError):
+        hash_split("id", train_pct=0)
+
+
+def test_repetition_features_flags_boilerplate(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),          # all repeats
+        (2, "every word here is totally unique text"), # no repeats
+        (3, "ab"),                                     # shorter than n words
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    feats = repetition_features("t", ns=(2, 3))
+    got = {r.id: r for r in df.select(
+        "id", *[v.alias(k) for k, v in feats.items()]).collect()}
+    assert got[1].dup_2gram_frac == 0.8   # 5 occurrences, 1 distinct
+    assert got[1].dup_3gram_frac == 0.75  # 4 occurrences, 1 distinct
+    assert got[2].dup_2gram_frac == 0.0 and got[2].dup_3gram_frac == 0.0
+    assert got[3].dup_2gram_frac == 0.0   # no 2-grams at all → 0, not null
+
+
+def test_ngram_contamination_finds_overlap(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, base),                                   # benchmark doc
+        (2, base + " extra tail words here appended"),  # shares 8-grams
+        (3, "completely different text with no overlapping eight gram runs at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.where(F.col("doc_id") == 1)
+    out = {r.doc_id: r for r in ngram_contamination(docs, bench, n=8).collect()}
+    assert out[1].contamination_frac == 1.0  # benchmark doc vs itself
+    assert 2 in out and out[2].n_contaminated == 5  # 12-word overlap → 5 shared 8-grams
+    assert 3 not in out  # clean doc emits no row
+
+    # plan shape: benchmark side must broadcast (no corpus-scale shuffle)
+    from telemetry_parquet_spark.plans.explain import has_broadcast_join
+
+    assert has_broadcast_join(ngram_contamination(docs, bench, n=8))
