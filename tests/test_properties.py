@@ -269,3 +269,28 @@ def test_decode_never_raises_property(junk):
         payload = enc(junk) if junk else enc(b"x")
         for cut in (1, len(payload) // 2, len(payload) - 1):
             decode_payload(payload[:cut])
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_redact_pii_idempotent_property(text):
+    """Redaction must be a fixpoint: placeholders contain no redactable
+    shapes, so a second pass never changes the text (pure-Python replay of
+    the same RE2-safe patterns — no Spark needed for the property)."""
+    import re
+
+    from telemetry_parquet_spark.datapipe.scrub import PII_PATTERNS
+
+    def redact(t: str) -> str:
+        for pattern, token in PII_PATTERNS:
+            t = re.sub(pattern, token, t)
+        return t
+
+    once = redact(text)
+    assert redact(once) == once
