@@ -104,7 +104,6 @@ def ivf_top_k(
 ) -> DataFrame:
     """Probe the ``nprobe`` centroids nearest the query, exact-rescore their
     cells, return top-k (cosine, deterministic tie-break)."""
-    import math
 
     def d2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
