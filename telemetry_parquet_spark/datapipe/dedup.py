@@ -159,7 +159,18 @@ def lsh_candidate_pairs(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
     width = num_hashes // bands
-    sig = F.col(sig_col)
+    # runtime guard: a signature shorter than num_hashes would make F.slice
+    # silently return truncated band slices (degenerate band hashes) instead
+    # of failing — raise per-row if the actual array length disagrees
+    sig = F.when(F.size(F.col(sig_col)) == num_hashes, F.col(sig_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_candidate_pairs: expected signature of {num_hashes}"
+                      " minhashes, got "),
+                F.size(F.col(sig_col)).cast("string"),
+            )
+        )
+    )
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(

@@ -65,7 +65,11 @@ def hash_split(
     The bucket is the digest's FIRST HEX BYTE (0..255) compared against
     ``round(256 * train_pct / 100)`` — engine-portable (string compare on
     the hex prefix; no hex-to-int needed) and stable under reruns, reparti-
-    tioning, and cluster size. Changing ``salt`` re-rolls the assignment."""
+    tioning, and cluster size. Changing ``salt`` re-rolls the assignment.
+
+    Resolution is 1/256: the effective train share is
+    ``round(256 * train_pct / 100) / 256`` — e.g. ``train_pct=90`` yields an
+    expected 230/256 ≈ 89.84% train split, not exactly 90%."""
     if not 0 < train_pct < 100:
         raise ValueError(f"train_pct must be in (0, 100), got {train_pct}")
     c = F.col(key) if isinstance(key, str) else key

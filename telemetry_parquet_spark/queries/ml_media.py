@@ -60,7 +60,9 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("image/bmp"), F.lit("audio/wav"), F.lit("video/x-tpsv")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
-    n_frames = F.ceil(F.octet_length("text") / 16).cast("long")
+    # encoders emit at least one frame/row even for empty payloads — the
+    # metadata must agree (see encode_bmp/encode_tpsv clamps)
+    n_frames = F.greatest(F.lit(1), F.ceil(F.octet_length("text") / 16)).cast("long")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
@@ -90,9 +92,10 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(csum) AS BIGINT) AS total_content_sum,
            CAST(SUM(CASE WHEN kind = 'audio' THEN n END) AS BIGINT)
              AS total_samples,
-           CAST(SUM(CASE WHEN kind = 'image' THEN 16 * ((n + 15) // 16) END)
+           CAST(SUM(CASE WHEN kind = 'image'
+                         THEN 16 * GREATEST(1, (n + 15) // 16) END)
                 AS BIGINT) AS total_pixels,
-           CAST(SUM(CASE WHEN kind = 'video' THEN (n + 15) // 16 END)
+           CAST(SUM(CASE WHEN kind = 'video' THEN GREATEST(1, (n + 15) // 16) END)
                 AS BIGINT) AS total_frames
     FROM d GROUP BY kind
     """,
@@ -127,12 +130,13 @@ def mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_frame_samples",
     oracle="""
     SELECT doc_id AS media_id,
-           CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames,
-           CAST(((length(text) + 15) // 16 - 1) * 40 AS BIGINT)
+           CAST(GREATEST(1, (length(text) + 15) // 16) AS BIGINT) AS n_frames,
+           CAST((GREATEST(1, (length(text) + 15) // 16) - 1) * 40 AS BIGINT)
              AS last_frame_ms,
-           CAST(list_aggregate(list_transform(range(1, length(text) + 1),
-                                              i -> ord(substr(text, i, 1))),
-                               'sum') AS BIGINT) AS total_frame_sum
+           CAST(COALESCE(list_aggregate(
+                  list_transform(range(1, length(text) + 1),
+                                 i -> ord(substr(text, i, 1))),
+                  'sum'), 0) AS BIGINT) AS total_frame_sum
     FROM documents WHERE doc_id % 3 = 2
     """,
 )

@@ -132,6 +132,11 @@ def test_lsh_band_width_follows_num_hashes(spark, docs):
     with pytest.raises(ValueError, match="divisible"):
         lsh_candidate_pairs(sigs32, bands=7, num_hashes=32)
 
+    # a signature whose ACTUAL length disagrees with num_hashes must raise at
+    # runtime, not silently band over truncated slices
+    with pytest.raises(Exception, match="expected signature of 64"):
+        lsh_candidate_pairs(sigs32, bands=16, num_hashes=64).collect()
+
 
 def test_lsh_hot_duplicate_cluster_bounded(spark, sf_dir):
     """Viral-duplicate skew evidence (VERDICT r1 §9): make 10% of the corpus
@@ -270,3 +275,93 @@ def test_quality_and_language(spark):
     assert langs[1] == "en"
     assert langs[2] == "de"
     assert langs[3] == "und"
+
+
+# ---------------------------------------------------------------------------
+# Oracle-precondition guards: the dd_* driver gates rest on two corpus
+# properties; a data change must fail HERE (loudly, with the property named)
+# rather than as a confusing parity diff.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'),
+                t -> length(t) > 0) AS w
+  FROM read_parquet('{path}')
+), sh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))
+           ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM toks
+)
+SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+"""
+
+
+def _sf_paths():
+    import glob
+    import os
+
+    return sorted(glob.glob("/root/testdata/sf*/documents.parquet"),
+                  key=os.path.getsize)
+
+
+def test_ngram_df_cap_precondition_no_hot_shingles():
+    """dd_ngram_jaccard_pairs / dd_duplicate_components run with df_cap=64
+    while their oracles compute exact UNCAPPED Jaccard — parity holds only
+    while no shingle's document frequency exceeds the cap (nothing is ever
+    dropped). Assert that property at every test sf."""
+    import duckdb
+
+    for path in _sf_paths():
+        con = duckdb.connect()
+        max_df = con.execute(
+            f"SELECT MAX(df) FROM (SELECT COUNT(*) AS df FROM ({_SHINGLE_SQL.format(path=path)}) GROUP BY shingle)"
+        ).fetchone()[0]
+        con.close()
+        assert max_df < 64, (
+            f"{path}: max shingle document frequency {max_df} >= df_cap 64 — "
+            "dd_ngram_jaccard_pairs would silently drop shingles and diverge "
+            "from its exact oracle; lower the cap usage or re-derive the gate"
+        )
+
+
+def test_minhash_oracle_precondition_no_borderline_pairs():
+    """dd_minhash_near_dup_pairs is gated against the EXACT Jaccard oracle on
+    a recall-1 argument: every qualifying pair (J >= 0.5) must sit well above
+    the banding threshold (J >= 0.75, where 16-bands-of-4 miss probability is
+    <= (1-0.75^4)^16 ~ 2e-3). Assert the corpus keeps that margin at every sf
+    so a data change fails at the precondition, not in the parity diff."""
+    import duckdb
+
+    pair_sql = """
+    WITH exploded AS ({shingle_sql}),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM exploded GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_common
+      FROM exploded l JOIN exploded r USING (shingle)
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT MIN(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common))
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """
+    for path in _sf_paths():
+        con = duckdb.connect()
+        min_j = con.execute(
+            pair_sql.format(shingle_sql=_SHINGLE_SQL.format(path=path))
+        ).fetchone()[0]
+        con.close()
+        assert min_j is None or min_j >= 0.75, (
+            f"{path}: a qualifying pair has Jaccard {min_j} < 0.75 — the "
+            "MinHash banding recall-1 argument no longer holds; the "
+            "dd_minhash_near_dup_pairs oracle gate would become flaky"
+        )

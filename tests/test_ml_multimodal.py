@@ -180,7 +180,10 @@ def test_media_repartition_sizes_from_byte_totals(spark):
         for i in range(64)
     ]
     df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
-    # 64 KB of payload at a 1 KB target → 64 partitions (> the 32-core floor)
+    # 64 KB of payload at a 1 KB target → 64 byte-derived partitions, but
+    # media_repartition_by_bytes floors at defaultParallelism (machines with
+    # more cores than payload/target legitimately keep their parallelism)
     out = media_repartition_by_bytes(df, target_bytes=1000)
-    assert out.rdd.getNumPartitions() == 64
+    floor_n = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    assert out.rdd.getNumPartitions() == max(64, floor_n)
     assert out.count() == 64
