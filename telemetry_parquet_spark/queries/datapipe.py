@@ -395,6 +395,46 @@ def dd_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs, threshold=0.5)
 
 
+@query(
+    "dd_incremental_bloom",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS content_md5
+      FROM documents WHERE doc_id % 10 >= 7
+    ), h AS (
+      SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS content_md5
+      FROM documents WHERE doc_id % 10 < 7
+    )
+    SELECT content_md5, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM n WHERE content_md5 NOT IN (SELECT content_md5 FROM h)
+    GROUP BY 1
+    """,
+)
+def dd_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a 'new day' (doc_id%10 >= 7) against a
+    'historical corpus' (doc_id%10 < 7) with a Bloom pre-filter: history
+    folds into a fixed-size bitmap (scan, no shuffle), definite-negative
+    new keys skip history entirely, might-contain keys get an exact
+    broadcast-semi verify. Output is EXACTLY the plain anti-join's (the
+    oracle) — the Bloom stage only changes the plan, never the result."""
+    from telemetry_parquet_spark.datapipe.bloom import incremental_dedup_bloom
+    from telemetry_parquet_spark.datapipe.dedup import content_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", content_hash("text").alias("content_md5"))
+    history = keyed.where(F.col("doc_id") % 10 < 7)
+    new_day = keyed.where(F.col("doc_id") % 10 >= 7)
+    survivors = incremental_dedup_bloom(
+        new_day, history, key_col="content_md5", num_bits=1 << 17, num_hashes=5
+    )
+    return survivors.groupBy("content_md5").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
 @query("dd_simhash_near_dup_pairs")
 def dd_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit fingerprints, 4-chunk pigeonhole
@@ -473,6 +513,52 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     index = build_ivf_index(emb, n_cells=32, id_col="vec_id", vec_col="embedding")
     return ivf_top_k(index, qv, k=10, nprobe=4)
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS w
+      FROM documents
+    ), nc AS (
+      SELECT doc_id, w,
+        CASE WHEN len(w) <= 16 THEN 1
+             ELSE 1 + CAST(ceil((len(w) - 16) / 12.0) AS INT) END AS n_chunks
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, t.i AS chunk_idx,
+             array_to_string(w[t.i*12+1 : t.i*12+16], ' ') AS chunk_text,
+             len(w[t.i*12+1 : t.i*12+16]) AS n_tokens
+      FROM nc, UNNEST(range(0, n_chunks)) AS t(i)
+    ), packed AS (
+      SELECT doc_id % 8 AS bucket, doc_id, chunk_idx, chunk_text, n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 8
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST((rn - 1) // 4 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           md5(string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_idx))
+             AS packed_md5
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training rows: 16-token chunks with 4-token
+    overlap, packed 4-to-a-row under a 64-token budget in 8 deterministic
+    buckets. The md5 of each pack's in-order text proves the chunk slicing,
+    ordering, and grouping byte-for-byte against the DuckDB replay."""
+    from telemetry_parquet_spark.datapipe.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, chunk_size=16, overlap=4, budget=64, n_buckets=8
+    )
 
 
 # --- scrubbing / governance passes (datapipe/scrub.py) ---
