@@ -80,6 +80,40 @@ def hash_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weights: DataFrame,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+    rate_col: str = "rate_pct",
+) -> DataFrame:
+    """Deterministic per-stratum (domain-mix) sampling: keep a row iff its
+    md5(key ∥ salt) first-hex-byte bucket falls under its stratum's rate.
+
+    ``weights`` is a (stratum, rate_pct∈[0,100]) table — tiny by definition
+    (one row per corpus/domain), so it joins as a BROADCAST: the corpus is
+    never shuffled, the filter is a pure projection, and the kept set is
+    stable under reruns, repartitioning, and engine choice (same md5-prefix
+    construction as ``hash_split``, same 1/256 rate resolution; rows whose
+    stratum has no weights entry are dropped — an explicit 0% default).
+    This is the data-mixing step of a corpus build: up/down-weight domains
+    by table edit, not code change. The descendant of the reference's
+    fixed-1% ``sample_id`` stratum filters (``MainEventsView.scala:79-82``)."""
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.round(F.lit(256) * F.col(rate_col) / 100).cast("int")), 2, "0"
+        )
+    )
+    key = F.col(key_col).cast("string")
+    prefix = F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 2)
+    return (
+        df.join(F.broadcast(weights), stratum_col)
+        # rate >= 100 short-circuits: lpad would truncate '100' to '10'
+        .where((F.col(rate_col) >= 100) | (prefix < thr))
+    )
+
+
 def _raw_word_ngrams(text: Column, n: int) -> Column:
     """Word n-grams WITH duplicates (order preserved) — the repetition and
     contamination operators need multiplicity, unlike dedup's distinct

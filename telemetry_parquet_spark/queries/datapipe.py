@@ -712,6 +712,56 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mix_sampled_corpus",
+    oracle="""
+    WITH rates AS (
+      SELECT source,
+             CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4
+               WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10
+             END AS rate_pct
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.source,
+           CAST(r.rate_pct AS INT) AS rate_pct,
+           COUNT(*) AS n_docs,
+           CAST(MIN(d.doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(d.doc_id) AS BIGINT) AS max_id
+    FROM documents d JOIN rates r USING (source)
+    WHERE r.rate_pct >= 100
+       OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix-v1'), 1, 2)
+          < printf('%02x', CAST(round(256 * r.rate_pct / 100) AS INT))
+    GROUP BY 1, 2
+    """,
+)
+def mix_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted domain mixing: each source stratum keeps a
+    per-domain fraction (100/50/25/10% cycling by source index) chosen by
+    the md5 bucket of the doc id — the corpus-mixing step of a training
+    build. The weights ride a broadcast table; the corpus itself is never
+    shuffled (the final groupBy here exists to make the kept set
+    oracle-checkable). DuckDB recomputes the identical md5 buckets, so a
+    hash match proves the exact same documents were kept."""
+    from telemetry_parquet_spark.datapipe.scrub import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4 == 0, 100)
+        .when(F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4 == 1, 50)
+        .when(F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4 == 2, 25)
+        .otherwise(10)
+    )
+    weights = docs.select("source").distinct().withColumn(
+        "rate_pct", rate.cast("int")
+    )
+    sampled = weighted_sample(docs, weights, "source", "doc_id", salt="mix-v1")
+    return sampled.groupBy("source", "rate_pct").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
     "contamination_ngram_overlap",
     oracle="""
     WITH toks AS (

@@ -93,3 +93,49 @@ def test_ngram_contamination_finds_overlap(spark):
     from telemetry_parquet_spark.plans.explain import has_broadcast_join
 
     assert has_broadcast_join(ngram_contamination(docs, bench, n=8))
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """Per-stratum kept fraction tracks the stratum's rate (at 1/256 bucket
+    resolution), the kept SET is identical across reruns/repartitionings,
+    and strata without a weights row drop entirely."""
+    from telemetry_parquet_spark.datapipe.scrub import weighted_sample
+
+    n = 4000
+    rows = [(i, ["web", "code", "forum", "ghost"][i % 4]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    weights = spark.createDataFrame(
+        [("web", 100), ("code", 50), ("forum", 10)], ["source", "rate_pct"]
+    )
+    kept = weighted_sample(df, weights, "source", "doc_id")
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    per_stratum = n // 4
+    assert counts["web"] == per_stratum                      # 100% keeps all
+    assert abs(counts["code"] / per_stratum - 128 / 256) < 0.05
+    assert abs(counts["forum"] / per_stratum - 26 / 256) < 0.05
+    assert "ghost" not in counts                             # no weights row = 0%
+
+    ids_a = {r.doc_id for r in kept.collect()}
+    ids_b = {r.doc_id for r in weighted_sample(
+        df.repartition(13), weights, "source", "doc_id").collect()}
+    assert ids_a == ids_b
+
+    # re-salting re-rolls membership but preserves proportions
+    resalted = {r.doc_id for r in weighted_sample(
+        df, weights, "source", "doc_id", salt="mix-v2").collect()}
+    assert resalted != ids_a
+
+
+def test_weighted_sample_never_shuffles_corpus(spark):
+    """The weights join must broadcast — a sort-merge join here would
+    shuffle the full corpus to apply a per-domain rate."""
+    from telemetry_parquet_spark.datapipe.scrub import weighted_sample
+    from telemetry_parquet_spark.plans.explain import formatted_plan
+
+    df = spark.createDataFrame([(i, f"s{i % 3}") for i in range(100)],
+                               ["doc_id", "source"])
+    weights = spark.createDataFrame([(f"s{j}", 50) for j in range(3)],
+                                    ["source", "rate_pct"])
+    plan = formatted_plan(weighted_sample(df, weights, "source", "doc_id"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
