@@ -370,18 +370,29 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
+def hamming_pairs(
+    fps: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    fp_col: str = "fp",
     max_hamming: int = 3,
     chunks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup: by pigeonhole, two fingerprints within ``max_hamming``
-    (< chunks) share at least one exact 16-bit chunk → bucket-join on
-    (chunk_id, chunk_value), verify Hamming ≤ max_hamming."""
+    """Near-dup pairs among 64-bit fingerprints by pigeonhole LSH: two
+    fingerprints within ``max_hamming`` (< chunks) Hamming distance share at
+    least one exact ``64/chunks``-bit chunk → bucket-join on (chunk_id,
+    chunk_value), verify ``bit_count(xor) <= max_hamming``. Shared by
+    SimHash text dedup and aHash image dedup (any 64-bit fingerprint
+    family). Chunk width is the blocking selectivity: 16-bit chunks (the
+    default) give 65536 buckets per chunk position — the 100 TB setting;
+    narrower chunks trade join fan-out for higher allowed distance."""
+    if 64 % chunks != 0:
+        raise ValueError(f"chunks ({chunks}) must divide 64")
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"pigeonhole needs max_hamming ({max_hamming}) < chunks ({chunks})"
+        )
     width = 64 // chunks
-    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
+    fp = fps.select(F.col(id_col), F.col(fp_col).alias("fp"))
     chunked = fp.select(
         F.col(id_col),
         "fp",
@@ -415,3 +426,18 @@ def simhash_near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints → pigeonhole chunk-bucket
+    join → Hamming verify (see ``hamming_pairs``)."""
+    fp = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
+    return hamming_pairs(
+        fp, id_col=id_col, fp_col="fp", max_hamming=max_hamming, chunks=chunks
+    )

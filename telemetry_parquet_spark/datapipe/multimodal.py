@@ -284,6 +284,59 @@ def sample_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(op, schema=FRAME_SCHEMA)
 
 
+AHASH_SCHEMA = "media_id bigint, ahash bigint"
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per decodable image: the decoded gray
+    pixels fold into 64 modular stripes (pixel i → stripe i mod 64); bit j
+    of the fingerprint is 1 iff stripe j's mean exceeds the global pixel
+    mean. Near-identical images differ in few stripe means → small Hamming
+    distance; feed the output to ``dedup.hamming_pairs`` for blocked
+    near-dup joins (the image analog of SimHash text dedup).
+
+    Runs inside the Arrow ``mapInPandas`` decode stage (numpy bincount per
+    image, no per-pixel Python); non-image / undecodable payloads emit
+    nothing — same skip-don't-throw contract as ``decode_media``. The
+    arithmetic (integer stripe sums, one float division each, strict >)
+    is engine-portable, so the DuckDB oracle replays it exactly."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_payload(p)
+                if not d or d.get("format") != "bmp":
+                    continue
+                content = d["content"]
+                m = len(content)
+                if m == 0:
+                    continue
+                arr = np.frombuffer(content, dtype=np.uint8).astype(np.float64)
+                stripe = np.arange(m) % 64
+                sums = np.bincount(stripe, weights=arr, minlength=64)
+                cnts = np.bincount(stripe, minlength=64)
+                gmean = arr.sum() / m
+                v = 0
+                for j in range(64):
+                    mu = sums[j] / cnts[j] if cnts[j] else 0.0
+                    if mu > gmean:
+                        v |= 1 << j
+                if v >= 1 << 63:  # two's-complement into a signed long
+                    v -= 1 << 64
+                ids.append(mid)
+                hashes.append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(op, schema=AHASH_SCHEMA)
+
+
 def media_repartition_by_bytes(df: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
     """Partition a media frame so the EXPECTED payload bytes per partition is
     ~``target_bytes``: one cheap aggregate measures the total payload size,

@@ -156,6 +156,60 @@ def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_image_near_dup",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, text, length(text) AS n,
+             16 * GREATEST(1, (length(text) + 15) // 16) AS m
+      FROM documents WHERE doc_id % 3 = 0
+    ), bytes AS (
+      SELECT doc_id, m,
+        list_transform(range(0, m),
+          i -> CASE WHEN i < n
+                    THEN ord(substr(text, CAST(i + 1 AS INT), 1))
+                    ELSE 0 END) AS b
+      FROM img
+    ), fp AS (
+      SELECT doc_id,
+        list_transform(range(0, 64), j ->
+          CASE WHEN j < m AND
+            CAST(list_sum(list_filter(b, (x, i) -> (i - 1) % 64 = j)) AS DOUBLE)
+              / len(list_filter(b, (x, i) -> (i - 1) % 64 = j))
+            > CAST(list_sum(b) AS DOUBLE) / m
+          THEN 1 ELSE 0 END) AS bits
+      FROM bytes
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(list_sum(list_transform(range(1, 65),
+                    k -> CASE WHEN a.bits[CAST(k AS INT)]
+                                != b.bits[CAST(k AS INT)]
+                              THEN 1 ELSE 0 END)) AS INT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: decode BMP payloads → 64-bit aHash
+    (stripe-mean threshold over the decoded gray pixels) → the SAME
+    pigeonhole chunk-bucket Hamming join the SimHash text path uses
+    (``dedup.hamming_pairs``, 16-bit chunks — the 100 TB blocking config).
+    Unlike SimHash's xxhash64 bit-votes, aHash is pure arithmetic on the
+    decoded content, so DuckDB replays the full pipeline — decode, stripe
+    means, fingerprint, Hamming — exactly, putting a multimodal near-dup
+    operator under the byte-exact gate."""
+    from telemetry_parquet_spark.datapipe import spread
+    from telemetry_parquet_spark.datapipe.dedup import hamming_pairs
+    from telemetry_parquet_spark.datapipe.multimodal import image_ahash
+
+    media = spread(_media_from_documents(spark, sf_dir))
+    fps = image_ahash(media)
+    return hamming_pairs(
+        fps, id_col="media_id", fp_col="ahash", max_hamming=3, chunks=4
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 @query("ml_als_recommendations")
 def ml_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS implicit-feedback recommendations (reference AddonRecommender

@@ -187,3 +187,53 @@ def test_media_repartition_sizes_from_byte_totals(spark):
     floor_n = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     assert out.rdd.getNumPartitions() == max(64, floor_n)
     assert out.count() == 64
+
+
+def test_image_ahash_near_dup_detection(spark):
+    """aHash must place a lightly-edited image within small Hamming distance
+    of its original, far from unrelated images, and skip non-image/corrupt
+    payloads; hamming_pairs blocks + verifies the pair."""
+    from telemetry_parquet_spark.datapipe.dedup import hamming_pairs
+    from telemetry_parquet_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_wav,
+        image_ahash,
+    )
+
+    base = bytes(range(256)) * 4
+    edited = bytearray(base)
+    edited[100] = 255  # one pixel touched
+    unrelated = bytes(reversed(base))
+    rows = [
+        (0, "image", "image/bmp", None, None, None, encode_bmp(base)),
+        (1, "image", "image/bmp", None, None, None, encode_bmp(bytes(edited))),
+        (2, "image", "image/bmp", None, None, None, encode_bmp(unrelated)),
+        (3, "audio", "audio/wav", None, None, None, encode_wav(b"abc")),
+        (4, "image", "image/bmp", None, None, None, b"BMgarbage"),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    fps = image_ahash(media)
+    got = {r.media_id: r.ahash for r in fps.collect()}
+    assert set(got) == {0, 1, 2}  # wav + corrupt payloads skipped
+    mask = (1 << 64) - 1  # bin() of a negative long would miscount bits
+    assert bin((got[0] ^ got[1]) & mask).count("1") <= 3
+    assert bin((got[0] ^ got[2]) & mask).count("1") > 3
+
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in hamming_pairs(fps, id_col="media_id", fp_col="ahash",
+                                    max_hamming=3, chunks=4).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_hamming_pairs_parameter_validation(spark):
+    import pytest as _pytest
+
+    from telemetry_parquet_spark.datapipe.dedup import hamming_pairs
+
+    df = spark.createDataFrame([(1, 0)], ["media_id", "ahash"])
+    with _pytest.raises(ValueError, match="divide 64"):
+        hamming_pairs(df, id_col="media_id", fp_col="ahash", chunks=7)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_pairs(df, id_col="media_id", fp_col="ahash",
+                      max_hamming=4, chunks=4)
