@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -30,31 +32,65 @@ class IVFIndex:
 def _nearest_centroid(vec: F.Column, centroids: list[list[float]]):
     """Argmin over squared L2 distance to each centroid.
 
-    The centroid table is a literal ``array<struct<d2_bias, c>>`` column and
-    the argmin is ONE ``transform`` + ``array_min`` over it — the generated
-    code is constant-size regardless of n_cells (a chained CASE WHEN per
-    centroid, the naive form, blows past the JVM codegen limits and falls
-    back to interpreted mode at the thousands of cells a 100 TB index
-    needs). ``dot(vec, vec)`` is constant per row, so the comparison key is
-    ``dot(c, c) - 2*dot(vec, c)``; struct ordering breaks exact-distance
-    ties by the lower cell id, matching the sequential-scan argmin."""
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(float(sum(x * x for x in c))).alias("cc"),
-                F.lit(i).alias("id"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    The centroid table enters the plan as TWO array literals parsed from
+    ONE SQL expression string each — the per-centroid squared norms and the
+    centroid matrix. (Scalar-at-a-time construction — explicit ``F.lit``
+    per element, or ``F.lit(list)`` which expands to exactly that
+    internally — costs n_cells × dim py4j round-trips ≈ 10s of driver time
+    at 256×64, dwarfing the KMeans fit itself; ``repr`` keeps every float
+    bit-exact through the parser.) The argmin is ONE ``transform``
+    + ``array_min`` over cell indices — the generated code is constant-size
+    regardless of n_cells (a chained CASE WHEN per centroid, the naive
+    form, blows past the JVM codegen limits and falls back to interpreted
+    mode at the thousands of cells a 100 TB index needs). ``dot(vec, vec)``
+    is constant per row, so the comparison key is ``dot(c,c) - 2*dot(vec,c)``;
+    struct ordering breaks exact-distance ties by the lower cell id,
+    matching the sequential-scan argmin."""
+    cc = F.expr(
+        "array(" + ",".join(f"{float(sum(x * x for x in c))!r}D" for c in centroids) + ")"
+    )
+    cm = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
+        )
+        + ")"
     )
     scored = F.transform(
-        cent,
-        lambda s: F.struct(
-            (s["cc"] - 2 * dot(vec, s["c"])).alias("d"), s["id"].alias("id")
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            (
+                F.element_at(cc, i + 1) - 2 * dot(vec, F.element_at(cm, i + 1))
+            ).alias("d"),
+            i.alias("id"),
         ),
     )
     return F.array_min(scored)["id"]
+
+
+def _assign_cells_pandas(centroids: list[list[float]]):
+    """Vectorized cell assignment for LARGE indexes: one numpy matmul per
+    Arrow batch ((batch × dim) @ (dim × k)), argmin row-wise. At hundreds+
+    of cells the per-element higher-order-function fold is interpreted
+    ~n_cells × dim times per row; dense centroid scoring is exactly the
+    dense linear algebra Arrow-batched pandas UDFs exist for (~10-100× the
+    fold's throughput at 256×64). ``np.argmin`` takes the FIRST minimum —
+    the same lowest-cell-id tie-break as the expression fold. (BLAS vs
+    fold summation order can differ in the last float bit on near-equal
+    distances; IVF correctness never depends on which near-tied cell wins —
+    the full-probe == brute-force gate holds for ANY assignment.)"""
+    cm = np.asarray(centroids, dtype=np.float64)
+    cc = (cm * cm).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = cc[None, :] - 2.0 * (m @ cm.T)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return assign
 
 
 def build_ivf_index(
@@ -65,14 +101,26 @@ def build_ivf_index(
     seed: int = 42,
     sample_fraction: float | None = None,
     max_iter: int = 8,
+    init_mode: str = "random",
+    assignment: str = "auto",
 ) -> IVFIndex:
     """KMeans the (sampled) corpus into cells; assign every vector.
 
-    ``max_iter`` defaults well below KMeans convergence: IVF cells only
-    need a balanced partition of the space, not converged centroids —
-    recall comes from nprobe, and the full-probe == brute-force exactness
-    gate holds for ANY assignment. Each extra iteration is a full pass
-    over the training sample (a distributed job per iteration)."""
+    ``max_iter`` defaults well below KMeans convergence and ``init_mode``
+    defaults to "random" rather than k-means||: IVF cells only need a
+    balanced partition of the space, not converged or well-seeded
+    centroids — recall comes from nprobe, and the full-probe == brute-force
+    exactness gate holds for ANY assignment. Each extra Lloyd iteration is
+    a full pass over the training sample, and k-means|| initialization
+    alone costs ~2·initSteps more passes than the entire random-init fit
+    (measured 4-10x fit wall-clock at n_cells=256). The training frame is
+    cached across the fit's passes and released after.
+
+    ``assignment`` picks the cell-assignment implementation: "expr" is the
+    pure-JVM transform+array_min fold (whole-stage codegen, zero Python —
+    right while n_cells×dim is small), "pandas" is the Arrow numpy-matmul
+    UDF (right for the hundreds-of-cells indexes a 100 TB corpus needs),
+    and "auto" switches to pandas above n_cells×dim > 4096."""
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -84,15 +132,27 @@ def build_ivf_index(
     )
     feat = train.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="features", maxIter=max_iter
-    ).fit(feat)
+    ).cache()
+    try:
+        model = KMeans(
+            k=n_cells, seed=seed, featuresCol="features", maxIter=max_iter,
+            initMode=init_mode,
+        ).fit(feat)
+    finally:
+        feat.unpersist()
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
-    assigned = corpus.withColumn(
-        "cell_id", _nearest_centroid(F.col(vec_col).cast("array<double>"), centroids)
+    if assignment not in ("auto", "expr", "pandas"):
+        raise ValueError(f"assignment must be auto|expr|pandas, got {assignment}")
+    dim = len(centroids[0]) if centroids else 0
+    use_pandas = assignment == "pandas" or (
+        assignment == "auto" and n_cells * dim > 4096
     )
+    if use_pandas:
+        cell = _assign_cells_pandas(centroids)(F.col(vec_col).cast("array<double>"))
+    else:
+        cell = _nearest_centroid(F.col(vec_col).cast("array<double>"), centroids)
+    assigned = corpus.withColumn("cell_id", cell)
     return IVFIndex(assigned=assigned, centroids=centroids, id_col=id_col, vec_col=vec_col)
 
 

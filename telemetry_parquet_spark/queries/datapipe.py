@@ -502,17 +502,18 @@ def sim_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_ivf_probe_topk")
 def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, the 100 TB configuration: probe only the 4 nearest of 32
-    cells, exact-rescore ~1/8 of the corpus (the cell-assignment fold is
-    constant-size in n_cells — tests/test_ivf.py exercises 256 cells).
-    Approximate by design → rows-only check; recall vs brute force is
-    bounded in tests/test_ivf.py."""
+    """IVF ANN, the 100 TB configuration: 256 cells, probe the 32 nearest —
+    exact-rescore ~1/8 of the corpus. 256 cells exercises the constant-size
+    cell-assignment fold (transform + array_min) at the index granularity a
+    real deployment uses — the round-1 chained-CASE form fell out of
+    codegen far below this. Approximate by design → rows-only check; recall
+    vs brute force is bounded in tests/test_ivf.py."""
     from telemetry_parquet_spark.datapipe.ivf import build_ivf_index, ivf_top_k
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    index = build_ivf_index(emb, n_cells=32, id_col="vec_id", vec_col="embedding")
-    return ivf_top_k(index, qv, k=10, nprobe=4)
+    index = build_ivf_index(emb, n_cells=256, id_col="vec_id", vec_col="embedding")
+    return ivf_top_k(index, qv, k=10, nprobe=32)
 
 
 @query(

@@ -40,22 +40,41 @@ DEFAULT_CONF: dict[str, str] = {
 }
 
 
+# Off-heap, disk-backed streaming state: the default HDFS-backed provider
+# keeps every key's state on executor HEAP — at 100× key cardinality that
+# heap map is the stateful pipeline's scale ceiling (and its GC bomb).
+# RocksDB spills to local disk with a bounded block cache; eviction behavior
+# is identical (tests/test_stateful_streaming.py runs under both providers).
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def get_session(
     app_name: str = "telemetry_parquet_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
     tests, bench, and the driver all agree; pass an explicit master for
-    cluster deployment.
+    cluster deployment. ``rocksdb_state`` (default: env
+    ``SPARK_GRAFT_ROCKSDB_STATE=1``) switches streaming state stores to
+    RocksDB; it is also a plain SQL conf, so per-query opt-in works by
+    setting ``spark.sql.streaming.stateStore.providerClass`` before
+    ``start()``.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    if rocksdb_state is None:
+        rocksdb_state = os.environ.get("SPARK_GRAFT_ROCKSDB_STATE", "0") == "1"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = {**DEFAULT_CONF, **(extra_conf or {})}
+    if rocksdb_state:
+        conf["spark.sql.streaming.stateStore.providerClass"] = ROCKSDB_STATE_PROVIDER
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -62,6 +62,16 @@ def overwrite_single_day(
     write_partitioned(one_day, path, [date_col], files_per_partition)
 
 
+def _swap_partition_dirs(tmp: str, live: str, old: str) -> None:
+    """Make ``tmp`` the live partition directory: two renames + a cleanup.
+    Separated out so failure-injection tests can fault exactly here."""
+    import shutil
+
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,
@@ -73,17 +83,21 @@ def compact_dataset(
     streamed-into dataset scannable — thousands of micro-batch files per
     day otherwise destroy scan parallelism bookkeeping and metadata reads).
 
-    Sizing is derived from the partition's current on-disk bytes; the
-    rewrite is a per-partition dynamic overwrite, so concurrent readers of
-    other partitions are unaffected. Each partition is materialized
-    (``localCheckpoint``) BEFORE its overwrite starts: the write otherwise
-    reads lazily from the very files the overwrite deletes, and a mid-job
-    failure would lose the partition. With the checkpoint, the data is
-    pinned in executor storage first, so a crash leaves either the old or
-    the new complete partition. The loop is still per-partition (not
-    cross-partition atomic) by design — that is what bounds the blast
-    radius to one partition. Returns {partition_value: n_files}."""
+    Crash safety comes from write-then-swap, never in-place overwrite: the
+    compacted files land in a hidden ``.compact-tmp-*`` sibling directory
+    (invisible to scans), and only after that write fully commits do two
+    directory renames swap it live. A job/executor loss any time during the
+    rewrite — the expensive, long window — leaves the old partition intact
+    and readers unaffected; the exposure shrinks to the two renames (atomic
+    metadata ops on local/HDFS filesystems; object stores swap via their
+    committer instead). This replaces the earlier ``localCheckpoint`` pin,
+    which held a whole partition in executor storage as the high-water mark
+    and failed the job if an executor died mid-overwrite. Leftover temp
+    dirs from a previous crash are cleared on the next run. The loop stays
+    per-partition (not cross-partition atomic) by design — that bounds any
+    blast radius to one partition. Returns {partition_value: n_files}."""
     import glob
+    import shutil
 
     df = read_dataset(spark, path)
     pcol = partition_cols[0]
@@ -97,12 +111,23 @@ def compact_dataset(
             if not f.startswith(("_", "."))
         )
         n_files = max(1, -(-nbytes // target_file_bytes))  # ceil
-        part = df.where(F.col(pcol) == val).repartition(n_files).localCheckpoint()
-        try:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            part.write.mode("overwrite").partitionBy(*list(partition_cols)).parquet(path)
-        finally:
-            part.unpersist()
+        tmp = os.path.join(path, f".compact-tmp-{pcol}={val}")
+        old = os.path.join(path, f".compact-old-{pcol}={val}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        # pcol is directory-encoded in the target layout; drop the derived
+        # column so the rewritten files don't duplicate it (deeper partition
+        # levels, if any, keep their directory encoding via partitionBy)
+        writer = (
+            df.where(F.col(pcol) == val)
+            .drop(pcol)
+            .repartition(n_files)
+            .write.mode("overwrite")
+        )
+        if len(partition_cols) > 1:
+            writer = writer.partitionBy(*list(partition_cols[1:]))
+        writer.parquet(tmp)
+        _swap_partition_dirs(tmp, pdir, old)
         sizes[val] = n_files
     return sizes
 

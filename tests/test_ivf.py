@@ -36,7 +36,7 @@ def test_ivf_many_cells_constant_codegen(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where("vec_id = 0").first().embedding]
 
-    index = build_ivf_index(emb, n_cells=256)
+    index = build_ivf_index(emb, n_cells=256, assignment="expr")
     plan = index.assigned._jdf.queryExecution().toString()
     # the argmin is array_min(transform(...)) — no CASE WHEN chain scaling
     # with n_cells in the analyzed plan
@@ -44,6 +44,25 @@ def test_ivf_many_cells_constant_codegen(spark, sf_dir):
     assert index.assigned.count() == emb.count()
 
     # full probe over 256 cells still reproduces brute force exactly
+    exact = [r.vec_id for r in brute_force_top_k(emb, qvec, k=5).collect()]
+    full = [r.vec_id for r in ivf_top_k(index, qvec, k=5, nprobe=256).collect()]
+    assert full == exact
+
+
+def test_ivf_pandas_assignment_full_probe_exact(spark, sf_dir):
+    """The Arrow numpy-matmul assignment (the auto path above 4096
+    n_cells x dim) must keep the exactness ceiling: full probe over 256
+    cells == brute force, every vector in exactly one cell, and the plan
+    carries the assignment as ONE Arrow eval node (not a Python row UDF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+
+    index = build_ivf_index(emb, n_cells=256)  # auto -> pandas at 256x64
+    plan = index.assigned._jdf.queryExecution().toString()
+    assert "ArrowEvalPython" in plan, plan
+    assert index.assigned.count() == emb.count()
+    assert index.assigned.where("cell_id < 0 OR cell_id >= 256").count() == 0
+
     exact = [r.vec_id for r in brute_force_top_k(emb, qvec, k=5).collect()]
     full = [r.vec_id for r in ivf_top_k(index, qvec, k=5, nprobe=256).collect()]
     assert full == exact

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from telemetry_parquet_spark.operators.compare import (
@@ -131,3 +133,45 @@ def test_comparator(spark):
     extra = left.withColumn("extra", F.lit(1))
     res = compare_datasets(left, extra)
     assert res.columns_only_in_right == ["extra"]
+
+
+def test_compaction_crash_leaves_old_partition_intact(spark, tmp_path, monkeypatch):
+    """Failure injection: kill the job between the temp-dir write and the
+    directory swap — the live partition must still read back complete and
+    byte-identical, and a retry must succeed and clean up the leftovers."""
+    import glob
+    import os
+
+    from telemetry_parquet_spark.sources import writers
+    from telemetry_parquet_spark.sources.writers import compact_dataset
+
+    path = str(tmp_path / "fragmented")
+    df = spark.createDataFrame(
+        [(i, "20240101") for i in range(120)], ["id", "submission_date_s3"]
+    )
+    df.repartition(12).write.mode("overwrite").partitionBy(
+        "submission_date_s3"
+    ).parquet(path)
+    live = os.path.join(path, "submission_date_s3=20240101")
+    before_files = sorted(os.listdir(live))
+
+    def boom(tmp, live_dir, old):
+        raise RuntimeError("injected crash before swap")
+
+    monkeypatch.setattr(writers, "_swap_partition_dirs", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_dataset(spark, path, target_file_bytes=1 << 30)
+
+    # old partition untouched, still fully readable, temp dir hidden from scans
+    assert sorted(os.listdir(live)) == before_files
+    got = read_dataset(spark, path)
+    assert got.count() == 120 and got.select("id").distinct().count() == 120
+
+    # retry without the fault: compacts to one file and clears temp dirs
+    monkeypatch.undo()
+    sizes = compact_dataset(spark, path, target_file_bytes=1 << 30)
+    assert sizes == {"20240101": 1}
+    assert len(glob.glob(os.path.join(live, "*.parquet"))) == 1
+    assert not glob.glob(os.path.join(path, ".compact-*"))
+    got = read_dataset(spark, path)
+    assert got.count() == 120 and got.select("id").distinct().count() == 120

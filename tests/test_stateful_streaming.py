@@ -50,12 +50,24 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     assert latest[2] == (1, 5.0)
 
 
-def test_idle_key_evicted_after_timeout(spark, tmp_path):
+import pytest
+
+_STATE_PROVIDERS = ["default", "rocksdb"]
+
+
+@pytest.mark.parametrize("provider", _STATE_PROVIDERS)
+def test_idle_key_evicted_after_timeout(spark, tmp_path, provider):
     """Keys idle for > idle_timeout_ms must be dropped from the state store
     (ProcessingTimeTimeout): when they reappear, their running counts
     restart from zero. Without the timeout, the companion test above proves
     the same keys DO accumulate across batches — together they pin the
     eviction behavior, not just state loss.
+
+    Runs under BOTH state-store providers: the heap-backed default and
+    RocksDB (the 100x-key-cardinality configuration, session.py) — the
+    provider is an execution detail that must not change eviction
+    semantics. The provider conf is read at query start, so setting it
+    before start() scopes it to this query.
 
     One continuous query with a manual stop: an availableNow trigger cannot
     be used with processing-time timers — the engine keeps scheduling empty
@@ -64,6 +76,13 @@ def test_idle_key_evicted_after_timeout(spark, tmp_path):
     evicted before the next file arrives."""
     import os
     import time
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if provider == "rocksdb":
+        from telemetry_parquet_spark.session import ROCKSDB_STATE_PROVIDER
+
+        spark.conf.set(conf_key, ROCKSDB_STATE_PROVIDER)
 
     d = str(tmp_path / "src")
     os.makedirs(d)
@@ -111,6 +130,10 @@ def test_idle_key_evicted_after_timeout(spark, tmp_path):
         wait_rows(4)
     finally:
         q.stop()
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
     latest = {r.user_id: (r.n_events, r.total_value) for r in got}
     # fresh state after idling: counts restart at 1, totals at the new value
