@@ -52,6 +52,12 @@ HEADLINE = [
     # round 2 additions: track both ANN families (VERDICT r1 §8)
     "dd_simhash_near_dup_pairs",
     "sim_ivf_probe_topk",
+    # round 3 additions: bloom incremental dedup, sequence packing, weighted
+    # mixing, image near-dup (sim_ivf_probe_topk now runs n_cells=256)
+    "dd_incremental_bloom",
+    "pack_sequences",
+    "mix_sampled_corpus",
+    "mm_image_near_dup",
 ]
 
 

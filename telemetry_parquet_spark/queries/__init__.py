@@ -17,62 +17,26 @@ from telemetry_parquet_spark.queries import scalar_extra  # noqa: F401, E402
 from telemetry_parquet_spark.queries import longitudinal  # noqa: F401, E402
 from telemetry_parquet_spark.queries import ml_media  # noqa: F401, E402
 
-# The round-1 driver evaluated exactly the first 50 entries of ``queries()``
-# in registration order (CORRECTNESS_r01.json == names[:50]), leaving 42
-# registered queries without a driver row. Until every query has appeared
-# green in some CORRECTNESS_r{N}, each round front-loads the names that are
-# still missing a driver verdict; previously-verified queries follow in
-# registration order. The list is static (no file I/O at import time) and is
-# refreshed by hand from the latest CORRECTNESS_r{N}.json each round.
+# The driver evaluates exactly the first 50 entries of ``queries()`` in
+# registration order. Until every query has appeared green in some
+# CORRECTNESS_r{N}, each round front-loads the names still missing a driver
+# hash-verdict; previously-verified queries follow in registration order and
+# fill the rest of the 50-slot window (re-confirmation). The list is static
+# (no file I/O at import time) and is refreshed by hand from the latest
+# CORRECTNESS_r{N}.json each round.
+#
+# Round-3 window: dd_minhash_near_dup_pairs and dd_embedding_near_dup_lsh
+# gained real oracles in round 2 but their only driver rows predate them
+# (r01 `no_oracle`); the other four are new in round 3. Everything else has
+# a hash-green row in CORRECTNESS_r01 or r02.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "w4_rank_suite",
-    "cube_order_volume",
-    "q18_large_volume_customers",
-    "f9_domain_extraction",
-    "tfidf_top_terms",
-    "embedding_centroids",
-    "skew_salted_agg",
-    "quality_filter",
-    "unpivot_lineitem_measures",
-    "stat_moments_by_flag",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q16_supplier_part_variety",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_waiting_suppliers",
-    "q22_inactive_customers",
-    "ping_ingestion_roundtrip",
-    "ping_events_roundtrip",
-    "ping_flat_sync_roundtrip",
-    "f10_bucketed_histogram",
-    "percentile_stats",
-    "events_flatten_variant",
-    "comparator_summary",
-    "merge_upsert_customers",
-    "grouping_sets_volume",
-    "longitudinal_unnest",
-    "longitudinal_newest",
-    "mm_decoded_features",
-    "mm_frame_samples",
-    "ml_als_recommendations",
-    # new in round 2 — no driver row yet
-    "json_union_coercion",
-    "pii_redaction",
-    "rep_repetition_features",
-    "split_train_holdout",
-    "contamination_ngram_overlap",
+    "dd_minhash_near_dup_pairs",
+    "dd_embedding_near_dup_lsh",
+    # new in round 3 — no driver row yet
+    "dd_incremental_bloom",
+    "pack_sequences",
+    "mix_sampled_corpus",
+    "mm_image_near_dup",
 )
 
 
