@@ -441,3 +441,60 @@ def simhash_near_dup_pairs(
     return hamming_pairs(
         fp, id_col=id_col, fp_col="fp", max_hamming=max_hamming, chunks=chunks
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level (exact-substring) duplication
+# ---------------------------------------------------------------------------
+
+
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Passage-level duplication signals (the ExactSubstr idea from
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022, re-expressed relationally): a document's ``window``-token sliding
+    windows (stride 1, WITH multiplicity) are duplicated when the same
+    window text occurs in at least one OTHER document. Returns, per
+    document with any duplication, the window count, duplicated-window
+    count, and duplicated fraction — the signal a pipeline uses to cut
+    repeated passages (boilerplate, licenses, syndicated text) that
+    document-level dedup can't see because the containing documents differ.
+
+    Scale shape: windows travel as md5 digests (16-byte shuffle payload,
+    never text); "occurs in ≥2 distinct docs" is ONE hash-aggregation on
+    the digest (map-side combinable — a viral passage makes a big count,
+    not a join blow-up, unlike pair-joins which need the df-cap guard);
+    flagging is a semi join on the digest. No self-join anywhere, so no
+    quadratic hot-key risk."""
+    from telemetry_parquet_spark.datapipe.scrub import _raw_word_ngrams
+
+    grams = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(_raw_word_ngrams(F.col(text_col), window)).alias("__g"),
+        )
+        .select(F.col(id_col), F.md5("__g").alias("__h"))
+    )
+    dup_hashes = (
+        grams.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    dups = (
+        grams.join(dup_hashes, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    return totals.join(dups, id_col).select(
+        F.col(id_col),
+        "n_windows",
+        "n_dup_windows",
+        F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias("dup_frac"),
+    )
