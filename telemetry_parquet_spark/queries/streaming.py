@@ -20,8 +20,17 @@ def _events_stream_build(transform):
 
     def build(stream: DataFrame) -> DataFrame:
         # watermarks require TIMESTAMP (not NTZ) event time; convert to NTZ
-        # only on the OUTPUT side (_run) for oracle-comparable columns
-        fixed = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # only on the OUTPUT side (_run) for oracle-comparable columns.
+        # ``ts`` arrives either as BIGINT nanos (legacy TIMESTAMP(NANOS)
+        # layout under nanosAsLong) or as a native parquet timestamp —
+        # adapt to whichever the generator wrote.
+        ts_kind = stream.schema["ts"].dataType.typeName()
+        if ts_kind == "long":
+            fixed = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            fixed = stream.withColumn("ts", F.col("ts").cast("timestamp"))
         return transform(fixed)
 
     return build

@@ -51,14 +51,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        # cast to TIMESTAMP_NTZ: parquet-native timestamps read as NTZ, and
-        # DuckDB's are naive — a tz-aware TimestampType here would surface
-        # as arrow timestamp[us, tz=UTC] vs the oracle's naive timestamp[us]
-        # in any arrow-level comparison
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        # The generator has shipped two layouts for ``ts``: TIMESTAMP(NANOS)
+        # (reads as BIGINT nanos under the legacy conf) and plain
+        # TIMESTAMP(MICROS) (reads natively). Adapt to whichever is present.
+        # Either way, normalize to TIMESTAMP_NTZ: DuckDB's timestamps are
+        # naive — a tz-aware TimestampType here would surface as arrow
+        # timestamp[us, tz=UTC] vs the oracle's naive timestamp[us] in any
+        # arrow-level comparison.
+        ts_kind = df.schema["ts"].dataType.typeName()
+        if ts_kind == "long":
+            ts_expr = F.timestamp_micros(F.expr("ts div 1000"))
+        else:
+            ts_expr = F.col("ts")
+        return df.withColumn("ts", ts_expr.cast("timestamp_ntz"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

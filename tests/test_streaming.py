@@ -22,7 +22,11 @@ def _events_path(sf_dir):
 
 
 def _fix_ts(stream):
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # events.ts arrives either as BIGINT nanos (legacy layout under
+    # nanosAsLong) or as a native parquet timestamp; normalize to TIMESTAMP.
+    if stream.schema["ts"].dataType.typeName() == "long":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def test_tumbling_stream_equals_batch(spark, sf_dir):
