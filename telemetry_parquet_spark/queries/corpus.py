@@ -1,0 +1,182 @@
+"""Corpus-construction queries: boilerplate removal, per-domain caps,
+corpus statistics, and vocabulary building.
+
+The round-5 additions to the training-data pipeline surface (net-new — the
+reference predates the use case). Every query here is DuckDB-oracled: the
+boilerplate rewrite is proven byte-exact via md5 of the rebuilt text, the
+cap via replaying the same md5 rank order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.queries.registry import query
+from telemetry_parquet_spark.sources.tables import load_table
+
+# Shared CTE prefix: 8-word non-overlapping segment windows per document,
+# split on a single space (matches datapipe/boilerplate.py::segment_table).
+_SEG_CTE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+segs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+         array_to_string(w[(i*8+1):(i*8+8)], ' ') AS seg
+  FROM words, LATERAL unnest(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(i)
+),
+hot AS (
+  SELECT seg FROM segs
+  WHERE len(string_split(seg, ' ')) = 8
+  GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3
+)
+"""
+
+
+@query(
+    "bp_hot_segments",
+    oracle=_SEG_CTE
+    + """
+    SELECT seg, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM segs
+    WHERE len(string_split(seg, ' ')) = 8
+    GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+)
+def bp_hot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate census: full 8-word windows that repeat in
+    ≥3 distinct documents. The doc-frequency aggregation shuffles (16-byte
+    digest, doc_id) pairs only — segment text never rides the shuffle
+    (see datapipe/boilerplate.py for the 100 TB notes)."""
+    from telemetry_parquet_spark.datapipe.boilerplate import (
+        hot_segments,
+        segment_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hot_segments(segment_table(docs), min_df=3).select("seg", "doc_freq")
+
+
+@query(
+    "bp_boilerplate_removal",
+    oracle=_SEG_CTE
+    + """,
+    kept AS (
+      SELECT s.doc_id, s.seg_idx, s.seg FROM segs s
+      WHERE s.seg NOT IN (SELECT seg FROM hot)
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+    SELECT t.doc_id, t.n_segs,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.clean_md5, md5('')) AS clean_md5
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def bp_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style boilerplate strip, proven byte-exact: the oracle
+    recomputes the rewritten text independently and both sides compare its
+    md5. Documents that are pure template survive as empty strings
+    (n_kept = 0) — dropping them is a separate policy decision."""
+    from telemetry_parquet_spark.datapipe.boilerplate import remove_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_boilerplate(docs, seg_words=8, min_df=3)
+    return out.select(
+        "doc_id", "n_segs", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+@query(
+    "cap_per_source",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap-v1'), doc_id
+    ) <= 10
+    """,
+)
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain cap: at most 10 documents per source,
+    chosen by md5 hash order (uniform, rerun-stable, engine-portable —
+    the oracle replays the identical rank)."""
+    from telemetry_parquet_spark.datapipe.boilerplate import cap_per_stratum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_stratum(docs, "source", "doc_id", k=10, salt="cap-v1").select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "len_quantiles_by_lang",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 6) AS q25,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.50), 6) AS q50,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 6) AS q75,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.90), 6) AS q90
+    FROM documents GROUP BY lang
+    """,
+)
+def len_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated length quantiles per language — the
+    corpus-profiling pass before setting packing/filter thresholds.
+
+    Exact ``percentile`` keeps the DuckDB oracle byte-comparable; the scale
+    path is ``approx_percentile`` (t-digest sketch, map-side combinable, no
+    per-group sort buffer) — tests/test_corpus.py bounds its error against
+    this exact result on the same data."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("n_chars").cast("double")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile(c, 0.25), 6).alias("q25"),
+        F.round(F.percentile(c, 0.50), 6).alias("q50"),
+        F.round(F.percentile(c, 0.75), 6).alias("q75"),
+        F.round(F.percentile(c, 0.90), 6).alias("q90"),
+    )
+
+
+@query(
+    "vocab_table",
+    oracle="""
+    WITH toks AS (
+      SELECT lower(t) AS token
+      FROM documents,
+           LATERAL unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> length(x) > 0)) AS u(t)
+      WHERE text IS NOT NULL
+    ),
+    counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token)
+    SELECT token, n,
+           row_number() OVER (ORDER BY n DESC, token) AS token_id
+    FROM counts
+    """,
+)
+def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style vocabulary build: corpus-wide token counts with a
+    dense id assigned by (frequency desc, token) rank.
+
+    The count is one map-side-combinable shuffle keyed by token. The rank
+    is a global window (single partition) — safe because it runs over the
+    POST-AGGREGATION vocabulary, whose cardinality is vocab-sized (≈10⁵-10⁶
+    rows at any corpus scale), not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return counts.withColumn("token_id", F.row_number().over(w))

@@ -1,0 +1,107 @@
+"""Behavior tests for the corpus-construction operators (boilerplate
+removal, per-domain cap, quantile profiling, vocabulary build) beyond the
+oracle-parity gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.datapipe.boilerplate import (
+    cap_per_stratum,
+    hot_segments,
+    remove_boilerplate,
+    segment_table,
+)
+from telemetry_parquet_spark.sources.tables import load_table
+
+
+def _docs(spark):
+    rows = [
+        # BANNER repeats across 4 docs as a full 4-word window
+        (1, "cookie banner accept all unique content one here", "s1"),
+        (2, "cookie banner accept all other words entirely different", "s1"),
+        (3, "cookie banner accept all third document body text", "s2"),
+        (4, "cookie banner accept all fourth doc payload words", "s2"),
+        (5, "no template at all just original writing here", "s3"),
+        (6, "cookie banner accept all", "s3"),  # pure boilerplate
+        (7, "tail stub words", "s3"),  # short doc, only a stub window
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_remove_boilerplate_strips_hot_windows(spark):
+    out = remove_boilerplate(
+        _docs(spark), seg_words=4, min_df=3
+    ).orderBy("doc_id").collect()
+    by_id = {r.doc_id: r for r in out}
+    # the banner window is removed from every doc containing it
+    for i in (1, 2, 3, 4):
+        assert "cookie banner accept all" not in by_id[i].clean_text
+        assert by_id[i].n_kept == by_id[i].n_segs - 1
+    # untouched doc survives byte-identical
+    assert by_id[5].clean_text == "no template at all just original writing here"
+    # pure-boilerplate doc survives as empty, not dropped
+    assert by_id[6].clean_text == "" and by_id[6].n_kept == 0
+    # tail stubs are never hot-set candidates
+    assert by_id[7].clean_text == "tail stub words"
+
+
+def test_hot_segments_requires_full_windows(spark):
+    segs = segment_table(_docs(spark), seg_words=4)
+    hot = hot_segments(segs, min_df=3).collect()
+    assert [h.seg for h in hot] == ["cookie banner accept all"]
+    assert hot[0].doc_freq == 5  # docs 1,2,3,4,6
+
+
+def test_cap_per_stratum_deterministic_and_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_stratum(docs, "source", "doc_id", k=10)
+    per = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in per)
+    # rerun + repartition stability: same kept set
+    again = cap_per_stratum(docs.repartition(13), "source", "doc_id", k=10)
+    assert sorted(r.doc_id for r in capped.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
+    # a different salt re-rolls the selection
+    rerolled = cap_per_stratum(docs, "source", "doc_id", k=10, salt="cap-v2")
+    assert sorted(r.doc_id for r in capped.select("doc_id").collect()) != sorted(
+        r.doc_id for r in rerolled.select("doc_id").collect()
+    )
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The 100 TB path (approx_percentile sketch) stays within 5% relative
+    error of the exact per-language quantiles it replaces."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("n_chars").cast("double")
+    both = (
+        docs.groupBy("lang")
+        .agg(
+            F.percentile(c, 0.5).alias("exact"),
+            F.approx_percentile(c, F.lit(0.5), F.lit(10000)).alias("approx"),
+        )
+        .collect()
+    )
+    for r in both:
+        assert abs(r.approx - r.exact) <= 0.05 * max(r.exact, 1.0)
+
+
+def test_vocab_ids_dense_and_rank_ordered(spark, sf_dir):
+    from telemetry_parquet_spark.queries.corpus import vocab_table
+
+    vocab = vocab_table(spark, sf_dir).collect()
+    ids = sorted(v.token_id for v in vocab)
+    assert ids == list(range(1, len(vocab) + 1))
+    by_rank = sorted(vocab, key=lambda v: v.token_id)
+    counts = [v.n for v in by_rank]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_boilerplate_hot_join_is_broadcast(spark, sf_dir):
+    """The removal filter must broadcast the hot set — a shuffled anti-join
+    here would re-shuffle the whole corpus at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_boilerplate(docs, seg_words=8, min_df=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
