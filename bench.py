@@ -58,6 +58,11 @@ HEADLINE = [
     "pack_sequences",
     "mix_sampled_corpus",
     "mm_image_near_dup",
+    # round 5 additions: boilerplate rewrite (corpus-sized regroup),
+    # vocabulary build (token-keyed agg), distributed global sort index
+    "bp_boilerplate_removal",
+    "vocab_table",
+    "corpus_global_order",
 ]
 
 

@@ -53,6 +53,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_sliding_halfhour",
     "stream_dedup_keys",
     "stream_user_running_stats",
+    # new in round 5 — no driver row yet
+    "bp_hot_segments",
+    "bp_boilerplate_removal",
+    "cap_per_source",
+    "len_quantiles_by_lang",
+    "vocab_table",
+    "corpus_global_order",
+    "stream_static_enrich",
 )
 
 

@@ -180,3 +180,25 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return counts.withColumn("token_id", F.row_number().over(w))
+
+
+@query(
+    "corpus_global_order",
+    oracle="""
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS global_idx
+    FROM documents
+    """,
+)
+def corpus_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-style global ordering with a dense index, built WITHOUT a
+    single-partition window: range-repartition on the order key, partition-
+    local sort + row_number, broadcast cumulative offsets (see
+    operators/global_index.py). Identical output to the naive global
+    ``row_number()``, which is what the oracle replays."""
+    from telemetry_parquet_spark.operators.global_index import global_sort_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_sort_index(
+        docs, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )

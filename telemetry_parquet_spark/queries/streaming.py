@@ -168,6 +168,36 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type, COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched against a static
+    (slowly-changing) dimension, then aggregated — the canonical streaming
+    ETL shape. The dimension side is BROADCAST, so each micro-batch joins
+    map-side with no stateful join bookkeeping (stream-static inner joins
+    are stateless by definition — only stream-stream joins buffer state).
+    The oracle is the equivalent batch join+aggregate over the full replay."""
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def tf(ev: DataFrame) -> DataFrame:
+        joined = ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+        return joined.groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("event_type")
+        ).agg(F.count("*").alias("n_events"))
+
+    return _run(spark, sf_dir, tf)
+
+
+@query(
     "stream_user_running_stats",
     oracle="""
     SELECT user_id,

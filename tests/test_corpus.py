@@ -98,6 +98,40 @@ def test_vocab_ids_dense_and_rank_ordered(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_global_sort_index_matches_naive_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from telemetry_parquet_spark.operators.global_index import global_sort_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    got = {
+        r.doc_id: r.global_idx
+        for r in global_sort_index(docs.repartition(17), order).collect()
+    }
+    naive = {
+        r.doc_id: r.idx
+        for r in docs.withColumn(
+            "idx", F.row_number().over(Window.orderBy(*order)) - 1
+        ).collect()
+    }
+    assert got == naive
+    # dense, 0-based
+    assert sorted(got.values()) == list(range(len(got)))
+
+
+def test_global_sort_index_avoids_single_partition_sort(spark, sf_dir):
+    """The executed plan must range-partition the sort, not funnel through
+    one task (no unpartitioned Window over the full input)."""
+    from telemetry_parquet_spark.operators.global_index import global_sort_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = global_sort_index(docs, [F.col("n_chars").desc(), F.col("doc_id").asc()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window that assigns row numbers is partitioned by __pid
+    assert "windowspecdefinition(__pid" in plan
+
+
 def test_boilerplate_hot_join_is_broadcast(spark, sf_dir):
     """The removal filter must broadcast the hot set — a shuffled anti-join
     here would re-shuffle the whole corpus at 100 TB."""
