@@ -34,7 +34,13 @@ def global_sort_index(
 
     One range shuffle + one tiny (num-partitions-row) count collect; every
     other step is partition-local. Output partitioning/order is the range
-    layout itself — ready for an ordered parquet export."""
+    layout itself — ready for an ordered parquet export.
+
+    Regimes: below a few million rows the naive global window is cheaper
+    (the range-layout checkpoint dominates); measured 1.5× faster than the
+    naive window at 48M rows on local[32], and at cluster scale the naive
+    form is not slower but IMPOSSIBLE (one task sorts everything) — see
+    SCALE.md."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(parts, *order)

@@ -24,6 +24,11 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF: dict[str, str] = {
+    # local-mode the driver JVM IS the executor: the 1g default heap makes
+    # 32 concurrent tasks spill constantly (localCheckpoint blocks fall out
+    # of MemoryStore at a few MiB each). Takes effect only when this factory
+    # creates the JVM; a pre-existing session keeps its own sizing.
+    "spark.driver.memory": "16g",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
