@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_table",
     "corpus_global_order",
     "stream_static_enrich",
+    "zorder_codes",
 )
 
 

@@ -182,6 +182,39 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("token_id", F.row_number().over(w))
 
 
+def _spread16_sql(col: str) -> str:
+    """DuckDB replay of layout._spread16 — textually expanded (x | x<<s)&m
+    chain; exact integer arithmetic, so the oracle matches bit-for-bit."""
+    e = f"(CAST({col} AS BIGINT) & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333),
+                        (1, 0x55555555)):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+@query(
+    "zorder_codes",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ({_spread16_sql('l_partkey')}
+            | ({_spread16_sql('l_suppkey')} << 1)) AS zcode
+    FROM lineitem
+    """,
+)
+def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton codes for (l_partkey, l_suppkey) — the clustering key behind
+    z-order layout (sources/layout.py). Pure codegen bit arithmetic; the
+    oracle recomputes the identical interleave in DuckDB."""
+    from telemetry_parquet_spark.sources.layout import zorder_code
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_code("l_partkey", "l_suppkey").alias("zcode"),
+    )
+
+
 @query(
     "corpus_global_order",
     oracle="""
