@@ -63,6 +63,7 @@ HEADLINE = [
     "bp_boilerplate_removal",
     "vocab_table",
     "corpus_global_order",
+    "graph_pagerank",
 ]
 
 

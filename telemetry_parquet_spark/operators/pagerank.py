@@ -1,0 +1,97 @@
+"""Fixed-point PageRank — an iterative graph algorithm with a BYTE-EXACT
+cross-engine oracle.
+
+Iterative float PageRank can't be oracle-checked exactly (summation order
+changes the low bits per engine/partitioning). This implementation runs the
+whole recurrence in scaled INTEGER arithmetic: ranks are bigints scaled by
+``scale`` (default 10^12), the damping factor is the exact rational 85/100,
+and every step is integer multiply/divide — so any engine that executes the
+same recurrence produces bit-identical ranks, which is exactly what the
+``graph_pagerank`` DuckDB recursive-CTE oracle does. (Truncation loses
+< 1 ulp of 10^-12 per step — irrelevant for ranking, decisive for
+testability.)
+
+Dangling mass is NOT redistributed (nodes without out-edges leak their rank
+each step, the classic simplification); both engines implement the same
+recurrence so the oracle stays exact. Teleport keeps every node ≥ the
+baseline.
+
+Scale notes (100 TB graphs):
+- per iteration: one join of the edge list with the rank vector (shuffle on
+  src) and one aggregation (shuffle on dst) — the standard distributed
+  PageRank shape; edge list + degrees are computed once and reused
+  (``localCheckpoint``), and each iteration's result is checkpointed so the
+  plan stays O(1) deep instead of O(iterations);
+- a skewed in-degree hub is one hot reduce key — AQE's skew handling or the
+  salted-agg shape (operators/skew.py) applies unchanged;
+- convergence detection (sum |Δrank|) would add one tiny aggregate per
+  iteration; fixed ``iters`` keeps the oracle replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Run ``iters`` synchronous PageRank steps over ``edges`` (src, dst —
+    duplicates ignored) in scaled-integer arithmetic; returns (id, rank_s).
+
+    rank'_d = (scale/N * (den-num))/den + (Σ_{s→d} rank_s/deg_s * num)/den
+    with every division an integer division.
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # marker self-loops guarantee every node appears as a dst each step
+    # (zero contribution), so teleport reaches in-degree-0 nodes too
+    aug = (
+        edges.join(deg, "src")
+        .select("src", "dst", "d", F.lit(True).alias("is_real"))
+        .unionByName(
+            nodes.select(
+                F.col("id").alias("src"),
+                F.col("id").alias("dst"),
+                F.lit(1).cast("long").alias("d"),
+                F.lit(False).alias("is_real"),
+            )
+        )
+        .localCheckpoint()
+    )
+    init = scale // n
+    teleport = (init * (damp_den - damp_num)) // damp_den
+    ranks = nodes.select("id", F.lit(init).cast("long").alias("rank_s"))
+    for _ in range(iters):
+        ranks = (
+            aug.join(ranks, aug["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.when(F.col("is_real"), F.expr("rank_s div d")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias("inc")
+            )
+            .select(
+                F.col("dst").alias("id"),
+                (
+                    F.lit(teleport)
+                    + F.expr(f"(inc * {damp_num}) div {damp_den}")
+                ).cast("long").alias("rank_s"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

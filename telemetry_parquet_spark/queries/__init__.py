@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_global_order",
     "stream_static_enrich",
     "zorder_codes",
+    "graph_pagerank",
 )
 
 

@@ -182,6 +182,73 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("token_id", F.row_number().over(w))
 
 
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                      CAST(l_partkey + 1000000 AS BIGINT) AS p
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT s AS src, p AS dst FROM base
+      UNION ALL
+      SELECT p AS src, s AS dst FROM base
+    ),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    aug AS (
+      SELECT e.src, e.dst, d.d, TRUE AS is_real
+      FROM edges e JOIN deg d USING (src)
+      UNION ALL
+      SELECT id, id, 1, FALSE FROM nodes
+    ),
+    n_cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    pr(iter, id, rank_s) AS (
+      SELECT 0, id, CAST(1000000000000 // (SELECT n FROM n_cnt) AS BIGINT)
+      FROM nodes
+      UNION ALL
+      SELECT p.iter + 1, a.dst,
+             CAST(((1000000000000 // (SELECT n FROM n_cnt)) * 15) // 100
+                  + (SUM(CASE WHEN a.is_real THEN p.rank_s // a.d ELSE 0 END)
+                     * 85) // 100
+                  AS BIGINT)
+      FROM pr p JOIN aug a ON a.src = p.id
+      WHERE p.iter < 5
+      GROUP BY p.iter, a.dst
+    )
+    SELECT id AS node_id, rank_s FROM pr WHERE iter = 5
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five fixed-point PageRank steps over the supplier↔part co-occurrence
+    graph (both directions of distinct lineitem (supplier, part) pairs;
+    part ids offset by 10^6 into a shared node-id space).
+
+    The whole recurrence is scaled-integer arithmetic, so this ITERATIVE
+    algorithm carries an exact DuckDB oracle (recursive CTE, single
+    recursive reference, marker self-loops for in-degree-0 nodes) — unlike
+    float PageRank, where cross-engine summation order diverges. See
+    operators/pagerank.py for the 100 TB shuffle shape."""
+    from telemetry_parquet_spark.operators.pagerank import pagerank_fixed_point
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_suppkey").cast("long").alias("s"),
+        (F.col("l_partkey") + 1000000).cast("long").alias("p"),
+    ).distinct()
+    edges = base.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        base.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(edges, iters=5)
+    return ranks.select(F.col("id").alias("node_id"), "rank_s")
+
+
 def _spread16_sql(col: str) -> str:
     """DuckDB replay of layout._spread16 — textually expanded (x | x<<s)&m
     chain; exact integer arithmetic, so the oracle matches bit-for-bit."""

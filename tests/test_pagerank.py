@@ -1,0 +1,61 @@
+"""Fixed-point PageRank: exact agreement with a pure-Python reference and
+ranking sanity on known graph shapes."""
+
+from __future__ import annotations
+
+from telemetry_parquet_spark.operators.pagerank import pagerank_fixed_point
+
+SCALE = 10**12
+
+
+def _python_pagerank(edges, iters=5, scale=SCALE, num=85, den=100):
+    """Same recurrence, pure Python bigints."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    init = scale // n
+    teleport = (init * (den - num)) // den
+    ranks = {v: init for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, d in edges:
+            inc[d] += ranks[s] // deg[s]
+        ranks = {v: teleport + (inc[v] * num) // den for v in nodes}
+    return ranks
+
+
+def _run(spark, edges, iters=5):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = pagerank_fixed_point(df, iters=iters).collect()
+    return {r.id: r.rank_s for r in got}
+
+
+def test_matches_python_reference_exactly(spark):
+    # a small graph with a hub, a chain, a dangling node, and a cycle
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 1),   # star around 1
+        (5, 6), (6, 7),                                    # chain, 7 dangling
+        (8, 9), (9, 10), (10, 8),                          # 3-cycle
+        (2, 5),
+    ]
+    assert _run(spark, edges) == _python_pagerank(edges)
+
+
+def test_hub_outranks_leaves(spark):
+    edges = [(i, 100) for i in range(1, 20)] + [(100, 1)]
+    ranks = _run(spark, edges)
+    assert ranks[100] == max(ranks.values())
+    # teleport floor: every node, including in-degree-0 leaves, is above 0
+    assert min(ranks.values()) > 0
+
+
+def test_iteration_count_changes_result_then_converges(spark):
+    edges = [(1, 2), (2, 3), (3, 1)]
+    one = _run(spark, edges, iters=1)
+    five = _run(spark, edges, iters=5)
+    # symmetric cycle: ranks equal across nodes at every iteration
+    assert len(set(one.values())) == 1 and len(set(five.values())) == 1
+    assert _python_pagerank(edges, iters=1) == one
