@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_static_enrich",
     "zorder_codes",
     "graph_pagerank",
+    "stream_stream_view_purchase",
 )
 
 

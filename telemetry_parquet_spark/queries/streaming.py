@@ -198,6 +198,74 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_view_purchase",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition: views joined
+    to the purchases that follow within an hour, both sides watermarked.
+
+    Unlike the stateless stream-static join, BOTH sides buffer state; the
+    watermark + the interval bound are what let Spark evict a buffered row
+    once no future match can arrive — without them state grows with the
+    stream. The oracle is the equivalent batch interval join over the full
+    replay (append-mode inner join emits exactly the joined set)."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    fix = _events_stream_build(lambda df: df)
+
+    def tf(view_stream: DataFrame) -> DataFrame:
+        purchase_stream = fix(
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", os.path.basename(path))
+            .load(os.path.dirname(path))
+        )
+        views = (
+            view_stream.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                "user_id",
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "10 minutes")
+        )
+        purchases = (
+            purchase_stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                """
+                user_id = p_user_id AND
+                purchase_ts >= view_ts AND
+                purchase_ts <= view_ts + INTERVAL 1 HOUR
+                """
+            ),
+        )
+        return joined.select(
+            "view_id", "purchase_id", "user_id", "view_ts", "purchase_ts"
+        )
+
+    return _run(spark, sf_dir, tf, output_mode="append")
+
+
+@query(
     "stream_user_running_stats",
     oracle="""
     SELECT user_id,
