@@ -57,6 +57,37 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
     }
 
 
+# RE2-safe (no lookaround, no DOTALL needed: script bodies are matched as
+# tag-free runs) — identical semantics in Spark's java.util.regex and
+# DuckDB's RE2, proven by the md5-compare oracle.
+_SCRIPT_BLOCK = r"<(script|style)[^>]*>[^<]*</(script|style)>"
+_ANY_TAG = r"<[^>]*>"
+_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+)
+
+
+def strip_html(text: Column | str) -> Column:
+    """Markup-to-clean-text normalization (the Common-Crawl ingest staple):
+    drop script/style blocks WITH their bodies, strip remaining tags,
+    decode the common entities, collapse whitespace, trim.
+
+    Pure regexp_replace/replace chain — whole-stage codegen, no shuffle,
+    no Python; order matters (entity decode after tag strip, so decoded
+    '<'/'>' can't create new 'tags')."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, _SCRIPT_BLOCK, " ")
+    c = F.regexp_replace(c, _ANY_TAG, " ")
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def hash_split(
     key: Column | str, train_pct: int = 90, salt: str = "split-v1"
 ) -> Column:

@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "zorder_codes",
     "graph_pagerank",
     "stream_stream_view_purchase",
+    "html_strip_normalize",
 )
 
 

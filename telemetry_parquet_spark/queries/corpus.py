@@ -183,6 +183,73 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "html_strip_normalize",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 0 THEN '<div class="a"><p>' || text || '</p>&nbsp;<br/></div>'
+          WHEN 1 THEN '<html><body>' || text
+                      || ' &amp; more &lt;tags&gt;</body></html>'
+          ELSE text || ' <script>var x=1;</script>  trailing   spaces '
+        END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '<[^>]*>')) AS INT) AS n_tags,
+      md5(trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(t, '<(script|style)[^>]*>[^<]*</(script|style)>',
+                           ' ', 'g'),
+            '<[^>]*>', ' ', 'g'),
+          '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', ''''),
+        '\\s+', ' ', 'g'))) AS clean_md5
+    FROM src
+    """,
+)
+def html_strip_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup normalization proven byte-exact: documents are wrapped in
+    synthetic HTML (tags, entities, a script block, whitespace runs — the
+    corpus ships none), stripped with `datapipe.scrub.strip_html`, and the
+    oracle recomputes the identical chain — both sides compare md5 of the
+    cleaned text. Codegen-only; no shuffle."""
+    from telemetry_parquet_spark.datapipe.scrub import strip_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    mod = (F.col("doc_id") % 3).cast("int")
+    marked = (
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit('<div class="a"><p>'),
+                F.col("text"),
+                F.lit("</p>&nbsp;<br/></div>"),
+            ),
+        )
+        .when(
+            mod == 1,
+            F.concat(
+                F.lit("<html><body>"),
+                F.col("text"),
+                F.lit(" &amp; more &lt;tags&gt;</body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("text"), F.lit(" <script>var x=1;</script>  trailing   spaces ")
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(marked, F.lit(r"<[^>]*>")).alias("n_tags"),
+        F.md5(strip_html(marked)).alias("clean_md5"),
+    )
+
+
+@query(
     "graph_pagerank",
     oracle="""
     WITH RECURSIVE

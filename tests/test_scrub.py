@@ -139,3 +139,32 @@ def test_weighted_sample_never_shuffles_corpus(spark):
     plan = formatted_plan(weighted_sample(df, weights, "source", "doc_id"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_strip_html_semantics(spark):
+    from telemetry_parquet_spark.datapipe.scrub import strip_html
+
+    rows = [
+        (1, '<div class="x"><p>hello <b>world</b></p></div>'),
+        (2, "a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39; f&nbsp;g"),
+        (3, "keep <script type='t'>var s = 'DROP ME';</script> going"),
+        (4, "keep <style>body { color: red }</style> going"),
+        (5, "  lots   of \t whitespace  "),
+        (6, "plain text untouched"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {r.id: r.c for r in df.select("id", strip_html("t").alias("c")).collect()}
+    assert got[1] == "hello world"
+    assert got[2] == "a & b <c> \"d\" 'e' f g"
+    # script/style BODIES are dropped, not just the tags
+    assert got[3] == "keep going" and got[4] == "keep going"
+    assert got[5] == "lots of whitespace"
+    assert got[6] == "plain text untouched"
+    # idempotent on already-clean text (decoded entities don't re-strip)
+    again = {
+        r.id: r.c2
+        for r in df.select(
+            "id", strip_html(strip_html("t")).alias("c2")
+        ).collect()
+    }
+    assert again[1] == got[1] and again[5] == got[5]
