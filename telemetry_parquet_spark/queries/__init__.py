@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_pagerank",
     "stream_stream_view_purchase",
     "html_strip_normalize",
+    "encode_token_ids",
 )
 
 

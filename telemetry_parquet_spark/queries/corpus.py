@@ -183,6 +183,73 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "encode_token_ids",
+    oracle="""
+    WITH toks AS (
+      SELECT lower(t) AS token
+      FROM documents,
+           LATERAL unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> length(x) > 0)) AS u(t)
+      WHERE text IS NOT NULL
+    ),
+    counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    vocab AS (
+      SELECT token, row_number() OVER (ORDER BY n DESC, token) AS token_id
+      FROM counts
+    ),
+    doc_words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> length(x) > 0) AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    doc_toks AS (
+      SELECT doc_id, r.i AS pos, lower(ws[r.i]) AS token
+      FROM doc_words, LATERAL unnest(range(1, len(ws) + 1)) AS r(i)
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_tokens,
+           md5(string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY d.pos))
+             AS ids_md5
+    FROM doc_toks d JOIN vocab v USING (token)
+    GROUP BY d.doc_id
+    """,
+)
+def encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode step between `vocab_table` and `pack_sequences`: map each
+    document's tokens to dense vocabulary ids, order-preserving, proven
+    byte-exact via md5 of the id sequence.
+
+    The vocab side is vocab-sized (≈10⁵-10⁶ rows at any corpus scale) so
+    the token→id join BROADCASTS — the exploded corpus never shuffles for
+    the lookup; the only corpus-sized shuffle is the per-document regroup,
+    keyed by high-cardinality doc_id. Together with `vocab_table` (build)
+    and `pack_sequences` (batch) this completes the text→training-tensor
+    path as pure relational plans."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("pos", "token"),
+    )
+    vocab = vocab_table(spark, sf_dir).select("token", "token_id")
+    encoded = toks.join(F.broadcast(vocab), "token")
+    return encoded.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                " ",
+            )
+        ).alias("ids_md5"),
+    )
+
+
+@query(
     "html_strip_normalize",
     oracle="""
     WITH src AS (
