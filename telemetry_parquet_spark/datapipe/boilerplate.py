@@ -135,6 +135,7 @@ def cap_per_stratum(
     key_col: str = "doc_id",
     k: int = 10,
     salt: str = "cap-v1",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic per-stratum cap: keep the ``k`` rows of each stratum
     with the smallest md5(key ∥ salt), ties broken by key.
@@ -143,8 +144,24 @@ def cap_per_stratum(
     reruns, repartitioning, and cluster size (same construction as
     ``scrub.hash_split``); changing ``salt`` re-rolls it. One shuffle on
     the stratum key.
+
+    ``salt_buckets`` is the skew guard: with it, ranking runs in two
+    phases — keep the top ``k`` within each of N hash sub-buckets of a
+    stratum (bounding any task's sort at rows/N), then re-rank the ≤ N·k
+    survivors. The stratum-global top-k is contained in the union of its
+    sub-buckets' top-k sets, so the result is IDENTICAL to the one-phase
+    form (tested) — use it when one domain dominates the corpus.
     """
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    if salt_buckets:
+        sub = Window.partitionBy(
+            stratum_col, F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+        ).orderBy(h.asc(), F.col(key_col).asc())
+        df = (
+            df.withColumn("_srn", F.row_number().over(sub))
+            .where(F.col("_srn") <= k)
+            .drop("_srn")
+        )
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -70,6 +70,17 @@ def test_cap_per_stratum_deterministic_and_bounded(spark, sf_dir):
     )
 
 
+def test_cap_salted_two_phase_identical(spark, sf_dir):
+    """The skew-guard (two-phase salted rank) must return EXACTLY the same
+    kept set as the direct per-stratum window."""
+    docs = load_table(spark, sf_dir, "documents")
+    direct = cap_per_stratum(docs, "source", "doc_id", k=7)
+    salted = cap_per_stratum(docs, "source", "doc_id", k=7, salt_buckets=4)
+    assert sorted(r.doc_id for r in direct.select("doc_id").collect()) == sorted(
+        r.doc_id for r in salted.select("doc_id").collect()
+    )
+
+
 def test_approx_percentile_tracks_exact(spark, sf_dir):
     """The 100 TB path (approx_percentile sketch) stays within 5% relative
     error of the exact per-language quantiles it replaces."""
