@@ -59,11 +59,13 @@ HEADLINE = [
     "mix_sampled_corpus",
     "mm_image_near_dup",
     # round 5 additions: boilerplate rewrite (corpus-sized regroup),
-    # vocabulary build (token-keyed agg), distributed global sort index
+    # vocabulary build (token-keyed agg), distributed global sort index,
+    # fixed-point PageRank (iterative), token-id encoding (broadcast lookup)
     "bp_boilerplate_removal",
     "vocab_table",
     "corpus_global_order",
     "graph_pagerank",
+    "encode_token_ids",
 ]
 
 
