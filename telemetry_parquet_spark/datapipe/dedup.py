@@ -498,3 +498,69 @@ def duplicate_passages(
         "n_dup_windows",
         F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias("dup_frac"),
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Maximal cross-document repeated spans, positionally (the actionable
+    form of ``duplicate_passages``: not just "how much of this doc is
+    duplicated" but WHERE, so a pipeline can cut the spans).
+
+    A ``window``-token sliding window (stride 1) is repeated when its text
+    occurs in ≥2 distinct documents; runs of repeated window starts whose
+    gaps are ≤ ``window`` (overlapping or touching coverage) merge into one
+    maximal span [span_start, span_end] (1-based token indexes, inclusive).
+
+    Scale shape: the repeat census is ONE digest-keyed hash aggregation
+    (16-byte shuffle payload); flagging is a semi join on the digest; the
+    island merge is a lag+cumsum window partitioned by doc id — per-doc
+    state, no global window. No self-join, so no quadratic hot-key risk
+    (a viral passage inflates one count, not a pair explosion)."""
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.lower(F.col(text_col)))
+    k = F.size(toks) - (window - 1)
+    gram_hashes = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = spread(df).select(
+        F.col(id_col), F.posexplode(gram_hashes).alias("__p0", "__h")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__h")
+    dup_hashes = (
+        grams.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    hits = grams.join(dup_hashes, "__h", "left_semi")
+    w_doc = W.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn(
+        "__new",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_doc) > window, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+        F.count("*").alias("n_grams"),
+    ).select(
+        F.col(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        "n_grams",
+    )

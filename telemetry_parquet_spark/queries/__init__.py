@@ -66,6 +66,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stream_view_purchase",
     "html_strip_normalize",
     "encode_token_ids",
+    "dd_duplicate_passages",
+    "dd_repeated_spans",
 )
 
 

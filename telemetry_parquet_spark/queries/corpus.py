@@ -182,6 +182,87 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("token_id", F.row_number().over(w))
 
 
+# Shared CTE: lowercased stride-1 8-token windows with positions (1-based),
+# matching datapipe/dedup.py::repeated_spans / duplicate_passages.
+_GRAMS_CTE = """
+WITH toksq AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+         array_to_string(w[r.i:r.i+7], ' ') AS g
+  FROM toksq, LATERAL unnest(range(1, len(w) - 7 + 1)) AS r(i)
+),
+duph AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+)
+"""
+
+
+@query(
+    "dd_duplicate_passages",
+    oracle=_GRAMS_CTE
+    + """,
+    totals AS (SELECT doc_id, COUNT(*) AS n_windows FROM grams GROUP BY doc_id),
+    dups AS (
+      SELECT doc_id, COUNT(*) AS n_dup_windows
+      FROM grams WHERE g IN (SELECT g FROM duph) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_windows, d.n_dup_windows,
+           round(CAST(d.n_dup_windows AS DOUBLE) / t.n_windows, 6) AS dup_frac
+    FROM totals t JOIN dups d USING (doc_id)
+    """,
+)
+def dd_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-duplication fractions (ExactSubstr signal, Lee et al. 2022):
+    per document, how many of its stride-1 8-token windows also occur in
+    another document. Digest-keyed census — one map-side-combinable
+    aggregation, no self-join (see datapipe/dedup.py::duplicate_passages)."""
+    from telemetry_parquet_spark.datapipe.dedup import duplicate_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_passages(docs, window=8)
+
+
+@query(
+    "dd_repeated_spans",
+    oracle=_GRAMS_CTE
+    + """,
+    hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM duph)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > 8 THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + 7 AS span_end,
+           MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens,
+           COUNT(*) AS n_grams
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated spans with positions — the cut-these-spans form of
+    passage dedup: runs of duplicated 8-token windows merged into
+    [span_start, span_end] token ranges per document (lag+cumsum island
+    merge, per-doc window state). Integer output = hash-exact oracle."""
+    from telemetry_parquet_spark.datapipe.dedup import repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans(docs, window=8)
+
+
 @query(
     "encode_token_ids",
     oracle="""

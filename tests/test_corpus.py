@@ -150,3 +150,45 @@ def test_boilerplate_hot_join_is_broadcast(spark, sf_dir):
     out = remove_boilerplate(docs, seg_words=8, min_df=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_repeated_spans_positions(spark):
+    from telemetry_parquet_spark.datapipe.dedup import repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    rows = [
+        (1, "intro words here now " + shared + " tail one"),
+        (2, shared + " totally different ending text"),
+        (3, "no duplication in this document at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.doc_id): (r.span_start, r.span_end, r.n_grams)
+        for r in repeated_spans(df, window=8).collect()
+    }
+    # doc 1: shared passage = tokens 5..14 -> repeated 8-gram starts 5,6,7
+    assert out[1] == (5, 14, 3)
+    # doc 2: same passage at tokens 1..10 -> starts 1,2,3
+    assert out[2] == (1, 10, 3)
+    # doc 3: nothing flagged
+    assert 3 not in out
+
+
+def test_repeated_spans_merges_touching_windows(spark):
+    from telemetry_parquet_spark.datapipe.dedup import repeated_spans
+
+    # two shared passages separated by a long unique middle -> TWO islands
+    p1 = "a b c d e f g h"          # 8 tokens
+    p2 = "s t u v w x y z"          # 8 tokens
+    rows = [
+        (1, p1 + " uniqueone uniquetwo uniquethree uniquefour uniquefive "
+            "uniquesix uniqueseven uniqueeight uniquenine " + p2),
+        (2, p1 + " other filler entirely " + p2),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_spans(df, window=8).collect()
+        if r.doc_id == 1
+    )
+    assert spans == [(1, 1, 8), (1, 18, 25)]
