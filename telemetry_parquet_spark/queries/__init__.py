@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "encode_token_ids",
     "dd_duplicate_passages",
     "dd_repeated_spans",
+    "token_counting",
 )
 
 

@@ -182,6 +182,36 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("token_id", F.row_number().over(w))
 
 
+@query(
+    "token_counting",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both token-counting modes side by side: whitespace tokens and the
+    BPE-ish pre-tokenizer count (GPT-2 splitter shape — letters / digits /
+    punctuation runs). One regexp_count pass each, codegen, no explode;
+    the branches of the alternation match disjoint character classes, so
+    Java (leftmost-first) and RE2 (leftmost-longest) agree exactly."""
+    from telemetry_parquet_spark.datapipe.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
 # Shared CTE: lowercased stride-1 8-token windows with positions (1-based),
 # matching datapipe/dedup.py::repeated_spans / duplicate_passages.
 _GRAMS_CTE = """
