@@ -168,3 +168,35 @@ def cap_per_stratum(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def cap_budget_per_stratum(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_chars",
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Budget-based per-stratum cap: walk each stratum in md5(key ∥ salt)
+    hash order and keep documents while the stratum's RUNNING ``size_col``
+    total stays ≤ ``budget`` (inclusive; the first over-budget document and
+    everything after it is dropped).
+
+    This is how corpus builds actually cap domains — by token budget, not
+    document count: a domain of ten huge documents and one of ten thousand
+    tiny ones get the same weight in the mix. Same determinism story as
+    ``cap_per_stratum`` (hash order ⇒ rerun/cluster-size stable, salt
+    re-rolls); one shuffle on the stratum key; per-stratum window state is
+    a single running sum."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum", F.sum(size_col).over(w))
+        .where(F.col("_cum") <= budget)
+        .drop("_cum")
+    )

@@ -69,6 +69,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dd_duplicate_passages",
     "dd_repeated_spans",
     "token_counting",
+    "cap_budget_per_source",
 )
 
 

@@ -117,6 +117,37 @@ def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cap_budget_per_source",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap-v1'), doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM documents
+    )
+    WHERE cum <= 3000
+    """,
+)
+def cap_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain cap: each source keeps documents in hash order
+    until its running n_chars total exceeds 3000 — the by-budget (not
+    by-count) form of domain capping a real corpus mix uses. Oracle replays
+    the identical running sum."""
+    from telemetry_parquet_spark.datapipe.boilerplate import (
+        cap_budget_per_stratum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_budget_per_stratum(docs, budget=3000).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
     "len_quantiles_by_lang",
     oracle="""
     SELECT lang,

@@ -192,3 +192,21 @@ def test_repeated_spans_merges_touching_windows(spark):
         if r.doc_id == 1
     )
     assert spans == [(1, 1, 8), (1, 18, 25)]
+
+
+def test_cap_budget_semantics(spark):
+    from telemetry_parquet_spark.datapipe.boilerplate import cap_budget_per_stratum
+
+    rows = [(i, "s1", 100) for i in range(1, 11)] + [(99, "s2", 5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    kept = cap_budget_per_stratum(df, budget=350).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # s1: exactly 3 docs of 100 chars fit a 350 budget (4th would hit 400)
+    assert len(by_src["s1"]) == 3
+    # s2's only doc exceeds the budget alone -> stratum keeps nothing
+    assert "s2" not in by_src
+    # deterministic under repartition
+    again = cap_budget_per_stratum(df.repartition(7), budget=350).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
