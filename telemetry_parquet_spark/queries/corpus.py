@@ -214,6 +214,40 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+      len(embedding) AS dim,
+      greatest(list_max(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale,
+      md5(array_to_string(list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 127
+                / greatest(list_max(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE)))), 1e-12)) AS INTEGER)),
+          ' ')) AS q_md5
+    FROM embeddings
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store compaction: symmetric per-vector int8 quantization (4×
+    smaller embeddings with bounded cosine error — see the error-bound
+    test). Byte-exact oracle: IEEE double arithmetic with the same
+    operation order, and both engines round half away from zero."""
+    from telemetry_parquet_spark.datapipe.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, scale = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        scale.alias("scale"),
+        F.md5(
+            F.array_join(F.transform(codes, lambda c: c.cast("string")), " ")
+        ).alias("q_md5"),
+    )
+
+
+@query(
     "token_counting",
     oracle="""
     SELECT doc_id,

@@ -210,3 +210,31 @@ def test_cap_budget_semantics(spark):
     # deterministic under repartition
     again = cap_budget_per_stratum(df.repartition(7), budget=350).collect()
     assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
+
+
+def test_quantize_int8_cosine_error_bounded(spark, sf_dir):
+    """Dequantized vectors must preserve cosine similarity to within 2% —
+    the property that makes int8 storage usable for retrieval."""
+    import math
+
+    from telemetry_parquet_spark.datapipe.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    codes, scale = quantize_int8(F.col("embedding"))
+    rows = emb.select("vec_id", "embedding", codes.alias("q"), scale.alias("s")).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ref = rows[0]
+    deq = {r.vec_id: [c * r.s / 127 for c in r.q] for r in rows}
+    for r in rows[1:]:
+        exact = cos(ref.embedding, r.embedding)
+        approx = cos(deq[ref.vec_id], deq[r.vec_id])
+        assert abs(exact - approx) <= 0.02
+    # codes are genuinely int8-range
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.q)
