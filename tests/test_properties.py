@@ -294,3 +294,43 @@ def test_redact_pii_idempotent_property(text):
 
     once = redact(text)
     assert redact(once) == once
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=12),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    iters=st.integers(min_value=1, max_value=4),
+)
+def test_pagerank_matches_python_reference(spark, edges, iters):
+    """The distributed fixed-point PageRank equals the pure-Python bigint
+    recurrence on arbitrary small graphs (self-loops and duplicate edges
+    included) — the determinism claim the exact oracle rests on."""
+    from telemetry_parquet_spark.operators.pagerank import pagerank_fixed_point
+
+    scale, num, den = 10**12, 85, 100
+    es = sorted(set(edges))
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    deg = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    init = scale // len(nodes)
+    teleport = (init * (den - num)) // den
+    ranks = {v: init for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, d in es:
+            inc[d] += ranks[s] // deg[s]
+        ranks = {v: teleport + (inc[v] * num) // den for v in nodes}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.id: r.rank_s for r in pagerank_fixed_point(df, iters=iters).collect()
+    }
+    assert got == ranks
