@@ -334,3 +334,54 @@ def test_pagerank_matches_python_reference(spark, edges, iters):
         r.id: r.rank_s for r in pagerank_fixed_point(df, iters=iters).collect()
     }
     assert got == ranks
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    seg_words=st.integers(min_value=2, max_value=4),
+    min_df=st.integers(min_value=2, max_value=3),
+)
+def test_remove_boilerplate_matches_python_reference(spark, texts, seg_words, min_df):
+    """Byte-exact reconstruction: the distributed rebuild equals a direct
+    Python replay of the same window/hot-set/filter rules on arbitrary
+    word-soup corpora (tiny alphabet forces collisions; includes empty
+    strings and sub-window tails)."""
+    from telemetry_parquet_spark.datapipe.boilerplate import remove_boilerplate
+
+    import math
+
+    def py_segments(t):
+        w = t.split(" ")
+        n = math.ceil(len(w) / seg_words)
+        return [" ".join(w[i * seg_words:(i + 1) * seg_words]) for i in range(n)]
+
+    docs = list(enumerate(texts))
+    seg_docs = {i: py_segments(t) for i, t in docs}
+    df_count = {}
+    for i, segs in seg_docs.items():
+        for s in set(segs):
+            if len(s.split(" ")) == seg_words:
+                df_count[s] = df_count.get(s, 0) + 1
+    hot = {s for s, c in df_count.items() if c >= min_df}
+    expected = {}
+    for i, segs in seg_docs.items():
+        kept = [s for s in segs if s not in hot]
+        expected[i] = (len(segs), len(kept), " ".join(kept))
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+        for r in remove_boilerplate(
+            sdf, seg_words=seg_words, min_df=min_df
+        ).collect()
+    }
+    assert got == expected
