@@ -564,3 +564,55 @@ def repeated_spans(
         (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         "n_grams",
     )
+
+
+def md5_hash60(col: Column) -> Column:
+    """60-bit integer hash from md5's first 15 hex nibbles — ENGINE-PORTABLE
+    (any SQL engine with md5 + string ops reconstructs it exactly), unlike
+    xxhash64. 16^k is a power of two, so the nibble-weight arithmetic is
+    exact in any numeric system; 60 bits keeps every value signed-positive.
+    """
+    h = F.md5(col)
+    fp = F.lit(0).cast("long")
+    for i in range(1, 16):
+        nib = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        ).cast("long")
+        fp = fp + nib * F.lit(16 ** (15 - i)).cast("long")
+    return fp
+
+
+def simhash60_md5_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """SimHash over the portable ``md5_hash60`` token hash — the SAME
+    pipeline shape as ``simhash_fingerprints`` (explode DISTINCT tokens →
+    one hash-agg with per-bit conditional sums) but with an EXACT DuckDB
+    oracle: every step is md5 + integer arithmetic both engines share.
+    Registered as ``dd_simhash_md5_pairs``; the xxhash64 variant remains
+    the cheaper in-engine default."""
+    toks = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+        )
+        .distinct()
+        .withColumn("__h", md5_hash60(F.col("__t")))
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(
+            F.col(f"__v{j}") > 0, F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), fp.alias("fp"))

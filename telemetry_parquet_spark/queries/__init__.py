@@ -71,6 +71,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_counting",
     "cap_budget_per_source",
     "embedding_quantize_int8",
+    "dd_simhash_md5_pairs",
 )
 
 

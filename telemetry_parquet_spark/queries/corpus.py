@@ -213,6 +213,66 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("token_id", F.row_number().over(w))
 
 
+def _simhash60_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB replay of simhash60_md5_fingerprints + brute-force Hamming
+    pairs (the oracle may go O(N²); the engine path buckets). Vote and
+    fingerprint expressions are generated to mirror the Spark tree."""
+    votes = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, lower(t) AS tok
+      FROM documents,
+           LATERAL unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> length(x) > 0)) AS u(t)
+      WHERE text IS NOT NULL
+    ),
+    hashed AS (
+      SELECT doc_id, tok,
+             (SELECT SUM((strpos('0123456789abcdef', substr(md5(tok), r.i, 1))
+                          - 1) * CAST(power(16, 15 - r.i) AS BIGINT))
+              FROM unnest(range(1, 16)) AS r(i)) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id,
+      {votes}
+      FROM hashed GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, {fp} AS fp FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+@query("dd_simhash_md5_pairs", oracle=_simhash60_oracle())
+def dd_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs under an EXACT oracle — closes the family's
+    long-standing no_oracle gap: the portable md5-nibble token hash
+    (datapipe/dedup.py::md5_hash60) lets DuckDB replay fingerprints
+    bit-for-bit, then both engines agree on the Hamming-≤3 pair set. The
+    engine path still blocks candidates with the pigeonhole chunk join
+    (never all-pairs); the oracle brute-forces, which is fine at oracle
+    scale. The xxhash64 variant (`dd_simhash_near_dup_pairs`, rows-only)
+    remains the cheaper default."""
+    from telemetry_parquet_spark.datapipe.dedup import (
+        hamming_pairs,
+        simhash60_md5_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash60_md5_fingerprints(docs)
+    return hamming_pairs(fps, max_hamming=3).select("id_a", "id_b", "hamming")
+
+
 @query(
     "embedding_quantize_int8",
     oracle="""
