@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cap_budget_per_source",
     "embedding_quantize_int8",
     "dd_simhash_md5_pairs",
+    "feature_hashing_counts",
 )
 
 

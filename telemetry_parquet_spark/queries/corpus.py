@@ -213,6 +213,75 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("token_id", F.row_number().over(w))
 
 
+@query(
+    "feature_hashing_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(t) AS tok
+      FROM documents,
+           LATERAL unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> length(x) > 0)) AS u(t)
+      WHERE text IS NOT NULL
+    ),
+    hashed AS (
+      SELECT doc_id,
+             (SELECT SUM((strpos('0123456789abcdef', substr(md5(tok), r.i, 1))
+                          - 1) * CAST(power(16, 15 - r.i) AS BIGINT))
+              FROM unnest(range(1, 16)) AS r(i)) % 64 AS bucket
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM hashed GROUP BY doc_id, bucket
+    ),
+    docs AS (SELECT DISTINCT doc_id FROM counts),
+    grid AS (
+      SELECT d.doc_id, g.b FROM docs d, LATERAL unnest(range(0, 64)) AS g(b)
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(c.c) AS BIGINT) AS nnz,
+           md5(string_agg(CAST(COALESCE(c.c, 0) AS VARCHAR), ' '
+                          ORDER BY g.b)) AS vec_md5
+    FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.b = c.bucket
+    GROUP BY g.doc_id
+    """,
+)
+def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens land in a fixed 64-bucket count vector via
+    the portable md5-nibble hash — no vocabulary pass, bounded width at any
+    corpus size (the featurizer for linear quality classifiers). One
+    map-side-combinable shuffle on (doc, bucket) + a per-doc regroup; the
+    oracle rebuilds the dense vector independently and compares its md5."""
+    from telemetry_parquet_spark.datapipe.dedup import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("tok"),
+    )
+    counts = (
+        toks.select("doc_id", (md5_hash60(F.col("tok")) % 64).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("nnz"),
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "c"))
+        ).alias("m"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0)).cast(
+            "string"
+        ),
+    )
+    return per_doc.select(
+        "doc_id", "nnz", F.md5(F.array_join(vec, " ")).alias("vec_md5")
+    )
+
+
 def _simhash60_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     """DuckDB replay of simhash60_md5_fingerprints + brute-force Hamming
     pairs (the oracle may go O(N²); the engine path buckets). Vote and
