@@ -73,6 +73,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "dd_simhash_md5_pairs",
     "feature_hashing_counts",
+    "quality_linear_score",
 )
 
 

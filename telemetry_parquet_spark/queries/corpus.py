@@ -282,6 +282,55 @@ def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_linear_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(t) AS tok
+      FROM documents,
+           LATERAL unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> length(x) > 0)) AS u(t)
+      WHERE text IS NOT NULL
+    ),
+    hashed AS (
+      SELECT doc_id,
+             (SELECT SUM((strpos('0123456789abcdef', substr(md5(tok), r.i, 1))
+                          - 1) * CAST(power(16, 15 - r.i) AS BIGINT))
+              FROM unnest(range(1, 16)) AS r(i)) % 64 AS bucket
+      FROM toks
+    )
+    SELECT doc_id,
+           SUM((bucket % 7) - 3) AS score,
+           SUM((bucket % 7) - 3) > 0 AS kept
+    FROM hashed GROUP BY doc_id
+    """,
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier application over hashed features — the score/filter
+    step after `feature_hashing_counts` (featurize → score → filter). The
+    weight vector here is a deterministic stand-in (w_b = b%7 − 3; a real
+    deployment broadcasts trained weights), which keeps the whole scorer in
+    INTEGER arithmetic: score = Σ_tokens w_bucket(token), one
+    map-side-combinable aggregation, byte-exact against the oracle. No
+    vector materialization — weights fold into the token pass."""
+    from telemetry_parquet_spark.datapipe.dedup import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("tok"),
+    )
+    w = (md5_hash60(F.col("tok")) % 64) % 7 - 3
+    return (
+        toks.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"))
+        .select("doc_id", "score", (F.col("score") > 0).alias("kept"))
+    )
+
+
 def _simhash60_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     """DuckDB replay of simhash60_md5_fingerprints + brute-force Hamming
     pairs (the oracle may go O(N²); the engine path buckets). Vote and
