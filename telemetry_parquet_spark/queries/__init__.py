@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dd_simhash_md5_pairs",
     "feature_hashing_counts",
     "quality_linear_score",
+    "dq_constraints",
 )
 
 

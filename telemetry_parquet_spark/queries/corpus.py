@@ -283,6 +283,88 @@ def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_constraints",
+    oracle="""
+    SELECT 'lineitem_pk_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+             AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_custkey_complete',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    """,
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate: uniqueness, completeness, range,
+    value-domain, and referential-integrity checks as violation counts —
+    the validation pass a pipeline runs before promoting a dataset. Each
+    check is one aggregate (map-side combinable) or one anti-join; a real
+    deployment fails the run when any violations > 0."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def row(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    pk = li.agg(
+        (F.count("*") - F.count_distinct("l_orderkey", "l_linenumber")).alias(
+            "violations"
+        )
+    )
+    complete = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "violations"
+        )
+    )
+    rng = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).alias("violations")
+    )
+    domain = orders.agg(
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("violations")
+    )
+    fk = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("violations"))
+    )
+    return (
+        row("lineitem_pk_unique", pk)
+        .unionByName(row("orders_custkey_complete", complete))
+        .unionByName(row("lineitem_quantity_range", rng))
+        .unionByName(row("orders_status_domain", domain))
+        .unionByName(row("orders_custkey_fk", fk))
+    )
+
+
+@query(
     "quality_linear_score",
     oracle="""
     WITH toks AS (
