@@ -315,10 +315,19 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-domain, and referential-integrity checks as violation counts —
     the validation pass a pipeline runs before promoting a dataset. Each
     check is one aggregate (map-side combinable) or one anti-join; a real
-    deployment fails the run when any violations > 0."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    deployment fails the run when any violations > 0. (The driver corpus is
+    clean, so every count is 0 here; tests/test_corpus.py injects
+    duplicates/nulls/orphans and asserts each check FIRES.)"""
+    return dq_checks(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def dq_checks(li: DataFrame, orders: DataFrame, cust: DataFrame) -> DataFrame:
+    """The constraint evaluations behind `dq_constraints`, separated so
+    tests can run them on frames with injected violations."""
 
     def row(name, df):
         return df.select(

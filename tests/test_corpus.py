@@ -238,3 +238,30 @@ def test_quantize_int8_cosine_error_bounded(spark, sf_dir):
     # codes are genuinely int8-range
     for r in rows:
         assert all(-127 <= c <= 127 for c in r.q)
+
+
+def test_dq_checks_fire_on_injected_violations(spark):
+    """The driver corpus is clean (all counts 0), so prove each constraint
+    actually DETECTS: inject a duplicate key, a null FK, an out-of-range
+    quantity, a bad status, and an orphaned order."""
+    from telemetry_parquet_spark.queries.corpus import dq_checks
+
+    li = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 1, 20.0), (2, 1, 99.0)],  # dup PK + qty 99
+        ["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, "O"), (2, None, "X"), (3, 999, "F")],  # null FK, bad status, orphan
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+    )
+    cust = spark.createDataFrame([(10,)], ["c_custkey"])
+    got = {r.check_name: r.violations for r in dq_checks(li, orders, cust).collect()}
+    assert got == {
+        "lineitem_pk_unique": 1,
+        "orders_custkey_complete": 1,
+        "lineitem_quantity_range": 1,
+        "orders_status_domain": 1,
+        # left_anti counts the NULL-custkey row too (NULL matches nothing),
+        # so FK sees both the null row and the orphaned custkey 999
+        "orders_custkey_fk": 2,
+    }
