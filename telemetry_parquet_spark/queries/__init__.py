@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "feature_hashing_counts",
     "quality_linear_score",
     "dq_constraints",
+    "outlier_trim_by_lang",
 )
 
 

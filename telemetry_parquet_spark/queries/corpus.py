@@ -179,6 +179,38 @@ def len_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "outlier_trim_by_lang",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN (
+      SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99
+      FROM documents GROUP BY lang
+    ) s ON d.lang = s.lang
+    WHERE CAST(d.n_chars AS DOUBLE) <= s.p99
+    """,
+)
+def outlier_trim_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier trimming per language: drop documents beyond the
+    language's exact p99 length — the pathological-document guard (mega
+    concatenations, binary-as-text) applied per stratum so verbose
+    languages aren't clipped by terse ones' thresholds. The per-language
+    stats table is tiny → BROADCAST; the corpus is filtered in one pass.
+    Exact percentile keeps the oracle byte-comparable (both engines share
+    the linear-interpolation arithmetic); at 100 TB swap in
+    approx_percentile (error-bound-tested in test_corpus.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars").cast("double"), 0.99).alias("p99")
+    )
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .where(F.col("n_chars").cast("double") <= F.col("p99"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
     "vocab_table",
     oracle="""
     WITH toks AS (
