@@ -265,3 +265,18 @@ def test_dq_checks_fire_on_injected_violations(spark):
         # so FK sees both the null row and the orphaned custkey 999
         "orders_custkey_fk": 2,
     }
+
+
+def test_encode_covers_every_token(spark, sf_dir):
+    """Cross-operator consistency on the text→tensor path: the vocabulary
+    is built from the same corpus it encodes, so encode_token_ids must
+    cover EVERY whitespace token of every document (its n_tokens equals
+    token_counting's ws_tokens doc for doc)."""
+    from telemetry_parquet_spark.queries.corpus import (
+        encode_token_ids,
+        token_counting,
+    )
+
+    enc = {r.doc_id: r.n_tokens for r in encode_token_ids(spark, sf_dir).collect()}
+    ws = {r.doc_id: r.ws_tokens for r in token_counting(spark, sf_dir).collect()}
+    assert enc == {k: v for k, v in ws.items() if v > 0}
