@@ -56,6 +56,8 @@ def pagerank_fixed_point(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_fixed_point: edge list is empty (no nodes)")
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     # marker self-loops guarantee every node appears as a dst each step
     # (zero contribution), so teleport reaches in-degree-0 nodes too

@@ -59,3 +59,15 @@ def test_iteration_count_changes_result_then_converges(spark):
     # symmetric cycle: ranks equal across nodes at every iteration
     assert len(set(one.values())) == 1 and len(set(five.values())) == 1
     assert _python_pagerank(edges, iters=1) == one
+
+
+def test_empty_edge_list_raises_clearly(spark):
+    import pytest
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("src", LongType()), StructField("dst", LongType())])
+    )
+    with pytest.raises(ValueError, match="empty"):
+        pagerank_fixed_point(empty)
