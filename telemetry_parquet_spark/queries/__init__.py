@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_linear_score",
     "dq_constraints",
     "outlier_trim_by_lang",
+    "analyze_column_stats",
 )
 
 

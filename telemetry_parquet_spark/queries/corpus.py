@@ -315,6 +315,60 @@ def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analyze_column_stats",
+    oracle="""
+    SELECT 'l_orderkey' AS col, COUNT(*) AS n,
+           COUNT(DISTINCT l_orderkey) AS ndv,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_v,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', COUNT(*), COUNT(DISTINCT l_partkey),
+           CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(DISTINCT l_returnflag),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(DISTINCT l_shipdate),
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style statistics collection (count, exact NDV, null count,
+    min/max per column) — what a cost-based optimizer or table catalog
+    ingests. Exact distinct counts keep the oracle byte-comparable; the
+    100 TB path is ``approx_count_distinct`` (HLL, map-side combinable,
+    one pass for ALL columns — error-bound-tested in test_corpus.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stats(col):
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n"),
+            F.count_distinct(F.col(col)).alias("ndv"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.min(F.col(col)).cast("string").alias("min_v"),
+            F.max(F.col(col)).cast("string").alias("max_v"),
+        )
+
+    out = stats("l_orderkey")
+    for c in ("l_partkey", "l_returnflag", "l_shipdate"):
+        out = out.unionByName(stats(c))
+    return out
+
+
+@query(
     "dq_constraints",
     oracle="""
     SELECT 'lineitem_pk_unique' AS check_name,

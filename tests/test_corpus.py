@@ -280,3 +280,18 @@ def test_encode_covers_every_token(spark, sf_dir):
     enc = {r.doc_id: r.n_tokens for r in encode_token_ids(spark, sf_dir).collect()}
     ws = {r.doc_id: r.ws_tokens for r in token_counting(spark, sf_dir).collect()}
     assert enc == {k: v for k, v in ws.items() if v > 0}
+
+
+def test_approx_ndv_tracks_exact(spark, sf_dir):
+    """The at-scale NDV path (HLL approx_count_distinct, one pass for all
+    columns) stays within 5% of the exact distinct counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.count_distinct("l_orderkey").alias("e1"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("a1"),
+        F.count_distinct("l_partkey").alias("e2"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("a2"),
+    ).collect()[0]
+    # rsd=0.02 configured; allow 3 standard deviations
+    assert abs(row.a1 - row.e1) <= 0.06 * row.e1
+    assert abs(row.a2 - row.e2) <= 0.06 * row.e2
