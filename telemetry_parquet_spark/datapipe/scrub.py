@@ -57,10 +57,18 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
     }
 
 
-# RE2-safe (no lookaround, no DOTALL needed: script bodies are matched as
-# tag-free runs) — identical semantics in Spark's java.util.regex and
-# DuckDB's RE2, proven by the md5-compare oracle.
-_SCRIPT_BLOCK = r"<(script|style)[^>]*>[^<]*</(script|style)>"
+# RE2-safe (non-greedy DOTALL, no lookaround/backreferences) — identical
+# semantics in Spark's java.util.regex and DuckDB's RE2, proven by the
+# md5-compare oracle. script and style are SEPARATE patterns: RE2 has no
+# backreferences, and a single alternation `<(script|style)...</(script|
+# style)>` would accept mismatched pairs like <script>…</style>. The
+# `.*?` body (vs the old `[^<]*`) also removes bodies containing '<'
+# (comparison operators, nested markup) instead of leaking raw JS/CSS
+# into the cleaned text.
+_SCRIPT_BLOCKS: tuple[str, ...] = (
+    r"(?s)<script[^>]*>.*?</script>",
+    r"(?s)<style[^>]*>.*?</style>",
+)
 _ANY_TAG = r"<[^>]*>"
 _ENTITIES: tuple[tuple[str, str], ...] = (
     ("&nbsp;", " "),
@@ -81,7 +89,8 @@ def strip_html(text: Column | str) -> Column:
     no Python; order matters (entity decode after tag strip, so decoded
     '<'/'>' can't create new 'tags')."""
     c = F.col(text) if isinstance(text, str) else text
-    c = F.regexp_replace(c, _SCRIPT_BLOCK, " ")
+    for block in _SCRIPT_BLOCKS:
+        c = F.regexp_replace(c, block, " ")
     c = F.regexp_replace(c, _ANY_TAG, " ")
     for ent, rep in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))

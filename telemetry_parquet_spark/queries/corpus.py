@@ -477,8 +477,8 @@ def dq_checks(li: DataFrame, orders: DataFrame, cust: DataFrame) -> DataFrame:
       FROM toks
     )
     SELECT doc_id,
-           SUM((bucket % 7) - 3) AS score,
-           SUM((bucket % 7) - 3) > 0 AS kept
+           CAST(SUM((bucket % 7) - 3) AS BIGINT) AS score,
+           CAST(SUM((bucket % 7) - 3) AS BIGINT) > 0 AS kept
     FROM hashed GROUP BY doc_id
     """,
 )
@@ -798,8 +798,9 @@ def encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
       md5(trim(regexp_replace(
         replace(replace(replace(replace(replace(replace(
           regexp_replace(
-            regexp_replace(t, '<(script|style)[^>]*>[^<]*</(script|style)>',
-                           ' ', 'g'),
+            regexp_replace(
+              regexp_replace(t, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
             '<[^>]*>', ' ', 'g'),
           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
           '&quot;', '"'), '&#39;', ''''),

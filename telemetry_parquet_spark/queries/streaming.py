@@ -220,6 +220,11 @@ def stream_stream_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     path = os.path.join(sf_dir, "events.parquet")
+    # This schema fetch happens BEFORE _run sets the legacy conf, so on the
+    # TIMESTAMP(NANOS) layout a fresh session would raise AnalysisException
+    # here. Set it first — every events read must be layout-adaptive
+    # (see load_table); pinned by tests/test_ts_layouts.py.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     fix = _events_stream_build(lambda df: df)
 

@@ -78,6 +78,22 @@ def duckdb_result(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, cur.fetchall()
 
 
+def hugeint_columns(con, sql: str) -> list[str]:
+    """Names of result columns DuckDB types as HUGEINT/UHUGEINT (int128).
+
+    DuckDB's ``SUM`` over an INTEGER/BIGINT input widens to HUGEINT; the
+    driver's canonicalizer renders int128 differently from Spark's BIGINT
+    (float-like ``-16.0`` vs ``-16``), so a value-identical result still
+    records ``hash_match: false`` — the CORRECTNESS_r05
+    ``quality_linear_score`` red row. The local ``fetchall()`` path returns
+    lossless Python ints and can't see the difference, hence this
+    type-level lint: every oracle integer aggregate must be cast
+    (``CAST(SUM(...) AS BIGINT)``). ``DESCRIBE`` binds and plans without
+    executing, so this is cheap even for recursive-CTE oracles."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [name for name, typ, *_ in rows if "HUGEINT" in typ.upper()]
+
+
 def compare(spark_df, con, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems: list[str] = []

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from telemetry_parquet_spark.queries import all_oracles, all_queries
-from tests.oracle_utils import compare, duckdb_conn
+from tests.oracle_utils import compare, duckdb_conn, hugeint_columns
 
 ORACLES = all_oracles()
 QUERIES = all_queries()
@@ -35,3 +35,26 @@ def test_oracle_parity(name, spark, sf_dir, con):
 def test_oracleless_queries_run(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_no_hugeint_columns(name, con):
+    """No oracle may return HUGEINT — the driver renders int128 differently
+    from Spark BIGINT even when values are identical (r05 red row)."""
+    bad = hugeint_columns(con, ORACLES[name])
+    assert not bad, (
+        f"{name}: oracle columns typed HUGEINT {bad} — wrap the aggregate "
+        "in CAST(... AS BIGINT) so the driver's canonicalizer matches Spark"
+    )
+
+
+def test_hugeint_lint_catches_bare_integer_sum(con):
+    """The lint itself: a bare SUM(INTEGER) oracle (the exact
+    quality_linear_score bug class) must be flagged pre-driver."""
+    assert hugeint_columns(con, "SELECT SUM(r_regionkey) AS s FROM region") == ["s"]
+    assert (
+        hugeint_columns(
+            con, "SELECT CAST(SUM(r_regionkey) AS BIGINT) AS s FROM region"
+        )
+        == []
+    )

@@ -168,3 +168,31 @@ def test_strip_html_semantics(spark):
         ).collect()
     }
     assert again[1] == got[1] and again[5] == got[5]
+
+
+def test_strip_html_script_bodies_with_markup(spark):
+    """Round-5 ADVICE: script/style bodies containing '<' (comparisons,
+    nested markup) must be REMOVED, not leaked as raw JS/CSS text; and
+    mismatched pairs like <script>…</style> must not be treated as one
+    block (RE2 has no backreferences, so script/style are separate
+    non-greedy patterns)."""
+    from telemetry_parquet_spark.datapipe.scrub import strip_html
+
+    rows = [
+        (1, "keep <script>if (a < b) { run(); }</script> going"),
+        (2, "keep <style>@media (max-width: 10px) { a < b }</style> going"),
+        (3, "keep <script>var t = '<div>html in js</div>';</script> going"),
+        # mismatched pair: the script block never closes, the style tag is
+        # stripped as a generic tag — body text survives (it is NOT inside
+        # a well-formed script element)
+        (4, "a <script>leak</style> b"),
+        # two script blocks: non-greedy must stop at the FIRST close tag
+        (5, "x <script>one</script> mid <script>two</script> y"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {r.id: r.c for r in df.select("id", strip_html("t").alias("c")).collect()}
+    assert got[1] == "keep going"
+    assert got[2] == "keep going"
+    assert got[3] == "keep going"
+    assert got[4] == "a leak b"
+    assert got[5] == "x mid y"

@@ -73,3 +73,39 @@ def test_streaming_ingest_adapts_to_ts_layout(spark, tmp_path, unit):
     )
     got = sorted((r.event_id, r.ts) for r in out.collect())
     assert got == [(r[0], r[1]) for r in ROWS]
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_stream_stream_join_schema_fetch_adapts(spark, tmp_path, unit):
+    """stream_stream_view_purchase does a BATCH schema fetch before _run
+    sets the legacy nanos conf; when it is the first events reader in a
+    fresh session on the ns layout, that read must not raise
+    (the round-5 ADVICE item). Unset the conf to simulate a fresh session."""
+    from telemetry_parquet_spark.queries.streaming import stream_stream_view_purchase
+
+    sf_dir = os.path.join(str(tmp_path), f"join_{unit}")
+    os.makedirs(sf_dir, exist_ok=True)
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 10, 0, 0), 10, "view", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 10, 30, 0), 10, "purchase", 2.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 12, 0, 0), 10, "purchase", 3.0, "{}"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp(unit)),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+    try:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    out = stream_stream_view_purchase(spark, sf_dir)
+    got = sorted((r.view_id, r.purchase_id) for r in out.collect())
+    # only the purchase within 1h of the view joins
+    assert got == [(1, 2)]
