@@ -41,12 +41,23 @@ def pagerank_fixed_point(
     damp_num: int = 85,
     damp_den: int = 100,
     checkpoint_every: int = 2,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Run ``iters`` synchronous PageRank steps over ``edges`` (src, dst —
     duplicates ignored) in scaled-integer arithmetic; returns (id, rank_s).
 
     rank'_d = (scale/N * (den-num))/den + (Σ_{s→d} rank_s/deg_s * num)/den
     with every division an integer division.
+
+    ``salt_buckets``: hub-skew guard for the per-iteration reduce. A
+    celebrity node's in-edges all land on one ``dst`` reduce key; with
+    ``salt_buckets=N`` the sum runs in two phases — groupBy (dst, salt)
+    partials, then merge per dst — bounding any single task's input to
+    ~1/N of the hottest key (the operators/skew.py shape). Integer sums
+    are associative+commutative, so the result is BIT-IDENTICAL to the
+    direct groupBy (property-tested); default off because the extra
+    shuffle only pays for itself under real skew (AQE handles the mild
+    case).
     """
     edges = edges.select("src", "dst").distinct()
     nodes = (
@@ -78,17 +89,30 @@ def pagerank_fixed_point(
     teleport = (init * (damp_den - damp_num)) // damp_den
     ranks = nodes.select("id", F.lit(init).cast("long").alias("rank_s"))
     for it in range(iters):
-        ranks = (
-            aug.join(ranks, aug["src"] == ranks["id"])
-            .groupBy("dst")
-            .agg(
-                F.sum(
-                    F.when(F.col("is_real"), F.expr("rank_s div d")).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                ).alias("inc")
+        contrib = aug.join(ranks, aug["src"] == ranks["id"]).select(
+            "src",
+            "dst",
+            F.when(F.col("is_real"), F.expr("rank_s div d"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("c"),
+        )
+        if salt_buckets:
+            # phase 1: the hot dst's rows split across salt_buckets partial
+            # sums (salted on src, a deterministic column — no nondeterminism
+            # under task retries); phase 2 merges the partials per dst.
+            inc = (
+                contrib.withColumn(
+                    "__salt", F.pmod(F.xxhash64("src"), F.lit(salt_buckets))
+                )
+                .groupBy("dst", "__salt")
+                .agg(F.sum("c").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inc"))
             )
-            .select(
+        else:
+            inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        ranks = (
+            inc.select(
                 F.col("dst").alias("id"),
                 (
                     F.lit(teleport)

@@ -52,6 +52,31 @@ def test_hub_outranks_leaves(spark):
     assert min(ranks.values()) > 0
 
 
+def test_salted_reduce_is_bit_identical(spark):
+    """Hub-skew guard: the two-phase salted reduce (salt_buckets=N) must
+    produce bit-for-bit the same ranks as the direct groupBy — integer sums
+    commute, so splitting the hot dst key across salt partials cannot
+    change any value. Exercised on a hub-skewed graph (one node receives
+    most in-edges) where the guard is actually doing work."""
+    # 200 leaves all pointing at the hub, plus structure around it
+    edges = (
+        [(i, 1000) for i in range(1, 201)]
+        + [(1000, 1), (1000, 2), (1, 2), (2, 3), (3, 1)]
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    plain = {r.id: r.rank_s for r in pagerank_fixed_point(df, iters=4).collect()}
+    for buckets in (2, 8):
+        salted = {
+            r.id: r.rank_s
+            for r in pagerank_fixed_point(
+                df, iters=4, salt_buckets=buckets
+            ).collect()
+        }
+        assert salted == plain
+    # and both agree with the pure-Python recurrence
+    assert plain == _python_pagerank(edges, iters=4)
+
+
 def test_iteration_count_changes_result_then_converges(spark):
     edges = [(1, 2), (2, 3), (3, 1)]
     one = _run(spark, edges, iters=1)
