@@ -66,6 +66,11 @@ HEADLINE = [
     "corpus_global_order",
     "graph_pagerank",
     "encode_token_ids",
+    # round 6 additions: BPE merge learning (iterative, 16 sequential
+    # barriers — the tokenizer-path flagship) and subword encoding
+    # (vocab-side merge application + double broadcast join)
+    "bpe_learn_merges",
+    "encode_bpe_ids",
 ]
 
 

@@ -1,0 +1,146 @@
+"""BPE merge-pair learning and encoding as fixed-point relational plans.
+
+Completes the tokenizer path (vocab → merges → encode): iteratively count
+adjacent symbol pairs over the word vocabulary, merge the most frequent
+pair (deterministic tiebreak: count DESC, then (left, right) lexicographic
+ASC), repeat N times — the Sennrich-style byte-pair-encoding loop, minus
+the end-of-word marker (an orthogonal variant; pair identity here is plain
+string concatenation).
+
+Every step is exact integer/string arithmetic, so the whole ITERATIVE
+algorithm carries a byte-exact DuckDB recursive-CTE oracle — the same
+discipline that made ``operators/pagerank.py`` checkable (float-free
+recurrence + deterministic tiebreaks = bit-identical cross-engine replay).
+
+Scale design (100 TB corpora):
+- the learning loop never touches the corpus: one corpus-wide shuffle
+  builds the (word, freq) vocabulary, and every iteration runs over that
+  vocab-sized table (explode pairs → groupBy (l, r) → 1-row argmax). At
+  10^8 distinct words the per-iteration state is GBs, not TBs.
+- the argmax is a single-row ``collect`` per merge — driver-sized, the
+  same pattern as the partition-offset collect in
+  ``operators/global_index.py`` (the alternative, a 1-row broadcast
+  crossJoin, keeps the plan lazy but balloons expression depth for zero
+  distributed-work savings).
+- merge application is a Catalyst higher-order ``aggregate`` over each
+  word's symbol array — greedy left-to-right non-overlapping, pure JVM
+  codegen, no shuffle, no Python. State is ``localCheckpoint``ed per
+  iteration so plan/expression depth stays O(1).
+- encoding reuses the same trick: merges are applied to the DISTINCT-WORD
+  table only, then the corpus gets a broadcast word→pieces join — the
+  corpus is never re-tokenized per merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.datapipe.text import tokens
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) vocabulary from whitespace-tokenized lowercased text —
+    the one corpus-wide shuffle of the BPE pipeline."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def chars(word: Column | str) -> Column:
+    """Initial symbol sequence: the word's characters."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.filter(F.split(c, ""), lambda s: F.length(s) > 0)
+
+
+def merge_apply(syms: Column, left: str, right: str) -> Column:
+    """One BPE merge pass over a symbol array: greedy left-to-right
+    non-overlapping replacement of adjacent (left, right) with left+right.
+
+    Implemented as a Catalyst ``aggregate`` fold: append each symbol,
+    except when the accumulator's last element is ``left`` and the incoming
+    symbol is ``right`` — then replace the last element with the merged
+    token. This IS the greedy scan: after a merge the last element becomes
+    ``left+right`` ≠ ``left``, so an overlapping re-merge at the next
+    position cannot fire (e.g. pair (a,a) on [a,a,a] → [aa,a], on
+    [a,a,a,a] → [aa,aa])."""
+    merged = left + right
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right))
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.when(F.size(syms) <= 1, syms).otherwise(
+        F.aggregate(F.slice(syms, 2, F.size(syms) - 1), F.slice(syms, 1, 1), step)
+    )
+
+
+def _pair_list(syms: Column) -> Column:
+    """Adjacent (l, r) structs — overlapping, per standard BPE counting."""
+    return F.when(
+        F.size(syms) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + F.lit(1)).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def learn_bpe(
+    words: DataFrame, num_merges: int = 16
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Learn up to ``num_merges`` merge rules from a (word, freq) table.
+
+    Returns (merges, final_state): merges as [(step, left, right, merged,
+    pair_count)] (1-based steps, in application order) and the final
+    per-word symbol state (word, freq, syms). Stops early when no adjacent
+    pair remains (every word fully merged to one symbol)."""
+    syms = words.select(
+        "word", "freq", chars("word").alias("syms")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        best = (
+            syms.select("freq", F.explode(_pair_list(F.col("syms"))).alias("pr"))
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()  # 1 row — driver-sized argmax, see module docstring
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((step, l, r, l + r, cnt))
+        syms = syms.withColumn("syms", merge_apply(F.col("syms"), l, r))
+        # checkpoint on a stride (the pagerank lesson): each materialization
+        # is a job, and a ≤4-merge-deep fold expression is cheap to re-run
+        # for the next argmax; per-iteration checkpointing doubles job count
+        # for no result difference.
+        if step % 4 == 0:
+            syms = syms.localCheckpoint()
+    return merges, syms.localCheckpoint()
+
+
+def encode_words(words: DataFrame, merges: list[tuple]) -> DataFrame:
+    """Apply learned merges (in order) to the distinct-word table:
+    (word, pieces). Chained codegen folds, checkpointed on a stride so the
+    composed expression tree never exceeds a few merges deep."""
+    out = words.select("word", chars("word").alias("pieces"))
+    for i, (_, l, r, _m, _c) in enumerate(merges):
+        out = out.withColumn("pieces", merge_apply(F.col("pieces"), l, r))
+        if (i + 1) % 4 == 0:
+            out = out.localCheckpoint()
+    return out

@@ -17,6 +17,7 @@ from telemetry_parquet_spark.queries import scalar_extra  # noqa: F401, E402
 from telemetry_parquet_spark.queries import longitudinal  # noqa: F401, E402
 from telemetry_parquet_spark.queries import ml_media  # noqa: F401, E402
 from telemetry_parquet_spark.queries import corpus  # noqa: F401, E402
+from telemetry_parquet_spark.queries import bpe  # noqa: F401, E402
 
 # The driver evaluates exactly the first 50 entries of ``queries()`` in
 # registration order. Until every query has appeared green in some
