@@ -246,6 +246,43 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT lower(t) AS term
+      FROM documents,
+           LATERAL unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> length(x) > 0)) AS u(t)
+      WHERE text IS NOT NULL
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS count_lb,
+           CAST(0 AS BIGINT) AS err_ub
+    FROM toks GROUP BY term
+    """,
+)
+def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries top-k terms (k=64) — the mergeable sketch sibling of
+    ``vocab_table`` for corpora where even the vocabulary aggregate is
+    large; its shuffle moves k rows per partition instead of the vocab
+    (datapipe/heavy_hitters.py).
+
+    Exact driver gate: this corpus has ≤ 31 distinct tokens < k, so no
+    MG decrement ever fires and the sketch EQUALS the exact counts with
+    err_ub = 0, independent of partitioning — the oracle is the plain
+    GROUP BY. The lossy regime (bounds, presence guarantee, mergeability)
+    is property-tested in tests/test_heavy_hitters.py."""
+    from telemetry_parquet_spark.datapipe.heavy_hitters import mg_topk
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    terms = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("term")
+    )
+    return mg_topk(terms, k=64)
+
+
+@query(
     "feature_hashing_counts",
     oracle="""
     WITH toks AS (
