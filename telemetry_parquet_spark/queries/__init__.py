@@ -27,57 +27,68 @@ from telemetry_parquet_spark.queries import bpe  # noqa: F401, E402
 # (no file I/O at import time) and is refreshed by hand from the latest
 # CORRECTNESS_r{N}.json each round.
 #
-# Round-5 window: the driver regenerated testdata between rounds 3 and 4
-# with ``events.ts`` as a native parquet TIMESTAMP (previously
-# TIMESTAMP(NANOS) read as BIGINT), which broke ``load_table``'s nanos
-# conversion and failed every events-based query in CORRECTNESS_r04. The
-# loader is now schema-adaptive (sources/tables.py); front-load the eleven
-# regressed names so they regain driver hash-verdicts. Everything else is
-# cumulatively green across r01–r04.
+# Round-6 window (see CORRECTNESS_CUMULATIVE.md for the full ledger):
+# 1. quality_linear_score — the one red r05 row; its oracle's HUGEINT cast
+#    is fixed this round, so a green row here completes the registry.
+# 2. The three new round-6 queries (no driver row yet).
+# 3. Staleness rotation: the r04 layout break proved old-green queries can
+#    silently regress, so re-confirm the cohorts whose latest driver row
+#    is r01 (4 names) then r02 (42 names) — everything newer was
+#    re-verified green in r04/r05.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "a9_null_counts",
-    "events_flatten",
-    "a4_map_sum",
-    "a3_map_first",
-    "a2_row_first",
-    "a5_search_counts_pivot",
-    "a1_earliest_event_per_user",
-    "w3_event_gaps",
-    "o3_top_events_per_user",
-    "sessionize_events",
-    "a7_hll_distinct_users",
-    # same root cause, different code path: the streaming queries convert
-    # the raw stream's ts and weren't in r04's 50-slot window — re-verify
-    # them against the new layout too.
-    "stream_tumbling_hourly",
-    "stream_session_windows",
-    "stream_sliding_halfhour",
-    "stream_dedup_keys",
-    "stream_user_running_stats",
-    # new in round 5 — no driver row yet
-    "bp_hot_segments",
-    "bp_boilerplate_removal",
-    "cap_per_source",
-    "len_quantiles_by_lang",
-    "vocab_table",
-    "corpus_global_order",
-    "stream_static_enrich",
-    "zorder_codes",
-    "graph_pagerank",
-    "stream_stream_view_purchase",
-    "html_strip_normalize",
-    "encode_token_ids",
-    "dd_duplicate_passages",
-    "dd_repeated_spans",
-    "token_counting",
-    "cap_budget_per_source",
-    "embedding_quantize_int8",
-    "dd_simhash_md5_pairs",
-    "feature_hashing_counts",
     "quality_linear_score",
-    "dq_constraints",
-    "outlier_trim_by_lang",
-    "analyze_column_stats",
+    # new in round 6
+    "bpe_learn_merges",
+    "encode_bpe_ids",
+    "vocab_heavy_hitters",
+    # latest driver row r01
+    "asof_last_purchase_before_view",
+    "o2_top_customers",
+    "range_clicks_after_purchase",
+    "rollup_order_volume",
+    # latest driver row r02
+    "comparator_summary",
+    "cube_order_volume",
+    "embedding_centroids",
+    "events_flatten_variant",
+    "f10_bucketed_histogram",
+    "f9_domain_extraction",
+    "grouping_sets_volume",
+    "longitudinal_newest",
+    "longitudinal_unnest",
+    "merge_upsert_customers",
+    "ml_als_recommendations",
+    "mm_decoded_features",
+    "mm_frame_samples",
+    "percentile_stats",
+    "ping_events_roundtrip",
+    "ping_flat_sync_roundtrip",
+    "ping_ingestion_roundtrip",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_inactive_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_filter",
+    "skew_salted_agg",
+    "stat_moments_by_flag",
+    "tfidf_top_terms",
+    "unpivot_lineitem_measures",
+    "w4_rank_suite",
 )
 
 
