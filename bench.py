@@ -71,6 +71,8 @@ HEADLINE = [
     # (vocab-side merge application + double broadcast join)
     "bpe_learn_merges",
     "encode_bpe_ids",
+    "vocab_heavy_hitters",
+    "cms_sketch_counts",
 ]
 
 

@@ -41,6 +41,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_learn_merges",
     "encode_bpe_ids",
     "vocab_heavy_hitters",
+    "cms_sketch_counts",
+    "cms_term_estimates",
     # latest driver row r01
     "asof_last_purchase_before_view",
     "o2_top_customers",
@@ -87,8 +89,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_salted_agg",
     "stat_moments_by_flag",
     "tfidf_top_terms",
-    "unpivot_lineitem_measures",
-    "w4_rank_suite",
+    # (unpivot_lineitem_measures / w4_rank_suite rotate to the next round:
+    # the two new CMS queries take their slots in the 50-query window)
 )
 
 

@@ -282,6 +282,117 @@ def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_topk(terms, k=64)
 
 
+def _md5h60_sql(expr: str) -> str:
+    """DuckDB replay of datapipe.dedup.md5_hash60 over ``expr`` — the same
+    nibble-weight arithmetic as the quality_linear_score/simhash oracles."""
+    return (
+        "(SELECT SUM((strpos('0123456789abcdef', substr(md5(" + expr + "), "
+        "r.i, 1)) - 1) * CAST(power(16, 15 - r.i) AS BIGINT)) "
+        "FROM unnest(range(1, 16)) AS r(i))"
+    )
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+_CMS_TOKS_SQL = """
+    toks AS (
+      SELECT lower(t) AS tok
+      FROM documents,
+           LATERAL unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> length(x) > 0)) AS u(t)
+      WHERE text IS NOT NULL
+    )"""
+
+_CMS_PROBES_SQL = "\n      UNION ALL ".join(
+    "SELECT tok, CAST({i} AS INT) AS row_i, "
+    "CAST({h} % {w} AS BIGINT) AS bucket FROM toks".format(
+        i=i, w=_CMS_WIDTH, h=_md5h60_sql("'cms" + str(i) + ":' || tok")
+    )
+    for i in range(_CMS_DEPTH)
+)
+
+
+@query(
+    "cms_sketch_counts",
+    oracle=f"""
+    WITH {_CMS_TOKS_SQL},
+    probes AS (
+      {_CMS_PROBES_SQL}
+    )
+    SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM probes GROUP BY row_i, bucket
+    """,
+)
+def cms_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch CONTENT over the corpus tokens (depth 4 × width
+    64): the driver gate compares the actual counters bit-for-bit — both
+    engines share the salted md5_hash60 arithmetic, so the sketch is
+    deterministic, not just its behavior. Linear merge + estimation
+    properties are in tests/test_count_min.py; see
+    datapipe/count_min.py for the 100 TB shape (output is ≤ depth·width
+    rows regardless of corpus size)."""
+    from telemetry_parquet_spark.datapipe.count_min import cms_build
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    terms = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("term")
+    )
+    return cms_build(terms, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+
+
+@query(
+    "cms_term_estimates",
+    oracle=f"""
+    WITH {_CMS_TOKS_SQL},
+    probes AS (
+      {_CMS_PROBES_SQL}
+    ),
+    sketch AS (
+      SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM probes GROUP BY row_i, bucket
+    ),
+    exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM toks GROUP BY tok),
+    term_probes AS (SELECT DISTINCT tok, row_i, bucket FROM probes),
+    est AS (
+      SELECT p.tok, MIN(COALESCE(s.cnt, 0)) AS est
+      FROM term_probes p LEFT JOIN sketch s USING (row_i, bucket)
+      GROUP BY p.tok
+    )
+    SELECT e.tok AS term, est, exact_n,
+           CAST(est - exact_n AS BIGINT) AS overcount
+    FROM est e JOIN exact USING (tok)
+    """,
+)
+def cms_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point estimates vs exact counts for every distinct corpus term.
+    ``overcount`` is always ≥ 0 (CMS never undercounts) — visible in the
+    compared data, and byte-exact because both engines build the identical
+    sketch. The estimate path is a broadcast join of the depth·width
+    sketch onto the term probes."""
+    from telemetry_parquet_spark.datapipe.count_min import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    terms = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("term")
+    )
+    sketch = cms_build(terms, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = terms.groupBy("term").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(
+        sketch, exact.select("term"), depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return est.join(exact, "term").select(
+        "term", "est", "exact_n", (F.col("est") - F.col("exact_n")).alias("overcount")
+    )
+
+
 @query(
     "feature_hashing_counts",
     oracle="""
