@@ -73,6 +73,9 @@ HEADLINE = [
     "encode_bpe_ids",
     "vocab_heavy_hitters",
     "cms_sketch_counts",
+    # bigram LM: train is a token-pair count agg; score re-joins the corpus
+    # bigrams to the model tables (the most join-heavy corpus query)
+    "lm_perplexity_score",
 ]
 
 

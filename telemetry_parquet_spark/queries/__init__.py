@@ -18,6 +18,7 @@ from telemetry_parquet_spark.queries import longitudinal  # noqa: F401, E402
 from telemetry_parquet_spark.queries import ml_media  # noqa: F401, E402
 from telemetry_parquet_spark.queries import corpus  # noqa: F401, E402
 from telemetry_parquet_spark.queries import bpe  # noqa: F401, E402
+from telemetry_parquet_spark.queries import lm  # noqa: F401, E402
 
 # The driver evaluates exactly the first 50 entries of ``queries()`` in
 # registration order. Until every query has appeared green in some
@@ -43,6 +44,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_heavy_hitters",
     "cms_sketch_counts",
     "cms_term_estimates",
+    "lm_bigram_train",
+    "lm_perplexity_score",
     # latest driver row r01
     "asof_last_purchase_before_view",
     "o2_top_customers",
@@ -87,10 +90,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     "quality_filter",
     "skew_salted_agg",
-    "stat_moments_by_flag",
-    "tfidf_top_terms",
-    # (unpivot_lineitem_measures / w4_rank_suite rotate to the next round:
-    # the two new CMS queries take their slots in the 50-query window)
+    # (unpivot_lineitem_measures / w4_rank_suite rotated out for the two CMS
+    # queries; stat_moments_by_flag / tfidf_top_terms rotate to the next
+    # round for the two new LM queries — all four re-confirm in round 7)
 )
 
 
