@@ -19,6 +19,7 @@ from telemetry_parquet_spark.queries import ml_media  # noqa: F401, E402
 from telemetry_parquet_spark.queries import corpus  # noqa: F401, E402
 from telemetry_parquet_spark.queries import bpe  # noqa: F401, E402
 from telemetry_parquet_spark.queries import lm  # noqa: F401, E402
+from telemetry_parquet_spark.queries import qsketch  # noqa: F401, E402
 
 # The driver evaluates exactly the first 50 entries of ``queries()`` in
 # registration order. Until every query has appeared green in some
@@ -46,6 +47,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_term_estimates",
     "lm_bigram_train",
     "lm_perplexity_score",
+    "qsketch_histograms",
+    "qsketch_quantiles",
     # latest driver row r01
     "asof_last_purchase_before_view",
     "o2_top_customers",
@@ -88,11 +91,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "quality_filter",
-    "skew_salted_agg",
     # (unpivot_lineitem_measures / w4_rank_suite rotated out for the two CMS
-    # queries; stat_moments_by_flag / tfidf_top_terms rotate to the next
-    # round for the two new LM queries — all four re-confirm in round 7)
+    # queries; stat_moments_by_flag / tfidf_top_terms / quality_filter /
+    # skew_salted_agg rotate to the next round for the four new LM and
+    # qsketch queries — all re-confirm in round 7)
 )
 
 
