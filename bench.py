@@ -76,6 +76,8 @@ HEADLINE = [
     # bigram LM: train is a token-pair count agg; score re-joins the corpus
     # bigrams to the model tables (the most join-heavy corpus query)
     "lm_perplexity_score",
+    # SemDeDup: broadcast seed-assign + within-cell self-join prune
+    "dd_semantic_prune",
 ]
 
 

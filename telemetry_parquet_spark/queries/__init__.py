@@ -20,6 +20,7 @@ from telemetry_parquet_spark.queries import corpus  # noqa: F401, E402
 from telemetry_parquet_spark.queries import bpe  # noqa: F401, E402
 from telemetry_parquet_spark.queries import lm  # noqa: F401, E402
 from telemetry_parquet_spark.queries import qsketch  # noqa: F401, E402
+from telemetry_parquet_spark.queries import semantic  # noqa: F401, E402
 
 # The driver evaluates exactly the first 50 entries of ``queries()`` in
 # registration order. Until every query has appeared green in some
@@ -49,6 +50,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lm_perplexity_score",
     "qsketch_histograms",
     "qsketch_quantiles",
+    "dd_semantic_prune",
     # latest driver row r01
     "asof_last_purchase_before_view",
     "o2_top_customers",
@@ -90,11 +92,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_profit",
     # (unpivot_lineitem_measures / w4_rank_suite rotated out for the two CMS
     # queries; stat_moments_by_flag / tfidf_top_terms / quality_filter /
-    # skew_salted_agg rotate to the next round for the four new LM and
-    # qsketch queries — all re-confirm in round 7)
+    # skew_salted_agg / q9_product_profit rotate to the next round for the
+    # five new LM / qsketch / semantic queries — all re-confirm in round 7)
 )
 
 
