@@ -51,6 +51,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "qsketch_histograms",
     "qsketch_quantiles",
     "dd_semantic_prune",
+    "stream_qsketch_histogram",
     # latest driver row r01
     "asof_last_purchase_before_view",
     "o2_top_customers",
@@ -91,11 +92,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q8_market_share",
     # (unpivot_lineitem_measures / w4_rank_suite rotated out for the two CMS
     # queries; stat_moments_by_flag / tfidf_top_terms / quality_filter /
-    # skew_salted_agg / q9_product_profit rotate to the next round for the
-    # five new LM / qsketch / semantic queries — all re-confirm in round 7)
+    # skew_salted_agg / q9_product_profit / q8_market_share rotate to the
+    # next round for the six new LM / qsketch / semantic / streaming
+    # queries — all re-confirm in round 7)
 )
 
 

@@ -301,3 +301,36 @@ def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 6).alias("total_value"),
         "last_ts",
     )
+
+
+def _qsketch_stream_oracle() -> str:
+    from telemetry_parquet_spark.datapipe.qsketch import duckdb_bin_sql
+
+    return f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           b.bin_lo AS bin_lo, b.bin_hi AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT ts, event_type, {duckdb_bin_sql("iv")} AS b
+          FROM (SELECT ts, event_type, CAST(FLOOR(value) AS BIGINT) AS iv
+                FROM events WHERE value IS NOT NULL))
+    GROUP BY 1, 2, 3, 4, 5
+    """
+
+
+@query(
+    "stream_qsketch_histogram",
+    oracle=_qsketch_stream_oracle(),
+)
+def stream_qsketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour per-event-type quantile-sketch build as a REAL
+    streaming aggregate (watermark + window + availableNow): the sketch's
+    integer bin counts are a plain windowed groupBy-count, so streaming
+    state is bins-per-(window, key), never event-sized, and each emitted
+    window partial merges with batch sketches by groupBy-sum
+    (datapipe/qsketch.py). Oracle = the batch date_trunc equivalent with
+    the same integer binning."""
+    from telemetry_parquet_spark.streaming.pipelines import windowed_histogram
+
+    return _run(spark, sf_dir, lambda ev: windowed_histogram(ev, streaming=True))

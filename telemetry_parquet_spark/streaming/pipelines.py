@@ -97,6 +97,46 @@ def session_windows(
     )
 
 
+def windowed_histogram(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Tumbling-window log-linear histogram sketch (datapipe/qsketch.py
+    binning over floor(value)) per key — the streaming build of the
+    mergeable quantile sketch. Because the sketch state is plain integer
+    bin counts, the windowed streaming aggregate IS the sketch: per-window
+    partials persist to any sink and later merge with the batch sketches
+    by groupBy-sum. State per (window, key) is bounded by the bin count,
+    not the event count."""
+    from telemetry_parquet_spark.datapipe.qsketch import spark_bin_expr
+
+    src = events.withWatermark(ts_col, watermark) if streaming else events
+    binned = src.where(F.col(value_col).isNotNull()).withColumn(
+        "__iv", F.floor(F.col(value_col)).cast("bigint")
+    )
+    return (
+        binned.groupBy(
+            F.window(ts_col, window_len).alias("w"),
+            F.col(key_col),
+            spark_bin_expr("__iv").alias("b"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            F.col("b.bin_lo").alias("bin_lo"),
+            F.col("b.bin_hi").alias("bin_hi"),
+            "cnt",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],
