@@ -80,7 +80,10 @@ def semantic_prune(
 ) -> DataFrame:
     """(id, cell, kept) for every vector: kept=false iff a lower-id vector
     in the same cell has rounded cosine >= threshold."""
-    cells = assign_cells(emb, n_seeds, id_col, vec_col)
+    # the assignment feeds three consumers (both prune sides + the final
+    # labeling); checkpoint it once so the scan + C-way cosine scoring run
+    # once, not per consumer (Y4 discipline, global_index.py precedent)
+    cells = assign_cells(emb, n_seeds, id_col, vec_col).localCheckpoint()
     a = cells.select(
         F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )
