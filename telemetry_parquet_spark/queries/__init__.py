@@ -48,6 +48,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_term_estimates",
     "lm_bigram_train",
     "lm_perplexity_score",
+    "lm_pmi_collocations",
     "qsketch_histograms",
     "qsketch_quantiles",
     "dd_semantic_prune",
@@ -91,12 +92,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q6_forecast_revenue",
-    "q7_volume_shipping",
-    # (unpivot_lineitem_measures / w4_rank_suite rotated out for the two CMS
-    # queries; stat_moments_by_flag / tfidf_top_terms / quality_filter /
-    # skew_salted_agg / q9_product_profit / q8_market_share rotate to the
-    # next round for the six new LM / qsketch / semantic / streaming
-    # queries — all re-confirm in round 7)
+    # (rotated to round 7's window to make room for the twelve new
+    # round-6 queries: unpivot_lineitem_measures, w4_rank_suite,
+    # stat_moments_by_flag, tfidf_top_terms, quality_filter,
+    # skew_salted_agg, q9_product_profit, q8_market_share,
+    # q7_volume_shipping — all green in their latest driver row and in the
+    # local parity suite)
 )
 
 

@@ -93,3 +93,73 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines and task orderings."""
     docs = load_table(spark, sf_dir, "documents")
     return lm.perplexity_scores(docs, NLL_KEEP_THRESHOLD)
+
+
+MIN_PAIR_COUNT = 5
+TOP_COLLOCATIONS = 200
+
+
+@query(
+    "lm_pmi_collocations",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bi GROUP BY w1, w2),
+    u AS (SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS cu
+          FROM toks, LATERAL unnest(ts) AS x(t) GROUP BY t),
+    n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tokens FROM u)
+    SELECT w1, w2, c12,
+           ROUND(ln(CAST(c12 AS DOUBLE) * n.n_tokens
+                    / (a.cu * CAST(b.cu AS DOUBLE))), 6) AS pmi
+    FROM c2
+    JOIN u a ON c2.w1 = a.w
+    JOIN u b ON c2.w2 = b.w
+    CROSS JOIN n
+    WHERE c12 >= {MIN_PAIR_COUNT}
+    ORDER BY pmi DESC, w1, w2 LIMIT {TOP_COLLOCATIONS}
+    """,
+)
+def lm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information over the corpus
+    bigrams — ``ln(c12 * N / (c1 * c2))`` with unigram counts over every
+    position, a min-count support cutoff, and a deterministic
+    (pmi desc, w1, w2) top-k. The phrase-vocabulary pass of a tokenizer
+    pipeline: high-PMI pairs are merge/phrase candidates that frequency
+    alone (``lm_bigram_train``'s top-k) misses.
+
+    Same join topology as the perplexity scorer — unigram table keyed by
+    word (vocab-sized, broadcastable at scale), one final ln on identical
+    double operands in both engines, rounded to 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = lm.doc_token_arrays(docs)
+    c2 = lm.bigram_counts(lm.doc_bigrams(docs)).withColumnRenamed("c", "c12")
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    n = uni.agg(F.sum("cu").alias("n_tokens"))
+    a = uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu_b"))
+    scored = (
+        c2.where(F.col("c12") >= MIN_PAIR_COUNT)
+        .join(a, ["w1"])
+        .join(b, ["w2"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n_tokens")
+                    / (F.col("cu_a") * F.col("cu_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(TOP_COLLOCATIONS)
