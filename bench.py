@@ -94,14 +94,9 @@ def main() -> None:
     # otherwise pay ~8 s of worker spawn on their first run) so per-query
     # timings measure steady-state execution, not one-time session costs
     spark.range(1_000_000).count()
-    import pandas as _pd
-    from pyspark.sql.functions import pandas_udf as _pudf
-
-    @_pudf("long")
-    def _warm(s: _pd.Series) -> _pd.Series:
-        return s
-
-    spark.range(32_000).repartition(32).select(_warm("id")).count()
+    spark.range(32_000).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     from telemetry_parquet_spark.sources.tables import TABLE_NAMES, load_table
 
     for t in TABLE_NAMES:
