@@ -78,6 +78,8 @@ HEADLINE = [
     "lm_perplexity_score",
     # SemDeDup: broadcast seed-assign + within-cell self-join prune
     "dd_semantic_prune",
+    # PQ compression + table-lookup scoring (the ANN storage path)
+    "sim_pq_adc_topk",
 ]
 
 

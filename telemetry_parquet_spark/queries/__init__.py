@@ -22,6 +22,7 @@ from telemetry_parquet_spark.queries import lm  # noqa: F401, E402
 from telemetry_parquet_spark.queries import qsketch  # noqa: F401, E402
 from telemetry_parquet_spark.queries import semantic  # noqa: F401, E402
 from telemetry_parquet_spark.queries import pipeline  # noqa: F401, E402
+from telemetry_parquet_spark.queries import pq  # noqa: F401, E402
 
 # The driver evaluates exactly the first 50 entries of ``queries()`` in
 # registration order. Until every query has appeared green in some
@@ -55,6 +56,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dd_semantic_prune",
     "stream_qsketch_histogram",
     "corpus_e2e_curation",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
     # latest driver row r01
     "asof_last_purchase_before_view",
     "o2_top_customers",
@@ -91,14 +94,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q20_heavy_shippers",
     "q21_waiting_suppliers",
     "q22_inactive_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    # (rotated to round 7's window to make room for the thirteen new
+    # (rotated to round 7's window to make room for the fifteen new
     # round-6 queries: unpivot_lineitem_measures, w4_rank_suite,
     # stat_moments_by_flag, tfidf_top_terms, quality_filter,
     # skew_salted_agg, q9_product_profit, q8_market_share,
-    # q7_volume_shipping, q6_forecast_revenue — all green in their latest
-    # driver row and in the local parity suite)
+    # q7_volume_shipping, q6_forecast_revenue, q4_order_priority,
+    # q2_min_cost_supplier — all green in their latest driver row and in
+    # the local parity suite)
 )
 
 

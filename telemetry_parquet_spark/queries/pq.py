@@ -1,0 +1,101 @@
+"""Product-quantization queries (datapipe/pq.py): code content and ADC
+top-k, both under exact DuckDB oracles (seed-derived codebooks are
+re-derivable by both engines; distances round to 6dp; ADC sums as DECIMAL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.queries.registry import query
+from telemetry_parquet_spark.sources.tables import load_table
+
+M = 8  # subspaces
+K = 16  # centroids per subspace
+D = 8  # dims per subspace (embeddings are 64-dim)
+TOP = 10
+
+_CENTS_CTE = f"""
+seeds AS (
+  SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < {K}
+),
+cents AS (
+  SELECT j.j AS j, c, sv[j.j*{D}+1 : j.j*{D}+{D}] AS sub
+  FROM seeds, LATERAL unnest(range(0, {M})) AS j(j)
+),
+pairs AS (
+  SELECT e.vec_id, ct.j, ct.c,
+         UNNEST(CAST(e.embedding AS DOUBLE[])[ct.j*{D}+1 : ct.j*{D}+{D}]) AS a,
+         UNNEST(ct.sub) AS b
+  FROM embeddings e, cents ct
+),
+scored AS (
+  SELECT vec_id, j, c, round(SUM((a-b)*(a-b)), 6) AS dist
+  FROM pairs GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY dist, c) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+"""
+
+
+@query(
+    "sim_pq_codes",
+    oracle=f"""
+    WITH {_CENTS_CTE}
+    SELECT vec_id, CAST(j AS INT) AS j, code FROM codes
+    """,
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode every embedding: M=8 sub-codes per vector (4 bits each at
+    K=16) — the 64× compression that makes 10^10-vector ANN storable. The
+    driver gate compares every code."""
+    from telemetry_parquet_spark.datapipe.pq import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, m=M, k=K)
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH {_CENTS_CTE},
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    qpairs AS (
+      SELECT ct.j, ct.c,
+             UNNEST(q.qv[ct.j*{D}+1 : ct.j*{D}+{D}]) AS a,
+             UNNEST(ct.sub) AS b
+      FROM cents ct, q
+    ),
+    dtab AS (
+      SELECT j, c, CAST(round(SUM((a-b)*(a-b)), 6) AS DECIMAL(18,6)) AS qd
+      FROM qpairs GROUP BY j, c
+    )
+    SELECT vec_id,
+           CAST(SUM(qd) AS DOUBLE) AS adc_dist
+    FROM codes JOIN dtab ON codes.j = dtab.j AND codes.code = dtab.c
+    GROUP BY vec_id
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT {TOP}
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k from the codes alone: the query's M×K
+    lookup table broadcasts, per-vector scoring is M lookups + a DECIMAL
+    sum — no float vector math against the corpus at query time. The ADC
+    arithmetic itself is deterministic, so this approximate-ANN scoring
+    path carries an EXACT oracle (recall vs true neighbors is bounded in
+    tests/test_pq.py, like the IVF probe config)."""
+    from telemetry_parquet_spark.datapipe.pq import adc_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return adc_top_k(emb, qv, top=TOP, m=M, k=K)
