@@ -87,3 +87,59 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select(
         "doc_id", "source", "lang", content_hash("text").alias("content_md5")
     )
+
+
+CHUNK_W = 64  # window (tokens per chunk)
+CHUNK_S = 48  # stride (CHUNK_W - CHUNK_S = 16-token overlap)
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0) AS ts
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(len(ts[i*{CHUNK_S}+1 : i*{CHUNK_S}+{CHUNK_W}]) AS INT)
+             AS n_tokens,
+           md5(array_to_string(ts[i*{CHUNK_S}+1 : i*{CHUNK_S}+{CHUNK_W}], ' '))
+             AS chunk_md5
+    FROM toks,
+         LATERAL unnest(range(0,
+           (greatest(len(ts) - {CHUNK_W}, 0) + {CHUNK_S - 1}) // {CHUNK_S} + 1
+         )) AS u(i)
+    WHERE len(ts) > 0
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: every document becomes overlapping
+    {CHUNK_W}-token chunks on a {CHUNK_S}-token stride — the pretraining /
+    RAG prep step between curation and ``pack_sequences``. One codegen
+    ``transform``+``explode`` per document (no join, no window function);
+    the chunk count per doc is the integer ``ceil(max(n-W,0)/S)+1``, so
+    the last chunk always covers the tail and every token lands in ≥ 1
+    chunk. Chunk content is gated by md5 of the space-joined tokens."""
+    from telemetry_parquet_spark.datapipe.lm import doc_token_arrays
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_token_arrays(docs).where(F.size("ts") > 0)
+    n_last = f"(greatest(size(ts) - {CHUNK_W}, 0) + {CHUNK_S - 1}) div {CHUNK_S}"
+    # posexplode keeps the chunk index without a second pass
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST({n_last} AS INT)),"
+                f" i -> slice(ts, i * {CHUNK_S} + 1, {CHUNK_W}))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk").cast("int").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
