@@ -143,3 +143,31 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("int").alias("n_tokens"),
         F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
     )
+
+
+@query(
+    "footer_stats_lineitem",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(l_quantity) AS min_l_quantity,
+           MIN(l_extendedprice) AS min_l_extendedprice,
+           MAX(l_quantity) AS max_l_quantity,
+           MAX(l_extendedprice) AS max_l_extendedprice
+    FROM lineitem
+    """,
+)
+def footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table stats answered from parquet footer metadata only (DSv2
+    aggregate pushdown — the scan reads row-group statistics, not rows;
+    sources/writers.py::footer_stats raises if the fast path did not
+    engage, so a green row here PROVES the scan-free plan)."""
+    import os
+
+    from telemetry_parquet_spark.sources.writers import footer_stats
+
+    return footer_stats(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        min_cols=("l_quantity", "l_extendedprice"),
+        max_cols=("l_quantity", "l_extendedprice"),
+    )

@@ -163,3 +163,58 @@ def read_dataset(spark: SparkSession, path: str, merge_schema: bool = False) -> 
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(path)
+
+
+def footer_stats(
+    spark: SparkSession,
+    path: str,
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """COUNT/MIN/MAX answered from parquet FOOTER METADATA — no row reads.
+
+    At 100 TB, `SELECT count(*), min(x), max(x)` over a table is a full
+    scan unless the engine answers it from row-group statistics; Spark's
+    DSv2 parquet source does exactly that under
+    ``spark.sql.parquet.aggregatePushdown`` (the scan node becomes
+    ``BatchScan … [count(*), min(x), max(x)]`` and each task reads only
+    footers). The v1 source — the default, and what ``load_table`` uses —
+    never pushes aggregates, so this helper scopes BOTH confs
+    (``useV1SourceList=''`` + the pushdown flag) around an EAGER
+    computation and restores them before returning: the confs are read at
+    physical-planning time, so the plan must materialize inside the scope
+    (restore-then-collect silently replans as a full scan — verified).
+
+    Raises if the pushdown did not engage (nullable/filtered/nested cases
+    fall back to scans; callers asking for footer stats should know they
+    got them). Returns the 1-row result as a local DataFrame.
+    """
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.sources.useV1SourceList": "",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        aggs = [F.count("*").alias("cnt")]
+        aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+        aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+        agg = spark.read.parquet(path).agg(*aggs)
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        if "BatchScan" not in plan or "count(*)" not in plan:
+            raise RuntimeError(
+                f"parquet aggregate pushdown did not engage for {path}; "
+                "the plan would read rows — check for filters, nested or "
+                "unsupported-typed columns"
+            )
+        rows = agg.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, agg.schema)
