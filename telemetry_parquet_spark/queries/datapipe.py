@@ -804,3 +804,58 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 50 == 0)
     return ngram_contamination(docs, bench, n=8)
+
+
+@query(
+    "dd_incremental_near_dup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> length(t) > 0) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS shingles
+      FROM toks
+    ), exploded AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM exploded GROUP BY doc_id
+    ), inter AS (
+      SELECT n.doc_id AS new_id, h.doc_id AS hist_id, COUNT(*) AS n_common
+      FROM exploded n JOIN exploded h USING (shingle)
+      WHERE n.doc_id % 10 >= 7 AND h.doc_id % 10 < 7
+      GROUP BY 1, 2
+    ), dup AS (
+      SELECT new_id, MIN(hist_id) AS dup_of
+      FROM inter
+      JOIN sizes sn ON sn.doc_id = new_id
+      JOIN sizes sh2 ON sh2.doc_id = hist_id
+      WHERE CAST(n_common AS DOUBLE) / (sn.n_sh + sh2.n_sh - n_common) >= 0.5
+      GROUP BY new_id
+    )
+    SELECT d.doc_id, dup.dup_of, dup.dup_of IS NULL AS kept
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 7) d
+    LEFT JOIN dup ON d.doc_id = dup.new_id
+    """,
+)
+def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment NEAR-dup dedup (the MinHash sibling of
+    dd_incremental_bloom's exact check): today's documents (doc_id%10>=7)
+    banded against the persisted history (doc_id%10<7) — a two-sided LSH
+    bucket join, never a self-join over history ∪ new — then exact-Jaccard
+    verified, labeling each new doc with the earliest historical near-dup
+    or keeping it. Output is deterministic, so the approximate pruning
+    path carries the exact SQL oracle (recall argument at
+    dd_minhash_near_dup_pairs)."""
+    from telemetry_parquet_spark.datapipe.dedup import incremental_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 10 < 7)
+    new_day = docs.where(F.col("doc_id") % 10 >= 7)
+    return incremental_near_dup(new_day, history, threshold=0.5)
