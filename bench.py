@@ -80,6 +80,10 @@ HEADLINE = [
     "dd_semantic_prune",
     # PQ compression + table-lookup scoring (the ANN storage path)
     "sim_pq_adc_topk",
+    # daily-increment near-dup: two-sided band join + Jaccard verify
+    "dd_incremental_near_dup",
+    # composed curation chain (dedup -> quality -> cap)
+    "corpus_e2e_curation",
 ]
 
 
