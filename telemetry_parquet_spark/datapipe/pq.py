@@ -127,3 +127,86 @@ def adc_top_k(
 
 def _arr_sql(vals: list[float]) -> str:
     return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
+def adc_recall_eval(
+    emb: DataFrame,
+    n_queries: int = 4,
+    top: int = 10,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, n_overlap): |ADC top-k ∩ exact-L2 top-k| per query — the
+    recall evaluation a PQ deployment monitors, as ONE relational plan.
+
+    Both rankings are deterministic (rounded distances, (dist, id)
+    tiebreaks), so the whole evaluation is exactness-gated — the operator
+    that usually lives in an offline notebook becomes a driver-checkable
+    query. Shapes: the query set (first ``n_queries`` vectors) and the
+    distance tables broadcast; exact ranking scans the corpus once per
+    query batch (a queries × N join reduced by a per-query window);
+    ADC ranking reuses the M-lookup join."""
+    qs = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # exact side: rounded L2^2 against every corpus vector
+    from pyspark.sql import Window
+
+    exact_scored = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(l2sq(F.col(vec_col), F.col("qv")), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    exact_top = exact_scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= top
+    )
+    # ADC side: per-query distance tables against the shared codes
+    cents = sub_centroids(emb, m, k, id_col, vec_col)
+    d_expr = F.floor(F.size("qv") / m).cast("int")
+    dtab = (
+        qs.withColumn("__d", d_expr)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "j",
+            "c",
+            F.round(l2sq(F.expr("slice(qv, j * __d + 1, __d)"), F.col("sub")), 6)
+            .cast("decimal(18,6)")
+            .alias("qd"),
+        )
+    )
+    codes = pq_encode(emb, m, k, id_col, vec_col)
+    adc = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["j"] == dtab["j"]) & (codes["code"] == dtab["c"]),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("qd").cast("double").alias("adc_dist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    adc_top = adc.withColumn("rn", F.row_number().over(wa)).where(F.col("rn") <= top)
+    overlap = (
+        exact_top.select("query_id", id_col)
+        .join(adc_top.select("query_id", id_col), ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    # queries with zero overlap must still appear
+    return (
+        qs.select("query_id")
+        .join(overlap, ["query_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        )
+    )

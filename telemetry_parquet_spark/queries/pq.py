@@ -99,3 +99,72 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return adc_top_k(emb, qv, top=TOP, m=M, k=K)
+
+
+N_EVAL_QUERIES = 4
+
+
+@query(
+    "sim_adc_recall_eval",
+    oracle=f"""
+    WITH {_CENTS_CTE},
+    qs AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {N_EVAL_QUERIES}
+    ),
+    epairs AS (
+      SELECT q.query_id, e.vec_id,
+             UNNEST(CAST(e.embedding AS DOUBLE[])) AS a, UNNEST(q.qv) AS b
+      FROM embeddings e, qs q
+    ),
+    escore AS (
+      SELECT query_id, vec_id, round(SUM((a-b)*(a-b)), 6) AS dist
+      FROM epairs GROUP BY 1, 2
+    ),
+    etop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist, vec_id) AS rn
+        FROM escore
+      ) WHERE rn <= {TOP}
+    ),
+    qpairs AS (
+      SELECT q.query_id, ct.j, ct.c,
+             UNNEST(q.qv[ct.j*{D}+1 : ct.j*{D}+{D}]) AS a,
+             UNNEST(ct.sub) AS b
+      FROM cents ct, qs q
+    ),
+    dtab AS (
+      SELECT query_id, j, c,
+             CAST(round(SUM((a-b)*(a-b)), 6) AS DECIMAL(18,6)) AS qd
+      FROM qpairs GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT d.query_id, codes.vec_id, CAST(SUM(qd) AS DOUBLE) AS dist
+      FROM codes JOIN dtab d ON codes.j = d.j AND codes.code = d.c
+      GROUP BY 1, 2
+    ),
+    atop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {TOP}
+    ),
+    ov AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM etop JOIN atop USING (query_id, vec_id) GROUP BY 1
+    )
+    SELECT q.query_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM qs q LEFT JOIN ov USING (query_id)
+    """,
+)
+def sim_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP} of PQ-ADC against exact L2 for the first
+    {N_EVAL_QUERIES} query vectors — the monitoring query a compressed-ANN
+    deployment runs after each index rebuild, exactness-gated because both
+    rankings are deterministic."""
+    from telemetry_parquet_spark.datapipe.pq import adc_recall_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return adc_recall_eval(emb, n_queries=N_EVAL_QUERIES, top=TOP, m=M, k=K)
