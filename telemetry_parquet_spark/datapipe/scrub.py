@@ -233,3 +233,23 @@ def ngram_contamination(
             ),
         )
     )
+
+
+def blocklist_hits(
+    text: Column | str, blocklist: tuple[str, ...]
+) -> dict[str, Column]:
+    """Token-level blocklist scoring (badwords/NSFW/toxicity lists à la
+    UT1): occurrence count and token count as pure codegen expressions —
+    the blocklist inlines as an array literal, so there is NO join and no
+    Python; at 100 TB this is a map-only pass. For multi-word or substring
+    patterns, pre-normalize with ``strip_html``/``redact_pii`` and extend
+    the filter to ``rlike`` on an alternation — same map-only shape."""
+    c = F.col(text) if isinstance(text, str) else text
+    ts = F.filter(F.split(F.lower(c), r"\s+"), lambda t: F.length(t) > 0)
+    bl = F.array(*[F.lit(t) for t in blocklist])
+    return {
+        "n_tokens": F.size(ts).cast("int"),
+        "n_blocked": F.size(
+            F.filter(ts, lambda t: F.array_contains(bl, t))
+        ).cast("int"),
+    }

@@ -35,3 +35,28 @@ def salted_agg(
         *[merge[fn](F.col(name)).alias(name) for name, (fn, _) in aggs.items()]
     )
     return phase2
+
+
+def key_skew_profile(df: DataFrame, key_col: str, label: str) -> DataFrame:
+    """One-row skew diagnosis for a prospective shuffle key: row count,
+    distinct keys, hottest-key count, and skew_ratio = max/mean key count
+    (1.0 = perfectly uniform; >> 1 = a hot key that will straggle any
+    groupBy/join on this column).
+
+    The pre-flight a 100 TB job runs BEFORE choosing join/agg keys —
+    feeding directly into the mitigation knobs this repo ships
+    (``salted_agg``, ``cap_per_stratum(salt_buckets=...)``, AQE skew
+    join). Cost: one map-side-combinable count per key plus a 1-row
+    reduce; union several profiles into one report DataFrame."""
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count("*").alias("__c")
+    )
+    return counts.agg(
+        F.lit(label).alias("keyspace"),
+        F.sum("__c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("__c").alias("max_cnt"),
+        F.round(
+            F.max("__c").cast("double") * F.count("*") / F.sum("__c"), 6
+        ).alias("skew_ratio"),
+    )

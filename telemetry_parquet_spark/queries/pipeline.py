@@ -171,3 +171,89 @@ def footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_cols=("l_quantity", "l_extendedprice"),
         max_cols=("l_quantity", "l_extendedprice"),
     )
+
+
+BLOCKLIST = ("slow", "spill", "skew")
+BLOCK_PCT = 3  # keep iff blocked tokens <= 3% of tokens (integer compare)
+
+
+@query(
+    "blocklist_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0) AS ts
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS INT) AS n_tokens,
+           CAST(len(list_filter(ts,
+                t -> list_contains(['slow','spill','skew'], t))) AS INT)
+             AS n_blocked,
+           len(list_filter(ts,
+                t -> list_contains(['slow','spill','skew'], t))) * 100
+             <= len(ts) * {BLOCK_PCT} AS kept
+    FROM toks
+    """,
+)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Badwords-list density filter (the UT1-style lexicon gate of a web
+    curation pipeline): per-document blocked-token count and a keep flag at
+    a {BLOCK_PCT}% density cutoff, compared in pure integer arithmetic
+    (``n_blocked*100 <= n_tokens*{BLOCK_PCT}``). The blocklist inlines as
+    an array literal — a map-only pass, no join, no Python."""
+    from telemetry_parquet_spark.datapipe.scrub import blocklist_hits
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    cols = blocklist_hits("text", BLOCKLIST)
+    return docs.select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["n_blocked"].alias("n_blocked"),
+    ).withColumn(
+        "kept", F.col("n_blocked") * 100 <= F.col("n_tokens") * BLOCK_PCT
+    )
+
+
+def _skew_oracle_arm(table: str, key: str) -> str:
+    return f"""
+    SELECT '{table}.{key}' AS keyspace,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_cnt,
+           ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6) AS skew_ratio
+    FROM (SELECT COUNT(*) AS c FROM {table} GROUP BY {key})
+    """
+
+
+@query(
+    "skew_report",
+    oracle=" UNION ALL ".join(
+        _skew_oracle_arm(t, k)
+        for t, k in (
+            ("orders", "o_custkey"),
+            ("lineitem", "l_orderkey"),
+            ("events", "user_id"),
+        )
+    ),
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key pre-flight: skew profiles (rows, distinct keys, hottest
+    key, max/mean ratio) for the three join/agg keys the workload shuffles
+    on most — the diagnosis that decides between a plain groupBy, salting
+    (operators/skew.py::salted_agg), or AQE skew-join reliance."""
+    from telemetry_parquet_spark.operators.skew import key_skew_profile
+
+    parts = [
+        key_skew_profile(load_table(spark, sf_dir, t), k, f"{t}.{k}")
+        for t, k in (
+            ("orders", "o_custkey"),
+            ("lineitem", "l_orderkey"),
+            ("events", "user_id"),
+        )
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
