@@ -89,3 +89,98 @@ def longitudinal_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("type_arr", 1).alias("newest_type"),
         F.element_at("value_arr", 1).alias("newest_value"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    )
+    SELECT 'view' AS stage, 1 AS stage_idx,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'click', 2, CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase', 3, CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): a user reaches stage k
+    only via an event strictly AFTER their first stage-(k-1) event — the
+    classic product-analytics funnel as chained min-aggregates.
+
+    Scale shape: each stage is one filtered min-agg (map-side combinable)
+    plus a user-keyed join against the previous stage's user-sized result
+    — co-partitioned on user_id, no window over the event stream, no
+    per-user sequence materialization."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        src = events.where(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(prev, "user_id").where(F.col("ts") > F.col("__t"))
+        return src.groupBy("user_id").agg(F.min("ts").alias("__t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    rows = [("view", 1, v), ("click", 2, c), ("purchase", 3, p)]
+    out = None
+    for stage, idx, df in rows:
+        one = df.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count("*").alias("n_users"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; n_active counts
+    distinct users from each cohort active at each day offset — the
+    telemetry engagement query the reference lineage existed to serve.
+
+    Scale shape: first-seen is one min-agg; the activity relation is a
+    DISTINCT projection (both map-side combinable, both keyed on
+    user_id so the join co-partitions); the output is cohorts × offsets,
+    dashboard-sized at any event volume."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = events.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = events.distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("int").alias("day_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
