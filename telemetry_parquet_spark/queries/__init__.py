@@ -35,7 +35,7 @@ from telemetry_parquet_spark.queries import pq  # noqa: F401, E402
 # Round-6 window (see CORRECTNESS_CUMULATIVE.md for the full ledger):
 # 1. quality_linear_score — the one red r05 row; its oracle's HUGEINT cast
 #    is fixed this round, so a green row here completes the registry.
-# 2. The twenty-three new round-6 queries (no driver row yet).
+# 2. The twenty-five new round-6 queries (no driver row yet).
 # 3. Staleness rotation: the r04 layout break proved old-green queries can
 #    silently regress, so re-confirm the cohorts whose latest driver row
 #    is r01 (4 names) then r02 — everything newer was re-verified green
@@ -66,6 +66,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_report",
     "funnel_conversion",
     "retention_cohorts",
+    "rolling_weekly_active",
+    "basket_part_pairs",
     # latest driver row r01
     "asof_last_purchase_before_view",
     "o2_top_customers",
@@ -92,9 +94,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "q11_important_parts",
     "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    # (rotated to round 7's window to make room for the twenty-three new
+    # (rotated to round 7's window to make room for the twenty-five new
     # round-6 queries: unpivot_lineitem_measures, w4_rank_suite,
     # stat_moments_by_flag, tfidf_top_terms, quality_filter,
     # skew_salted_agg, q9_product_profit, q8_market_share,
@@ -102,7 +102,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # q2_min_cost_supplier, q22_inactive_customers, q21_waiting_suppliers,
     # q20_heavy_shippers, q19_disjunctive_revenue,
     # q18_large_volume_customers, q17_small_quantity_revenue,
-    # q16_supplier_part_variety, q15_top_supplier —
+    # q16_supplier_part_variety, q15_top_supplier, q14_promo_revenue,
+    # q13_customer_distribution —
     # all green in their latest driver row and in the local parity suite)
 )
 

@@ -184,3 +184,87 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("int").alias("day_offset"))
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@query(
+    "rolling_weekly_active",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM active)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN active a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day. Distinct-over-a-sliding-window
+    does not decompose into a running sum, so the exact form is a range
+    join of the day spine (calendar-sized, broadcast) against the
+    DISTINCT (user, day) activity relation — compare count is
+    days × active-days-within-7, never events². The at-scale approximate
+    sibling is the mergeable HLL column (A7 family): per-day sketches
+    unioned over the trailing window."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    active = events.distinct()
+    days = active.select("day").distinct()
+    return (
+        active.alias("a")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("a.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("a.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("a.user_id").alias("wau"))
+    )
+
+
+MIN_PAIR_SUPPORT = 3
+TOP_BASKET_PAIRS = 100
+
+
+@query(
+    "basket_part_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {TOP_BASKET_PAIRS}
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (association-rules support counting):
+    part pairs ordered together in ≥ {MIN_PAIR_SUPPORT} orders, top-k by
+    (support desc, pair). The self-join keys on the order id, so the
+    compare count is Σ|basket|²/2 — bounded by basket size, never
+    catalog² — and the DISTINCT pre-projection keeps repeated lineitems
+    of the same part from inflating support."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, ["l_orderkey"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= MIN_PAIR_SUPPORT)
+        .orderBy(F.col("n_orders").desc(), F.col("part_a"), F.col("part_b"))
+        .limit(TOP_BASKET_PAIRS)
+    )
