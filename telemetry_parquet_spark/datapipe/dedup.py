@@ -648,10 +648,15 @@ def incremental_near_dup(
     side's banded signatures are exactly what a daily pipeline persists.
 
     LSH prunes candidates; the exact-Jaccard verify makes the OUTPUT
-    deterministic and oracle-able (the dd_minhash_near_dup_pairs recall
-    argument: at threshold ≥ 0.5 on this corpus every qualifying pair
-    shares a band with miss probability ≤ ~2e-4, verified equal to the
-    exact SQL at every test SF before wiring)."""
+    deterministic and oracle-able. Recall caveat (the honest S-curve, not
+    a flat bound): with b=16 bands of width r=4 a pair at true Jaccard s
+    is missed with probability (1 - s^4)^16 — ≈ 2e-4 at s=0.9, ≈ 0.013
+    at s=0.8, but ≈ 0.36 at s=0.5. The exact-oracle gate is therefore
+    valid only because the test corpus's qualifying cross-day pairs are
+    all high-similarity (s ≳ 0.8, verified equal to the exact SQL at
+    every test SF before wiring); a corpus with mid-similarity
+    (0.5–0.8) qualifying pairs needs more/narrower bands (e.g. b=32,
+    r=2: miss ≈ 0.004 at s=0.5) at the cost of more candidates."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"

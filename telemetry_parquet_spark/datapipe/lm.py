@@ -94,8 +94,13 @@ def perplexity_scores(docs: DataFrame, keep_threshold: float) -> DataFrame:
 
     Every bigram observed at scoring time was observed at training time
     (same corpus), so smoothing only tempers the estimates — there are no
-    unseen-pair branches in the plan."""
-    bi = doc_bigrams(docs)
+    unseen-pair branches in the plan.
+
+    The bigram relation feeds three consumers (the scoring join source and
+    both count tables); materialize it ONCE so the corpus is tokenized and
+    exploded a single time — the same multi-consumer localCheckpoint
+    discipline as ``semantic_prune`` and ``minhash_near_dup_pairs``."""
+    bi = doc_bigrams(docs).localCheckpoint()
     terms = (
         bi.join(bigram_counts(bi), ["w1", "w2"])
         .join(context_counts(bi), ["w1"])

@@ -104,7 +104,6 @@ def adc_top_k(
     codes = pq_encode(emb, m, k, id_col, vec_col)
     cents = sub_centroids(emb, m, k, id_col, vec_col)
     d = len(query_vec) // m
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     dtab = cents.select(
         "j",
         "c",
@@ -115,7 +114,6 @@ def adc_top_k(
         .cast("decimal(18,6)")
         .alias("qd"),
     )
-    _ = q  # the literal array is inlined via _arr_sql for a single parse
     return (
         codes.join(F.broadcast(dtab), (codes["j"] == dtab["j"]) & (codes["code"] == dtab["c"]))
         .groupBy(id_col)

@@ -32,79 +32,72 @@ from telemetry_parquet_spark.queries import pq  # noqa: F401, E402
 # (no file I/O at import time) and is refreshed by hand from the latest
 # CORRECTNESS_r{N}.json each round.
 #
-# Round-6 window (see CORRECTNESS_CUMULATIVE.md for the full ledger):
-# 1. quality_linear_score — the one red r05 row; its oracle's HUGEINT cast
-#    is fixed this round, so a green row here completes the registry.
-# 2. The twenty-five new round-6 queries (no driver row yet).
-# 3. Staleness rotation: the r04 layout break proved old-green queries can
-#    silently regress, so re-confirm the cohorts whose latest driver row
-#    is r01 (4 names) then r02 — everything newer was re-verified green
-#    in r04/r05.
+# Round-7 window (see CORRECTNESS_CUMULATIVE.md for the full ledger; after
+# round 6 the registry is fully green — 145/145 oracled queries hash-green at
+# their latest driver row — so this round is pure staleness rotation):
+# 1. Queries new in round 7 (no driver row yet).
+# 2. The 22 queries whose latest driver verdict is r02 (the TPC-H pack and
+#    five round-2 extras) — the stalest cohort; r04 proved layout drift can
+#    silently break old-green rows, so convert "green long ago" into
+#    current evidence.
+# 3. The r04 cohort (28 names) fills the remaining slots in registration
+#    order; any overflow past slot 50 rotates to round 8.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "quality_linear_score",
-    # new in round 6
-    "bpe_learn_merges",
-    "encode_bpe_ids",
-    "vocab_heavy_hitters",
-    "cms_sketch_counts",
-    "cms_term_estimates",
-    "lm_bigram_train",
-    "lm_perplexity_score",
-    "lm_pmi_collocations",
-    "qsketch_histograms",
-    "qsketch_quantiles",
-    "dd_semantic_prune",
-    "stream_qsketch_histogram",
-    "corpus_e2e_curation",
-    "sim_pq_codes",
-    "sim_pq_adc_topk",
-    "chunk_documents",
-    "footer_stats_lineitem",
-    "dd_incremental_near_dup",
-    "sim_adc_recall_eval",
-    "blocklist_filter",
-    "skew_report",
-    "funnel_conversion",
-    "retention_cohorts",
-    "rolling_weekly_active",
-    "basket_part_pairs",
-    # latest driver row r01
-    "asof_last_purchase_before_view",
-    "o2_top_customers",
-    "range_clicks_after_purchase",
-    "rollup_order_volume",
+    # new in round 7
+    "ml_als_recall_eval",
+    "bpe_learn_merges_batched",
     # latest driver row r02
-    "comparator_summary",
-    "cube_order_volume",
-    "embedding_centroids",
-    "events_flatten_variant",
-    "f10_bucketed_histogram",
-    "f9_domain_extraction",
-    "grouping_sets_volume",
-    "longitudinal_newest",
-    "longitudinal_unnest",
-    "merge_upsert_customers",
-    "ml_als_recommendations",
-    "mm_decoded_features",
-    "mm_frame_samples",
-    "percentile_stats",
-    "ping_events_roundtrip",
-    "ping_flat_sync_roundtrip",
-    "ping_ingestion_roundtrip",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    # (rotated to round 7's window to make room for the twenty-five new
-    # round-6 queries: unpivot_lineitem_measures, w4_rank_suite,
-    # stat_moments_by_flag, tfidf_top_terms, quality_filter,
-    # skew_salted_agg, q9_product_profit, q8_market_share,
-    # q7_volume_shipping, q6_forecast_revenue, q4_order_priority,
-    # q2_min_cost_supplier, q22_inactive_customers, q21_waiting_suppliers,
-    # q20_heavy_shippers, q19_disjunctive_revenue,
-    # q18_large_volume_customers, q17_small_quantity_revenue,
-    # q16_supplier_part_variety, q15_top_supplier, q14_promo_revenue,
-    # q13_customer_distribution —
-    # all green in their latest driver row and in the local parity suite)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_inactive_customers",
+    "w4_rank_suite",
+    "tfidf_top_terms",
+    "skew_salted_agg",
+    "quality_filter",
+    "unpivot_lineitem_measures",
+    "stat_moments_by_flag",
+    # latest driver row r04
+    "contamination_ngram_overlap",
+    "dd_duplicate_components",
+    "dd_embedding_cosine_pairs",
+    "dd_embedding_near_dup_lsh",
+    "dd_exact_dedup_groups",
+    "dd_incremental_bloom",
+    "dd_minhash_near_dup_pairs",
+    "dd_ngram_jaccard_pairs",
+    "dd_prefix_fingerprint_groups",
+    "dd_simhash_near_dup_pairs",
+    "f_date_functions",
+    "f_string_functions",
+    "json_union_coercion",
+    "lang_id",
+    "mix_sampled_corpus",
+    "mm_image_near_dup",
+    "p7_column_expressions",
+    "pack_sequences",
+    "pii_redaction",
+    "rep_repetition_features",
+    "sim_brute_force_topk",
+    "sim_ivf_exact_topk",
+    "sim_ivf_probe_topk",
+    "split_train_holdout",
+    "text_stats",
+    "w1_latest_order_per_customer",
+    "w2_running_order_total",
+    "x1_token_explode",
 )
 
 
