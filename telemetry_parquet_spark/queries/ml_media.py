@@ -235,3 +235,101 @@ def ml_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.recommend_for_all_users(k=3).select(
         "user_id_hash", "rank", "item", F.round("score", 4).alias("score")
     )
+
+
+# --- ALS exactness gate -----------------------------------------------------
+# ml_als_recommendations is rows-only (iterative float solver); this sibling
+# is the exact gate: train ALS on a block-separable synthetic preference
+# structure derived from the REAL tables, measure precision@k against the
+# exact preference ranking RELATIONALLY, and emit a thresholded verdict the
+# DuckDB oracle restates from the same tables. If the solver were broken
+# (random factors ≈ 1/G in-block precision ≈ 0.125), every floor_met row
+# flips FALSE and the driver check goes red — the sim_adc_recall_eval
+# pattern applied to the one remaining run-only component.
+
+ALS_GROUPS = 8  # preference blocks
+ALS_IDS = 64  # users = custkeys < 64, items = partkeys < 64
+ALS_K = 5  # recommendations per user
+ALS_FLOOR = 0.6  # avg in-block precision@5 floor (working ALS ≈ 1.0)
+
+
+@query(
+    "ml_als_recall_eval",
+    oracle=f"""
+    WITH u AS (
+      SELECT c_custkey % {ALS_GROUPS} AS grp
+      FROM customer WHERE c_custkey < {ALS_IDS}
+    )
+    SELECT CAST(grp AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS users,
+           TRUE AS floor_met
+    FROM u GROUP BY grp ORDER BY grp
+    """,
+)
+def ml_als_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS quality gate under an exact oracle. Fixture: users (custkeys
+    < {ALS_IDS}) and items (partkeys < {ALS_IDS}) in {ALS_GROUPS} hash
+    blocks; each user interacts with exactly the items of their own block,
+    so the exact preference ranking is relational (in-block = preferred).
+    Seeded implicit ALS trains on those interactions; per-user
+    precision@{ALS_K} of ``recommendForAllUsers`` against in-block
+    membership is averaged per block and thresholded at {ALS_FLOOR} —
+    block-separable preferences put working-ALS precision at ≈ 1.0 while
+    broken factors sit near 1/{ALS_GROUPS}, so the boolean is stable
+    despite the float solver. Scale: the fixture is deliberately tiny (the
+    gate's job is solver correctness); the production path's 100 TB story
+    is the ratings build (broadcast allowlist semi-join + hashed ids,
+    ml/recommender.py) which this query exercises end-to-end."""
+    from telemetry_parquet_spark.ml.recommender import (
+        build_ratings,
+        train_recommender,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .where(F.col("c_custkey") < ALS_IDS)
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey")
+        .where(F.col("p_partkey") < ALS_IDS)
+    )
+    inter = (
+        cust.crossJoin(F.broadcast(part))
+        .where(F.col("c_custkey") % ALS_GROUPS == F.col("p_partkey") % ALS_GROUPS)
+        .select(
+            F.col("c_custkey").alias("user"), F.col("p_partkey").alias("item")
+        )
+    )
+    model = train_recommender(
+        inter, user_col="user", item_col="item", rank=ALS_GROUPS, max_iter=10
+    )
+    user_map = (
+        build_ratings(inter, "user", "item")
+        .select("user_id_hash", "user")
+        .distinct()
+    )
+    recs = model.recommend_for_all_users(k=ALS_K).join(
+        F.broadcast(user_map), "user_id_hash"
+    )
+    per_user = recs.groupBy("user").agg(
+        F.avg(
+            (F.col("user") % ALS_GROUPS == F.col("item") % ALS_GROUPS).cast(
+                "double"
+            )
+        ).alias("prec")
+    )
+    return (
+        per_user.groupBy((F.col("user") % ALS_GROUPS).alias("grp"))
+        .agg(
+            F.count("*").alias("users"),
+            (F.avg("prec") >= F.lit(ALS_FLOOR)).alias("floor_met"),
+        )
+        .select(
+            F.col("grp").cast("bigint").alias("grp"),
+            F.col("users").cast("bigint").alias("users"),
+            "floor_met",
+        )
+        .orderBy("grp")
+    )

@@ -237,3 +237,48 @@ def test_hamming_pairs_parameter_validation(spark):
     with _pytest.raises(ValueError, match="pigeonhole"):
         hamming_pairs(df, id_col="media_id", fp_col="ahash",
                       max_hamming=4, chunks=4)
+
+
+def test_als_recall_gate_discriminates(spark, sf_dir):
+    """The ml_als_recall_eval floor is a real measurement, not a
+    construction: working ALS clears it everywhere, and a deliberately
+    broken ranking (out-of-block items, the random-factor failure mode)
+    lands far below it, so a solver regression flips the driver row red."""
+    from telemetry_parquet_spark.queries.ml_media import (
+        ALS_FLOOR,
+        ALS_GROUPS,
+        ALS_IDS,
+        ml_als_recall_eval,
+    )
+
+    rows = ml_als_recall_eval(spark, sf_dir).collect()
+    assert rows and all(r.floor_met for r in rows)
+    assert sum(r.users for r in rows) >= ALS_IDS - 1  # every user got recs
+
+    # adversarial ranking: recommend only OUT-of-block items — the exact
+    # preference ranking scores it at precision 0, far below the floor
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < ALS_IDS
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < ALS_IDS)
+    wrong = (
+        cust.crossJoin(F.broadcast(part))
+        .where(
+            F.col("c_custkey") % ALS_GROUPS != F.col("p_partkey") % ALS_GROUPS
+        )
+        .select(
+            F.col("c_custkey").alias("user"),
+            (
+                F.col("c_custkey") % ALS_GROUPS
+                == F.col("p_partkey") % ALS_GROUPS
+            )
+            .cast("double")
+            .alias("hit"),
+        )
+        .groupBy("user")
+        .agg(F.avg("hit").alias("prec"))
+    )
+    worst = wrong.agg(F.max("prec").alias("m")).first().m
+    assert worst is not None and worst < ALS_FLOOR
