@@ -84,6 +84,17 @@ HEADLINE = [
     "dd_incremental_near_dup",
     # composed curation chain (dedup -> quality -> cap)
     "corpus_e2e_curation",
+    # round 7 additions: the consumer-analytics pack (VERDICT r6 §5) —
+    # funnel = chained co-partitioned min-aggs, retention = cohort self-join,
+    # WAU = broadcast day-spine range join, basket = order-keyed self-join,
+    # footer stats = zero-row-read metadata aggregate — plus batched BPE
+    # (same oracle as bpe_learn_merges; bench shows the round-trip saving)
+    "funnel_conversion",
+    "retention_cohorts",
+    "rolling_weekly_active",
+    "basket_part_pairs",
+    "footer_stats_lineitem",
+    "bpe_learn_merges_batched",
 ]
 
 

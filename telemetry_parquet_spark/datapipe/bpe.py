@@ -134,6 +134,121 @@ def learn_bpe(
     return merges, syms.localCheckpoint()
 
 
+def learn_bpe_batched(
+    words: DataFrame, num_merges: int = 16, batch_m: int = 8
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """``learn_bpe`` with PROVABLY-EQUIVALENT merge batching: per iteration,
+    one pair-count job + ONE driver collect admits up to ``batch_m`` merges
+    instead of one, so a 32k-merge production vocabulary costs ~32k/batch
+    driver round-trips and count jobs instead of 32k (the learn_bpe
+    docstring's honest limit).
+
+    A rank-prefix p1..pk of the (cnt DESC, l, r) ordering is admitted only
+    while every condition below holds, each SUFFICIENT for the batched
+    selection to equal the strict sequential replay (same merges, same
+    counts, same order):
+
+    1. **Symbol-disjoint**: {l_j, r_j} ∩ {l_i, r_i} = ∅ for all i < j.
+       Applying p_i then consumes only l_i/r_i occurrences, so p_j's
+       adjacencies — and therefore its count — are untouched: at replay
+       step j, cnt(p_j) still equals the original count we report.
+    2. **Created pairs can't preempt**: applying p_i creates only pairs
+       involving the new symbol m_i = l_i + r_i; any such pair (x, m_i) /
+       (m_i, y) needs an original (x, l_i) / (r_i, y) adjacency, so its
+       count is ≤ bound_i = max cnt over original context pairs of p_i
+       (computed from the SAME count table, no extra corpus work). p_j is
+       admitted only if max(bound_1..bound_{j-1}) < cnt(p_j) STRICTLY —
+       ties could lose the (l, r) lexicographic tiebreak to a created
+       pair, so equality stops the batch.
+    3. **No aliasing**: if m_i string-equals a symbol already present in
+       some pair, created-pair counts would ADD to an existing pair type
+       and break bound reasoning — an aliasing admit closes the batch.
+       Likewise m_i must be distinct across the batch (two merges whose
+       concatenations collide, e.g. "ab"+"c" and "a"+"bc", would share a
+       created-pair type).
+    4. Originals ranked below p_j can only keep or DECREASE their counts
+       (no new adjacency between pre-existing symbols is ever created
+       absent aliasing), and equal-count originals sort lexicographically
+       after p_j by the rank-prefix property — p_j wins the replay argmax.
+
+    Application chains ``merge_apply`` folds in rank order — literally the
+    sequential application — so equivalence rests only on the selection
+    argument above. Property-tested batched == sequential == pure-Python
+    reference on adversarial corpora (aliasing, ties, overlapping runs)
+    and registered as ``bpe_learn_merges_batched`` under the SAME
+    recursive-CTE oracle as the sequential query, so the driver itself
+    re-proves the equivalence every round."""
+    syms = words.select(
+        "word", "freq", chars("word").alias("syms")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < num_merges:
+        counts = (
+            syms.select("freq", F.explode(_pair_list(F.col("syms"))).alias("pr"))
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .localCheckpoint()  # vocab-pair-sized; reused by 3 consumers below
+        )
+        top = (
+            counts.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(batch_m)
+            .select(
+                F.col("l").alias("cl"),
+                F.col("r").alias("cr"),
+                F.col("cnt").alias("ccnt"),
+                F.concat("l", "r").alias("cm"),
+            )
+        )
+        t = F.broadcast(top)
+        ctx = (
+            counts.join(
+                t, (counts["r"] == t["cl"]) | (counts["l"] == t["cr"])
+            )
+            .groupBy("cl", "cr")
+            .agg(F.max("cnt").alias("bound"))
+        )
+        ali = (
+            counts.join(t, (counts["l"] == t["cm"]) | (counts["r"] == t["cm"]))
+            .groupBy("cl", "cr")
+            .agg(F.count("*").alias("n_alias"))
+        )
+        cand = (
+            top.join(ctx, ["cl", "cr"], "left")
+            .join(ali, ["cl", "cr"], "left")
+            .orderBy(F.desc("ccnt"), F.asc("cl"), F.asc("cr"))
+            .collect()  # ≤ batch_m rows — ONE driver round-trip per batch
+        )
+        if not cand:
+            break
+        used: set[str] = set()
+        merged_strs: set[str] = set()
+        max_bound: int | None = None  # None = no created pairs possible yet
+        batch: list[tuple[str, str, int]] = []
+        closed = False
+        for row in cand:
+            l, r, cnt = row["cl"], row["cr"], row["ccnt"]
+            if batch:
+                if {l, r} & used or (l + r) in merged_strs:
+                    break
+                if max_bound is not None and max_bound >= cnt:
+                    break
+            batch.append((l, r, cnt))
+            used |= {l, r}
+            merged_strs.add(l + r)
+            if row["bound"] is not None:
+                b = int(row["bound"])
+                max_bound = b if max_bound is None else max(max_bound, b)
+            if row["n_alias"]:
+                closed = True  # aliasing admit is valid but must be LAST
+            if closed or len(merges) + len(batch) >= num_merges:
+                break
+        for l, r, cnt in batch:
+            merges.append((len(merges) + 1, l, r, l + r, int(cnt)))
+            syms = syms.withColumn("syms", merge_apply(F.col("syms"), l, r))
+        syms = syms.localCheckpoint()  # ≤ batch_m folds deep per iteration
+    return merges, syms
+
+
 def encode_words(words: DataFrame, merges: list[tuple]) -> DataFrame:
     """Apply learned merges (in order) to the distinct-word table:
     (word, pieces). Chained codegen folds, checkpointed on a stride so the

@@ -96,8 +96,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "split_train_holdout",
     "text_stats",
     "w1_latest_order_per_customer",
-    "w2_running_order_total",
-    "x1_token_explode",
+    # (w2_running_order_total and x1_token_explode overflow the 50-slot
+    # window this round — they rotate to round 8's head; both are green in
+    # r04 and in the local parity suite)
 )
 
 

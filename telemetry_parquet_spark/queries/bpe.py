@@ -138,6 +138,58 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_learn_merges_batched",
+    # The SAME recursive-CTE oracle as bpe_learn_merges: the sequential
+    # strict-BPE replay. A green row here IS the driver-checked proof that
+    # the batched selector (datapipe/bpe.py learn_bpe_batched) admits
+    # exactly the sequential merge sequence.
+    oracle=f"""
+    WITH RECURSIVE
+    {_STATE_CTE},
+    pairs AS (
+      SELECT step, syms[p] AS l, syms[p+1] AS r, SUM(freq) AS cnt
+      FROM st, LATERAL unnest(range(1, len(syms))) AS u(p)
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT step, l, r, cnt,
+             ROW_NUMBER() OVER (PARTITION BY step
+                                ORDER BY cnt DESC, l, r) AS rn
+      FROM pairs
+    )
+    SELECT CAST(step + 1 AS INT) AS step, l AS left_sym, r AS right_sym,
+           l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
+    FROM best WHERE rn = 1 AND step < {N_MERGES}
+    """,
+)
+def bpe_learn_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE learning under the sequential oracle: per iteration one
+    pair-count job + one driver collect admits a provably-compatible
+    rank-prefix of merges (symbol-disjoint, created-pair bounds strictly
+    below every later admit, no merged-string aliasing — see
+    learn_bpe_batched), removing the per-merge driver round-trip that
+    bounds learn_bpe at production merge counts (SCALE.md measures the
+    crossover at sf0.1/merges=256)."""
+    from telemetry_parquet_spark.datapipe.bpe import (
+        learn_bpe_batched,
+        word_freqs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = learn_bpe_batched(word_freqs(docs), num_merges=N_MERGES)
+    schema = StructType(
+        [
+            StructField("step", IntegerType()),
+            StructField("left_sym", StringType()),
+            StructField("right_sym", StringType()),
+            StructField("merged", StringType()),
+            StructField("pair_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+@query(
     "encode_bpe_ids",
     oracle=f"""
     WITH RECURSIVE

@@ -98,3 +98,79 @@ def test_chars_splits_to_characters(spark):
     df = spark.createDataFrame([("abc",), ("x",)], ["w"])
     got = {r.w: list(r.c) for r in df.select("w", chars("w").alias("c")).collect()}
     assert got == {"abc": ["a", "b", "c"], "x": ["x"]}
+
+
+def test_batched_equals_sequential_on_vocab(spark):
+    """learn_bpe_batched must reproduce the strict sequential merge list
+    (steps, pairs, counts) and final state exactly — here on a vocabulary
+    mixing overlap runs, shared symbols, and deep merge chains."""
+    from telemetry_parquet_spark.datapipe.bpe import learn_bpe_batched
+
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaa": 4,
+          "aaaa": 2, "a": 9}
+    df = spark.createDataFrame(list(wf.items()), ["word", "freq"])
+    exp_merges, exp_state = _py_bpe(wf, 12)
+    got_merges, got_state = learn_bpe_batched(df, num_merges=12, batch_m=8)
+    assert got_merges == exp_merges
+    assert {r.word: list(r.syms) for r in got_state.collect()} == exp_state
+
+
+def test_batched_handles_aliasing_and_ties(spark):
+    """Adversarial corpora for every batch-closing rule: merged-string
+    aliasing ('ab' already a symbol via earlier merges / concat collisions
+    'ab'+'c' vs 'a'+'bc'), count ties that must fall to the lexicographic
+    tiebreak, and created pairs whose counts sit exactly at the admit
+    boundary. Equality with the sequential pure-Python replay proves the
+    selector stopped every time it had to."""
+    from telemetry_parquet_spark.datapipe.bpe import learn_bpe_batched
+
+    vocabs = [
+        # aliasing: frequent (a,b) merge creates symbol 'ab' while 'ab'-ish
+        # contexts keep the created pairs hot
+        {"abab": 10, "abc": 9, "ab": 8, "cab": 7, "abcab": 6},
+        # exact count ties everywhere: lexicographic order decides each step
+        {"ab": 3, "cd": 3, "ef": 3, "gh": 3},
+        # created-pair preemption: merging (a,b) in 'xabx' makes (x,ab)/(ab,x)
+        # nearly as frequent as the next original pair
+        {"xabx": 5, "yz": 5, "xa": 1, "bx": 1},
+        # concat collision: 'ab'+'c' vs 'a'+'bc' both merge to 'abc'
+        {"abc": 6, "a": 3, "ab": 5, "bc": 5, "abcabc": 2},
+        # overlap runs with left==right pairs
+        {"aaaa": 4, "aaab": 3, "baaa": 2, "bb": 7},
+    ]
+    for wf in vocabs:
+        df = spark.createDataFrame(list(wf.items()), ["word", "freq"])
+        for n in (6, 10):
+            exp_merges, exp_state = _py_bpe(wf, n)
+            got_merges, got_state = learn_bpe_batched(df, num_merges=n, batch_m=4)
+            assert got_merges == exp_merges, (wf, n)
+            assert {
+                r.word: list(r.syms) for r in got_state.collect()
+            } == exp_state, (wf, n)
+
+
+def test_batched_random_corpora_property(spark):
+    """Randomized (seeded) small-alphabet vocabularies — small alphabets
+    maximize symbol collisions, ties, aliasing, and created-pair pressure,
+    the exact conditions the batch selector must detect."""
+    import random
+
+    from telemetry_parquet_spark.datapipe.bpe import learn_bpe_batched
+
+    rng = random.Random(1234)
+    for trial in range(6):
+        wf = {}
+        for _ in range(rng.randint(4, 10)):
+            w = "".join(rng.choice("ab c") for _ in range(rng.randint(1, 6)))
+            w = w.replace(" ", "")
+            if w:
+                wf[w] = wf.get(w, 0) + rng.randint(1, 9)
+        if not wf:
+            continue
+        df = spark.createDataFrame(list(wf.items()), ["word", "freq"])
+        exp_merges, exp_state = _py_bpe(wf, 8)
+        got_merges, got_state = learn_bpe_batched(df, num_merges=8, batch_m=4)
+        assert got_merges == exp_merges, (trial, wf)
+        assert {
+            r.word: list(r.syms) for r in got_state.collect()
+        } == exp_state, (trial, wf)

@@ -105,3 +105,74 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     q.awaitTermination()
     ids = sorted(r.id for r in spark.table("dedup_out").collect())
     assert ids == [1, 2, 3]
+
+
+def test_windowed_histogram_watermark_eviction(spark, tmp_path):
+    """Watermark hygiene for the streaming sketch build (VERDICT r6 #7):
+    four micro-batches — hour-0 data, two watermark-advancing hour-6
+    batches, then a LATE hour-0 duplicate. The finalized hour-0 window
+    must count only the on-time rows (late row dropped by the watermark),
+    the drop must be visible in the progress metrics, and the final state
+    row count must be bounded by the LIVE windows' bins (evicted hour-0
+    rows gone), proving state is bins-per-live-window, not history-sized.
+    The late batch arrives one batch AFTER the advance because the
+    late-row filter applies the watermark computed from prior batches."""
+    import os
+    import time as _time
+
+    from telemetry_parquet_spark.streaming.pipelines import windowed_histogram
+
+    d = str(tmp_path / "hist_src")
+    os.makedirs(d)
+
+    def _write(sub, rows):
+        spark.createDataFrame(rows, ["t", "event_type", "value"]).withColumn(
+            "ts", F.col("t").cast("timestamp")
+        ).drop("t").coalesce(1).write.parquet(f"{d}/{sub}")
+        _time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    _write("b1", [("2024-01-01 00:10:00", "a", 5.0),
+                  ("2024-01-01 00:20:00", "a", 5.0)])
+    _write("b2", [("2024-01-01 06:00:00", "a", 5.0)])
+    _write("b3", [("2024-01-01 06:05:00", "a", 5.0)])
+    _write("b4", [("2024-01-01 00:15:00", "a", 5.0)])  # late duplicate
+
+    schema = spark.read.parquet(d + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(d)
+    )
+    out = windowed_histogram(stream, watermark="10 minutes", streaming=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hist_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p is not None]
+
+    emitted = spark.table("hist_evict").collect()
+    hour0 = [r for r in emitted if str(r.window_start).startswith("2024-01-01 00:")]
+    # the hour-0 window finalized with ONLY the two on-time rows
+    assert sum(r.cnt for r in hour0) == 2, emitted
+    # the late duplicate was dropped by the watermark, and the metric says so
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped >= 1, progresses
+    # state hygiene: after eviction the store holds only the LIVE hour-6
+    # window's bins (1 key x 1 bin), never the full history of windows
+    finals = [
+        op["numRowsTotal"]
+        for p in progresses[-2:]
+        for op in p.get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    assert finals and finals[-1] <= 2, progresses
