@@ -95,6 +95,9 @@ HEADLINE = [
     "basket_part_pairs",
     "footer_stats_lineitem",
     "bpe_learn_merges_batched",
+    # blocked fuzzy entity resolution (block-key self-join + codegen
+    # levenshtein verify — the never-all-pairs record-linkage shape)
+    "er_fuzzy_customer_pairs",
 ]
 
 

@@ -23,6 +23,7 @@ from telemetry_parquet_spark.queries import qsketch  # noqa: F401, E402
 from telemetry_parquet_spark.queries import semantic  # noqa: F401, E402
 from telemetry_parquet_spark.queries import pipeline  # noqa: F401, E402
 from telemetry_parquet_spark.queries import pq  # noqa: F401, E402
+from telemetry_parquet_spark.queries import entity  # noqa: F401, E402
 
 # The driver evaluates exactly the first 50 entries of ``queries()`` in
 # registration order. Until every query has appeared green in some
@@ -46,6 +47,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 7
     "ml_als_recall_eval",
     "bpe_learn_merges_batched",
+    "er_fuzzy_customer_pairs",
+    "er_entity_groups",
     # latest driver row r02
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -94,11 +97,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ivf_exact_topk",
     "sim_ivf_probe_topk",
     "split_train_holdout",
-    "text_stats",
-    "w1_latest_order_per_customer",
-    # (w2_running_order_total and x1_token_explode overflow the 50-slot
-    # window this round — they rotate to round 8's head; both are green in
-    # r04 and in the local parity suite)
+    # (text_stats, w1_latest_order_per_customer, w2_running_order_total and
+    # x1_token_explode overflow the 50-slot window this round — they rotate
+    # to round 8's head; all are green in r04 and in the local parity suite)
 )
 
 
