@@ -98,6 +98,16 @@ HEADLINE = [
     # blocked fuzzy entity resolution (block-key self-join + codegen
     # levenshtein verify — the never-all-pairs record-linkage shape)
     "er_fuzzy_customer_pairs",
+    # KMV/theta audience-overlap matrix (distinct-sketch set algebra:
+    # corpus touched once by the sketch build, pairwise set ops run on
+    # k-rows-per-group tables)
+    "theta_audience_overlap",
+    # day-spine gap fill + interpolation (one key shuffle shared by the
+    # spine join and both ignore-null window scans)
+    "ts_gap_fill_interpolate",
+    # two-proportion experiment readout (distinct + co-partitioned join +
+    # 1-row broadcast)
+    "ab_test_zscores",
 ]
 
 

@@ -24,6 +24,7 @@ from telemetry_parquet_spark.queries import semantic  # noqa: F401, E402
 from telemetry_parquet_spark.queries import pipeline  # noqa: F401, E402
 from telemetry_parquet_spark.queries import pq  # noqa: F401, E402
 from telemetry_parquet_spark.queries import entity  # noqa: F401, E402
+from telemetry_parquet_spark.queries import theta  # noqa: F401, E402
 
 # The driver evaluates exactly the first 50 entries of ``queries()`` in
 # registration order. Until every query has appeared green in some
@@ -49,6 +50,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_learn_merges_batched",
     "er_fuzzy_customer_pairs",
     "er_entity_groups",
+    "ts_gap_fill_interpolate",
+    "ab_test_zscores",
+    "theta_sketch_users",
+    "theta_distinct_users",
+    "theta_audience_overlap",
     # latest driver row r02
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -92,12 +98,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "p7_column_expressions",
     "pack_sequences",
     "pii_redaction",
-    "rep_repetition_features",
-    "sim_brute_force_topk",
-    "sim_ivf_exact_topk",
-    "sim_ivf_probe_topk",
-    "split_train_holdout",
-    # (text_stats, w1_latest_order_per_customer, w2_running_order_total and
+    # (rep_repetition_features, sim_brute_force_topk, sim_ivf_exact_topk,
+    # sim_ivf_probe_topk, split_train_holdout, text_stats,
+    # w1_latest_order_per_customer, w2_running_order_total and
     # x1_token_explode overflow the 50-slot window this round — they rotate
     # to round 8's head; all are green in r04 and in the local parity suite)
 )

@@ -268,3 +268,97 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), F.col("part_a"), F.col("part_b"))
         .limit(TOP_BASKET_PAIRS)
     )
+
+
+@query(
+    "ab_test_zscores",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+    ), arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM users
+    ), conv AS (
+      SELECT e.event_type,
+             CAST(SUM(CASE WHEN u.arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN u.arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM (SELECT DISTINCT event_type, user_id FROM events) e
+      JOIN users u USING (user_id)
+      GROUP BY e.event_type
+    )
+    SELECT event_type, n0, n1, c0, c1,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+           round(CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+                 ELSE (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                      / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                             * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                             * (1.0 / n0 + 1.0 / n1)) END, 6) AS z
+    FROM conv, arms
+    """,
+)
+def ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per conversion metric: users hash into two
+    arms (deterministic ``user_id % 2`` — the assignment a real experiment
+    framework persists), conversion = the user emitted that event type at
+    least once, z = pooled two-proportion statistic. The experimentation
+    readout every telemetry consumer builds on top of the raw events.
+
+    Scale: ONE distinct over (event_type, user_id) (map-side combinable)
+    joined to the user→arm table co-partitioned on user_id; arm totals are
+    a 1-row broadcast crossJoin. z is codegen arithmetic on integer-
+    derived doubles rounded to 6dp — exact cross-engine. Degenerate arms
+    (p pooled ∈ {0, 1} → division by zero) surface as NULL z on both
+    engines rather than a silent drop."""
+    events = load_table(spark, sf_dir, "events")
+    users = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("arm", F.pmod("user_id", F.lit(2)))
+    )
+    arms = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    conv = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .join(users, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+        )
+    )
+    j = conv.crossJoin(F.broadcast(arms))
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = F.try_divide(
+        p0 - p1,
+        F.sqrt(
+            pp * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+        ),
+    )
+    return j.select(
+        "event_type",
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(z, 6).alias("z"),
+    )

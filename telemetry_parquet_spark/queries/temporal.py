@@ -122,3 +122,76 @@ def rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "ts_gap_fill_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id % 25 AS bucket, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events
+      WHERE event_type = 'error' AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), spine AS (
+      SELECT bucket, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM (SELECT bucket, MIN(day) AS d0, MAX(day) AS d1
+            FROM daily GROUP BY bucket)
+    ), joined AS (
+      SELECT s.bucket, s.day, d.v,
+             LAST_VALUE(d.v IGNORE NULLS) OVER (
+               PARTITION BY s.bucket ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER (PARTITION BY s.bucket ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             FIRST_VALUE(d.v IGNORE NULLS) OVER (
+               PARTITION BY s.bucket ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER (PARTITION BY s.bucket ORDER BY s.day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM spine s LEFT JOIN daily d USING (bucket, day)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, day,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE round(pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                             / CAST(nd - pd AS DOUBLE)), 6)
+           END AS v,
+           (v IS NULL) AS interpolated
+    FROM joined
+    """,
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily grid for the per-bucket 'error' value series: days
+    missing inside a bucket's observed range are linearly interpolated
+    between the nearest observed neighbors (operators/timeseries.py — one
+    key-partitioned shuffle shared by spine join and both ignore-null
+    window scans; spine explode is calendar-sized, never event-sized)."""
+    from telemetry_parquet_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.where(
+            (F.col("event_type") == "error") & F.col("value").isNotNull()
+        )
+        .groupBy(
+            F.pmod(F.col("user_id"), F.lit(25)).alias("bucket"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(
+            F.sum(F.round("value", 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return gap_fill_interpolate(
+        daily, key_col="bucket", day_col="day", value_col="v"
+    ).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "day",
+        "v",
+        "interpolated",
+    )

@@ -1,0 +1,183 @@
+"""KMV / theta-sketch queries (datapipe/theta.py): sketch content, distinct
+estimates, and the pairwise audience-overlap matrix — all under EXACT DuckDB
+oracles because the sketch is built on the engine-portable md5_hash60 and
+the estimate arithmetic mirrors operation-for-operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.queries.corpus import _md5h60_sql
+from telemetry_parquet_spark.queries.registry import query
+from telemetry_parquet_spark.sources.tables import load_table
+
+K = 32
+_HS = 1 << 60
+
+_SKETCH_CTE = f"""
+d AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE user_id IS NOT NULL
+),
+hv AS (
+  SELECT DISTINCT event_type, {_md5h60_sql('k')} AS h FROM d
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+  FROM hv
+),
+sk AS (SELECT * FROM r WHERE rank <= {K}),
+t AS (
+  SELECT event_type, COUNT(*) AS n_sample,
+         CASE WHEN COUNT(*) >= {K} THEN MAX(h) ELSE {_HS} END AS theta
+  FROM sk GROUP BY event_type
+)
+"""
+
+
+@query(
+    "theta_sketch_users",
+    oracle=f"""
+    WITH {_SKETCH_CTE}
+    SELECT event_type, CAST(rank AS INT) AS rank, CAST(h AS BIGINT) AS h
+    FROM sk
+    """,
+)
+def theta_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch CONTENT per event type: the {K} smallest distinct-user
+    hashes — the persistable rows a daily audience pipeline stores and
+    merges (re-rank the unioned samples). The driver gate checks every
+    (rank, hash) value, the CMS/quantile sketch-content discipline."""
+    from telemetry_parquet_spark.datapipe.theta import kmv_sketch
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    return kmv_sketch(events, "event_type", "user_id", k=K).select(
+        "event_type", F.col("rank").cast("int").alias("rank"), "h"
+    )
+
+
+@query(
+    "theta_distinct_users",
+    oracle=f"""
+    WITH {_SKETCH_CTE},
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT t.event_type,
+           round(CASE WHEN t.n_sample >= {K}
+                      THEN {float(K - 1)!r} * ({float(_HS)!r} / CAST(t.theta AS DOUBLE))
+                      ELSE CAST(t.n_sample AS DOUBLE) END, 6) AS est_distinct,
+           CAST(ex.exact AS BIGINT) AS exact_distinct
+    FROM t JOIN ex USING (event_type)
+    """,
+)
+def theta_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct estimate (k−1)·2^60/θ next to the exact relational
+    count — the estimator plus its own honesty column, exactness-gated
+    because both are deterministic (the sim_adc_recall_eval pattern)."""
+    from telemetry_parquet_spark.datapipe.theta import (
+        kmv_distinct_estimates,
+        kmv_sketch,
+    )
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    sk = kmv_sketch(events, "event_type", "user_id", k=K)
+    est = kmv_distinct_estimates(sk, "event_type", k=K)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "est_distinct", "exact_distinct"
+    )
+
+
+@query(
+    "theta_audience_overlap",
+    oracle=f"""
+    WITH {_SKETCH_CTE},
+    pr AS (
+      SELECT a.event_type AS group_a, b.event_type AS group_b,
+             least(a.theta, b.theta) AS theta
+      FROM t a JOIN t b ON a.event_type < b.event_type
+    ),
+    inter AS (
+      SELECT p.group_a, p.group_b, COUNT(*) AS n_ret
+      FROM pr p
+      JOIN sk x ON x.event_type = p.group_a AND x.h < p.theta
+      JOIN sk y ON y.event_type = p.group_b AND y.h = x.h
+      GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT group_a, group_b, COUNT(*) AS n_uni FROM (
+        SELECT DISTINCT p.group_a, p.group_b, x.h
+        FROM pr p JOIN sk x
+          ON (x.event_type = p.group_a OR x.event_type = p.group_b)
+         AND x.h < p.theta
+      ) GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT a.event_type AS group_a, b.event_type AS group_b,
+             COUNT(*) AS exact
+      FROM d a JOIN d b ON a.k = b.k AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.group_a, p.group_b,
+           CAST(COALESCE(i.n_ret, 0) AS BIGINT) AS n_retained,
+           round(CAST(COALESCE(i.n_ret, 0) AS DOUBLE)
+                 * ({float(_HS)!r} / CAST(p.theta AS DOUBLE)), 6)
+             AS est_intersection,
+           round(CAST(COALESCE(u.n_uni, 0) AS DOUBLE)
+                 * ({float(_HS)!r} / CAST(p.theta AS DOUBLE)), 6)
+             AS est_union,
+           CAST(COALESCE(ex.exact, 0) AS BIGINT) AS exact_intersection
+    FROM pr p
+    LEFT JOIN inter i USING (group_a, group_b)
+    LEFT JOIN uni u USING (group_a, group_b)
+    LEFT JOIN ex USING (group_a, group_b)
+    """,
+)
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The theta-sketch payoff: every pairwise audience intersection AND
+    union estimate from sketch-sized tables alone (HLL cannot intersect),
+    next to the exact relational intersection. At 100 TB the overlap
+    matrix for G groups costs G·k sketch rows at query time — the corpus
+    was touched once, by the sketch build."""
+    from telemetry_parquet_spark.datapipe.theta import (
+        kmv_pair_set_estimates,
+        kmv_sketch,
+    )
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    sk = kmv_sketch(events, "event_type", "user_id", k=K)
+    est = kmv_pair_set_estimates(sk, "event_type", k=K)
+    d = events.select("event_type", "user_id").distinct()
+    exact = (
+        d.select(F.col("event_type").alias("group_a"), "user_id")
+        .join(
+            d.select(F.col("event_type").alias("group_b"), "user_id"),
+            "user_id",
+        )
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    return est.join(exact, ["group_a", "group_b"], "left").select(
+        "group_a",
+        "group_b",
+        "n_retained",
+        "est_intersection",
+        "est_union",
+        F.coalesce("exact_intersection", F.lit(0))
+        .cast("bigint")
+        .alias("exact_intersection"),
+    )

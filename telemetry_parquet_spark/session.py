@@ -36,6 +36,14 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Subset co-partitioning: let a join on (k, d) accept children hash-
+    # partitioned on k alone (correct — equal (k, d) still co-locate).
+    # Operators that join on (key, time) and then window by key
+    # (operators/timeseries.py) run on ONE key shuffle instead of a
+    # (key, time) join shuffle plus a key window re-shuffle. Results are
+    # partitioning-invariant; a vanilla session just pays the extra
+    # exchanges.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     # parquet output sizing: the reference tuned parquet.block.size to
     # 256-512 MiB for S3-friendly files (MainEventsView.scala:34-36); modern
     # equivalent is the writer block size + AQE-coalesced output partitions.
