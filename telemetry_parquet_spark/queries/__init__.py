@@ -55,6 +55,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "theta_sketch_users",
     "theta_distinct_users",
     "theta_audience_overlap",
+    "theta_daily_merge",
+    "path_transition_matrix",
+    "ts_anomaly_days",
     # latest driver row r02
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -95,10 +98,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lang_id",
     "mix_sampled_corpus",
     "mm_image_near_dup",
-    "p7_column_expressions",
-    "pack_sequences",
-    "pii_redaction",
-    # (rep_repetition_features, sim_brute_force_topk, sim_ivf_exact_topk,
+    # (p7_column_expressions, pack_sequences, pii_redaction,
+    # rep_repetition_features, sim_brute_force_topk, sim_ivf_exact_topk,
     # sim_ivf_probe_topk, split_train_holdout, text_stats,
     # w1_latest_order_per_customer, w2_running_order_total and
     # x1_token_explode overflow the 50-slot window this round — they rotate

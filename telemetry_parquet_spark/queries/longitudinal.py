@@ -362,3 +362,64 @@ def ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("p1"),
         F.round(z, 6).alias("z"),
     )
+
+
+@query(
+    "path_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt
+    """,
+)
+def path_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event path:
+    (from_type, to_type, count, row-normalized probability) — the
+    navigation-flow readout behind sankey/journey dashboards and simple
+    next-event predictors.
+
+    Scale: ONE shuffle on user_id for the lead() window (deterministic
+    (ts, event_id) order), then a states²-bounded count agg — the output
+    is |event_types|², dashboard-sized at any event volume. The
+    probability normalization windows the POST-AGG matrix, not the event
+    stream."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    cnt = (
+        ordered.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("from_type")),
+            6,
+        ).alias("p"),
+    )

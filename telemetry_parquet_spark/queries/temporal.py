@@ -195,3 +195,79 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         "interpolated",
     )
+
+
+@query(
+    "ts_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, day, n,
+             COUNT(*) OVER f AS c,
+             SUM(n) OVER f AS s,
+             SUM(n * n) OVER f AS ss
+      FROM daily
+      WINDOW f AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ), scored AS (
+      SELECT event_type, day, n, c,
+             CAST(s AS DOUBLE) / c AS mean7,
+             sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / c)
+                           / c, 0.0)) AS sd7
+      FROM w
+    )
+    SELECT event_type, day, n,
+           round(CASE WHEN c >= 2 THEN mean7 END, 6) AS mean7,
+           round(CASE WHEN c >= 2 AND sd7 <> 0.0
+                      THEN (n - mean7) / sd7 END, 6) AS z,
+           COALESCE(CASE WHEN c >= 2 AND sd7 <> 0.0
+                         THEN abs((n - mean7) / sd7) > 2.0 END,
+                    FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def ts_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scoring on the per-type daily event-count
+    series: each day's count against the mean/stddev of its previous ≤7
+    observed days (population stddev; warm-up and flat windows yield NULL
+    z, never a division error). The monitoring sibling of
+    ``ts_gap_fill_interpolate`` — the alerting query every telemetry
+    pipeline runs on its daily rollups.
+
+    Scale: one map-side-combinable daily count agg, then three window
+    aggregates over the SAME (event_type)-partitioned day-ordered frame —
+    one shuffle of a days×types-sized table. Integer counts make every
+    windowed sum exact; the z arithmetic is a single double expression
+    mirrored operation-for-operation in the oracle."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    c = F.count("n").over(f)
+    s = F.sum("n").over(f)
+    ss = F.sum(F.col("n") * F.col("n")).over(f)
+    mean7 = s.cast("double") / c
+    sd7 = F.sqrt(
+        F.greatest(
+            (ss.cast("double") - s.cast("double") * s / c) / c, F.lit(0.0)
+        )
+    )
+    z = F.when((c >= 2) & (sd7 != 0.0), (F.col("n") - mean7) / sd7)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.when(c >= 2, mean7), 6).alias("mean7"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
+    )

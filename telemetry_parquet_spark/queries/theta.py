@@ -181,3 +181,48 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("exact_intersection"),
     )
+
+
+@query(
+    "theta_daily_merge",
+    # oracle = the DIRECT whole-corpus sketch: a green row is the
+    # cross-engine, driver-checked proof that per-day sketches merged by
+    # re-ranking equal the sketch of the union — the property that lets a
+    # daily pipeline persist k-row sketch tables and never re-touch
+    # history. (Proof sketch: any globally k-smallest hash is necessarily
+    # among its own day's k smallest, so the union of day samples contains
+    # the global top-k; property-tested in test_theta.py, re-proven here
+    # by the driver against DuckDB.)
+    oracle=f"""
+    WITH {_SKETCH_CTE}
+    SELECT event_type, CAST(rank AS INT) AS rank, CAST(h AS BIGINT) AS h
+    FROM sk
+    """,
+)
+def theta_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a KMV sketch PER (event_type, day), then merge each type's
+    day sketches by re-ranking the unioned samples — the daily-pipeline
+    persistence path — and emit the merged content, gated against the
+    direct whole-corpus sketch."""
+    from pyspark.sql import Window
+
+    from telemetry_parquet_spark.datapipe.theta import kmv_sketch
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    ev = events.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    ).withColumn(
+        "g", F.concat_ws("\x1f", "event_type", F.col("day").cast("string"))
+    )
+    daily = kmv_sketch(ev, "g", "user_id", k=K)
+    samples = daily.select(
+        F.split("g", "\x1f").getItem(0).alias("event_type"), "h"
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    return (
+        samples.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K)
+        .select("event_type", F.col("rank").cast("int").alias("rank"), "h")
+    )
