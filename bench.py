@@ -108,6 +108,15 @@ HEADLINE = [
     # two-proportion experiment readout (distinct + co-partitioned join +
     # 1-row broadcast)
     "ab_test_zscores",
+    # degree-oriented triangle counting (edge derivation = order-keyed
+    # self-join, wedge join bounded O(m^1.5) by orientation — never Σ deg²)
+    "graph_triangle_count",
+    # BM25 ranked retrieval (broadcast query-term prune + 1-row stats
+    # broadcast + order-independent integer-sum scoring)
+    "bm25_topk_docs",
+    # batch KNN join / KNN-graph (broadcast query batch × corpus scan,
+    # linear in the corpus; per-query rank window)
+    "sim_knn_graph",
 ]
 
 

@@ -65,10 +65,13 @@ def pairwise_top_k(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k corpus neighbors for each query row: broadcast the (small) query
     set against the corpus, score, rank per query. For large query sets use
-    ``lsh_bucket_top_k``."""
+    ``lsh_bucket_top_k``. With ``exclude_self`` a corpus row whose id equals
+    the query id is dropped before ranking (the KNN-graph shape, where the
+    query batch is itself a slice of the corpus)."""
     from pyspark.sql import Window as W
 
     q = queries.select(
@@ -79,6 +82,8 @@ def pairwise_top_k(
         corpus_id,
         F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine_sim"),
     )
+    if exclude_self:
+        scored = scored.where(F.col(corpus_id) != F.col(query_id))
     w = W.partitionBy(query_id).orderBy(
         F.desc("cosine_sim"), F.asc(corpus_id)
     )

@@ -186,6 +186,48 @@ def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_knn_graph",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 25 = 0
+    ), pairs AS (
+      SELECT q.query_id, e.vec_id,
+             UNNEST(CAST(e.embedding AS DOUBLE[])) AS a,
+             UNNEST(q.qv) AS b
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ), scored AS (
+      SELECT query_id, vec_id,
+             round(SUM(a*b) / (sqrt(SUM(a*a)) * sqrt(SUM(b*b))), 6)
+               AS cosine_sim
+      FROM pairs GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) <= 5
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN join (the KNN-graph shape): every 25th vector is a query
+    row; each gets its 5 nearest corpus neighbors by cosine, self excluded.
+    The query batch is broadcast against the corpus (|batch| × |corpus|
+    scored pairs — LINEAR in the corpus for a bounded batch, never
+    corpus²); per-query ranking is a hash-partitioned window. For
+    corpus-sized query sets the scale path is the LSH/IVF-bucketed join
+    (``lsh_bucket_top_k`` / ``datapipe/ivf.py``), which replaces the
+    broadcast with an equi-join on bucket signatures."""
+    from telemetry_parquet_spark.datapipe.similarity import pairwise_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pairwise_top_k(queries, emb, k=5, exclude_self=True)
+
+
 # Shared by dd_ngram_jaccard_pairs (the exact operator) and
 # dd_minhash_near_dup_pairs (whose verify stage recomputes exact Jaccard on
 # LSH candidates, so its OUTPUT is deterministic and equals the exact pair

@@ -1,0 +1,119 @@
+"""Behavior tests for triangle counting (operators/graph_metrics.py) and
+BM25 retrieval (datapipe/retrieval.py) — the cross-engine value checks live
+in test_oracle_parity.py; these pin the operator semantics on hand-built
+inputs where the right answer is computable by eye (or by a brute-force
+reference in plain Python)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.datapipe.retrieval import bm25_top_k
+from telemetry_parquet_spark.datapipe.similarity import pairwise_top_k
+from telemetry_parquet_spark.operators.graph_metrics import (
+    canonical_edges,
+    triangle_counts,
+)
+
+
+def _counts(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["node_id"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+
+
+def test_two_triangles_sharing_an_edge(spark):
+    # 1-2-3 and 2-3-4 share edge (2,3)
+    got = _counts(spark, [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)])
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_directed_duplicates_and_loops_are_canonicalized(spark):
+    # same triangle given as both directions + a loop + a repeat
+    got = _counts(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_no_triangles_in_a_star(spark):
+    # hub-and-spoke has wedges everywhere but no closing edges — the case
+    # where a naive Σ deg² enumeration does all its work for nothing
+    got = _counts(spark, [(0, i) for i in range(1, 8)])
+    assert got == {}
+
+
+def test_triangle_counts_match_bruteforce_on_random_graph(spark):
+    rng = random.Random(7)
+    nodes = list(range(20))
+    edges = sorted(
+        {(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.3}
+    )
+    eset = set(edges)
+    expect: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    assert _counts(spark, edges) == expect
+
+
+def test_canonical_edges_dedups_both_directions(spark):
+    df = spark.createDataFrame([(5, 3), (3, 5), (3, 5), (4, 4)], ["src", "dst"])
+    rows = {(r["a"], r["b"]) for r in canonical_edges(df).collect()}
+    assert rows == {(3, 5)}
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_bm25_only_matching_docs_are_scored(spark):
+    docs = _docs(spark, ["apple banana", "cherry date", "apple apple fig"])
+    out = bm25_top_k(spark, docs, ["apple"], k=10).collect()
+    assert {r["doc_id"] for r in out} == {0, 2}
+    assert all(r["bm25"] > 0 for r in out)
+
+
+def test_bm25_rewards_tf_and_penalizes_length(spark):
+    # doc 1 repeats the term in the same length → higher score than doc 0;
+    # doc 2 has the same single occurrence diluted in a longer doc → lower
+    docs = _docs(
+        spark,
+        [
+            "target filler filler filler",
+            "target target filler filler",
+            "target filler filler filler filler filler filler filler",
+        ],
+    )
+    got = {
+        r["doc_id"]: r["bm25"] for r in bm25_top_k(spark, docs, ["target"]).collect()
+    }
+    assert got[1] > got[0] > got[2]
+
+
+def test_bm25_micros_is_the_exact_sort_key(spark):
+    docs = _docs(spark, ["a b c", "a a b", "b c c a"])
+    rows = bm25_top_k(spark, docs, ["a", "c"], k=10).collect()
+    micros = [r["bm25_micros"] for r in rows]
+    assert micros == sorted(micros, reverse=True)
+    for r in rows:
+        assert r["bm25"] == round(r["bm25_micros"] / 1e6, 6)
+
+
+def test_pairwise_top_k_exclude_self(spark):
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    corpus = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = corpus.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pairwise_top_k(queries, corpus, k=2, exclude_self=True).collect()
+    assert all(r["query_id"] != r["vec_id"] for r in out)
+    per_q: dict[int, int] = {}
+    for r in out:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(v == 2 for v in per_q.values()) and len(per_q) == 4

@@ -99,3 +99,32 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     one exchange total."""
     df = QUERIES["sessionize_events"](spark, sf_dir)
     assert exchange_count(df) == 1
+
+
+def test_bm25_broadcasts_query_terms_and_stats(spark, sf_dir):
+    """bm25_topk_docs: the query-term semi-join and the 1-row stats join
+    must both be broadcast (postings pruned corpus-side, no shuffled dim),
+    and the top-k must compile to TakeOrderedAndProject, not a global sort."""
+    df = QUERIES["bm25_topk_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_graph_is_broadcast_not_shuffle(spark, sf_dir):
+    """sim_knn_graph: the query batch joins the corpus via a broadcast
+    (nested-loop on the tiny batch — the intended linear-scan shape), so no
+    shuffle may appear before the per-query ranking window."""
+    df = QUERIES["sim_knn_graph"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly one exchange: the hash partitioning for the ranking window
+    assert exchange_count(df) == 1
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """graph_triangle_count: every join (edge derivation, degree attach,
+    wedge, closing) is an equi-join — a cartesian anywhere here is the
+    Σ deg² blow-up the degree orientation exists to prevent."""
+    df = QUERIES["graph_triangle_count"](spark, sf_dir)
+    assert not has_nested_loop_join(df)
