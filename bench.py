@@ -117,6 +117,9 @@ HEADLINE = [
     # batch KNN join / KNN-graph (broadcast query batch × corpus scan,
     # linear in the corpus; per-query rank window)
     "sim_knn_graph",
+    # full-corpus KNN graph via signature-bucket equi-join (Σ|bucket|²,
+    # never corpus²) — the corpus-sized-batch scale path, exactly oracled
+    "sim_knn_graph_lsh",
 ]
 
 

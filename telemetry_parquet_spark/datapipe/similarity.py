@@ -132,6 +132,7 @@ def lsh_bucket_top_k(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate per-query top-k: bucket corpus and queries by hyperplane
     signature, equi-join buckets (shuffle on the signature — ~2^bits
@@ -153,6 +154,8 @@ def lsh_bucket_top_k(
         corpus_id,
         F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine_sim"),
     )
+    if exclude_self:
+        scored = scored.where(F.col(corpus_id) != F.col(query_id))
     w = W.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.asc(corpus_id))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

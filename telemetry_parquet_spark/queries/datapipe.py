@@ -228,6 +228,58 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_top_k(queries, emb, k=5, exclude_self=True)
 
 
+def _knn_lsh_oracle(dim: int = 64, bits: int = 4, seed: int = 42, k: int = 3) -> str:
+    """DuckDB replay of the LSH-bucketed KNN graph: the hyperplanes are
+    deterministic driver constants (same ``_hyperplanes`` call as the Spark
+    side), so the signature, the bucket self-join, the cosine rescore, and
+    the per-query ranking all replay exactly — the whole APPROXIMATE ANN
+    config sits under an exact cross-engine gate (the
+    ``dd_embedding_near_dup_lsh`` precedent, extended to ranked output)."""
+    from telemetry_parquet_spark.datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    terms = " + ".join(
+        "(CASE WHEN list_inner_product(v, ["
+        + ",".join(repr(float(x)) for x in p)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "round(list_inner_product(q.v, c.v) / "
+        "(sqrt(list_inner_product(q.v, q.v)) * "
+        "sqrt(list_inner_product(c.v, c.v))), 6)"
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sig AS (
+      SELECT vec_id, v, {terms} AS s FROM vecs
+    )
+    SELECT q.vec_id AS query_id, c.vec_id, {cos} AS cosine_sim
+    FROM sig q JOIN sig c ON q.s = c.s AND q.vec_id <> c.vec_id
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC) <= {k}
+    """
+
+
+@query("sim_knn_graph_lsh", oracle=_knn_lsh_oracle())
+def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus KNN graph, the scale path: EVERY vector is a query, and
+    candidates come from an equi-join on the 4-bit hyperplane signature —
+    Σ|bucket|² comparisons instead of corpus² (the broadcast batch shape of
+    ``sim_knn_graph`` stops scaling once the batch is corpus-sized). The
+    blocking is deterministic, so unlike most ANN configs this one carries
+    an EXACT oracle; recall vs the exact graph trades with ``bits`` and is
+    bounded in tests. Production: bits 8-16 + multi-probe bit flips."""
+    from telemetry_parquet_spark.datapipe.similarity import lsh_bucket_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_bucket_top_k(
+        queries, emb, dim=64, bits=4, k=3, exclude_self=True
+    )
+
+
 # Shared by dd_ngram_jaccard_pairs (the exact operator) and
 # dd_minhash_near_dup_pairs (whose verify stage recomputes exact Jaccard on
 # LSH candidates, so its OUTPUT is deterministic and equals the exact pair

@@ -117,3 +117,80 @@ def test_pairwise_top_k_exclude_self(spark):
     for r in out:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert all(v == 2 for v in per_q.values()) and len(per_q) == 4
+
+
+def test_lsh_knn_graph_finds_planted_twins(spark):
+    """Cosine-LSH KNN graph: planted near-identical twins (cosine ≈ 0.999)
+    agree on all 4 signature bits with probability (1 - θ/π)^4 ≈ 0.98, so
+    twin recall must be high — while the bucket join compares only
+    Σ|bucket|² pairs, never corpus². Seeded and deterministic."""
+    import random as _random
+
+    from telemetry_parquet_spark.datapipe.similarity import lsh_bucket_top_k
+
+    rng = _random.Random(123)
+    rows = []
+    for i in range(60):
+        base = [rng.gauss(0.0, 1.0) for _ in range(16)]
+        rows.append((i, base))
+        # twin of i is i+1000: tiny perturbation, cosine ≈ 0.999
+        rows.append((i + 1000, [x + rng.gauss(0.0, 0.01) for x in base]))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = corpus.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).where(F.col("query_id") < 1000)
+    out = lsh_bucket_top_k(
+        q, corpus, dim=16, bits=4, k=1, exclude_self=True
+    ).collect()
+    found = sum(1 for r in out if r["vec_id"] == r["query_id"] + 1000)
+    assert found >= 48  # ≥80% of 60 twins ranked as their base's top-1
+
+
+def test_lsh_knn_graph_subset_of_bucketmates_with_true_scores(spark):
+    """Every reported neighbor must share the query's signature bucket and
+    carry its EXACT cosine (the rescore stage is exact — approximation only
+    prunes candidates, never distorts scores)."""
+    import random as _random
+
+    from telemetry_parquet_spark.datapipe.similarity import (
+        _hyperplanes,
+        cosine,
+        lsh_bucket_top_k,
+        lsh_signature,
+    )
+
+    rng = _random.Random(5)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(80)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = _hyperplanes(8, 4, 42)
+    sigs = {
+        r["vec_id"]: r["s"]
+        for r in corpus.select(
+            "vec_id", lsh_signature(F.col("embedding"), planes).alias("s")
+        ).collect()
+    }
+    q = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_bucket_top_k(
+        q, corpus, dim=8, bits=4, k=3, seed=42, exclude_self=True
+    )
+    joined = (
+        out.join(
+            corpus.select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("__qv")),
+            "query_id",
+        )
+        .join(corpus, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cosine_sim",
+            F.round(cosine(F.col("embedding"), F.col("__qv")), 6).alias("true_sim"),
+        )
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert sigs[r["query_id"]] == sigs[r["vec_id"]]
+        assert r["cosine_sim"] == r["true_sim"]
