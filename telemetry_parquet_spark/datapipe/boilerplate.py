@@ -200,3 +200,47 @@ def cap_budget_per_stratum(
         .where(F.col("_cum") <= budget)
         .drop("_cum")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    weight_col: str = "weight",
+    k: int = 10,
+    salt: str = "wps-v1",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum
+    (Efraimidis & Spirakis '06 / A-ES): keep the rows with the smallest
+    exponential key e_i = -ln(u_i) / w_i, which realizes exactly the
+    sequential weighted-draw-without-replacement law — heavier rows are
+    proportionally likelier, but no stratum ever exceeds ``k`` rows.
+
+    The uniform u_i is DERIVED, not drawn: u_i = (md5_hash60(key ∥ salt)+1)
+    / (2^60+1) ∈ (0,1), so the sample is deterministic, rerun/partitioning
+    stable, engine-portable (the md5-nibble hash replays in DuckDB — same
+    construction as ``cap_per_stratum``, which this generalizes from
+    uniform to weighted), and re-rolled by changing ``salt``. Keys are
+    rounded to ``round_digits`` with a key tie-break so the ln/÷ float
+    arithmetic can't flip a rank across engines.
+
+    Rows with weight ≤ 0 are dropped (their inclusion probability is 0).
+    One shuffle on the stratum key; the same two-phase ``salt_buckets``
+    guard as ``cap_per_stratum`` applies if a stratum dominates (the
+    priority key is per-row, so sub-bucket top-k containment holds
+    unchanged)."""
+    from telemetry_parquet_spark.datapipe.dedup import md5_hash60
+
+    h = md5_hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+    pri = F.round(-F.log(u) / F.col(weight_col).cast("double"), round_digits)
+    w = Window.partitionBy(stratum_col).orderBy(
+        pri.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -148,6 +148,44 @@ def cap_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_priority",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, source,
+             round(
+               -ln((CAST((SELECT SUM((strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR) || 'wps-v1'),
+                                   r.i, 1)) - 1)
+                          * CAST(power(16, 15 - r.i) AS BIGINT))
+                     FROM unnest(range(1, 16)) AS r(i)) AS DOUBLE) + 1.0)
+                   / 1152921504606846977.0)
+               / CAST(n_chars AS DOUBLE), 9) AS pri
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source
+    FROM pri
+    QUALIFY row_number() OVER (
+      PARTITION BY source ORDER BY pri ASC, doc_id ASC) <= 8
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 8 docs per source with
+    inclusion probability proportional to n_chars (A-ES exponential keys
+    over the derived md5 uniform — see boilerplate.weighted_priority_sample
+    for the determinism and rounding story). The oracle replays the hash,
+    the u-derivation, the exponential key, and the rank bit-for-bit —
+    2^60+1 = 1152921504606846977 is the shared denominator literal."""
+    from telemetry_parquet_spark.datapipe.boilerplate import (
+        weighted_priority_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_priority_sample(
+        docs, "source", "doc_id", "n_chars", k=8
+    ).select("doc_id", "source")
+
+
+@query(
     "len_quantiles_by_lang",
     oracle="""
     SELECT lang,

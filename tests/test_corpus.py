@@ -295,3 +295,55 @@ def test_approx_ndv_tracks_exact(spark, sf_dir):
     # rsd=0.02 configured; allow 3 standard deviations
     assert abs(row.a1 - row.e1) <= 0.06 * row.e1
     assert abs(row.a2 - row.e2) <= 0.06 * row.e2
+
+
+def test_weighted_priority_sample_bounds_and_stability(spark, sf_dir):
+    from telemetry_parquet_spark.datapipe.boilerplate import (
+        weighted_priority_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = weighted_priority_sample(docs, "source", "doc_id", "n_chars", k=8)
+    per = got.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 8 for r in per)
+    # partitioning-independent: derived u, not drawn
+    again = weighted_priority_sample(
+        docs.repartition(17), "source", "doc_id", "n_chars", k=8
+    )
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
+    # salt re-roll changes the sample
+    rerolled = weighted_priority_sample(
+        docs, "source", "doc_id", "n_chars", k=8, salt="wps-v2"
+    )
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) != sorted(
+        r.doc_id for r in rerolled.select("doc_id").collect()
+    )
+
+
+def test_weighted_priority_sample_respects_weights(spark):
+    """A-ES law check: with weights 50:1 in one stratum, heavy rows must
+    dominate the kept set across independent salt re-rolls — and zero/neg
+    weights never appear. 20 heavy + 180 light, k=10: expected heavy share
+    per draw is ~85-95%; across 8 salts a 60% floor is a >5σ bound."""
+    from telemetry_parquet_spark.datapipe.boilerplate import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, "s", 50.0 if i < 20 else 1.0) for i in range(200)]
+    rows += [(900, "s", 0.0), (901, "s", -3.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    heavy = total = 0
+    for salt in [f"roll-{i}" for i in range(8)]:
+        kept = [
+            r["doc_id"]
+            for r in weighted_priority_sample(
+                df, "source", "doc_id", "w", k=10, salt=salt
+            ).collect()
+        ]
+        assert len(kept) == 10
+        assert 900 not in kept and 901 not in kept
+        heavy += sum(1 for d in kept if d < 20)
+        total += len(kept)
+    assert heavy / total > 0.6
