@@ -120,6 +120,11 @@ HEADLINE = [
     # full-corpus KNN graph via signature-bucket equi-join (Σ|bucket|²,
     # never corpus²) — the corpus-sized-batch scale path, exactly oracled
     "sim_knn_graph_lsh",
+    # hourly OHLC bars: one map-side-combinable agg, min_by/max_by carry a
+    # single pair per bar through the partials — and its streaming sibling
+    # (watermark + window + availableNow, bars-sized state)
+    "ts_ohlc_bars",
+    "stream_ohlc_bars",
 ]
 
 

@@ -65,6 +65,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_knn_graph",
     "sim_knn_graph_lsh",
     "sample_weighted_priority",
+    "ts_ohlc_bars",
+    "stream_ohlc_bars",
     # latest driver row r02
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -98,20 +100,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dd_minhash_near_dup_pairs",
     "dd_ngram_jaccard_pairs",
     "dd_prefix_fingerprint_groups",
-    "dd_simhash_near_dup_pairs",
-    "f_date_functions",
-    # (f_string_functions, json_union_coercion, lang_id, mix_sampled_corpus,
-    # mm_image_near_dup,
+    # (dd_simhash_near_dup_pairs, f_date_functions, f_string_functions,
+    # json_union_coercion, lang_id, mix_sampled_corpus, mm_image_near_dup,
     # p7_column_expressions, pack_sequences, pii_redaction,
     # rep_repetition_features, sim_brute_force_topk, sim_ivf_exact_topk,
     # sim_ivf_probe_topk, split_train_holdout, text_stats,
     # w1_latest_order_per_customer, w2_running_order_total and
     # x1_token_explode overflow the 50-slot window this round — they rotate
     # to round 8's head; all are green in r04 and in the local parity suite.
-    # Five more r04 names moved into the overflow when the late-round-7
-    # queries graph_triangle_count / bm25_topk_docs / sim_knn_graph /
-    # sim_knn_graph_lsh / sample_weighted_priority took their window
-    # slots: new-surface first, staleness rotation second.)
+    # Seven more r04 names moved into the overflow as the late-round-7
+    # queries (graph_triangle_count, bm25_topk_docs, sim_knn_graph,
+    # sim_knn_graph_lsh, sample_weighted_priority, ts_ohlc_bars,
+    # stream_ohlc_bars) took their window slots: new-surface first,
+    # staleness rotation second.)
 )
 
 

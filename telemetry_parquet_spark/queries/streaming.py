@@ -334,3 +334,30 @@ def stream_qsketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_parquet_spark.streaming.pipelines import windowed_histogram
 
     return _run(spark, sf_dir, lambda ev: windowed_histogram(ev, streaming=True))
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars as a REAL streaming aggregate (watermark + window +
+    availableNow) — the streaming sibling of ``ts_ohlc_bars``: min_by /
+    max_by keep one (value, ordkey) pair per bar in the state store, so
+    state is bars-sized at any event volume. Oracle is the batch
+    date_trunc equivalent — replayed history must agree exactly."""
+    from telemetry_parquet_spark.streaming.pipelines import ohlc_bars
+
+    return _run(spark, sf_dir, lambda ev: ohlc_bars(ev, streaming=True))

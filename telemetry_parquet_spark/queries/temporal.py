@@ -271,3 +271,48 @@ def ts_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    SELECT event_type, bar_ts,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM (
+      SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+             ts, event_id, value
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the candlestick rollup every
+    metrics/market pipeline materializes: open/close are the first/last
+    value in (ts, event_id) order (total tie-break), high/low are plain
+    extrema, volume is the DECIMAL-exact value sum.
+
+    Scale: ONE map-side-combinable hash aggregation — min_by/max_by carry a
+    single (value, key) pair per group through the partial aggregate, so
+    the shuffle is bars-sized, never events-sized; no window, no sort. The
+    open/close values are raw column doubles (no float arithmetic), so the
+    oracle matches without rounding."""
+    from telemetry_parquet_spark.queries.registry import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bar_ts")
+    ).agg(
+        F.min_by("value", ordkey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordkey).alias("close"),
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("volume"),
+    )

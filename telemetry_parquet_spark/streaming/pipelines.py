@@ -203,3 +203,44 @@ def run_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def ohlc_bars(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = "10 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Tumbling-window OHLC bars per key — the streaming sibling of
+    ``queries/temporal.py::ts_ohlc_bars``. min_by/max_by carry one
+    (value, ordkey) pair per group through the streaming state, so state
+    is bars-sized regardless of event volume; the watermark closes bars
+    and bounds the state store."""
+    from telemetry_parquet_spark.queries.registry import dec
+
+    src = events.withWatermark(ts_col, watermark) if streaming else events
+    ordkey = F.struct(F.col(ts_col), F.col("event_id"))
+    return (
+        src.groupBy(F.window(ts_col, window_len).alias("w"), F.col(key_col))
+        .agg(
+            F.min_by("value", ordkey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordkey).alias("close"),
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )

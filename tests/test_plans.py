@@ -128,3 +128,10 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
     Σ deg² blow-up the degree orientation exists to prevent."""
     df = QUERIES["graph_triangle_count"](spark, sf_dir)
     assert not has_nested_loop_join(df)
+
+
+def test_ohlc_bars_single_shuffle(spark, sf_dir):
+    """ts_ohlc_bars is ONE hash aggregation: partial min_by/max_by/extrema
+    -> exchange on (event_type, bar) -> final agg. No window, no sort."""
+    df = QUERIES["ts_ohlc_bars"](spark, sf_dir)
+    assert exchange_count(df) == 1
