@@ -125,6 +125,10 @@ HEADLINE = [
     # (watermark + window + availableNow, bars-sized state)
     "ts_ohlc_bars",
     "stream_ohlc_bars",
+    # synchronous label propagation (4 iterations of co-partitioned
+    # vote-join + packed-argmax agg — the third exactly-oracled iterative
+    # algorithm after PageRank and BPE)
+    "graph_label_prop",
 ]
 
 

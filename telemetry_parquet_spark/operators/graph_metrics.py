@@ -1,6 +1,7 @@
-"""Triangle counting via degree-oriented wedge enumeration.
+"""Graph metrics: triangle counting and label-propagation communities.
 
-The MapReduce-classic algorithm (Suri & Vassilvitskii, WWW '11; Cohen '09):
+Triangle counting is the MapReduce-classic degree-oriented algorithm
+(Suri & Vassilvitskii, WWW '11; Cohen '09):
 orient every undirected edge from its lower-(degree, id) endpoint to the
 higher one, enumerate wedges only at each edge's SOURCE, and close them
 against the oriented edge set. Orientation bounds the out-degree of every
@@ -18,6 +19,11 @@ past the closing join.
 The enumeration order differs from an id-ordered oracle but the TRIANGLE
 SET is identical (each triangle has exactly one orientation-minimal apex),
 so per-node counts match an a<b<c three-way-join oracle exactly.
+
+``label_propagation`` is the deterministic synchronous variant of
+Raghavan '07 community detection — see its docstring for the
+integer-packed argmax that keeps an iterative, tie-breaking algorithm
+exactly oracle-able.
 """
 
 from __future__ import annotations
@@ -95,3 +101,67 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .groupBy("node_id")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_stride: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan '07),
+    made DETERMINISTIC: every node starts as its own label; each iteration
+    every node adopts the label with the highest neighbor-vote count, ties
+    broken by the SMALLEST label. A fixed iteration count (not
+    convergence-polling) keeps the whole run a pure function of the edge
+    set — no randomized visit order, no oscillation sensitivity — so the
+    algorithm carries an exact cross-engine oracle like fixed-point
+    PageRank.
+
+    The argmax is encoded ARITHMETICALLY so it stays a plain MAX aggregate:
+    packed = cnt · 2³¹ + (2³¹ − 1 − label); max(packed) decodes to
+    (max count, min label). Integer-only — bit-identical on any engine.
+
+    Per iteration: one co-partitioned join (labels onto edge sources) and
+    two hash aggregations (vote counts, packed argmax) — the PageRank
+    shuffle budget. Labels are node-sized; lineage is truncated every
+    ``checkpoint_stride`` iterations (localCheckpoint) so the plan doesn't
+    grow with the iteration count. Hub skew: votes pre-aggregate map-side
+    on (dst, label), so a hot destination receives at most
+    #distinct-neighbor-labels rows per upstream partition."""
+    M = 1 << 31
+
+    e = canonical_edges(edges, src, dst)
+    both = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    lbl = (
+        both.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for i in range(iters):
+        votes = (
+            both.join(lbl, both["u"] == lbl["id"])
+            .groupBy(F.col("v"), F.col("lbl"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        packed = F.max(
+            F.col("cnt") * F.lit(M).cast("long")
+            + (F.lit(M - 1).cast("long") - F.col("lbl"))
+        ).alias("p")
+        lbl = (
+            votes.groupBy(F.col("v").alias("id"))
+            .agg(packed)
+            .select(
+                "id",
+                (F.lit(M - 1).cast("long") - F.col("p") % F.lit(M)).alias("lbl"),
+            )
+        )
+        if (i + 1) % checkpoint_stride == 0 or i == iters - 1:
+            lbl = lbl.localCheckpoint()
+    return lbl.select(F.col("id").alias("node_id"), F.col("lbl").alias("community"))

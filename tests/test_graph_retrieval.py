@@ -194,3 +194,63 @@ def test_lsh_knn_graph_subset_of_bucketmates_with_true_scores(spark):
     for r in joined:
         assert sigs[r["query_id"]] == sigs[r["vec_id"]]
         assert r["cosine_sim"] == r["true_sim"]
+
+
+def _lpa_reference(edges, iters):
+    """Pure-Python synchronous LPA with (max count, min label) votes."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(iters):
+        nxt = {}
+        for n in adj:
+            votes = defaultdict(int)
+            for m in adj[n]:
+                votes[lbl[m]] += 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        lbl = nxt
+    return lbl
+
+
+def test_label_propagation_matches_python_reference(spark):
+    from telemetry_parquet_spark.operators.graph_metrics import label_propagation
+
+    rng = random.Random(11)
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in itertools.combinations(range(24), 2)
+            if rng.random() < 0.25
+        }
+    )
+    for iters in (1, 3, 4):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node_id"]: r["community"]
+            for r in label_propagation(df, iters=iters).collect()
+        }
+        assert got == _lpa_reference(edges, iters)
+
+
+def test_label_propagation_separates_two_cliques(spark):
+    """Two 5-cliques joined by one bridge edge must settle into exactly two
+    communities (each clique floods to its own min label)."""
+    from telemetry_parquet_spark.operators.graph_metrics import label_propagation
+
+    c1 = list(itertools.combinations(range(5), 2))
+    c2 = list(itertools.combinations(range(10, 15), 2))
+    edges = c1 + c2 + [(4, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node_id"]: r["community"]
+        for r in label_propagation(df, iters=4).collect()
+    }
+    assert len({got[n] for n in range(5)}) == 1
+    assert len({got[n] for n in range(10, 15)}) == 1
+    assert got[0] != got[10]
