@@ -129,6 +129,9 @@ HEADLINE = [
     # vote-join + packed-argmax agg — the third exactly-oracled iterative
     # algorithm after PageRank and BPE)
     "graph_label_prop",
+    # multi-probe LSH KNN graph (finer buckets + Hamming-1 probe ball;
+    # 7x query-side shuffle, corpus untouched)
+    "sim_knn_graph_lsh_probe",
 ]
 
 

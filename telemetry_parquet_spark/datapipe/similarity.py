@@ -133,22 +133,39 @@ def lsh_bucket_top_k(
     vec_col: str = "embedding",
     seed: int = 42,
     exclude_self: bool = False,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate per-query top-k: bucket corpus and queries by hyperplane
     signature, equi-join buckets (shuffle on the signature — ~2^bits
     reduction), exact cosine rescore within buckets, rank per query.
 
-    Recall/cost trades with ``bits``; multi-probe (flipping one bit) can be
-    added by exploding the query signature — not needed at current scale."""
+    Recall/cost trades with ``bits``; ``multiprobe`` additionally probes
+    every 1-bit-flipped signature (the standard multi-probe LSH recall
+    knob): the QUERY side explodes into bits+1 probe rows — a bits+1×
+    query-side shuffle, the corpus side unchanged — and each (query,
+    candidate) pair still arises at most once (a candidate's single
+    signature equals exactly one probe value), so no dedup stage is
+    needed. Candidates become the Hamming ≤ 1 signature ball."""
     from pyspark.sql import Window as W
 
     planes = _hyperplanes(dim, bits, seed)
     c = corpus.withColumn("__sig", lsh_signature(F.col(vec_col), planes))
-    q = queries.select(
-        F.col(query_id),
-        F.col(vec_col).alias("__qv"),
-        lsh_signature(F.col(vec_col), planes).alias("__sig"),
-    )
+    sig = lsh_signature(F.col(vec_col), planes)
+    if multiprobe:
+        probes = F.array(
+            sig, *[sig.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)]
+        )
+        q = queries.select(
+            F.col(query_id),
+            F.col(vec_col).alias("__qv"),
+            F.explode(probes).alias("__sig"),
+        )
+    else:
+        q = queries.select(
+            F.col(query_id),
+            F.col(vec_col).alias("__qv"),
+            sig.alias("__sig"),
+        )
     scored = c.join(q, "__sig").select(
         query_id,
         corpus_id,

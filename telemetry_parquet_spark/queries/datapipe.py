@@ -228,7 +228,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_top_k(queries, emb, k=5, exclude_self=True)
 
 
-def _knn_lsh_oracle(dim: int = 64, bits: int = 4, seed: int = 42, k: int = 3) -> str:
+def _knn_lsh_oracle(
+    dim: int = 64,
+    bits: int = 4,
+    seed: int = 42,
+    k: int = 3,
+    max_hamming: int = 0,
+) -> str:
     """DuckDB replay of the LSH-bucketed KNN graph: the hyperplanes are
     deterministic driver constants (same ``_hyperplanes`` call as the Spark
     side), so the signature, the bucket self-join, the cosine rescore, and
@@ -249,6 +255,11 @@ def _knn_lsh_oracle(dim: int = 64, bits: int = 4, seed: int = 42, k: int = 3) ->
         "(sqrt(list_inner_product(q.v, q.v)) * "
         "sqrt(list_inner_product(c.v, c.v))), 6)"
     )
+    match = (
+        "q.s = c.s"
+        if max_hamming == 0
+        else f"bit_count(xor(q.s, c.s)) <= {max_hamming}"
+    )
     return f"""
     WITH vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -256,7 +267,7 @@ def _knn_lsh_oracle(dim: int = 64, bits: int = 4, seed: int = 42, k: int = 3) ->
       SELECT vec_id, v, {terms} AS s FROM vecs
     )
     SELECT q.vec_id AS query_id, c.vec_id, {cos} AS cosine_sim
-    FROM sig q JOIN sig c ON q.s = c.s AND q.vec_id <> c.vec_id
+    FROM sig q JOIN sig c ON {match} AND q.vec_id <> c.vec_id
     QUALIFY row_number() OVER (
       PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC) <= {k}
     """
@@ -277,6 +288,28 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     return lsh_bucket_top_k(
         queries, emb, dim=64, bits=4, k=3, exclude_self=True
+    )
+
+
+@query(
+    "sim_knn_graph_lsh_probe",
+    oracle=_knn_lsh_oracle(bits=6, max_hamming=1),
+)
+def sim_knn_graph_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of ``sim_knn_graph_lsh``: finer buckets (6 bits
+    = 64 cells → Σ|bucket|² ≈ corpus²/64) with every 1-bit-flipped probe
+    searched too, recovering the recall the finer split gives up — the
+    standard probe/bits trade (Lv '07). The query side explodes into
+    bits+1 probe rows (7× query shuffle; corpus side untouched) and the
+    candidate set is exactly the Hamming ≤ 1 signature ball, which the
+    oracle states DIRECTLY as bit_count(xor) ≤ 1 — proving the probe
+    explosion implements the ball with no dedup stage."""
+    from telemetry_parquet_spark.datapipe.similarity import lsh_bucket_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_bucket_top_k(
+        queries, emb, dim=64, bits=6, k=3, exclude_self=True, multiprobe=True
     )
 
 

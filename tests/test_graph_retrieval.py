@@ -254,3 +254,36 @@ def test_label_propagation_separates_two_cliques(spark):
     assert len({got[n] for n in range(5)}) == 1
     assert len({got[n] for n in range(10, 15)}) == 1
     assert got[0] != got[10]
+
+
+def test_multiprobe_improves_recall_at_same_bits(spark, sf_dir):
+    """At equal bits, probing the Hamming-1 ball must recover at least as
+    many exact top-k neighbors as single-probe — and on this corpus,
+    strictly more (the whole point of multi-probe)."""
+    from telemetry_parquet_spark.sources.tables import load_table
+    from telemetry_parquet_spark.datapipe.similarity import lsh_bucket_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = set(
+        (r["query_id"], r["vec_id"])
+        for r in pairwise_top_k(q, emb, k=3, exclude_self=True)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+
+    def recall(multiprobe):
+        got = set(
+            (r["query_id"], r["vec_id"])
+            for r in lsh_bucket_top_k(
+                q, emb, dim=64, bits=6, k=3,
+                exclude_self=True, multiprobe=multiprobe,
+            )
+            .select("query_id", "vec_id")
+            .collect()
+        )
+        return len(got & exact) / len(exact)
+
+    single, multi = recall(False), recall(True)
+    assert multi >= single
+    assert multi > single  # 7 probes vs 1 on 64 cells: strictly better here
