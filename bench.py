@@ -132,6 +132,9 @@ HEADLINE = [
     # multi-probe LSH KNN graph (finer buckets + Hamming-1 probe ball;
     # 7x query-side shuffle, corpus untouched)
     "sim_knn_graph_lsh_probe",
+    # Misra-Gries heavy hitters as bounded streaming state (k counters
+    # per key forever, exact-regime gated)
+    "stream_heavy_hitters",
 ]
 
 

@@ -361,3 +361,32 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_parquet_spark.streaming.pipelines import ohlc_bars
 
     return _run(spark, sf_dir, lambda ev: ohlc_bars(ev, streaming=True))
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle="""
+    SELECT event_type, user_id, cnt AS count_lb, CAST(0 AS BIGINT) AS err_ub
+    FROM (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) <= 16
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type top-16 user heavy hitters maintained as bounded streaming
+    state (applyInPandasWithState Misra-Gries — see streaming/stateful.py).
+    k=2048 exceeds every SF's user cardinality, so no decrement fires and
+    the update-mode emission equals the exact batch GROUP BY top-16 — the
+    same exact-regime gate as ``vocab_heavy_hitters``; the lossy regime's
+    bounds are property-tested in test_stateful_streaming.py."""
+    from telemetry_parquet_spark.streaming.stateful import streaming_heavy_hitters
+
+    return _run(
+        spark,
+        sf_dir,
+        lambda ev: streaming_heavy_hitters(ev),
+        output_mode="update",
+    )

@@ -75,3 +75,73 @@ def running_user_stats(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+MG_OUTPUT_SCHEMA = (
+    "event_type string, user_id bigint, count_lb bigint, err_ub bigint"
+)
+MG_STATE_SCHEMA = "terms array<bigint>, cnts array<bigint>, dec bigint"
+
+
+def _update_heavy_hitters(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    k: int,
+    emit_top: int,
+) -> Iterator[pd.DataFrame]:
+    from telemetry_parquet_spark.datapipe.heavy_hitters import _mg_compress
+
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        terms, cnts, dec = state.get
+        counts = dict(zip(terms, cnts))
+    else:
+        counts, dec = {}, 0
+    for pdf in batches:
+        for t, c in pdf["user_id"].value_counts().items():
+            counts[int(t)] = counts.get(int(t), 0) + int(c)
+        counts, d = _mg_compress(counts, k)
+        dec += d
+    state.update((list(counts), [int(c) for c in counts.values()], dec))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_top]
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(top),
+            "user_id": [t for t, _ in top],
+            "count_lb": [c for _, c in top],
+            "err_ub": [dec] * len(top),
+        }
+    )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame, k: int = 2048, emit_top: int = 16
+) -> DataFrame:
+    """Misra-Gries heavy hitters as STREAMING STATE: per event_type, the
+    state store holds at most ``k`` (user, count) counters plus one
+    decrement tally — bounded by k forever, regardless of stream length
+    (the unbounded alternative, a streaming groupBy(user) count, keys state
+    by USER cardinality). Each micro-batch folds its arrivals into the
+    counters with the same ``_mg_compress`` the batch sketch uses, so the
+    MG bounds hold across batches: emitted ``count_lb ≤ true ≤ count_lb +
+    err_ub`` with ``err_ub`` the accumulated decrement. In the exact
+    regime (distinct users ≤ k) no decrement ever fires and the emitted
+    top rows ARE the exact per-type user counts — the driver's oracle
+    gate."""
+    update_fn = functools.partial(
+        _update_heavy_hitters, k=k, emit_top=emit_top
+    )
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=MG_OUTPUT_SCHEMA,
+            stateStructType=MG_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

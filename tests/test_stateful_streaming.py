@@ -141,3 +141,82 @@ def test_idle_key_evicted_after_timeout(spark, tmp_path, provider):
     # test_state_accumulates_across_batches asserts for the no-timeout path)
     assert latest[1] == (1, 2.5), "idle key 1 was not evicted"
     assert latest[2] == (1, 7.0), "idle key 2 was not evicted"
+
+
+def test_mg_state_accumulates_and_stays_bounded(spark, tmp_path):
+    """Streaming Misra-Gries: counters must accumulate across micro-batches
+    (exact when distinct ≤ k), and in the LOSSY regime (k < distinct) the
+    state may never exceed k counters while every emitted count stays a
+    valid lower bound with count_lb + err_ub ≥ true frequency."""
+    import os
+
+    from telemetry_parquet_spark.streaming.stateful import streaming_heavy_hitters
+
+    d = str(tmp_path / "mg_src")
+    os.makedirs(d)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ["event_type", "user_id"]).coalesce(
+            1
+        ).write.parquet(f"{d}/{name}")
+
+    # true counts for type "a": u1=5, u2=3, u3=1, u4=1 (across two batches)
+    write_batch("b1", [("a", 1)] * 3 + [("a", 2)] * 2 + [("a", 3)])
+    write_batch("b2", [("a", 1)] * 2 + [("a", 2)] + [("a", 4)])
+    schema = spark.read.parquet(f"{d}/b1").schema
+
+    def run(k, name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(d)
+        )
+        out = streaming_heavy_hitters(stream, k=k, emit_top=10)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).collect()
+
+    # exact regime: k=8 > 4 distinct users -> final emission == exact counts
+    rows = run(8, "mg_exact")
+    final = {}
+    for r in rows:  # update mode: later rows supersede; keep max count_lb
+        final[r.user_id] = max(final.get(r.user_id, 0), r.count_lb)
+    assert final == {1: 5, 2: 3, 3: 1, 4: 1}
+    assert all(r.err_ub == 0 for r in rows)
+
+    # lossy regime (single batch so the emission is the final state):
+    # k=2 -> at most 2 counters survive, and every emitted count is a
+    # valid lower bound whose err_ub covers the true frequency
+    d2 = str(tmp_path / "mg_lossy_src")
+    os.makedirs(d2)
+    spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 3 + [("a", 3)] + [("a", 4)],
+        ["event_type", "user_id"],
+    ).coalesce(1).write.parquet(f"{d2}/b1")
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(d2, recursiveFileLookup="true")
+    )
+    out = streaming_heavy_hitters(stream, k=2, emit_top=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_lossy")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("mg_lossy").collect()
+    true = {1: 5, 2: 3, 3: 1, 4: 1}
+    assert 0 < len(rows) <= 2  # state never exceeds k counters
+    for r in rows:
+        assert r.count_lb <= true[r.user_id] <= r.count_lb + r.err_ub
