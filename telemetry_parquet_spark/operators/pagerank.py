@@ -42,6 +42,7 @@ def pagerank_fixed_point(
     damp_den: int = 100,
     checkpoint_every: int = 2,
     salt_buckets: int | None = None,
+    seed_mod: int | None = None,
 ) -> DataFrame:
     """Run ``iters`` synchronous PageRank steps over ``edges`` (src, dst —
     duplicates ignored) in scaled-integer arithmetic; returns (id, rank_s).
@@ -58,6 +59,14 @@ def pagerank_fixed_point(
     direct groupBy (property-tested); default off because the extra
     shuffle only pays for itself under real skew (AQE handles the mild
     case).
+
+    ``seed_mod`` switches to PERSONALIZED PageRank: the teleport mass goes
+    only to the seed set (nodes with ``id % seed_mod == 0`` — a modulus
+    predicate so an SQL oracle can share the membership test; a production
+    seed set is any broadcastable membership column) and ranks initialize
+    uniform over the seeds. Same scaled-integer recurrence, same exact
+    oracle discipline; non-seed nodes earn rank only through incoming
+    links from the seeds' neighborhoods.
     """
     edges = edges.select("src", "dst").distinct()
     nodes = (
@@ -85,9 +94,29 @@ def pagerank_fixed_point(
         )
         .localCheckpoint()
     )
-    init = scale // n
-    teleport = (init * (damp_den - damp_num)) // damp_den
-    ranks = nodes.select("id", F.lit(init).cast("long").alias("rank_s"))
+    if seed_mod is None:
+        init = scale // n
+        teleport = (init * (damp_den - damp_num)) // damp_den
+        ranks = nodes.select("id", F.lit(init).cast("long").alias("rank_s"))
+        tele_col = F.lit(teleport).cast("long")
+    else:
+        n_seeds = nodes.where(F.col("id") % seed_mod == 0).count()
+        if n_seeds == 0:
+            raise ValueError("pagerank_fixed_point: empty seed set")
+        init = scale // n_seeds
+        teleport = (init * (damp_den - damp_num)) // damp_den
+        ranks = nodes.select(
+            "id",
+            F.when(F.col("id") % seed_mod == 0, F.lit(init))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank_s"),
+        )
+        tele_col = (
+            F.when(F.col("dst") % seed_mod == 0, F.lit(teleport))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
     for it in range(iters):
         contrib = aug.join(ranks, aug["src"] == ranks["id"]).select(
             "src",
@@ -115,7 +144,7 @@ def pagerank_fixed_point(
             inc.select(
                 F.col("dst").alias("id"),
                 (
-                    F.lit(teleport)
+                    tele_col
                     + F.expr(f"(inc * {damp_num}) div {damp_den}")
                 ).cast("long").alias("rank_s"),
             )

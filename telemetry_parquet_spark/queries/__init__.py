@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_label_prop",
     "sim_knn_graph_lsh_probe",
     "stream_heavy_hitters",
+    "graph_personalized_pagerank",
     # latest driver row r02
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -99,8 +100,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dd_embedding_cosine_pairs",
     "dd_embedding_near_dup_lsh",
     "dd_exact_dedup_groups",
-    "dd_incremental_bloom",
-    # (dd_minhash_near_dup_pairs, dd_ngram_jaccard_pairs,
+    # (dd_incremental_bloom, dd_minhash_near_dup_pairs,
+    # dd_ngram_jaccard_pairs,
     # dd_prefix_fingerprint_groups,
     # dd_simhash_near_dup_pairs,
     # f_date_functions, f_string_functions,
@@ -111,12 +112,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # w1_latest_order_per_customer, w2_running_order_total and
     # x1_token_explode overflow the 50-slot window this round — they rotate
     # to round 8's head; all are green in r04 and in the local parity suite.
-    # Ten more r04 names moved into the overflow as the late-round-7
+    # Eleven more r04 names moved into the overflow as the late-round-7
     # queries (graph_triangle_count, bm25_topk_docs, sim_knn_graph,
     # sim_knn_graph_lsh, sample_weighted_priority, ts_ohlc_bars,
     # stream_ohlc_bars, graph_label_prop, sim_knn_graph_lsh_probe,
-    # stream_heavy_hitters) took their window slots: new-surface first,
-    # staleness rotation second.)
+    # stream_heavy_hitters, graph_personalized_pagerank) took their
+    # window slots: new-surface first, staleness rotation second.)
 )
 
 

@@ -141,3 +141,73 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_parquet_spark.operators.graph_metrics import label_propagation
 
     return label_propagation(_copurchase_edges(spark, sf_dir), iters=4)
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                      CAST(l_partkey + 1000000 AS BIGINT) AS p
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT s AS src, p AS dst FROM base
+      UNION ALL
+      SELECT p AS src, s AS dst FROM base
+    ),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    aug AS (
+      SELECT e.src, e.dst, d.d, TRUE AS is_real
+      FROM edges e JOIN deg d USING (src)
+      UNION ALL
+      SELECT id, id, 1, FALSE FROM nodes
+    ),
+    seed_cnt AS (SELECT COUNT(*) AS ns FROM nodes WHERE id % 7 = 0),
+    pr(iter, id, rank_s) AS (
+      SELECT 0, id,
+             CAST(CASE WHEN id % 7 = 0
+                       THEN 1000000000000 // (SELECT ns FROM seed_cnt)
+                       ELSE 0 END AS BIGINT)
+      FROM nodes
+      UNION ALL
+      SELECT p.iter + 1, a.dst,
+             CAST(CASE WHEN a.dst % 7 = 0
+                       THEN ((1000000000000 // (SELECT ns FROM seed_cnt))
+                             * 15) // 100
+                       ELSE 0 END
+                  + (SUM(CASE WHEN a.is_real THEN p.rank_s // a.d ELSE 0 END)
+                     * 85) // 100
+                  AS BIGINT)
+      FROM pr p JOIN aug a ON a.src = p.id
+      WHERE p.iter < 5
+      GROUP BY p.iter, a.dst
+    )
+    SELECT id AS node_id, rank_s FROM pr WHERE iter = 5
+    """,
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the supplier↔part graph: teleport mass
+    flows only to the seed set (node id % 7 == 0) and ranks start uniform
+    over the seeds, so scores measure proximity TO THE SEEDS — the
+    recommendation/affinity variant of ``graph_pagerank``. Identical
+    scaled-integer recurrence ⇒ identical byte-exact recursive-CTE oracle
+    discipline (see operators/pagerank.py::seed_mod)."""
+    from telemetry_parquet_spark.operators.pagerank import pagerank_fixed_point
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_suppkey").cast("long").alias("s"),
+        (F.col("l_partkey") + 1000000).cast("long").alias("p"),
+    ).distinct()
+    edges = base.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        base.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(edges, iters=5, seed_mod=7)
+    return ranks.select(F.col("id").alias("node_id"), "rank_s")

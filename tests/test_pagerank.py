@@ -96,3 +96,26 @@ def test_empty_edge_list_raises_clearly(spark):
     )
     with pytest.raises(ValueError, match="empty"):
         pagerank_fixed_point(empty)
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    """seed_mod teleport: a component with no seeds receives no teleport
+    mass and its ranks drain geometrically (0.85^iters of its start), while
+    the seeded component holds the mass. Seeds here: id % 7 == 0."""
+    from telemetry_parquet_spark.operators.pagerank import pagerank_fixed_point
+
+    # component A contains seeds {7, 14}; component B (ids 1..3) has none
+    edges_a = [(7, 14), (14, 7), (7, 8), (8, 7)]
+    edges_b = [(1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges_a + edges_b, ["src", "dst"])
+    ranks = {
+        r["id"]: r["rank_s"]
+        for r in pagerank_fixed_point(df, iters=5, seed_mod=7).collect()
+    }
+    mass_a = sum(v for k, v in ranks.items() if k in (7, 8, 14))
+    mass_b = sum(v for k, v in ranks.items() if k in (1, 2, 3))
+    assert mass_b < mass_a / 100  # B holds only the drained remnant
+    assert ranks[8] > 0  # non-seed in the seeded component earns rank
+    # B's remnant is exactly the undamped geometric leftover: non-seed
+    # nodes start at 0 there, so after the first iteration it is 0
+    assert mass_b == 0
