@@ -135,6 +135,9 @@ HEADLINE = [
     # Misra-Gries heavy hitters as bounded streaming state (k counters
     # per key forever, exact-regime gated)
     "stream_heavy_hitters",
+    # z-order layout keys: two domain-sized broadcast joins + codegen
+    # Morton interleave — the fact scan never exchanges
+    "layout_zorder_keys",
 ]
 
 

@@ -27,6 +27,7 @@ from telemetry_parquet_spark.queries import entity  # noqa: F401, E402
 from telemetry_parquet_spark.queries import theta  # noqa: F401, E402
 from telemetry_parquet_spark.queries import graph  # noqa: F401, E402
 from telemetry_parquet_spark.queries import retrieval  # noqa: F401, E402
+from telemetry_parquet_spark.queries import layout  # noqa: F401, E402
 
 # The driver evaluates exactly the first 50 entries of ``queries()`` in
 # registration order. Until every query has appeared green in some

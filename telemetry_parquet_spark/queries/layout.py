@@ -1,0 +1,77 @@
+"""Data-layout queries: z-order clustering keys under an exact DuckDB
+oracle (same integer-CDF bucket math, same unrolled Morton interleave)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.queries.registry import query
+from telemetry_parquet_spark.sources.tables import load_table
+
+_BITS = 8
+
+
+def _interleave_sql(bx: str, by: str, bits: int = _BITS) -> str:
+    """The same Morton interleave as operators/zorder.py, as ANSI SQL."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM lineitem),
+    hp AS (SELECT l_partkey AS v, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+    cp AS (SELECT v,
+                  CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS BIGINT) AS start
+           FROM hp),
+    bp AS (SELECT v, CAST((start * {1 << _BITS}) // (SELECT n FROM n) AS BIGINT) AS b
+           FROM cp),
+    hs AS (SELECT l_suppkey AS v, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+    cs AS (SELECT v,
+                  CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS BIGINT) AS start
+           FROM hs),
+    bs AS (SELECT v, CAST((start * {1 << _BITS}) // (SELECT n FROM n) AS BIGINT) AS b
+           FROM cs)
+    SELECT l.l_orderkey,
+           l.l_linenumber,
+           bp.b AS bucket_part,
+           bs.b AS bucket_supp,
+           CAST({_interleave_sql('bp.b', 'bs.b')} AS BIGINT) AS zval
+    FROM lineitem l
+    JOIN bp ON l.l_partkey = bp.v
+    JOIN bs ON l.l_suppkey = bs.v
+"""
+
+
+@query("layout_zorder_keys", oracle=_ZORDER_ORACLE)
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys for lineitem over (l_partkey, l_suppkey):
+    exact integer-CDF rank buckets + Morton interleave (operators/zorder.py).
+    The corpus never shuffles — both bucket maps are domain-sized broadcast
+    joins; the oracle replays the identical integer math in DuckDB."""
+    from telemetry_parquet_spark.operators.zorder import interleave_bits, _bucket_map
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bp = _bucket_map(li, "l_partkey", _BITS)
+    bs = _bucket_map(li, "l_suppkey", _BITS)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .join(F.broadcast(bp.withColumnRenamed("bucket", "bucket_part")),
+              F.col("l_partkey") == bp["v"], "inner")
+        .drop("v")
+        .join(F.broadcast(bs.withColumnRenamed("bucket", "bucket_supp")),
+              F.col("l_suppkey") == bs["v"], "inner")
+        .drop("v")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "bucket_part",
+            "bucket_supp",
+            interleave_bits(
+                F.col("bucket_part"), F.col("bucket_supp"), _BITS
+            ).cast("long").alias("zval"),
+        )
+    )

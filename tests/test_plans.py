@@ -135,3 +135,20 @@ def test_ohlc_bars_single_shuffle(spark, sf_dir):
     -> exchange on (event_type, bar) -> final agg. No window, no sort."""
     df = QUERIES["ts_ohlc_bars"](spark, sf_dir)
     assert exchange_count(df) == 1
+
+
+def test_zorder_key_is_broadcast_only(spark, sf_dir):
+    """layout_zorder_keys: the fact table must acquire its Morton key via
+    TWO broadcast hash joins (domain-sized bucket maps) — no shuffle of the
+    corpus, no nested loop. The only exchanges feed the domain-sized
+    histogram windows, never the fact scan."""
+    df = QUERIES["layout_zorder_keys"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the only nested loops are the two 1-row total-count attach-a-scalar
+    # crossJoins inside the bucket maps (the documented canonical shape) —
+    # both broadcast, neither touches the fact table
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 2
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
