@@ -138,6 +138,9 @@ HEADLINE = [
     # z-order layout keys: two domain-sized broadcast joins + codegen
     # Morton interleave — the fact scan never exchanges
     "layout_zorder_keys",
+    # hypertable rollup cascade: hour agg is the only corpus-sized work;
+    # day/week re-aggregate the bucket relations (associative DECIMAL sums)
+    "ts_hypertable_rollup",
 ]
 
 

@@ -13,7 +13,8 @@ _BITS = 8
 
 
 def _interleave_sql(bx: str, by: str, bits: int = _BITS) -> str:
-    """The same Morton interleave as operators/zorder.py, as ANSI SQL."""
+    """Unrolled Morton interleave as ANSI SQL — value-identical to
+    sources/layout.py's spread16 construction for <=16-bit inputs."""
     terms = []
     for i in range(bits):
         terms.append(f"((({bx} >> {i}) & 1) << {2 * i})")
@@ -48,15 +49,18 @@ _ZORDER_ORACLE = f"""
 
 @query("layout_zorder_keys", oracle=_ZORDER_ORACLE)
 def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order clustering keys for lineitem over (l_partkey, l_suppkey):
-    exact integer-CDF rank buckets + Morton interleave (operators/zorder.py).
-    The corpus never shuffles — both bucket maps are domain-sized broadcast
-    joins; the oracle replays the identical integer math in DuckDB."""
-    from telemetry_parquet_spark.operators.zorder import interleave_bits, _bucket_map
+    """DATA-ADAPTIVE z-order keys for lineitem over (l_partkey, l_suppkey):
+    exact rank-CDF buckets + Morton interleave (sources/layout.py — the
+    adaptive sibling of the raw-bit `zorder_codes`; buckets make the curve
+    meaningful on wide/skewed domains where raw low bits are noise). The
+    corpus never shuffles — both bucket maps are domain-sized broadcast
+    joins; the oracle replays the identical integer math in DuckDB (the
+    unrolled interleave == the spread16 construction for 8-bit buckets)."""
+    from telemetry_parquet_spark.sources.layout import rank_bucket_map, zorder_code
 
     li = load_table(spark, sf_dir, "lineitem")
-    bp = _bucket_map(li, "l_partkey", _BITS)
-    bs = _bucket_map(li, "l_suppkey", _BITS)
+    bp = rank_bucket_map(li, "l_partkey", _BITS)
+    bs = rank_bucket_map(li, "l_suppkey", _BITS)
     return (
         li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
         .join(F.broadcast(bp.withColumnRenamed("bucket", "bucket_part")),
@@ -70,8 +74,8 @@ def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             "bucket_part",
             "bucket_supp",
-            interleave_bits(
-                F.col("bucket_part"), F.col("bucket_supp"), _BITS
+            zorder_code(
+                F.col("bucket_part"), F.col("bucket_supp")
             ).cast("long").alias("zval"),
         )
     )

@@ -316,3 +316,79 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(dec("value")).cast("double").alias("volume"),
     )
+
+
+@query(
+    "ts_hypertable_rollup",
+    oracle="""
+    SELECT 'hour' AS granularity, event_type,
+           date_trunc('hour', ts) AS bucket_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', event_type, date_trunc('day', ts),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+           MIN(value), MAX(value)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'week', event_type, date_trunc('week', ts),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+           MIN(value), MAX(value)
+    FROM events GROUP BY 2, 3
+    """,
+)
+def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous aggregate (the hypertable rollup):
+    hour, day, and week buckets per event type from ONE corpus scan.
+
+    Scale: the cascade re-aggregates each level from the level below —
+    hours from events (the only corpus-sized aggregation), days from the
+    hour relation, weeks from days — so the corpus is scanned and shuffled
+    exactly once and every higher granularity costs only a bucket-sized
+    hash agg. DECIMAL sums + counts + extrema are associative, so the
+    cascade is bit-equal to computing each granularity directly from the
+    corpus — which is exactly what the oracle does (three direct GROUP
+    BYs), making the equivalence the thing the driver checks. The hour
+    relation is localCheckpointed for its two consumers (output + day
+    agg); same for days."""
+    from telemetry_parquet_spark.queries.registry import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).alias("total_dec"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .localCheckpoint()
+    )
+    def roll(src: DataFrame, unit: str) -> DataFrame:
+        return src.groupBy(
+            "event_type", F.date_trunc(unit, "bucket_ts").alias("bucket_ts")
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_dec").alias("total_dec"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    days = roll(hours, "day").localCheckpoint()
+    weeks = roll(days, "week")
+    def label(src: DataFrame, g: str) -> DataFrame:
+        return src.select(
+            F.lit(g).alias("granularity"),
+            "event_type",
+            "bucket_ts",
+            "n_events",
+            F.col("total_dec").cast("double").alias("total"),
+            "vmin",
+            "vmax",
+        )
+    return label(hours, "hour").unionByName(label(days, "day")).unionByName(
+        label(weeks, "week")
+    )

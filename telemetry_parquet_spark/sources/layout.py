@@ -71,3 +71,69 @@ def cluster_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+# --- data-adaptive variant -------------------------------------------------
+#
+# ``zorder_code`` interleaves the RAW low 16 bits — perfect when both
+# domains are dense small integers (the grid test), useless when values are
+# wide (64-bit ids: the low bits are noise) or skewed (most raw codes share
+# a tiny sub-rectangle and the curve degenerates to a linear sort). The
+# adaptive variant first maps each value to its EXACT rank-CDF bucket
+# ``(rows_before_value * 2^bits) div total_rows`` — equal-frequency tiles,
+# the same boundary discipline Delta's OPTIMIZE ZORDER applies via range
+# ids — then interleaves the buckets. All-integer math, so a SQL oracle
+# replays it bit-for-bit (`layout_zorder_keys`).
+#
+# Scale: the CDF is built on the distinct-value HISTOGRAM (domain-sized
+# window, the vocab-sized-state pattern) and broadcast back, so the fact
+# table acquires its key with ZERO shuffles; the one range shuffle is the
+# write layout itself. For open 100 TB domains swap the exact CDF for
+# ``approxQuantile`` boundaries — interleave and layout are unchanged.
+
+
+def rank_bucket_map(df: DataFrame, col: str, bits: int = 8) -> DataFrame:
+    """value -> exact equal-frequency bucket in [0, 2^bits): domain-sized
+    histogram, cumulative count over distinct values, integer division."""
+    from pyspark.sql import Window
+
+    b = 1 << bits
+    hist = df.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
+    total = df.agg(F.count("*").alias("n"))
+    cume = hist.withColumn(
+        "start", F.sum("cnt").over(Window.orderBy("v")) - F.col("cnt")
+    )
+    return cume.crossJoin(F.broadcast(total)).select(
+        "v", F.expr(f"(start * {b}) div n").alias("bucket")
+    )
+
+
+def zorder_key_adaptive(
+    df: DataFrame, x: str, y: str, bits: int = 8, out_col: str = "zval"
+) -> DataFrame:
+    """Attach ``out_col`` = Morton code of the two columns' rank buckets.
+    The input never shuffles: both bucket maps are domain-sized broadcasts;
+    the interleave reuses ``zorder_code`` (buckets fit 16 bits)."""
+    bx = rank_bucket_map(df, x, bits)
+    by = rank_bucket_map(df, y, bits)
+    return (
+        df.join(F.broadcast(bx), df[x] == bx["v"], "left")
+        .drop("v")
+        .withColumnRenamed("bucket", "_bx")
+        .join(F.broadcast(by), df[y] == by["v"], "left")
+        .drop("v")
+        .withColumnRenamed("bucket", "_by")
+        .withColumn(out_col, zorder_code(F.col("_bx"), F.col("_by")))
+        .drop("_bx", "_by")
+    )
+
+
+def cluster_zorder_adaptive(
+    df: DataFrame, x: str, y: str, num_files: int, bits: int = 8
+) -> DataFrame:
+    """``cluster_zorder`` for wide/skewed domains: equal-frequency tiles
+    via the rank-CDF buckets, then the same one-range-shuffle layout."""
+    keyed = zorder_key_adaptive(df, x, y, bits=bits)
+    return keyed.repartitionByRange(num_files, F.col("zval")).sortWithinPartitions(
+        "zval"
+    )
