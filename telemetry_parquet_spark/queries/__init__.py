@@ -119,6 +119,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # stream_ohlc_bars, graph_label_prop, sim_knn_graph_lsh_probe,
     # stream_heavy_hitters, graph_personalized_pagerank) took their
     # window slots: new-surface first, staleness rotation second.)
+    # The two post-window round-7 additions (layout_zorder_keys,
+    # ts_hypertable_rollup) are deliberately NOT front-loaded — evicting
+    # r02-stale names mid-round would defeat the rotation; they join the
+    # never-driver-checked head of round 8's window together with the r04
+    # overflow above.
 )
 
 
