@@ -1,11 +1,22 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Each query is executed with a count() action (full pipeline, no driver-side
-result materialization beyond the aggregate) after a warm-up of the session.
+Output contract (round 8, fixing the r07 tail-truncation): stdout carries the
+full record {"metric", "value", "unit", "queries", "sf", "protocol"} on its
+penultimate line, and a COMPACT summary {"metric", "value", "unit", "sf"}
+(no per-query dict, always < 200 bytes) as the LAST line, so a bounded
+stdout tail-capture window always contains a parseable record even as the
+headline set grows. The full record is also written to BENCH_full.json.
+
+Timing protocol: each query is executed with a count() action (full
+pipeline, no driver-side result materialization beyond the aggregate) after
+session warm-up; per-query time is the MIN OF 3 runs with cached/persisted
+blocks cleared between every run. Min-of-N removes the session-residue
+drift the r07 verdict measured (1.17x uniform slowdown of the r06-common
+cohort inside the longer r07 session): the minimum approximates the
+steady-state fresh-session time each round, making BENCH_r{N} records
+comparable across rounds without fresh-process-per-query cost.
 """
 
 from __future__ import annotations
@@ -182,13 +193,17 @@ def main() -> None:
         while it.hasNext():
             it.next()._2().unpersist(False)
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _clear_session_residue()
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            _clear_session_residue()
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -197,8 +212,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "protocol": f"min-of-{repeats}, residue-cleared between runs",
     }
+    # Full record: one line on stdout + a file copy (survives any tail
+    # window). Compact summary LAST so a bounded tail always parses.
     print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_full.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in ("metric", "value", "unit", "sf")}))
     spark.stop()
 
 
