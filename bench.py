@@ -11,12 +11,14 @@ headline set grows. The full record is also written to BENCH_full.json.
 
 Timing protocol: each query is executed with a count() action (full
 pipeline, no driver-side result materialization beyond the aggregate) after
-session warm-up; per-query time is the MIN OF 3 runs with cached/persisted
+session warm-up; per-query time is the MIN over adaptive repeats (3 runs
+for sub-2 s queries, 2 for 2-6 s, 1 for heavier) with cached/persisted
 blocks cleared between every run. Min-of-N removes the session-residue
 drift the r07 verdict measured (1.17x uniform slowdown of the r06-common
-cohort inside the longer r07 session): the minimum approximates the
-steady-state fresh-session time each round, making BENCH_r{N} records
-comparable across rounds without fresh-process-per-query cost.
+cohort inside the longer r07 session, worst on sub-second queries): the
+minimum approximates the steady-state fresh-session time each round, making
+BENCH_r{N} records comparable across rounds without fresh-process-per-query
+cost. SPARK_GRAFT_BENCH_REPEATS=N forces a flat min-of-N.
 """
 
 from __future__ import annotations
@@ -193,12 +195,24 @@ def main() -> None:
         while it.hasNext():
             it.next()._2().unpersist(False)
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # Adaptive repeats: sub-2 s queries get min-of-3 (they showed the worst
+    # relative residue drift in r07 — w4 0.17->0.25 s), 2-6 s queries
+    # min-of-2, >6 s queries a single run (their relative drift is small and
+    # re-running them would dominate bench wall time). Override with
+    # SPARK_GRAFT_BENCH_REPEATS=N for a flat protocol.
+    flat = os.environ.get("SPARK_GRAFT_BENCH_REPEATS")
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
-        for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = time.perf_counter() - t0
+        _clear_session_residue()
+        if flat is not None:
+            extra = int(flat) - 1
+        else:
+            extra = 2 if best < 2.0 else (1 if best < 6.0 else 0)
+        for _ in range(extra):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
@@ -212,7 +226,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "protocol": f"min-of-{repeats}, residue-cleared between runs",
+        "protocol": (f"flat min-of-{flat}" if flat is not None else
+                     "adaptive min-of-3/<2s, min-of-2/<6s, 1/heavy")
+                    + ", residue-cleared between runs",
     }
     # Full record: one line on stdout + a file copy (survives any tail
     # window). Compact summary LAST so a bounded tail always parses.
