@@ -188,12 +188,9 @@ def main() -> None:
         session: 78.4 s without the hook vs 74.0 s with it (the remaining
         delta vs the 60.4 s round-6 record is cross-VM variance — an
         isolated fresh-process q1 reproduces the round-6 0.70 s exactly)."""
-        spark.catalog.clearCache()
-        jsc = spark.sparkContext._jsc.sc()
-        prdds = jsc.getPersistentRDDs()
-        it = prdds.iterator()
-        while it.hasNext():
-            it.next()._2().unpersist(False)
+        from telemetry_parquet_spark.session import clear_cached_relations
+
+        clear_cached_relations(spark)
 
     # Adaptive repeats: sub-2 s queries get min-of-3 (they showed the worst
     # relative residue drift in r07 — w4 0.17->0.25 s), 2-6 s queries

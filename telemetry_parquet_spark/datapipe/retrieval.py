@@ -59,7 +59,10 @@ def bm25_top_k(
     # integer-sum ratio), broadcast back into the scoring plan.
     # dl fans out to the corpus-stats aggregate AND the scoring join;
     # persisting the (doc-sized, 2-column) relation saves a full re-tokenize
-    # of the corpus for the stats pass.
+    # of the corpus for the stats pass. The returned plan is LAZY, so this
+    # function cannot unpersist after the action it never runs — the blocks
+    # follow the session residue contract (evictable MEMORY_AND_DISK;
+    # release via session.clear_cached_relations between queries).
     dl = toks.groupBy(doc_id).agg(F.count("*").alias("dl")).persist()
     stats = dl.agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -56,6 +56,8 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     # the full upstream derivation once PER REFERENCE — a 6× re-read of the
     # input at 100 TB. persist() keeps the plan lazy while each subtree is
     # computed exactly once per action (MEMORY_AND_DISK default, edge-sized).
+    # Lazy return ⇒ no unpersist here; blocks follow the session residue
+    # contract (evictable; release via session.clear_cached_relations).
     e = canonical_edges(edges, src, dst).persist()
 
     deg = (
@@ -144,6 +146,20 @@ def label_propagation(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
+    # Packed-argmax precondition: ids (hence labels, which are always
+    # adopted from ids) must fit below 2^31 so the decode
+    # ``2^31 - 1 - (p % 2^31)`` is exact, and vote counts must fit below
+    # 2^32 so ``cnt * 2^31`` fits in int64 — cnt ≤ n_nodes - 1, which the
+    # id bound already implies. 64-bit hashed ids would silently mis-decode;
+    # fail loudly instead (the check is one tiny agg over the already
+    # checkpointed node-sized relation).
+    max_id = lbl.agg(F.max("id")).first()[0]
+    if max_id is not None and int(max_id) >= M:
+        raise ValueError(
+            f"label_propagation's packed argmax requires node ids < 2^31; "
+            f"got max id {max_id}. Densify ids first (e.g. "
+            f"row_number/dense_rank remap) or widen the packing."
+        )
     for i in range(iters):
         votes = (
             both.join(lbl, both["u"] == lbl["id"])

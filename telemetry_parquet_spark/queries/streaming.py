@@ -378,15 +378,29 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type top-16 user heavy hitters maintained as bounded streaming
     state (applyInPandasWithState Misra-Gries — see streaming/stateful.py).
-    k=2048 exceeds every SF's user cardinality, so no decrement fires and
-    the update-mode emission equals the exact batch GROUP BY top-16 — the
-    same exact-regime gate as ``vocab_heavy_hitters``; the lossy regime's
-    bounds are property-tested in test_stateful_streaming.py."""
+
+    The exact-regime gate (no MG decrement ⇒ emission equals the exact
+    batch GROUP BY top-16, same as ``vocab_heavy_hitters``) requires
+    ``k`` > per-type distinct users. Distinct users grow ~15x per SF decade
+    (1500 at sf0.1), so a fixed k=2048 would silently leave the exact
+    regime at sf1+ and the oracle row would go red. The gate therefore
+    DERIVES k at build time from a distinct-count upper bound (one
+    2-column scan of the batch table — an oracle-time artifact, not part
+    of the streaming pipeline). The production path at unbounded
+    cardinality is the fixed-k lossy regime, whose ``count_lb ≤ true ≤
+    count_lb + err_ub`` bounds are property-tested in
+    test_stateful_streaming.py."""
+    from telemetry_parquet_spark.sources.tables import load_table
     from telemetry_parquet_spark.streaming.stateful import streaming_heavy_hitters
+
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    k = max(2048, 1 << int(n_users + 1).bit_length())
 
     return _run(
         spark,
         sf_dir,
-        lambda ev: streaming_heavy_hitters(ev),
+        lambda ev: streaming_heavy_hitters(ev, k=k),
         output_mode="update",
     )

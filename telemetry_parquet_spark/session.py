@@ -93,3 +93,23 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def clear_cached_relations(spark: SparkSession) -> None:
+    """Release every cached/persisted block in the session.
+
+    RESIDUE CONTRACT: a few operators persist() fan-out relations they
+    cannot unpersist themselves because they return a LAZY plan over them —
+    the action that materializes the blocks happens in the caller
+    (``bm25_top_k``'s doc-length relation, ``triangle_counts``' canonical
+    and oriented edge relations). Those blocks are MEMORY_AND_DISK and
+    evictable by Spark's unified memory manager, so they degrade — not
+    break — long sessions; callers that run many queries in one session
+    (bench.py, a notebook loop) should call this between queries to keep
+    timings and memory state independent.
+    """
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    it = jsc.getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)

@@ -17,10 +17,16 @@ for engines replaying history.
 
 from __future__ import annotations
 
+import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Progress reports of the most recent run_available_now replay — runtime
+# evidence (micro-batches, rows, state-store sizes) consumed by
+# plans/audit.py, since streaming plans cannot be audited statically.
+LAST_RUN_PROGRESS: list[dict] = []
 
 
 def tumbling_counts(
@@ -200,6 +206,16 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        # Runtime evidence for the plan audit (streaming plans can't be
+        # introspected statically without re-execution): micro-batch count,
+        # rows processed, and state-store rows from the query's own
+        # progress reports.
+        global LAST_RUN_PROGRESS
+        LAST_RUN_PROGRESS = []
+        for p in q.recentProgress:
+            LAST_RUN_PROGRESS.append(
+                p if isinstance(p, dict) else json.loads(p.json)
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
