@@ -148,6 +148,11 @@ HEADLINE = [
     # Misra-Gries heavy hitters as bounded streaming state (k counters
     # per key forever, exact-regime gated)
     "stream_heavy_hitters",
+    # round 8: BM25 served from the materialized inverted index (postings
+    # bucketed+sorted by token, isin pushdown) — the index is pre-built in
+    # warm-up so this row measures per-query SERVING cost; compare with
+    # bm25_topk_docs (scan-time tokenize) for the per-query saving
+    "bm25_indexed_topk",
     # z-order layout keys: two domain-sized broadcast joins + codegen
     # Morton interleave — the fact scan never exchanges
     "layout_zorder_keys",
@@ -177,6 +182,14 @@ def main() -> None:
 
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).limit(1).count()
+
+    # Pre-build the BM25 inverted index (fingerprint-guarded, so this is a
+    # no-op when the warehouse already holds a current build): the
+    # bm25_indexed_topk row measures per-query serving against the index,
+    # not the one-time tokenize — that cost is bm25_topk_docs' row.
+    from telemetry_parquet_spark.datapipe.retrieval import ensure_bm25_index
+
+    ensure_bm25_index(spark, sf_dir)
 
     def _clear_session_residue() -> None:
         """Drop blocks left behind by the previous query so every timing

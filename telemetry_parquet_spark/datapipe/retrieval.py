@@ -77,6 +77,24 @@ def bm25_top_k(
         .groupBy(doc_id, "token")
         .agg(F.count("*").alias("tf"))
     )
+    return _score_topk(tf, dl, stats, k=k, k1=k1, b=b, doc_id=doc_id)
+
+
+def _score_topk(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Shared BM25 scoring tail: (doc, term, tf) postings already pruned to
+    the query terms + per-doc lengths + a 1-row (n_docs, total_dl) stats
+    relation → micro-scaled integer-summed top-k. Both the scan-time path
+    (``bm25_top_k``) and the materialized-index path
+    (``bm25_indexed_top_k``) end here, so their scores are identical by
+    construction."""
     df_ = tf.groupBy("token").agg(F.countDistinct(doc_id).alias("df"))
 
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
@@ -113,3 +131,155 @@ def bm25_top_k(
         .orderBy(F.desc("bm25_micros"), F.asc(doc_id))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized inverted index — the "tokenize once, query many times" shape
+# the module docstring names as the production path. Three relations:
+#
+#   {prefix}_postings (doc_id, token, tf)  bucketed + sorted by token
+#   {prefix}_doclen   (doc_id, dl)         bucketed by doc_id
+#   {prefix}_stats    (batch, n_docs, total_dl)  one row per ingest batch
+#
+# Per-query cost against the index is proportional to the postings of the
+# QUERY terms only: the token filter pushes down into the parquet scan
+# (bucket files are sorted by token, so row-group min/max stats skip almost
+# everything), df comes from those same pruned postings, and the corpus
+# stats are an associative sum over the batch rows — so per-day APPENDS are
+# just three appends, no rebuild, and the scores stay bit-identical to the
+# scan-time path because both end in _score_topk.
+# ---------------------------------------------------------------------------
+
+
+def _index_relations(
+    docs: DataFrame, doc_id: str, text_col: str, batch: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    toks = docs.select(
+        F.col(doc_id), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    postings = toks.groupBy(doc_id, "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = toks.groupBy(doc_id).agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ).select(F.lit(batch).alias("batch"), "n_docs", "total_dl")
+    return postings, dl, stats
+
+
+def build_bm25_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    prefix: str,
+    num_buckets: int = 16,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    batch: str = "full",
+) -> None:
+    """Tokenize the corpus ONCE and land the inverted index as bucketed
+    managed tables (see sources/writers.py::write_bucketed_table for the
+    pay-one-shuffle-then-join-free rationale)."""
+    from telemetry_parquet_spark.sources.writers import write_bucketed_table
+
+    postings, dl, stats = _index_relations(docs, doc_id, text_col, batch)
+    write_bucketed_table(
+        postings, f"{prefix}_postings", ["token"], num_buckets,
+        sort_cols=["token"],
+    )
+    write_bucketed_table(dl, f"{prefix}_doclen", [doc_id], num_buckets)
+    stats.coalesce(1).write.mode("overwrite").saveAsTable(f"{prefix}_stats")
+
+
+def append_bm25_partition(
+    spark: SparkSession,
+    docs: DataFrame,
+    prefix: str,
+    batch: str,
+    num_buckets: int = 16,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental per-day append: tokenize only the NEW partition and
+    append its postings / doc lengths / 1-row batch stats. Document
+    frequency and corpus stats need no rebuild — df is recomputed per query
+    from the pruned postings, and the stats relation sums associatively
+    over batch rows. Assumes doc_ids are append-only (a re-ingested day
+    should overwrite its batch instead)."""
+    postings, dl, stats = _index_relations(docs, doc_id, text_col, batch)
+    (
+        postings.write.mode("append")
+        .bucketBy(num_buckets, "token")
+        .sortBy("token")
+        .saveAsTable(f"{prefix}_postings")
+    )
+    (
+        dl.write.mode("append")
+        .bucketBy(num_buckets, doc_id)
+        .saveAsTable(f"{prefix}_doclen")
+    )
+    stats.coalesce(1).write.mode("append").saveAsTable(f"{prefix}_stats")
+
+
+def bm25_indexed_top_k(
+    spark: SparkSession,
+    prefix: str,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 against a materialized index: reads ONLY the query
+    terms' postings (isin filter pushed into the sorted bucketed scan),
+    never re-tokenizes the corpus. Bit-identical to ``bm25_top_k`` on the
+    same corpus (same _score_topk tail; asserted in tests)."""
+    tf = spark.table(f"{prefix}_postings").where(
+        F.col("token").isin(list(query_terms))
+    )
+    dl = spark.table(f"{prefix}_doclen")
+    stats = spark.table(f"{prefix}_stats").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_dl").cast("long").alias("total_dl"),
+    )
+    return _score_topk(tf, dl, stats, k=k, k1=k1, b=b, doc_id=doc_id)
+
+
+def ensure_bm25_index(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 16
+) -> str:
+    """Build-or-reuse the documents index for ``sf_dir`` in the session
+    warehouse. A FINGERPRINT of the source parquet (path + total bytes +
+    max mtime) is stored alongside the stats rows; a mismatch (regenerated
+    testdata, different sf_dir at the same prefix) forces a rebuild, so a
+    stale warehouse can never serve a fresh corpus."""
+    import os
+    import re
+
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = (
+        [src]
+        if os.path.isfile(src)
+        else [
+            os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if not f.startswith(("_", "."))
+        ]
+    )
+    st = [os.stat(p) for p in parts]
+    fp = f"{src}|{sum(s.st_size for s in st)}|{max(s.st_mtime_ns for s in st)}"
+
+    prefix = "bm25_idx_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    meta = f"{prefix}_meta"
+    if spark.catalog.tableExists(meta):
+        stored = spark.table(meta).first()
+        if stored is not None and stored["fingerprint"] == fp:
+            return prefix
+    docs = load_table(spark, sf_dir, "documents")
+    build_bm25_index(spark, docs, prefix, num_buckets=num_buckets)
+    spark.createDataFrame([(fp,)], ["fingerprint"]).coalesce(1).write.mode(
+        "overwrite"
+    ).saveAsTable(meta)
+    return prefix

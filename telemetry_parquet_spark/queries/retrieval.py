@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from telemetry_parquet_spark.queries.registry import query
+from telemetry_parquet_spark.queries.registry import ORACLE, query
 from telemetry_parquet_spark.sources.tables import load_table
 
 _QUERY_TERMS = ["vector", "window", "stream"]
@@ -75,3 +75,25 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_top_k(spark, docs, _QUERY_TERMS, k=15)
+
+
+@query(
+    "bm25_indexed_topk",
+    oracle=ORACLE["bm25_topk_docs"],
+)
+def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical query bag and scoring as ``bm25_topk_docs``, served from
+    the MATERIALIZED inverted index (datapipe/retrieval.py: bucketed
+    token-sorted postings + doc lengths + associative batch stats): the
+    corpus is tokenized once at build; each query reads only the query
+    terms' postings (isin pushdown into the sorted bucketed scan). Same
+    oracle as the scan-time query — both must produce the same rows. The
+    index build is fingerprint-guarded, so a regenerated corpus forces a
+    rebuild instead of serving stale postings."""
+    from telemetry_parquet_spark.datapipe.retrieval import (
+        bm25_indexed_top_k,
+        ensure_bm25_index,
+    )
+
+    prefix = ensure_bm25_index(spark, sf_dir)
+    return bm25_indexed_top_k(spark, prefix, _QUERY_TERMS, k=15)
