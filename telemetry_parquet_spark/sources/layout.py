@@ -85,16 +85,28 @@ def cluster_zorder(
 # ids — then interleaves the buckets. All-integer math, so a SQL oracle
 # replays it bit-for-bit (`layout_zorder_keys`).
 #
-# Scale: the CDF is built on the distinct-value HISTOGRAM (domain-sized
-# window, the vocab-sized-state pattern) and broadcast back, so the fact
-# table acquires its key with ZERO shuffles; the one range shuffle is the
-# write layout itself. For open 100 TB domains swap the exact CDF for
-# ``approxQuantile`` boundaries — interleave and layout are unchanged.
+# Scale: two bucket-map regimes, chosen per column:
+# - EXACT rank-CDF (``rank_bucket_map``): histogram of distinct values +
+#   one cumulative sum. The cumulative sum is a GLOBAL window — fine while
+#   the domain is vocabulary-sized (the registered bench dimensions: part /
+#   supplier keys), but on a near-unique column the "domain" is row-sized
+#   and the single-partition window becomes a one-reducer bottleneck.
+# - APPROX boundary buckets (``quantile_bucket_expr``): 2^bits - 1
+#   approxQuantile boundaries (Greenwald-Khanna, one distributed pass,
+#   driver gets only the boundary list) compiled into a pure whole-stage-
+#   codegen'd projection — NO window, NO join, NO shuffle anywhere in the
+#   keying, at any cardinality.
+# ``zorder_key_adaptive`` defaults to AUTO: exact while the domain is small
+# (equal-frequency tiles are exact and SQL-replayable — the driver oracle),
+# approx above ``exact_max_distinct``. Interleave and layout are identical
+# in both regimes.
 
 
 def rank_bucket_map(df: DataFrame, col: str, bits: int = 8) -> DataFrame:
     """value -> exact equal-frequency bucket in [0, 2^bits): domain-sized
-    histogram, cumulative count over distinct values, integer division."""
+    histogram, cumulative count over distinct values, integer division.
+    Use only on vocabulary-sized domains (see module scale notes);
+    high-cardinality columns go through ``quantile_bucket_expr``."""
     from pyspark.sql import Window
 
     b = 1 << bits
@@ -108,32 +120,95 @@ def rank_bucket_map(df: DataFrame, col: str, bits: int = 8) -> DataFrame:
     )
 
 
+def quantile_bucket_expr(
+    df: DataFrame, col: str, bits: int = 8, rel_err: float | None = None
+) -> Column:
+    """value -> approximate equal-frequency bucket as a pure PROJECTION.
+
+    One ``approxQuantile`` pass yields the 2^bits - 1 boundary values
+    (driver-sized: the list, never the data); the bucket index is then
+    ``count of boundaries <= value``, evaluated with ``F.aggregate`` over a
+    literal array — whole-stage codegen, zero joins/windows/shuffles.
+    Duplicate boundaries (heavy hitters spanning multiple quantiles)
+    are deduplicated; the curve simply allocates fewer tiles to a value
+    that already owns more than one tile's worth of rows."""
+    b = 1 << bits
+    if rel_err is None:
+        # boundary rank error a tenth of a bucket width
+        rel_err = max(1e-4, 0.1 / b)
+    probs = [i / b for i in range(1, b)]
+    bounds = sorted(set(df.stat.approxQuantile(col, probs, rel_err)))
+    arr = F.array(*[F.lit(float(v)) for v in bounds])
+    val = F.col(col).cast("double")
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, bnd: acc + F.when(val >= bnd, 1).otherwise(0),
+    ).cast("bigint")
+
+
 def zorder_key_adaptive(
-    df: DataFrame, x: str, y: str, bits: int = 8, out_col: str = "zval"
+    df: DataFrame,
+    x: str,
+    y: str,
+    bits: int = 8,
+    out_col: str = "zval",
+    mode: str = "auto",
+    exact_max_distinct: int = 1 << 16,
 ) -> DataFrame:
     """Attach ``out_col`` = Morton code of the two columns' rank buckets.
-    The input never shuffles: both bucket maps are domain-sized broadcasts;
-    the interleave reuses ``zorder_code`` (buckets fit 16 bits)."""
-    bx = rank_bucket_map(df, x, bits)
-    by = rank_bucket_map(df, y, bits)
-    return (
-        df.join(F.broadcast(bx), df[x] == bx["v"], "left")
-        .drop("v")
-        .withColumnRenamed("bucket", "_bx")
-        .join(F.broadcast(by), df[y] == by["v"], "left")
-        .drop("v")
-        .withColumnRenamed("bucket", "_by")
-        .withColumn(out_col, zorder_code(F.col("_bx"), F.col("_by")))
-        .drop("_bx", "_by")
-    )
+
+    ``mode``: 'exact' (rank-CDF broadcast join per column), 'approx'
+    (boundary-bucket projection per column), or 'auto' (default) — one
+    approx_count_distinct probe picks the regime PER COLUMN, so a
+    (vocabulary-sized, near-unique) pair gets an exact map on the first
+    and a windowless projection on the second. The fact table never
+    shuffles in any regime."""
+    if mode == "auto":
+        cnt = df.agg(
+            F.approx_count_distinct(x).alias("x"),
+            F.approx_count_distinct(y).alias("y"),
+        ).first()
+        modes = {
+            x: "exact" if cnt["x"] <= exact_max_distinct else "approx",
+            y: "exact" if cnt["y"] <= exact_max_distinct else "approx",
+        }
+    else:
+        modes = {x: mode, y: mode}
+
+    out = df
+    for colname, tag in ((x, "_bx"), (y, "_by")):
+        if modes[colname] == "exact":
+            bm = rank_bucket_map(df, colname, bits)
+            out = (
+                out.join(F.broadcast(bm), out[colname] == bm["v"], "left")
+                .drop("v")
+                .withColumnRenamed("bucket", tag)
+            )
+        else:
+            out = out.withColumn(
+                tag, quantile_bucket_expr(df, colname, bits)
+            )
+    return out.withColumn(
+        out_col, zorder_code(F.col("_bx"), F.col("_by"))
+    ).drop("_bx", "_by")
 
 
 def cluster_zorder_adaptive(
-    df: DataFrame, x: str, y: str, num_files: int, bits: int = 8
+    df: DataFrame,
+    x: str,
+    y: str,
+    num_files: int,
+    bits: int = 8,
+    mode: str = "auto",
+    exact_max_distinct: int = 1 << 16,
 ) -> DataFrame:
     """``cluster_zorder`` for wide/skewed domains: equal-frequency tiles
-    via the rank-CDF buckets, then the same one-range-shuffle layout."""
-    keyed = zorder_key_adaptive(df, x, y, bits=bits)
+    via the per-column bucket regime (see ``zorder_key_adaptive``), then
+    the same one-range-shuffle layout."""
+    keyed = zorder_key_adaptive(
+        df, x, y, bits=bits, mode=mode, exact_max_distinct=exact_max_distinct
+    )
     return keyed.repartitionByRange(num_files, F.col("zval")).sortWithinPartitions(
         "zval"
     )

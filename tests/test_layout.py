@@ -200,3 +200,45 @@ def test_adaptive_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
         "l_suppkey"
     ).between(*box_s["l_suppkey"])
     assert spark.read.parquet(zpath).where(pred).count() == li.where(pred).count()
+
+
+def test_quantile_buckets_monotonic_and_balanced(spark, sf_dir):
+    """Approx boundary buckets: monotonic in the value, inside [0, 2^bits),
+    and near-equal-frequency on a near-unique column."""
+    from telemetry_parquet_spark.sources.layout import quantile_bucket_expr
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bits = 6
+    bucketed = li.select(
+        F.col("l_extendedprice").alias("v"),
+        quantile_bucket_expr(li, "l_extendedprice", bits=bits).alias("b"),
+    )
+    rows = sorted((float(r["v"]), int(r["b"])) for r in bucketed.collect())
+    assert all(0 <= b < (1 << bits) for _, b in rows)
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(rows, rows[1:]))
+    # equal-frequency within GK tolerance: no bucket > 2x the mean
+    from collections import Counter
+
+    counts = Counter(b for _, b in rows)
+    mean = len(rows) / (1 << bits)
+    assert max(counts.values()) <= 2 * mean
+
+
+def test_auto_mode_matches_exact_on_small_domain(spark, sf_dir):
+    """AUTO keying on two vocabulary-sized columns must equal the exact
+    rank-CDF keying bit-for-bit (auto picks exact under the threshold)."""
+    from telemetry_parquet_spark.sources.layout import zorder_key_adaptive
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    auto = zorder_key_adaptive(li, "l_partkey", "l_suppkey", bits=8)
+    exact = zorder_key_adaptive(
+        li, "l_partkey", "l_suppkey", bits=8, mode="exact"
+    )
+    key = ["l_orderkey", "l_linenumber"]
+    a = {tuple(r[k] for k in key): r["zval"] for r in auto.collect()}
+    e = {tuple(r[k] for k in key): r["zval"] for r in exact.collect()}
+    assert a == e

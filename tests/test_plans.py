@@ -152,3 +152,25 @@ def test_zorder_key_is_broadcast_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_adaptive_high_card_fact_path_windowless(spark, sf_dir):
+    """cluster_zorder_adaptive in the high-cardinality regime: the
+    boundary-bucket keying is a pure projection — the plan must contain NO
+    window at all and NO single-partition exchange (the exact rank-CDF's
+    one-reducer cumulative sum must not appear anywhere near the fact
+    path). The only exchange is the write layout's range partitioning."""
+    from telemetry_parquet_spark.sources.layout import cluster_zorder_adaptive
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # exact_max_distinct=1 forces AUTO to classify both columns (a
+    # near-unique price and a vocabulary-sized key) as high-cardinality
+    df = cluster_zorder_adaptive(
+        li, "l_extendedprice", "l_partkey", num_files=8, exact_max_distinct=1,
+        mode="auto",
+    )
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert exchange_count(df) == 1  # the range layout itself
