@@ -106,8 +106,22 @@ def _rotl64(c: Column, i: int) -> Column:
 def _hash_family(h1: Column, h2: Column, i: int) -> Column:
     """K-member hash family from two base hashes (Carter-Wegman style, with
     XOR+rotate instead of multiply so ANSI overflow checking never fires):
-    g_i = h1 XOR rotl(h2, i) XOR i."""
-    return h1.bitwiseXOR(_rotl64(h2, (i * 7 + 1) % 63 + 1)).bitwiseXOR(F.lit(i))
+    g_i = rotl(h1, (i mod 63)+1) XOR rotl(h2, (i mod 61)+1) XOR i.
+
+    The rotation PAIR must be distinct per member (63 and 61 are coprime:
+    pairs repeat only past i=3842). The earlier single-rotation form
+    ``h1 XOR rotl(h2, (7i+1) mod 63 + 1)`` repeated its rotation every 9
+    members, leaving g_i and g_{i+9} equal up to a sub-7-bit XOR constant —
+    near-identical argmins, so 64 "independent" minhashes collapsed to ~9
+    effective ones and banding recall at mid similarity ran far below the
+    (1-s^r)^b model (measured 0.28 vs predicted 0.64 at s=0.5; the
+    S-curve fixture in tests/test_incremental_near_dup.py now pins the
+    model within ±0.15)."""
+    return (
+        _rotl64(h1, (i % 63) + 1)
+        .bitwiseXOR(_rotl64(h2, (i % 61) + 1))
+        .bitwiseXOR(F.lit(i))
+    )
 
 
 def minhash_docs(
