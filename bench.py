@@ -148,6 +148,10 @@ HEADLINE = [
     # Misra-Gries heavy hitters as bounded streaming state (k counters
     # per key forever, exact-regime gated)
     "stream_heavy_hitters",
+    # round 8: multi-table OR-amplified LSH KNN graph (8 tables x 8 bits —
+    # the best recall-per-candidate point on the measured frontier;
+    # SCALE.md)
+    "sim_knn_graph_lsh_tables",
     # round 8: BM25 served from the materialized inverted index (postings
     # bucketed+sorted by token, isin pushdown) — the index is pre-built in
     # warm-up so this row measures per-query SERVING cost; compare with

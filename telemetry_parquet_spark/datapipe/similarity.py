@@ -122,6 +122,11 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def table_seed(seed: int, t: int) -> int:
+    """Per-table hyperplane seed (table 0 == the single-table config)."""
+    return seed + 7919 * t
+
+
 def lsh_bucket_top_k(
     queries: DataFrame,
     corpus: DataFrame,
@@ -134,43 +139,106 @@ def lsh_bucket_top_k(
     seed: int = 42,
     exclude_self: bool = False,
     multiprobe: bool = False,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate per-query top-k: bucket corpus and queries by hyperplane
     signature, equi-join buckets (shuffle on the signature — ~2^bits
     reduction), exact cosine rescore within buckets, rank per query.
 
-    Recall/cost trades with ``bits``; ``multiprobe`` additionally probes
-    every 1-bit-flipped signature (the standard multi-probe LSH recall
-    knob): the QUERY side explodes into bits+1 probe rows — a bits+1×
-    query-side shuffle, the corpus side unchanged — and each (query,
-    candidate) pair still arises at most once (a candidate's single
-    signature equals exactly one probe value), so no dedup stage is
-    needed. Candidates become the Hamming ≤ 1 signature ball."""
+    Three recall knobs, all deterministic (hence exactly oracle-able):
+    - ``bits``: fewer bits = bigger buckets = more candidates (AND
+      amplification; each extra bit multiplies the per-neighbor collision
+      probability by p = 1 - angle/pi).
+    - ``multiprobe``: additionally probes every 1-bit-flipped signature.
+      The QUERY side explodes into bits+1 probe rows — a bits+1× query-
+      side shuffle, the corpus side unchanged — and within one table each
+      (query, candidate) pair arises at most once (a candidate's single
+      signature equals exactly one probe value), so no dedup is needed.
+    - ``tables``: L independent hyperplane sets, candidates = union of the
+      per-table buckets (OR amplification: P(candidate) = 1-(1-p^bits)^L).
+      This is the knob that actually buys recall on weakly clustered data
+      — measured frontier in SCALE.md — at cost L× the signature join.
+      A pair can collide in several tables, so the multi-table path
+      dedups (query, candidate) BEFORE the window rank; single-table
+      plans are unchanged (no explode, no dedup).
+    """
     from pyspark.sql import Window as W
 
-    planes = _hyperplanes(dim, bits, seed)
-    c = corpus.withColumn("__sig", lsh_signature(F.col(vec_col), planes))
-    sig = lsh_signature(F.col(vec_col), planes)
-    if multiprobe:
-        probes = F.array(
-            sig, *[sig.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)]
-        )
-        q = queries.select(
-            F.col(query_id),
-            F.col(vec_col).alias("__qv"),
-            F.explode(probes).alias("__sig"),
+    def sig_for(df_vec: Column, t: int) -> Column:
+        planes = _hyperplanes(dim, bits, table_seed(seed, t))
+        return lsh_signature(df_vec, planes)
+
+    if tables == 1:
+        c = corpus.withColumn("__sig", sig_for(F.col(vec_col), 0))
+        sig = sig_for(F.col(vec_col), 0)
+        if multiprobe:
+            probes = F.array(
+                sig,
+                *[
+                    sig.bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(bits)
+                ],
+            )
+            q = queries.select(
+                F.col(query_id),
+                F.col(vec_col).alias("__qv"),
+                F.explode(probes).alias("__sig"),
+            )
+        else:
+            q = queries.select(
+                F.col(query_id),
+                F.col(vec_col).alias("__qv"),
+                sig.alias("__sig"),
+            )
+        scored = c.join(q, "__sig").select(
+            query_id,
+            corpus_id,
+            F.round(
+                cosine(F.col(vec_col), F.col("__qv")), 6
+            ).alias("cosine_sim"),
         )
     else:
-        q = queries.select(
-            F.col(query_id),
-            F.col(vec_col).alias("__qv"),
-            sig.alias("__sig"),
+        # (table, signature) composite bucket key on both sides; the
+        # explode is L rows per vector (corpus AND query), the equi-join
+        # runs on (__tbl, __sig), and the union of per-table candidate
+        # sets is deduplicated before ranking.
+        def tagged(df: DataFrame, idc: str, keep_vec: str, probe: bool) -> DataFrame:
+            entries = []
+            for t in range(tables):
+                s = sig_for(F.col(vec_col), t)
+                entries.append(F.struct(F.lit(t).alias("t"), s.alias("s")))
+                if probe:
+                    entries.extend(
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            s.bitwiseXOR(F.lit(1 << i).cast("long")).alias("s"),
+                        )
+                        for i in range(bits)
+                    )
+            return df.select(
+                F.col(idc),
+                F.col(vec_col).alias(keep_vec),
+                F.explode(F.array(*entries)).alias("__p"),
+            ).select(
+                idc,
+                keep_vec,
+                F.col("__p.t").alias("__tbl"),
+                F.col("__p.s").alias("__sig"),
+            )
+
+        c = tagged(corpus, corpus_id, "__cv", False)
+        q = tagged(queries, query_id, "__qv", multiprobe)
+        scored = (
+            c.join(q, ["__tbl", "__sig"])
+            .select(
+                query_id,
+                corpus_id,
+                F.round(
+                    cosine(F.col("__cv"), F.col("__qv")), 6
+                ).alias("cosine_sim"),
+            )
+            .distinct()
         )
-    scored = c.join(q, "__sig").select(
-        query_id,
-        corpus_id,
-        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine_sim"),
-    )
     if exclude_self:
         scored = scored.where(F.col(corpus_id) != F.col(query_id))
     w = W.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.asc(corpus_id))

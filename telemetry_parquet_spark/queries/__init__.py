@@ -50,6 +50,7 @@ from telemetry_parquet_spark.queries import layout  # noqa: F401, E402
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-checked (new in round 8 / post-window round 7)
     "bm25_indexed_topk",
+    "sim_knn_graph_lsh_tables",
     "layout_zorder_keys",
     "ts_hypertable_rollup",
     # latest driver row r04
@@ -101,7 +102,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_flatten",
     "feature_hashing_counts",
     "graph_pagerank",
-    "html_strip_normalize",
 )
 
 

@@ -287,3 +287,41 @@ def test_multiprobe_improves_recall_at_same_bits(spark, sf_dir):
     single, multi = recall(False), recall(True)
     assert multi >= single
     assert multi > single  # 7 probes vs 1 on 64 cells: strictly better here
+
+
+def test_multi_table_lsh_recall_and_dedup(spark):
+    """The round-8 default config (bits=8, tables=8, no probe — picked
+    from the SCALE.md frontier): OR-amplification must beat the single
+    8-bit table on planted moderate-similarity neighbors, emit no
+    duplicate (query, candidate) edges despite multi-table collisions,
+    and clear an absolute recall floor from the amplification math
+    (neighbors at cosine ≈ 0.95: p = 1 - θ/π ≈ 0.9, single table
+    p^8 ≈ 0.43, eight tables 1-(1-p^8)^8 ≈ 0.99)."""
+    import random as _random
+
+    from telemetry_parquet_spark.datapipe.similarity import lsh_bucket_top_k
+
+    rng = _random.Random(77)
+    rows = []
+    for i in range(80):
+        base = [rng.gauss(0.0, 1.0) for _ in range(16)]
+        rows.append((i, base))
+        # moderate-similarity partner: cosine ≈ 0.95
+        rows.append((i + 1000, [x + rng.gauss(0.0, 0.33) for x in base]))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = corpus.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).where(F.col("query_id") < 1000)
+
+    def run(tables):
+        out = lsh_bucket_top_k(
+            q, corpus, dim=16, bits=8, k=1, exclude_self=True,
+            tables=tables,
+        ).collect()
+        edges = [(r["query_id"], r["vec_id"]) for r in out]
+        assert len(edges) == len(set(edges))  # no duplicate edges
+        return sum(1 for s, d in edges if d == s + 1000) / 80
+
+    single, multi = run(1), run(8)
+    assert multi > single
+    assert multi >= 0.9
