@@ -29,6 +29,8 @@ the postings of the query terms only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -168,6 +170,20 @@ def _index_relations(
     return postings, dl, stats
 
 
+def _drop_stale_table(spark: SparkSession, table: str) -> None:
+    """Drop ``table`` AND its warehouse location. The default in-memory
+    catalog forgets tables across sessions while their warehouse
+    directories persist, so a rebuild in a fresh session would otherwise
+    die with LOCATION_ALREADY_EXISTS."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+
+
 def build_bm25_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -182,6 +198,8 @@ def build_bm25_index(
     pay-one-shuffle-then-join-free rationale)."""
     from telemetry_parquet_spark.sources.writers import write_bucketed_table
 
+    for suffix in ("postings", "doclen", "stats"):
+        _drop_stale_table(spark, f"{prefix}_{suffix}")
     postings, dl, stats = _index_relations(docs, doc_id, text_col, batch)
     write_bucketed_table(
         postings, f"{prefix}_postings", ["token"], num_buckets,
@@ -279,6 +297,7 @@ def ensure_bm25_index(
             return prefix
     docs = load_table(spark, sf_dir, "documents")
     build_bm25_index(spark, docs, prefix, num_buckets=num_buckets)
+    _drop_stale_table(spark, meta)
     spark.createDataFrame([(fp,)], ["fingerprint"]).coalesce(1).write.mode(
         "overwrite"
     ).saveAsTable(meta)
