@@ -12,7 +12,8 @@ headline set grows. The full record is also written to BENCH_full.json.
 Timing protocol: each query is executed with a count() action (full
 pipeline, no driver-side result materialization beyond the aggregate) after
 session warm-up; per-query time is the MIN over adaptive repeats (3 runs
-for sub-2 s queries, 2 for 2-6 s, 1 for heavier) with cached/persisted
+for sub-2 s queries by best-so-far, else 2 — every query gets a second run
+so a cold first run never decides the tier) with cached/persisted
 blocks cleared between every run. Min-of-N removes the session-residue
 drift the r07 verdict measured (1.17x uniform slowdown of the r06-common
 cohort inside the longer r07 session, worst on sub-second queries): the
@@ -209,28 +210,29 @@ def main() -> None:
 
         clear_cached_relations(spark)
 
-    # Adaptive repeats: sub-2 s queries get min-of-3 (they showed the worst
-    # relative residue drift in r07 — w4 0.17->0.25 s), 2-6 s queries
-    # min-of-2, >6 s queries a single run (their relative drift is small and
-    # re-running them would dominate bench wall time). Override with
-    # SPARK_GRAFT_BENCH_REPEATS=N for a flat protocol.
+    # Adaptive repeats: every query gets at least 2 runs — the first run can
+    # pay cold codegen/footer costs that have nothing to do with the plan
+    # (measured: dd_ngram_jaccard_pairs 10.4 s cold, 2.9 s warm — tiering on
+    # the FIRST run misclassified it as heavy and recorded the cold number).
+    # Sub-2 s queries (by best-so-far, re-tiered after each run) get
+    # min-of-3: they showed the worst relative residue drift in r07
+    # (w4 0.17->0.25 s). Override with SPARK_GRAFT_BENCH_REPEATS=N for a
+    # flat protocol.
     flat = os.environ.get("SPARK_GRAFT_BENCH_REPEATS")
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        best = time.perf_counter() - t0
-        _clear_session_residue()
-        if flat is not None:
-            extra = int(flat) - 1
-        else:
-            extra = 2 if best < 2.0 else (1 if best < 6.0 else 0)
-        for _ in range(extra):
+        best = float("inf")
+        runs = 0
+        while True:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
             _clear_session_residue()
+            runs += 1
+            target = int(flat) if flat is not None else (3 if best < 2.0 else 2)
+            if runs >= target:
+                break
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -241,7 +243,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "protocol": (f"flat min-of-{flat}" if flat is not None else
-                     "adaptive min-of-3/<2s, min-of-2/<6s, 1/heavy")
+                     "adaptive min-of-3/<2s else min-of-2, re-tiered on best")
                     + ", residue-cleared between runs",
     }
     # Full record: one line on stdout + a file copy (survives any tail

@@ -28,6 +28,7 @@ from telemetry_parquet_spark.queries import theta  # noqa: F401, E402
 from telemetry_parquet_spark.queries import graph  # noqa: F401, E402
 from telemetry_parquet_spark.queries import retrieval  # noqa: F401, E402
 from telemetry_parquet_spark.queries import layout  # noqa: F401, E402
+from telemetry_parquet_spark.queries import hll  # noqa: F401, E402
 
 # The driver evaluates exactly the first 50 entries of ``queries()`` in
 # registration order. Until every query has appeared green in some
@@ -53,6 +54,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_knn_graph_lsh_tables",
     "layout_zorder_keys",
     "ts_hypertable_rollup",
+    "hll_det_register_table",
+    "hll_det_distinct_users",
+    "hll_det_orderkey_estimates",
+    "hll_det_daily_merge",
     # latest driver row r04
     "dd_incremental_bloom",
     "dd_minhash_near_dup_pairs",
