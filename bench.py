@@ -164,6 +164,10 @@ HEADLINE = [
     # hypertable rollup cascade: hour agg is the only corpus-sized work;
     # day/week re-aggregate the bucket relations (associative DECIMAL sums)
     "ts_hypertable_rollup",
+    # deterministic HLL estimate (register build = map-side-combinable max,
+    # shuffle <= 2^p rows per group; estimate arithmetic register-sized) —
+    # the exactly-oracled sibling of a7_hll_distinct_users
+    "hll_det_distinct_users",
 ]
 
 

@@ -1,0 +1,131 @@
+"""Deterministic integer-exact Lloyd's k-means — the fourth exactly-oracled
+iterative algorithm (after PageRank, BPE, label propagation).
+
+``pyspark.ml`` KMeans (used by the IVF index build, datapipe/ivf.py:96) is
+the production clustering path but its float sum-order and RNG make it
+unreplayable cross-engine, so everything downstream of it is rows-only
+gated. THIS module restates Lloyd's iteration over exact integers so a
+DuckDB recursive CTE replays every assignment and centroid bit for bit:
+
+- vectors are quantized once: ``q = floor(x * 10^6 + 0.5)`` per component
+  (double multiply+add+floor, fixed order per element — IEEE-identical in
+  any engine; |x| < 1 keeps |q| <= 10^6).
+- distances are exact int64: ``d2 = sum((q_i - c_i)^2)`` <= 64 * (2*10^6)^2
+  ~ 2.6*10^14 — order-free integer sums.
+- argmin uses the label-propagation packed trick: ``min(d2 * k + cid)``
+  (exact lexicographic (d2, cid) min — deterministic tie-break on the
+  lowest cluster id; max packed value ~ 2*10^15 << 2^63).
+- centroid update is ``floor(sum / count + 0.5)`` per component: the int64
+  sum (< 2^53, exactly representable) divided as IEEE double, identical in
+  Spark, DuckDB, and driver-side Python.
+- init is RNG-free: the k vectors with the lowest ids are the seeds.
+
+Clusters may go empty (a duplicate seed's points all tie to the lower id);
+an empty cluster simply drops out of the centroid table — identically in
+both engines — which is standard Lloyd behavior, not a divergence.
+
+Scale: the corpus is touched once per iteration by a MAP-ONLY assignment
+(centroids ride along as literal arrays — k*dim values, collected per
+iteration exactly like BPE's argmax rows: a driver-sized contract, T
+round-trips total) followed by one map-side-combinable (cid, dim) sum
+whose shuffle is k*dim rows. No join, no corpus-sized shuffle. For
+hundreds-of-cells indexes the same numpy-matmul pandas UDF the IVF build
+uses (datapipe/ivf.py:71) is the drop-in assignment replacement; exactness
+then holds as long as the matmul is done in int64 (it is in numpy).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def quantize_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = SCALE,
+) -> DataFrame:
+    """(id, qv): the integer-quantized vectors every iteration reuses."""
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)),
+        ).alias("qv"),
+    )
+
+
+def _packed_argmin(centroids: list[tuple[int, list[int]]], k: int):
+    """min over centroids of (d2 * k + cid) — one codegen expression, no
+    join, no shuffle; d2 is an order-free exact integer fold per centroid."""
+    packed = []
+    for cid, vec in centroids:
+        lit_vec = F.array(*[F.lit(int(v)) for v in vec])
+        d2 = F.aggregate(
+            F.zip_with(F.col("qv"), lit_vec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        packed.append(d2 * F.lit(k) + F.lit(cid))
+    return F.least(*packed) if len(packed) > 1 else packed[0]
+
+
+def kmeans_fit(
+    qvec: DataFrame, k: int = 8, iters: int = 4
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Run ``iters`` Lloyd iterations; return (final assignment DataFrame
+    with columns (vec_id, cluster_id), final centroid list).
+
+    Iteration t assigns every point to the nearest current centroid, then
+    recomputes centroids from that assignment; the returned assignment is
+    the one that PRODUCED the returned centroids (same convention as the
+    recursive oracle)."""
+    qvec = qvec.persist()
+    try:
+        seeds = qvec.where(F.col("vec_id") < k).collect()
+        centroids = sorted(
+            (int(r.vec_id), [int(v) for v in r.qv]) for r in seeds
+        )
+        assigned = None
+        for _ in range(iters):
+            cid = (_packed_argmin(centroids, k) % F.lit(k)).alias("cluster_id")
+            assigned = qvec.select("vec_id", "qv", cid)
+            sums = (
+                assigned.select(
+                    "cluster_id", F.posexplode("qv").alias("dim", "qval")
+                )
+                .groupBy("cluster_id", "dim")
+                .agg(F.sum("qval").alias("s"), F.count("*").alias("c"))
+                .collect()  # <= k*dim rows — driver-sized by contract
+            )
+            by_cid: dict[int, dict[int, int]] = {}
+            for r in sums:
+                by_cid.setdefault(int(r.cluster_id), {})[int(r.dim)] = (
+                    int(math.floor(r.s / r.c + 0.5))
+                )
+            centroids = sorted(
+                (cid_, [comps[d] for d in sorted(comps)])
+                for cid_, comps in by_cid.items()
+            )
+        return assigned.select("vec_id", "cluster_id"), centroids
+    finally:
+        qvec.unpersist()
+
+
+def kmeans_centroid_table(assigned: DataFrame, qvec: DataFrame) -> DataFrame:
+    """(cluster_id, dim_idx, centroid_q, n_points): the centroid relation
+    derived from a final assignment — the persistable model state."""
+    return (
+        assigned.join(qvec, "vec_id")
+        .select("cluster_id", F.posexplode("qv").alias("dim0", "qval"))
+        .groupBy("cluster_id", (F.col("dim0") + 1).cast("int").alias("dim_idx"))
+        .agg(
+            F.floor(F.sum("qval") / F.count("*") + F.lit(0.5))
+            .cast("long")
+            .alias("centroid_q"),
+            F.count("*").alias("n_points"),
+        )
+    )

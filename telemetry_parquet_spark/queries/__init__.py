@@ -29,6 +29,7 @@ from telemetry_parquet_spark.queries import graph  # noqa: F401, E402
 from telemetry_parquet_spark.queries import retrieval  # noqa: F401, E402
 from telemetry_parquet_spark.queries import layout  # noqa: F401, E402
 from telemetry_parquet_spark.queries import hll  # noqa: F401, E402
+from telemetry_parquet_spark.queries import kmeans  # noqa: F401, E402
 
 # The driver evaluates exactly the first 50 entries of ``queries()`` in
 # registration order. Until every query has appeared green in some
@@ -58,6 +59,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_det_distinct_users",
     "hll_det_orderkey_estimates",
     "hll_det_daily_merge",
+    "ml_kmeans_assignments",
+    "ml_kmeans_centroids",
     # latest driver row r04
     "dd_incremental_bloom",
     "dd_minhash_near_dup_pairs",

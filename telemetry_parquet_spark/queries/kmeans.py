@@ -1,0 +1,113 @@
+"""Deterministic k-means queries (ml/kmeans_det.py): final assignments and
+the derived centroid relation, both under EXACT recursive-CTE DuckDB
+oracles — the fourth exactly-oracled iterative algorithm (PageRank, BPE,
+label propagation precedent). ``pyspark.ml`` KMeans stays the production
+IVF path; this family proves the Lloyd iteration itself cross-engine:
+integer-quantized vectors, exact int64 distances, packed (d2, cid) argmin,
+floor-rounded centroid updates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from telemetry_parquet_spark.queries.registry import query
+from telemetry_parquet_spark.sources.tables import load_table
+
+K = 8
+ITERS = 4
+_SCALE = 1_000_000
+
+# Quantized (vec_id, 0-based dim, int64 component) — the relation every
+# iteration of the recursive oracle reuses. floor(x*scale + 0.5) is one
+# double multiply+add+floor per element: IEEE-identical cross-engine.
+_Q = f"""
+q AS (
+  SELECT vec_id, CAST(dim AS INT) - 1 AS dim,
+         CAST(floor(val * {_SCALE} + 0.5) AS BIGINT) AS qval
+  FROM (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS val,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings WHERE embedding IS NOT NULL)
+)
+"""
+
+# Lloyd recursion on the ASSIGNMENT as state (one recursive reference per
+# step): iteration 1 assigns to the k lowest-id seed vectors; step t+1
+# derives centroids from step t's assignment (floor(sum/count + 0.5), the
+# int64 sums < 2^53 so the double division is exact-input IEEE), then
+# re-assigns every point by packed argmin MIN(d2 * k + cid) — exact
+# lexicographic (d2, cid) minimum, lowest-cid tie-break.
+_A = f"""
+a(iter, vec_id, cid) AS (
+  SELECT 1 AS iter, vec_id, CAST(packed % {K} AS BIGINT) AS cid FROM (
+    SELECT vec_id, MIN(d2 * {K} + scid) AS packed FROM (
+      SELECT p.vec_id, s.vec_id AS scid,
+             SUM((p.qval - s.qval) * (p.qval - s.qval)) AS d2
+      FROM q p JOIN q s ON s.vec_id < {K} AND s.dim = p.dim
+      GROUP BY p.vec_id, s.vec_id
+    ) GROUP BY vec_id
+  )
+  UNION ALL
+  SELECT d.iter + 1, d.vec_id, CAST(d.packed % {K} AS BIGINT) FROM (
+    SELECT dd.iter, dd.vec_id, MIN(dd.d2 * {K} + dd.cid) AS packed FROM (
+      SELECT c.iter, p.vec_id, c.cid,
+             SUM((p.qval - c.cval) * (p.qval - c.cval)) AS d2
+      FROM q p JOIN (
+        SELECT a.iter, a.cid, p2.dim,
+               CAST(floor(CAST(SUM(p2.qval) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS cval
+        FROM a JOIN q p2 ON p2.vec_id = a.vec_id
+        WHERE a.iter < {ITERS}
+        GROUP BY a.iter, a.cid, p2.dim
+      ) c ON c.dim = p.dim
+      GROUP BY c.iter, p.vec_id, c.cid
+    ) dd GROUP BY dd.iter, dd.vec_id
+  ) d
+)
+"""
+
+
+def _fit(spark: SparkSession, sf_dir: str):
+    from telemetry_parquet_spark.ml.kmeans_det import kmeans_fit, quantize_vectors
+
+    qvec = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_fit(qvec, k=K, iters=ITERS)
+    return assigned, qvec
+
+
+@query(
+    "ml_kmeans_assignments",
+    oracle=f"""
+    WITH RECURSIVE {_Q}, {_A}
+    SELECT vec_id, cid AS cluster_id FROM a WHERE iter = {ITERS}
+    """,
+)
+def ml_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final Lloyd assignment (vec_id, cluster_id) after {ITERS} exactly
+    replayed iterations — every per-point argmin across all rounds must
+    agree cross-engine for this to hash green."""
+    assigned, _ = _fit(spark, sf_dir)
+    return assigned
+
+
+@query(
+    "ml_kmeans_centroids",
+    oracle=f"""
+    WITH RECURSIVE {_Q}, {_A}
+    SELECT f.cid AS cluster_id, CAST(p.dim + 1 AS INT) AS dim_idx,
+           CAST(floor(CAST(SUM(p.qval) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS centroid_q,
+           COUNT(*) AS n_points
+    FROM (SELECT vec_id, cid FROM a WHERE iter = {ITERS}) f
+    JOIN q p ON p.vec_id = f.vec_id
+    GROUP BY f.cid, p.dim
+    """,
+)
+def ml_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centroid relation derived from the final assignment — the
+    persistable model state (cluster_id, dim_idx, centroid_q, n_points),
+    quantized components hash-gated bit for bit."""
+    from telemetry_parquet_spark.ml.kmeans_det import kmeans_centroid_table
+
+    assigned, qvec = _fit(spark, sf_dir)
+    return kmeans_centroid_table(assigned, qvec)
