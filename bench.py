@@ -168,6 +168,10 @@ HEADLINE = [
     # shuffle <= 2^p rows per group; estimate arithmetic register-sized) —
     # the exactly-oracled sibling of a7_hll_distinct_users
     "hll_det_distinct_users",
+    # integer-exact Lloyd's k-means (4 iterations; per iteration ONE
+    # map-only literal-array assignment + one k*dim-row shuffle — the
+    # fourth exactly-oracled iterative algorithm)
+    "ml_kmeans_assignments",
 ]
 
 

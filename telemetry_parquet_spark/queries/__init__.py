@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_det_daily_merge",
     "ml_kmeans_assignments",
     "ml_kmeans_centroids",
+    "stream_hll_registers",
     # latest driver row r04
     "dd_incremental_bloom",
     "dd_minhash_near_dup_pairs",

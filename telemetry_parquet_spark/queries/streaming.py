@@ -404,3 +404,37 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda ev: streaming_heavy_hitters(ev, k=k),
         output_mode="update",
     )
+
+
+from telemetry_parquet_spark.queries.hll import _EVENTS_REG  # noqa: E402
+
+
+@query(
+    "stream_hll_registers",
+    # oracle = the BATCH register table (the SAME CTE queries/hll.py uses
+    # for hll_det_register_table): a green row proves the streaming
+    # max-aggregation state converges to the batch sketch over replayed
+    # history — the bounded-state streaming distinct-count story (state =
+    # groups x 2^p register rows FOREVER, never per-user rows; registers
+    # persist/merge downstream by re-max).
+    oracle=f"""
+    WITH {_EVENTS_REG}
+    SELECT g AS event_type, CAST(bucket AS BIGINT) AS bucket, m_rho
+    FROM reg
+    """,
+)
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-HLL registers (datapipe/hll_det.py) maintained by a
+    REAL streaming query: per-(event_type, bucket) MAX(rho) in complete
+    mode. Distinct-count state that never grows with cardinality — the
+    streaming analog of ``hll_det_register_table``, byte-equal to the
+    batch sketch after availableNow replay."""
+    from telemetry_parquet_spark.datapipe.hll_det import hll_det_registers
+
+    return _run(
+        spark,
+        sf_dir,
+        lambda ev: hll_det_registers(
+            ev.where(F.col("user_id").isNotNull()), "event_type", "user_id"
+        ),
+    )
