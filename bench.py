@@ -172,6 +172,11 @@ HEADLINE = [
     # map-only literal-array assignment + one k*dim-row shuffle — the
     # fourth exactly-oracled iterative algorithm)
     "ml_kmeans_assignments",
+    # Bloom file-skipping point lookup (per-file bitmaps on a non-layout
+    # column; probe = k-row broadcast join; reads ONLY candidate files —
+    # raises unless pruning engaged). Layout build is fingerprint-cached,
+    # so this row measures index build + probe + pruned scan.
+    "skip_bloom_point_lookup",
 ]
 
 

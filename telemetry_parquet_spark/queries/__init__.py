@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ml_kmeans_assignments",
     "ml_kmeans_centroids",
     "stream_hll_registers",
+    "skip_bloom_point_lookup",
     # latest driver row r04
     "dd_incremental_bloom",
     "dd_minhash_near_dup_pairs",

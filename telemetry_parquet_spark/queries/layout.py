@@ -79,3 +79,43 @@ def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("zval"),
         )
     )
+
+
+@query(
+    "skip_bloom_point_lookup",
+    # oracle = the plain full-scan filter: Bloom filters have no false
+    # negatives, so the pruned read must return EXACTLY these rows. The
+    # Spark side additionally RAISES unless files were actually skipped
+    # (require_pruning) — a green row proves both the answer and the
+    # pruning, the footer_stats discipline.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    """,
+)
+def skip_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a NON-layout column served through the per-file
+    Bloom skipping index (sources/skipping.py): orders re-laid-out into 32
+    date-range files (the realistic hostile case — the probe key smears
+    across the layout), one bitmap per file, probe -> candidate files ->
+    pruned scan. Build is fingerprint-cached in the warehouse."""
+    import os
+
+    from telemetry_parquet_spark.sources.skipping import (
+        build_file_bloom_index,
+        ensure_split_dataset,
+        pruned_point_lookup,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    data = ensure_split_dataset(
+        spark, src, "skip_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        layout_col="o_orderdate",
+    )
+    index = build_file_bloom_index(spark.read.parquet(data), "o_custkey")
+    probe = spark.read.parquet(data).agg(F.min("o_custkey")).first()[0]
+    return pruned_point_lookup(
+        spark, data, index, "o_custkey", probe, require_pruning=True
+    )

@@ -1,0 +1,89 @@
+"""Bloom file-skipping index tests (sources/skipping.py): pruning
+effectiveness, the no-false-negative contract over many probes, absent-key
+fast path, and fingerprint reuse of the materialized layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.sources.skipping import (
+    bloom_candidate_files,
+    build_file_bloom_index,
+    ensure_split_dataset,
+    pruned_point_lookup,
+)
+
+N_FILES = 16
+
+
+@pytest.fixture(scope="module")
+def dataset(spark, sf_dir):
+    src = os.path.join(sf_dir, "orders.parquet")
+    path = ensure_split_dataset(
+        spark, src, "skip_test_orders", layout_col="o_orderdate",
+        n_files=N_FILES,
+    )
+    return path
+
+
+@pytest.fixture(scope="module")
+def index(spark, dataset):
+    return build_file_bloom_index(
+        spark.read.parquet(dataset), "o_custkey"
+    ).cache()
+
+
+def test_dataset_split_into_files(spark, dataset):
+    n = (
+        spark.read.parquet(dataset)
+        .select("_metadata.file_path")
+        .distinct()
+        .count()
+    )
+    assert n == N_FILES
+
+
+def test_no_false_negatives_and_pruning(spark, dataset, index):
+    """Every one of 25 sampled custkeys: the pruned lookup returns exactly
+    the full-scan rows, and across the sample at least some probes skip
+    files (a custkey's orders touch only a few date-range files)."""
+    df = spark.read.parquet(dataset)
+    keys = [
+        r.o_custkey
+        for r in df.select("o_custkey").distinct().orderBy("o_custkey").limit(25).collect()
+    ]
+    pruned_any = False
+    for k in keys:
+        cands = bloom_candidate_files(index, k)
+        pruned_any = pruned_any or len(cands) < N_FILES
+        got = pruned_point_lookup(spark, dataset, index, "o_custkey", k)
+        want = df.where(F.col("o_custkey") == k)
+        assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0, k
+    assert pruned_any
+
+
+def test_absent_key_prunes_everything_or_fp_only(spark, dataset, index):
+    """A key outside the domain: candidates are FP-only (well under the
+    file count at the default sizing) and the lookup returns zero rows."""
+    absent = -987654321
+    cands = bloom_candidate_files(index, absent)
+    assert len(cands) < N_FILES
+    assert pruned_point_lookup(
+        spark, dataset, index, "o_custkey", absent
+    ).count() == 0
+
+
+def test_fingerprint_reuse(spark, sf_dir, dataset):
+    """Second ensure on the same source returns the same path without
+    rewriting (mtime of the fingerprint file unchanged)."""
+    meta = os.path.join(dataset, "_FINGERPRINT.json")
+    before = os.stat(meta).st_mtime_ns
+    again = ensure_split_dataset(
+        spark, os.path.join(sf_dir, "orders.parquet"),
+        "skip_test_orders", layout_col="o_orderdate", n_files=N_FILES,
+    )
+    assert again == dataset
+    assert os.stat(meta).st_mtime_ns == before
