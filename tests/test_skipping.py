@@ -87,3 +87,25 @@ def test_fingerprint_reuse(spark, sf_dir, dataset):
     )
     assert again == dataset
     assert os.stat(meta).st_mtime_ns == before
+
+
+def test_index_merges_by_bit_or(spark, dataset, index):
+    """Per-file bitmaps built on two halves of the file set, unioned and
+    re-bit_or'ed, equal the index built in one pass — the append/merge
+    contract (bit_or is associative/commutative/idempotent)."""
+    files = sorted(
+        r.file_path
+        for r in spark.read.parquet(dataset)
+        .select("_metadata.file_path")
+        .distinct()
+        .collect()
+    )
+    half_a, half_b = files[: len(files) // 2], files[len(files) // 2:]
+    part_a = build_file_bloom_index(spark.read.parquet(*half_a), "o_custkey")
+    part_b = build_file_bloom_index(spark.read.parquet(*half_b), "o_custkey")
+    merged = (
+        part_a.union(part_b)
+        .groupBy("file_path", "word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert merged.exceptAll(index).union(index.exceptAll(merged)).count() == 0
