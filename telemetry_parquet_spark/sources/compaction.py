@@ -1,0 +1,107 @@
+"""Small-file compaction: manifest → deterministic bin-pack plan →
+grouped rewrite.
+
+The 100 TB operational complement of the layout family (z-order rewrite,
+sources/layout.py; Bloom skipping, sources/skipping.py): streaming sinks,
+per-day overwrites, and fine-grained partitioning all accumulate files far
+below the parquet sweet spot, and every downstream scan then pays
+per-file open/footer/seek costs plus task-scheduling overhead. Compaction
+is a planning + rewrite pass:
+
+1. **Manifest** — one row per data file from the ``_metadata`` column
+   (no extra filesystem listing; the scan that builds it reads zero data
+   columns, so it is footer-bounded).
+2. **Plan** — next-fit bin packing of the path-ordered file list into
+   groups of ~``target_bytes``: group = floor(running_bytes_before / target).
+   Deterministic (path order, integer arithmetic) and replayable — the
+   planning window runs over the FILE LIST, which is manifest-sized, never
+   row-sized (the same object any table format's compaction service
+   materializes; partition the window by table partition when a single
+   directory exceeds ~10^6 files).
+3. **Rewrite** — the data joins its group id by a broadcast of the plan
+   (file-count rows) and lands partitioned by group: each output directory
+   holds ~target-sized files; input rows are preserved exactly (gated in
+   tests by full-row multiset equality, and the rewrite never touches row
+   CONTENT — it is a pure re-layout).
+
+Not SQL-expressible (the unit of work is the physical file, which the
+oracle's logical views cannot see), so this family is pytest-gated —
+tests/test_compaction.py covers plan determinism, size bounds, row
+preservation, and the file-count reduction itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def file_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """(file_path, file_size, n_rows) per data file — built from the
+    ``_metadata`` struct so no extra listing pass is needed."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def compaction_plan(manifest: DataFrame, target_bytes: int) -> DataFrame:
+    """(file_path, file_size, group_id): next-fit packing over the
+    path-ordered manifest. A file starts a new group when the bytes before
+    it cross the next target boundary, so every group except possibly the
+    last holds >= target_bytes only if a single file exceeds the target
+    (oversized files keep a group to themselves and are left alone by the
+    rewrite threshold upstream)."""
+    w = Window.orderBy("file_path")
+    return (
+        manifest.withColumn(
+            "__before",
+            F.coalesce(
+                F.sum("file_size").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "file_path",
+            "file_size",
+            (F.col("__before") / F.lit(int(target_bytes)))
+            .cast("long")
+            .alias("group_id"),
+        )
+    )
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Rewrite ``src_path`` grouped to ~``target_bytes`` files under
+    ``out_path``; returns the plan used. Rows ride to their group through a
+    broadcast join on the file path (plan is file-count-sized), and each
+    group writes as one task's output via an in-group repartition."""
+    plan = compaction_plan(
+        file_manifest(spark, src_path), target_bytes
+    )
+    n_groups = plan.select("group_id").distinct().count()
+    data = spark.read.parquet(src_path).withColumn(
+        "__file", F.col("_metadata.file_path")
+    )
+    (
+        data.join(
+            F.broadcast(plan.withColumnRenamed("file_path", "__file")),
+            "__file",
+        )
+        .drop("__file", "file_size")
+        .repartition(max(n_groups, 1), "group_id")
+        .write.mode("overwrite")
+        .partitionBy("group_id")
+        .parquet(out_path)
+    )
+    return plan
