@@ -88,7 +88,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "w2_running_order_total",
     "x1_token_explode",
     # latest driver row r05 (alphabetical; the rest of the r05 cohort —
-    # from events_flatten on — rotates to round 9's window)
+    # from dd_repeated_spans on — rotates to round 9's window)
     "a1_earliest_event_per_user",
     "a2_row_first",
     "a3_map_first",
@@ -104,14 +104,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cap_per_source",
     "corpus_global_order",
     "dd_duplicate_passages",
-    "dd_repeated_spans",
-    "dd_simhash_md5_pairs",
-    "dq_constraints",
-    "embedding_quantize_int8",
-    "encode_token_ids",
-    "events_flatten",
-    "feature_hashing_counts",
-    "graph_pagerank",
 )
 
 
