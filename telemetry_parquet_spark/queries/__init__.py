@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ml_kmeans_centroids",
     "stream_hll_registers",
     "skip_bloom_point_lookup",
+    "sim_ivf_det_topk",
     # latest driver row r04
     "dd_incremental_bloom",
     "dd_minhash_near_dup_pairs",
@@ -103,7 +104,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cap_budget_per_source",
     "cap_per_source",
     "corpus_global_order",
-    "dd_duplicate_passages",
 )
 
 

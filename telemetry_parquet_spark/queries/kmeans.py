@@ -111,3 +111,137 @@ def ml_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned, qvec = _fit(spark, sf_dir)
     return kmeans_centroid_table(assigned, qvec)
+
+
+N_QUERIES = 5
+NPROBE = 2
+TOPK = 10
+
+
+@query(
+    "sim_ivf_det_topk",
+    # End-to-end EXACT IVF: cells = the recursive-CTE k-means above,
+    # probe = top-NPROBE cells by integer centroid distance (packed
+    # d2*k+cid ordering), candidates = final-assignment members of those
+    # cells, scoring = exact int64 dot products of the quantized vectors.
+    # The production float-cosine IVF (sim_ivf_probe_topk) stays rows-only
+    # by nature; THIS query pins the whole assign→probe→rescore shape
+    # cross-engine.
+    oracle=f"""
+    WITH RECURSIVE {_Q}, {_A},
+    fin AS (SELECT vec_id, cid FROM a WHERE iter = {ITERS}),
+    cent AS (
+      SELECT f.cid, p.dim,
+             CAST(floor(CAST(SUM(p.qval) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS cval
+      FROM fin f JOIN q p ON p.vec_id = f.vec_id
+      GROUP BY f.cid, p.dim
+    ),
+    qd AS (
+      SELECT p.vec_id AS qid, c.cid,
+             SUM((p.qval - c.cval) * (p.qval - c.cval)) AS d2
+      FROM q p JOIN cent c ON c.dim = p.dim
+      WHERE p.vec_id < {N_QUERIES}
+      GROUP BY p.vec_id, c.cid
+    ),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d2 * {K} + cid) AS rn
+        FROM qd
+      ) WHERE rn <= {NPROBE}
+    ),
+    cand AS (
+      SELECT pr.qid, f.vec_id AS cand_id
+      FROM probe pr JOIN fin f ON f.cid = pr.cid
+      WHERE f.vec_id <> pr.qid
+    ),
+    dots AS (
+      SELECT c.qid, c.cand_id,
+             CAST(SUM(p1.qval * p2.qval) AS BIGINT) AS score_q
+      FROM cand c
+      JOIN q p1 ON p1.vec_id = c.qid
+      JOIN q p2 ON p2.vec_id = c.cand_id AND p2.dim = p1.dim
+      GROUP BY c.qid, c.cand_id
+    )
+    SELECT qid, cand_id, score_q, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT qid, cand_id, score_q,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score_q DESC, cand_id) AS rn
+      FROM dots
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def sim_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF top-k: k-means cells, NPROBE nearest cells per
+    query, exact int64 dot-product rescore over the candidates — every
+    stage (training iterations included) hash-gated cross-engine."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from telemetry_parquet_spark.ml.kmeans_det import (
+        kmeans_fit,
+        quantize_vectors,
+    )
+
+    qvec = quantize_vectors(load_table(spark, sf_dir, "embeddings")).persist()
+    assigned, centroids = kmeans_fit(qvec, k=K, iters=ITERS)
+
+    # top-NPROBE cells per query by packed integer distance, from the
+    # driver-held literal centroids (k*dim ints — the BPE-argmax contract)
+    packed_all = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(int(v)) for v in vec]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(K)
+            + F.lit(cid)
+            for cid, vec in centroids
+        ]
+    )
+    probe = (
+        qvec.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.slice(F.array_sort(packed_all), 1, NPROBE)
+            ).alias("__packed"),
+        )
+        .select("qid", (F.col("__packed") % F.lit(K)).alias("cluster_id"))
+    )
+    cand = (
+        probe.join(assigned, "cluster_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cand_id"))
+    )
+    qside = qvec.select(F.col("vec_id").alias("qid"), F.col("qv").alias("qv_q"))
+    cside = qvec.select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("qv_c")
+    )
+    dots = (
+        cand.join(F.broadcast(qside), "qid")
+        .join(cside, "cand_id")
+        .select(
+            "qid",
+            "cand_id",
+            F.aggregate(
+                F.zip_with("qv_q", "qv_c", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score_q"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("cand_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOPK)
+        .select("qid", "cand_id", "score_q", "rank")
+    )
