@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from telemetry_parquet_spark.datapipe.similarity import _hyperplanes, cosine, lsh_signature
+from telemetry_parquet_spark.datapipe.similarity import (
+    _hyperplanes,
+    cosine_presplit,
+    lsh_signature,
+    norm,
+)
 
 
 def embedding_cosine_pairs_exact(
@@ -26,14 +31,27 @@ def embedding_cosine_pairs_exact(
 ) -> DataFrame:
     """Exact cosine pairs ≥ threshold (id_a < id_b). Quadratic — the compare
     count is N²/2; use only on blocked subsets or as the oracle baseline."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_presplit(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
@@ -55,6 +73,7 @@ def embedding_near_dup_pairs(
     signed = emb.select(
         F.col(id_col),
         F.col(vec_col),
+        norm(F.col(vec_col)).alias("__n"),
         lsh_signature(F.col(vec_col), planes).alias("__sig"),
     )
     left = signed.alias("l")
@@ -69,7 +88,11 @@ def embedding_near_dup_pairs(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             F.round(
-                cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6
+                cosine_presplit(
+                    F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
+                    F.col("l.__n"), F.col("r.__n"),
+                ),
+                6,
             ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)

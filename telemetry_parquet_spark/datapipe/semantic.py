@@ -34,12 +34,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from telemetry_parquet_spark.datapipe.similarity import cosine
+from telemetry_parquet_spark.datapipe.similarity import cosine_presplit, norm
 
 
 def seed_set(emb: DataFrame, n_seeds: int, id_col: str, vec_col: str) -> DataFrame:
     return emb.where(F.col(id_col) < n_seeds).select(
-        F.col(id_col).alias("sid"), F.col(vec_col).alias("sv")
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("sv"),
+        norm(F.col(vec_col)).alias("__sn"),
     )
 
 
@@ -53,13 +55,18 @@ def assign_cells(
     seed id. One broadcast join + one agg whose shuffle is N rows."""
     seeds = seed_set(emb, n_seeds, id_col, vec_col)
     scored = (
-        emb.select(id_col, vec_col)
+        emb.select(id_col, vec_col, norm(F.col(vec_col)).alias("__n"))
         .crossJoin(F.broadcast(seeds))
         .select(
             id_col,
             vec_col,
             "sid",
-            F.round(cosine(F.col(vec_col), F.col("sv")), 6).alias("score"),
+            F.round(
+                cosine_presplit(
+                    F.col(vec_col), F.col("sv"), F.col("__n"), F.col("__sn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     best = scored.groupBy(id_col).agg(
@@ -85,15 +92,25 @@ def semantic_prune(
     # once, not per consumer (Y4 discipline, global_index.py precedent)
     cells = assign_cells(emb, n_seeds, id_col, vec_col).localCheckpoint()
     a = cells.select(
-        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        F.col("cell"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"), norm(F.col(vec_col)).alias("__na"),
     )
     b = cells.select(
-        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        F.col("cell"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"), norm(F.col(vec_col)).alias("__nb"),
     )
     pruned = (
         a.join(b, ["cell"])
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        .where(
+            F.round(
+                cosine_presplit(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias("pruned_id"))
         .distinct()
     )
