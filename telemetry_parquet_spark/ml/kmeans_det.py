@@ -83,12 +83,25 @@ def kmeans_fit(
     recomputes centroids from that assignment; the returned assignment is
     the one that PRODUCED the returned centroids (same convention as the
     recursive oracle)."""
+    if iters < 1:
+        raise ValueError(f"kmeans_fit requires iters >= 1, got {iters}")
     qvec = qvec.persist()
     try:
-        seeds = qvec.where(F.col("vec_id") < k).collect()
-        centroids = sorted(
-            (int(r.vec_id), [int(v) for v in r.qv]) for r in seeds
-        )
+        # "k vectors with the lowest ids" — robust to sparse/hashed ids,
+        # unlike a `vec_id < k` filter which silently under-seeds.
+        seeds = qvec.orderBy("vec_id").limit(k).collect()
+        if len(seeds) < k:
+            raise ValueError(
+                f"kmeans_fit: need >= {k} input vectors, got {len(seeds)}"
+            )
+        # Renumber seeds 0..k-1 in vec_id order: _packed_argmin packs the
+        # cluster id into d2*k + cid, which requires cid < k.
+        centroids = [
+            (i, vec)
+            for i, (_, vec) in enumerate(
+                sorted((int(r.vec_id), [int(v) for v in r.qv]) for r in seeds)
+            )
+        ]
         assigned = None
         for _ in range(iters):
             cid = (_packed_argmin(centroids, k) % F.lit(k)).alias("cluster_id")

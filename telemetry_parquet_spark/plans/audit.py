@@ -53,7 +53,12 @@ def runtime_row(spark, name: str, fn, sf_dir: str) -> str:
     try:
         fn(spark, sf_dir).count()
     finally:
+        # Clear EVERY local property setJobGroup set, not just the group
+        # id — a stale spark.job.description would otherwise tag later
+        # queries run on this thread.
         sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
     tracker = sc.statusTracker()
     job_ids = tracker.getJobIdsForGroup(group)
     stages: set[int] = set()

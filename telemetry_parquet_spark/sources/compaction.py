@@ -8,9 +8,10 @@ below the parquet sweet spot, and every downstream scan then pays
 per-file open/footer/seek costs plus task-scheduling overhead. Compaction
 is a planning + rewrite pass:
 
-1. **Manifest** — one row per data file from the ``_metadata`` column
-   (no extra filesystem listing; the scan that builds it reads zero data
-   columns, so it is footer-bounded).
+1. **Manifest** — one row per physical file: a distributed ``binaryFile``
+   listing (path + length only, content never read) left-joined with row
+   counts from the ``_metadata`` column, so zero-row part files appear
+   with n_rows = 0 instead of silently escaping the plan.
 2. **Plan** — next-fit bin packing of the path-ordered file list into
    groups of ~``target_bytes``: group = floor(running_bytes_before / target).
    Deterministic (path order, integer arithmetic) and replayable — the
@@ -38,15 +39,34 @@ from pyspark.sql.window import Window
 
 
 def file_manifest(spark: SparkSession, path: str) -> DataFrame:
-    """(file_path, file_size, n_rows) per data file — built from the
-    ``_metadata`` struct so no extra listing pass is needed."""
-    return (
-        spark.read.parquet(path)
-        .groupBy(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.file_size").alias("file_size"),
+    """(file_path, file_size, n_rows) per data file — one row per physical
+    parquet file, INCLUDING zero-row files (a streaming sink can leave
+    empty part files; they still cost an open/footer per scan and are
+    exactly what compaction should fold away).
+
+    The file list comes from the ``binaryFile`` reader — a distributed
+    listing that never reads file CONTENT when only (path, length) are
+    selected — and row counts ride in via a left join on the data scan's
+    ``_metadata`` groups, so empty files land with n_rows = 0."""
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(
+            F.col("path").alias("file_path"),
+            F.col("length").alias("file_size"),
         )
-        .agg(F.count("*").alias("n_rows"))
+    )
+    counts = (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("file_path"))
+        .agg(F.count("*").alias("__n"))
+    )
+    return listing.join(counts, "file_path", "left").select(
+        "file_path",
+        "file_size",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_rows"),
     )
 
 
@@ -85,7 +105,13 @@ def compact(
     """Rewrite ``src_path`` grouped to ~``target_bytes`` files under
     ``out_path``; returns the plan used. Rows ride to their group through a
     broadcast join on the file path (plan is file-count-sized), and each
-    group writes as one task's output via an in-group repartition."""
+    group writes as one task's output via an in-group repartition.
+
+    Row CONTENT is preserved exactly, but the output is laid out as
+    ``group_id=N/`` partition directories, so a raw ``spark.read.parquet``
+    of ``out_path`` surfaces one extra discovered partition column
+    (``group_id``) that the source schema does not have. Read through
+    ``read_compacted`` to get the source schema back verbatim."""
     plan = compaction_plan(
         file_manifest(spark, src_path), target_bytes
     )
@@ -105,3 +131,10 @@ def compact(
         .parquet(out_path)
     )
     return plan
+
+
+def read_compacted(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read a ``compact`` output with the SOURCE schema — drops the
+    ``group_id`` layout column that partition discovery adds, so the
+    compacted table is schema-identical to the table it re-laid out."""
+    return spark.read.parquet(out_path).drop("group_id")

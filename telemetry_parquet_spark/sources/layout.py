@@ -131,7 +131,10 @@ def quantile_bucket_expr(
     literal array — whole-stage codegen, zero joins/windows/shuffles.
     Duplicate boundaries (heavy hitters spanning multiple quantiles)
     are deduplicated; the curve simply allocates fewer tiles to a value
-    that already owns more than one tile's worth of rows."""
+    that already owns more than one tile's worth of rows. NULL input
+    yields a NULL bucket — the same placement the exact rank-bucket path
+    produces via its left join — so flipping regimes (``mode='auto'`` in
+    ``zorder_key_adaptive``) never moves a column's null rows."""
     b = 1 << bits
     if rel_err is None:
         # boundary rank error a tenth of a bucket width
@@ -140,11 +143,12 @@ def quantile_bucket_expr(
     bounds = sorted(set(df.stat.approxQuantile(col, probs, rel_err)))
     arr = F.array(*[F.lit(float(v)) for v in bounds])
     val = F.col(col).cast("double")
-    return F.aggregate(
+    bucket = F.aggregate(
         arr,
         F.lit(0),
         lambda acc, bnd: acc + F.when(val >= bnd, 1).otherwise(0),
     ).cast("bigint")
+    return F.when(val.isNull(), F.lit(None).cast("bigint")).otherwise(bucket)
 
 
 def zorder_key_adaptive(
