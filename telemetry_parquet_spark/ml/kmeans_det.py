@@ -29,19 +29,32 @@ Scale: the corpus is touched once per iteration by a MAP-ONLY assignment
 iteration exactly like BPE's argmax rows: a driver-sized contract, T
 round-trips total) followed by one map-side-combinable (cid, dim) sum
 whose shuffle is k*dim rows. No join, no corpus-sized shuffle. For
-hundreds-of-cells indexes the same numpy-matmul pandas UDF the IVF build
-uses (datapipe/ivf.py:71) is the drop-in assignment replacement; exactness
-then holds as long as the matmul is done in int64 (it is in numpy).
+hundreds-of-cells indexes the assignment switches (``assignment='auto'``,
+k*dim > MATMUL_THRESHOLD) to ``_matmul_assign_udf`` — the int64 numpy
+matmul analog of the IVF build's float scorer (datapipe/ivf.py:71) —
+which computes the SAME packed min(d2*k + cid) integers, so the two
+paths are bit-identical (equality-gated in tests/test_kmeans_det.py)
+and the per-iteration codegen recompile cost no longer grows with k.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000
+
+# Above this k*dim the per-centroid codegen expression is the wrong tool:
+# the generated argmin chain recompiles every iteration and grows with k
+# (measured ~90% of wall at k=8 already compile, BENCH r08 notes), while
+# the int64 numpy matmul amortizes to one Arrow batch pass. 4096 = 64
+# cells at dim 64, the same knee the float IVF build uses (ivf.py).
+MATMUL_THRESHOLD = 4096
 
 
 def quantize_vectors(
@@ -73,8 +86,32 @@ def _packed_argmin(centroids: list[tuple[int, list[int]]], k: int):
     return F.least(*packed) if len(packed) > 1 else packed[0]
 
 
+def _matmul_assign_udf(centroids: list[tuple[int, list[int]]], k: int):
+    """The hundreds-of-cells assignment: one int64 numpy matmul per Arrow
+    batch, BIT-IDENTICAL to ``_packed_argmin`` (equality-gated in
+    tests/test_kmeans_det.py). All arithmetic stays in int64 — d2 via
+    |q|² − 2·q·c + |c|² (≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴), the argmin via the
+    SAME packed min(d2·k + cid) integers the expression path folds — so
+    there is no float summation order to diverge on, and the lowest-cid
+    tie-break is the packed min itself, not np.argmin's first-hit."""
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cm = np.array([v for _, v in centroids], dtype=np.int64)  # (k', dim)
+    cc = (cm * cm).sum(axis=1)  # (k',) int64
+
+    @F.pandas_udf("long")
+    def assign(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.int64) for v in qv])
+        d2 = (m * m).sum(axis=1)[:, None] - 2 * (m @ cm.T) + cc[None, :]
+        packed = d2 * np.int64(k) + cids[None, :]
+        return pd.Series(packed.min(axis=1) % np.int64(k))
+
+    return assign
+
+
 def kmeans_fit(
-    qvec: DataFrame, k: int = 8, iters: int = 4
+    qvec: DataFrame, k: int = 8, iters: int = 4, assignment: str = "auto"
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Run ``iters`` Lloyd iterations; return (final assignment DataFrame
     with columns (vec_id, cluster_id), final centroid list).
@@ -82,7 +119,15 @@ def kmeans_fit(
     Iteration t assigns every point to the nearest current centroid, then
     recomputes centroids from that assignment; the returned assignment is
     the one that PRODUCED the returned centroids (same convention as the
-    recursive oracle)."""
+    recursive oracle).
+
+    ``assignment`` picks the per-point argmin implementation — "expr"
+    (literal-centroid codegen fold), "matmul" (int64 numpy pandas_udf),
+    or "auto" (matmul once k*dim > MATMUL_THRESHOLD). The two paths are
+    bit-identical by construction (same packed int64 min), so the choice
+    is purely a performance knob."""
+    if assignment not in ("auto", "expr", "matmul"):
+        raise ValueError(f"unknown assignment mode {assignment!r}")
     if iters < 1:
         raise ValueError(f"kmeans_fit requires iters >= 1, got {iters}")
     qvec = qvec.persist()
@@ -102,9 +147,20 @@ def kmeans_fit(
                 sorted((int(r.vec_id), [int(v) for v in r.qv]) for r in seeds)
             )
         ]
+        dim = len(centroids[0][1])
+        use_matmul = assignment == "matmul" or (
+            assignment == "auto" and k * dim > MATMUL_THRESHOLD
+        )
         assigned = None
         for _ in range(iters):
-            cid = (_packed_argmin(centroids, k) % F.lit(k)).alias("cluster_id")
+            if use_matmul:
+                cid = _matmul_assign_udf(centroids, k)(F.col("qv")).alias(
+                    "cluster_id"
+                )
+            else:
+                cid = (_packed_argmin(centroids, k) % F.lit(k)).alias(
+                    "cluster_id"
+                )
             assigned = qvec.select("vec_id", "qv", cid)
             sums = (
                 assigned.select(

@@ -37,19 +37,23 @@ q AS (
 # int64 sums < 2^53 so the double division is exact-input IEEE), then
 # re-assigns every point by packed argmin MIN(d2 * k + cid) — exact
 # lexicographic (d2, cid) minimum, lowest-cid tie-break.
-_A = f"""
+def _a_cte(k: int, iters: int) -> str:
+    """The Lloyd recursion CTE at a given (k, iters) — shared verbatim by
+    the k=8 expression-path queries and the k=256 matmul-path query, so
+    both assignment implementations answer to the same oracle."""
+    return f"""
 a(iter, vec_id, cid) AS (
-  SELECT 1 AS iter, vec_id, CAST(packed % {K} AS BIGINT) AS cid FROM (
-    SELECT vec_id, MIN(d2 * {K} + scid) AS packed FROM (
+  SELECT 1 AS iter, vec_id, CAST(packed % {k} AS BIGINT) AS cid FROM (
+    SELECT vec_id, MIN(d2 * {k} + scid) AS packed FROM (
       SELECT p.vec_id, s.vec_id AS scid,
              SUM((p.qval - s.qval) * (p.qval - s.qval)) AS d2
-      FROM q p JOIN q s ON s.vec_id < {K} AND s.dim = p.dim
+      FROM q p JOIN q s ON s.vec_id < {k} AND s.dim = p.dim
       GROUP BY p.vec_id, s.vec_id
     ) GROUP BY vec_id
   )
   UNION ALL
-  SELECT d.iter + 1, d.vec_id, CAST(d.packed % {K} AS BIGINT) FROM (
-    SELECT dd.iter, dd.vec_id, MIN(dd.d2 * {K} + dd.cid) AS packed FROM (
+  SELECT d.iter + 1, d.vec_id, CAST(d.packed % {k} AS BIGINT) FROM (
+    SELECT dd.iter, dd.vec_id, MIN(dd.d2 * {k} + dd.cid) AS packed FROM (
       SELECT c.iter, p.vec_id, c.cid,
              SUM((p.qval - c.cval) * (p.qval - c.cval)) AS d2
       FROM q p JOIN (
@@ -57,7 +61,7 @@ a(iter, vec_id, cid) AS (
                CAST(floor(CAST(SUM(p2.qval) AS DOUBLE) / COUNT(*) + 0.5)
                     AS BIGINT) AS cval
         FROM a JOIN q p2 ON p2.vec_id = a.vec_id
-        WHERE a.iter < {ITERS}
+        WHERE a.iter < {iters}
         GROUP BY a.iter, a.cid, p2.dim
       ) c ON c.dim = p.dim
       GROUP BY c.iter, p.vec_id, c.cid
@@ -65,6 +69,9 @@ a(iter, vec_id, cid) AS (
   ) d
 )
 """
+
+
+_A = _a_cte(K, ITERS)
 
 
 def _fit(spark: SparkSession, sf_dir: str):
@@ -111,6 +118,36 @@ def ml_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned, qvec = _fit(spark, sf_dir)
     return kmeans_centroid_table(assigned, qvec)
+
+
+K_LARGE = 256
+ITERS_LARGE = 2
+
+
+@query(
+    "ml_kmeans_k256_assignments",
+    # Same recursive oracle at IVF-realistic cell count k=256 — this is
+    # the query that gates the MATMUL assignment path (the codegen
+    # expression fold would be the wrong tool at 256 centroids; see
+    # ml/kmeans_det.py MATMUL_THRESHOLD). d2*k + cid at k=256 peaks at
+    # ~6.6e16 << 2^63, so the packed argmin stays exact int64.
+    oracle=f"""
+    WITH RECURSIVE {_Q}, {_a_cte(K_LARGE, ITERS_LARGE)}
+    SELECT vec_id, cid AS cluster_id FROM a WHERE iter = {ITERS_LARGE}
+    """,
+)
+def ml_kmeans_k256_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final Lloyd assignment at k=256 via the int64 numpy-matmul
+    pandas_udf (``assignment='matmul'``) — the hundreds-of-cells
+    production path, exact-gated against the SAME recursive CTE the
+    expression path answers to (bit-identical packed argmin)."""
+    from telemetry_parquet_spark.ml.kmeans_det import kmeans_fit, quantize_vectors
+
+    qvec = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_fit(
+        qvec, k=K_LARGE, iters=ITERS_LARGE, assignment="matmul"
+    )
+    return assigned
 
 
 N_QUERIES = 5

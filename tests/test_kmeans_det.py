@@ -65,6 +65,37 @@ def test_iterations_do_not_worsen_inertia(spark, qvec):
     assert inertia(4) <= inertia(1)
 
 
+def test_matmul_assignment_bit_identical_to_expr(spark, qvec):
+    """The int64 numpy-matmul assignment and the literal-centroid codegen
+    fold compute the SAME packed min(d2*k + cid) integers, so a full fit
+    under each must agree on every assignment and every centroid — the
+    equality gate that lets k>=256 runs use the matmul path while the
+    recursive oracle stays authoritative."""
+    a_expr, c_expr = kmeans_fit(qvec, k=8, iters=3, assignment="expr")
+    a_mm, c_mm = kmeans_fit(qvec, k=8, iters=3, assignment="matmul")
+    assert c_expr == c_mm
+    assert a_expr.exceptAll(a_mm).union(a_mm.exceptAll(a_expr)).count() == 0
+
+
+def test_sparse_ids_seed_exactly_k(spark, qvec):
+    """Seeding survives sparse/hashed ids: with vec_ids shifted by 10^9 the
+    fit still selects the k lowest ids, renumbers them 0..k-1, and
+    produces a total partition (the r8 advisor's under-seeding case)."""
+    shifted = qvec.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000_000))
+    assigned, centroids = kmeans_fit(shifted, k=4, iters=2)
+    assert assigned.count() == qvec.count()
+    assert {r.cluster_id for r in assigned.select("cluster_id").distinct().collect()} <= set(range(4))
+    assert all(cid < 4 for cid, _ in centroids)
+
+
+def test_iters_and_seed_count_validation(spark, qvec):
+    with pytest.raises(ValueError, match="iters >= 1"):
+        kmeans_fit(qvec, k=4, iters=0)
+    tiny = qvec.limit(3)
+    with pytest.raises(ValueError, match="need >= 8"):
+        kmeans_fit(tiny, k=8, iters=1)
+
+
 def test_centroid_table_matches_fit_centroids(spark, qvec):
     """kmeans_centroid_table over the final assignment reproduces the fit's
     own returned centroid vectors component for component."""
