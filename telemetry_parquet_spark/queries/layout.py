@@ -119,3 +119,75 @@ def skip_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned_point_lookup(
         spark, data, index, "o_custkey", probe, require_pruning=True
     )
+
+
+@query(
+    "scan_planned_mixed_predicates",
+    # oracle = the plain full-scan filter: min/max envelope pruning is
+    # conservative and Bloom filters have no false negatives, so the
+    # composed planner must return EXACTLY these rows. The Spark side
+    # additionally RAISES unless EVERY wired mechanism skipped >= 1 file
+    # (require_each_pruning) — a green row proves the min/max prune AND
+    # the Bloom prune both engaged on one scan, the unified-planner step
+    # the r8 verdict ordered.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-06-30 00:00:00'
+      AND o_custkey = (SELECT MIN(o_custkey) FROM orders
+                       WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                             AND TIMESTAMP '1997-06-30 00:00:00')
+    """,
+)
+def scan_planned_mixed_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-predicate scan through the unified planner
+    (sources/scan_planner.py): orders re-laid-out into 32 date-range
+    files, then ONE plan_scan composes (a) min/max file-stats pruning for
+    the o_orderdate range — effective because the layout clusters dates —
+    with (b) the per-file Bloom index for the o_custkey point predicate —
+    effective because the key smears ACROSS that layout. Residual filter
+    re-applies both predicates exactly."""
+    import os
+
+    from telemetry_parquet_spark.sources.scan_planner import (
+        Eq,
+        Range,
+        build_minmax_file_stats,
+        plan_scan,
+    )
+    from telemetry_parquet_spark.sources.skipping import (
+        build_file_bloom_index,
+        ensure_split_dataset,
+    )
+
+    load_table(spark, sf_dir, "orders")  # pins session UTC for ts literals
+    src = os.path.join(sf_dir, "orders.parquet")
+    data = ensure_split_dataset(
+        spark, src, "skip_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        layout_col="o_orderdate",
+    )
+    files = spark.read.parquet(data)
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-06-30").cast("timestamp")
+    probe = (
+        files.where(F.col("o_orderdate").between(lo, hi))
+        .agg(F.min("o_custkey"))
+        .first()[0]
+    )
+    lo_v, hi_v = files.select(lo.alias("lo"), hi.alias("hi")).first()
+    stats = build_minmax_file_stats(files, ["o_orderdate"])
+    index = build_file_bloom_index(files, "o_custkey")
+    pruned, _plan = plan_scan(
+        spark,
+        data,
+        [Range("o_orderdate", lo_v, hi_v), Eq("o_custkey", probe)],
+        stats=stats,
+        bloom_indexes={"o_custkey": index},
+        require_each_pruning=True,
+    )
+    return pruned.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    )

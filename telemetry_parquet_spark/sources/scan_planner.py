@@ -1,0 +1,205 @@
+"""Unified predicate-driven scan planner — ONE entry point composing the
+three file-skipping mechanisms this engine grew separately:
+
+1. **Per-file min/max stats** (range + equality predicates) — the
+   relational analog of parquet footer / Delta file statistics: one build
+   scan produces a (file_path, min_c, max_c, ...) manifest, and a range
+   predicate keeps only files whose [min, max] interval intersects it.
+   This is the mechanism a z-order rewrite (sources/layout.py) makes
+   effective on MULTIPLE columns at once — tighter per-file envelopes,
+   more files pruned — and what ``writers.py::footer_stats`` exposes for
+   whole-table aggregates.
+2. **Per-file Bloom index** (equality on high-cardinality, non-layout
+   columns; sources/skipping.py) — point predicates the min/max envelope
+   cannot help with because the key smears across the layout.
+3. **Exact residual filter** — every predicate is re-applied to the rows
+   of the kept files, so the planned scan returns EXACTLY the full-scan
+   answer (min/max pruning is conservative; Bloom has no false
+   negatives). Correctness never depends on the pruning.
+
+``plan_scan`` intersects the mechanisms' file lists (each mechanism only
+ever REMOVES files) and returns both the pruned DataFrame and a
+``ScanPlan`` recording how many files each mechanism eliminated — with
+``require_each_pruning`` callers RAISE unless every mechanism they wired
+actually skipped files (the footer_stats discipline: a green driver row
+proves the composition engaged, not just that the answer matched).
+
+Scale: the stats manifest is n_files × (2 × n_cols) values and the Bloom
+index n_files × bits/64 words — both built in one scan with map-side
+combine, both driver-collectable ONLY as file lists (which IS the object
+any planner materializes; at 10^6+ files, partition the manifest by table
+partition and prune partitions first). The data itself is read once,
+post-prune, with the residual filter pushed down into the parquet scan.
+
+Reference parity: the reference enumerates day-partition directories by
+hand (S1; telemetry-batch-view partitioning.scala lineage) — a single
+hard-wired layout dimension. This planner generalizes that to arbitrary
+predicate-driven composition, net-new engine surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.sources.skipping import (
+    NUM_BITS,
+    NUM_HASHES,
+    bloom_candidate_files,
+)
+
+
+@dataclass(frozen=True)
+class Range:
+    """col BETWEEN lo AND hi (inclusive). Open ends via lo=None/hi=None."""
+
+    col: str
+    lo: object = None
+    hi: object = None
+
+
+@dataclass(frozen=True)
+class Eq:
+    """col = value."""
+
+    col: str
+    value: object = None
+
+
+@dataclass
+class ScanPlan:
+    """What the planner did — one entry per mechanism, in application
+    order, plus the final file list the scan will read."""
+
+    total_files: int
+    steps: list[tuple[str, int]] = field(default_factory=list)
+    files: list[str] = field(default_factory=list)
+
+    def pruned_by(self, mechanism: str) -> int:
+        """Files removed by ``mechanism`` relative to the step before it."""
+        prev = self.total_files
+        for name, kept in self.steps:
+            if name == mechanism:
+                return prev - kept
+            prev = kept
+        raise KeyError(mechanism)
+
+
+def build_minmax_file_stats(files_df: DataFrame, cols: list[str]) -> DataFrame:
+    """(file_path, min_<c>, max_<c>, ...) per data file — one scan, map-side
+    combinable. ``files_df`` must come straight from a file-source read so
+    ``_metadata`` resolves. All-NULL columns yield NULL min/max, which the
+    pruner treats as 'unknown: keep'."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return files_df.groupBy(
+        F.col("_metadata.file_path").alias("file_path")
+    ).agg(*aggs)
+
+
+def _minmax_keep(row, pred) -> bool:
+    lo, hi = (
+        (pred.lo, pred.hi)
+        if isinstance(pred, Range)
+        else (pred.value, pred.value)
+    )
+    mn, mx = row[f"min_{pred.col}"], row[f"max_{pred.col}"]
+    if mn is None or mx is None:  # no stats -> unknown -> keep
+        return True
+    if lo is not None and mx < lo:
+        return False
+    if hi is not None and mn > hi:
+        return False
+    return True
+
+
+def _predicate_expr(pred):
+    if isinstance(pred, Eq):
+        return F.col(pred.col) == F.lit(pred.value)
+    e = F.lit(True)
+    if pred.lo is not None:
+        e = e & (F.col(pred.col) >= F.lit(pred.lo))
+    if pred.hi is not None:
+        e = e & (F.col(pred.col) <= F.lit(pred.hi))
+    return e
+
+
+def plan_scan(
+    spark: SparkSession,
+    data_path: str,
+    predicates: list,
+    stats: DataFrame | None = None,
+    bloom_indexes: dict[str, DataFrame] | None = None,
+    num_bits: int = NUM_BITS,
+    num_hashes: int = NUM_HASHES,
+    require_each_pruning: bool = False,
+) -> tuple[DataFrame, ScanPlan]:
+    """Compose min/max + Bloom pruning for ``predicates`` over the parquet
+    table at ``data_path``; return (pruned-and-filtered DataFrame, plan).
+
+    ``stats`` routes every predicate whose column it covers through
+    min/max envelope pruning; ``bloom_indexes[col]`` routes ``Eq``
+    predicates on ``col`` through the per-file Bloom index. Mechanisms
+    only remove files, so their composition is order-free; the residual
+    filter guarantees exactness regardless. With ``require_each_pruning``
+    each wired mechanism must skip >= 1 file or the planner RAISES."""
+    schema = spark.read.parquet(data_path).schema
+    all_files = [
+        r.file_path
+        for r in spark.read.parquet(data_path)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+        .collect()
+    ]
+    plan = ScanPlan(total_files=len(all_files))
+    kept = sorted(all_files)
+
+    if stats is not None:
+        stat_cols = {f.name for f in stats.schema.fields}
+        covered = [
+            p
+            for p in predicates
+            if f"min_{p.col}" in stat_cols and f"max_{p.col}" in stat_cols
+        ]
+        if covered:
+            rows = {r.file_path: r for r in stats.collect()}
+            kept = [
+                f
+                for f in kept
+                if f not in rows
+                or all(_minmax_keep(rows[f], p) for p in covered)
+            ]
+            plan.steps.append(("minmax", len(kept)))
+
+    for col, index in (bloom_indexes or {}).items():
+        for p in predicates:
+            if isinstance(p, Eq) and p.col == col:
+                cands = set(
+                    bloom_candidate_files(index, p.value, num_bits, num_hashes)
+                )
+                kept = [f for f in kept if f in cands]
+                plan.steps.append((f"bloom:{col}", len(kept)))
+
+    plan.files = kept
+    if require_each_pruning:
+        prev = plan.total_files
+        for name, n in plan.steps:
+            if n >= prev:
+                raise RuntimeError(
+                    f"scan planner: {name} pruned nothing ({n}/{prev} files)"
+                )
+            prev = n
+
+    residual = None
+    for p in predicates:
+        e = _predicate_expr(p)
+        residual = e if residual is None else residual & e
+    if not kept:
+        empty = spark.createDataFrame([], schema)
+        return (empty if residual is None else empty.where(residual)), plan
+    df = spark.read.schema(schema).parquet(*kept)
+    return (df if residual is None else df.where(residual)), plan

@@ -1,0 +1,139 @@
+"""Unified scan planner tests (sources/scan_planner.py): exactness vs the
+full-scan filter, per-mechanism pruning accounting, the require gate, and
+the conservative keep on missing stats."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.sources.scan_planner import (
+    Eq,
+    Range,
+    ScanPlan,
+    build_minmax_file_stats,
+    plan_scan,
+)
+from telemetry_parquet_spark.sources.skipping import (
+    build_file_bloom_index,
+    ensure_split_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def split_orders(spark, sf_dir):
+    src = os.path.join(sf_dir, "orders.parquet")
+    return ensure_split_dataset(
+        spark, src, "skip_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        layout_col="o_orderdate",
+    )
+
+
+@pytest.fixture(scope="module")
+def ts_bounds(spark, split_orders):
+    return (
+        spark.read.parquet(split_orders)
+        .select(
+            F.lit("1996-01-01").cast("timestamp").alias("lo"),
+            F.lit("1997-06-30").cast("timestamp").alias("hi"),
+        )
+        .first()
+    )
+
+
+def test_composed_pruning_exact_and_engaged(spark, split_orders, ts_bounds):
+    files = spark.read.parquet(split_orders)
+    probe = (
+        files.where(F.col("o_orderdate").between(ts_bounds.lo, ts_bounds.hi))
+        .agg(F.min("o_custkey"))
+        .first()[0]
+    )
+    preds = [Range("o_orderdate", ts_bounds.lo, ts_bounds.hi), Eq("o_custkey", probe)]
+    pruned, plan = plan_scan(
+        spark,
+        split_orders,
+        preds,
+        stats=build_minmax_file_stats(files, ["o_orderdate"]),
+        bloom_indexes={"o_custkey": build_file_bloom_index(files, "o_custkey")},
+        require_each_pruning=True,
+    )
+    expected = files.where(
+        F.col("o_orderdate").between(ts_bounds.lo, ts_bounds.hi)
+        & (F.col("o_custkey") == probe)
+    )
+    assert pruned.exceptAll(expected).union(expected.exceptAll(pruned)).count() == 0
+    assert pruned.count() > 0
+    # both mechanisms removed files, and the accounting is monotone
+    assert plan.pruned_by("minmax") > 0
+    assert plan.pruned_by("bloom:o_custkey") > 0
+    kept = [n for _, n in plan.steps]
+    assert kept == sorted(kept, reverse=True)
+    assert len(plan.files) == kept[-1] <= plan.total_files
+
+
+def test_minmax_only_range(spark, split_orders, ts_bounds):
+    files = spark.read.parquet(split_orders)
+    pruned, plan = plan_scan(
+        spark,
+        split_orders,
+        [Range("o_orderdate", ts_bounds.lo, ts_bounds.hi)],
+        stats=build_minmax_file_stats(files, ["o_orderdate"]),
+        require_each_pruning=True,
+    )
+    expected = files.where(
+        F.col("o_orderdate").between(ts_bounds.lo, ts_bounds.hi)
+    )
+    assert pruned.count() == expected.count()
+    assert plan.steps[0][0] == "minmax"
+
+
+def test_absent_key_returns_empty(spark, split_orders):
+    files = spark.read.parquet(split_orders)
+    index = build_file_bloom_index(files, "o_custkey")
+    pruned, plan = plan_scan(
+        spark,
+        split_orders,
+        [Eq("o_custkey", -12345)],
+        bloom_indexes={"o_custkey": index},
+    )
+    assert pruned.count() == 0
+    assert len(plan.files) < plan.total_files  # bloom dropped everything-ish
+    assert pruned.schema == files.drop("_metadata").schema
+
+
+def test_require_raises_when_mechanism_prunes_nothing(spark, split_orders):
+    files = spark.read.parquet(split_orders)
+    # a range covering the whole domain cannot prune any file
+    with pytest.raises(RuntimeError, match="pruned nothing"):
+        plan_scan(
+            spark,
+            split_orders,
+            [Range("o_orderdate", None, None)],
+            stats=build_minmax_file_stats(files, ["o_orderdate"]),
+            require_each_pruning=True,
+        )
+
+
+def test_missing_stats_column_keeps_files(spark, split_orders, ts_bounds):
+    """Stats that don't cover a predicate's column must not prune on it —
+    the planner only routes predicates through mechanisms that know the
+    column; everything else is residual-filter-only."""
+    files = spark.read.parquet(split_orders)
+    pruned, plan = plan_scan(
+        spark,
+        split_orders,
+        [Range("o_totalprice", 0.0, 1.0)],
+        stats=build_minmax_file_stats(files, ["o_orderdate"]),
+    )
+    assert plan.steps == []  # no mechanism engaged
+    assert len(plan.files) == plan.total_files
+    expected = files.where(F.col("o_totalprice").between(0.0, 1.0))
+    assert pruned.count() == expected.count()
+
+
+def test_pruned_by_unknown_mechanism_raises():
+    plan = ScanPlan(total_files=4, steps=[("minmax", 2)])
+    with pytest.raises(KeyError):
+        plan.pruned_by("bloom:x")
