@@ -325,3 +325,49 @@ def test_multi_table_lsh_recall_and_dedup(spark):
     single, multi = run(1), run(8)
     assert multi > single
     assert multi >= 0.9
+
+
+def test_or_amplification_recall_on_clustered_corpus(spark):
+    """The SCALE.md frontier default (bits=8, tables=8) must achieve HIGH
+    ABSOLUTE recall once the corpus is actually clustered — the claim the
+    r8 verdict found asserted-but-unmeasured (the bench corpus's top
+    neighbors sit at cosine ≈ 0.4, where only the lift metric is
+    defensible). Planted geometry: 50 clusters x 12 members, within-
+    cluster cosine ≈ 1/(1+σ²d) ≈ 0.93 → collision p = 1 - θ/π ≈ 0.88 per
+    hyperplane, so OR-amplified candidate probability is
+    1-(1-p^8)^8 ≈ 0.96; measured top-5 recall vs the exact pairwise
+    ground truth must clear 0.9. Seeded and deterministic."""
+    import math as _math
+    import random as _random
+
+    from telemetry_parquet_spark.datapipe.similarity import (
+        lsh_bucket_top_k,
+        pairwise_top_k,
+    )
+
+    rng = _random.Random(7)
+    dim, rows, vid = 32, [], 0
+    for _c in range(50):
+        base = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nb = _math.sqrt(sum(x * x for x in base))
+        base = [x / nb for x in base]
+        for _m in range(12):
+            rows.append((vid, [x + rng.gauss(0.0, 0.05) for x in base]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in pairwise_top_k(
+            queries, corpus, k=5, exclude_self=True
+        ).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_bucket_top_k(
+            queries, corpus, dim=dim, bits=8, k=5, tables=8,
+            exclude_self=True,
+        ).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"clustered-corpus recall {recall:.3f} < 0.9"
