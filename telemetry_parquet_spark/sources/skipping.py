@@ -137,6 +137,50 @@ def pruned_point_lookup(
     )
 
 
+def update_file_bloom_index(
+    spark: SparkSession,
+    data_path: str,
+    existing: DataFrame | None,
+    key_col: str,
+    num_bits: int = NUM_BITS,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Incrementally maintain the per-file Bloom index as files land:
+    scan ONLY files not yet covered by ``existing`` and union their
+    bitmaps in. Per-file bitmaps are independent, so append never touches
+    an existing file's rows — the update cost is one scan of the NEW
+    bytes plus an n_new_files × bits/64-row shuffle, regardless of table
+    size (the lifecycle analog of ``append_bm25_partition``). Equality
+    with a from-scratch rebuild is pytest-gated
+    (tests/test_skipping.py). Immutable files assumed (the parquet
+    contract); a rewritten path must drop its index rows first."""
+    all_files = sorted(
+        r.file_path
+        for r in spark.read.parquet(data_path)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+        .collect()
+    )
+    if existing is None:
+        return build_file_bloom_index(
+            spark.read.parquet(data_path), key_col, num_bits, num_hashes
+        )
+    known = {
+        r.file_path for r in existing.select("file_path").distinct().collect()
+    }
+    new_paths = [f for f in all_files if f not in known]
+    if not new_paths:
+        return existing
+    schema = spark.read.parquet(data_path).schema
+    fresh = build_file_bloom_index(
+        spark.read.schema(schema).parquet(*new_paths),
+        key_col,
+        num_bits,
+        num_hashes,
+    )
+    return existing.unionByName(fresh)
+
+
 def ensure_split_dataset(
     spark: SparkSession,
     src_path: str,

@@ -109,3 +109,40 @@ def test_index_merges_by_bit_or(spark, dataset, index):
         .agg(F.bit_or("bits").alias("bits"))
     )
     assert merged.exceptAll(index).union(index.exceptAll(merged)).count() == 0
+
+
+def test_incremental_index_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """File-lifecycle maintenance: build the index on the initial files,
+    append more files to the table, update incrementally — the updated
+    index must equal a from-scratch rebuild row for row, and the update
+    must not rescan covered files (it reads only the NEW paths)."""
+    from telemetry_parquet_spark.sources.skipping import (
+        update_file_bloom_index,
+    )
+
+    path = str(tmp_path / "orders_growing")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    first, second = (
+        orders.where(F.col("o_orderkey") % 3 != 0),
+        orders.where(F.col("o_orderkey") % 3 == 0),
+    )
+    first.repartition(6).write.mode("overwrite").parquet(path)
+    idx0 = update_file_bloom_index(spark, path, None, "o_custkey")
+    n0 = idx0.select("file_path").distinct().count()
+    idx0 = idx0.localCheckpoint()  # pin pre-append bitmaps
+
+    second.repartition(4).write.mode("append").parquet(path)
+    idx1 = update_file_bloom_index(spark, path, idx0, "o_custkey")
+    full = update_file_bloom_index(spark, path, None, "o_custkey")
+    assert idx1.exceptAll(full).union(full.exceptAll(idx1)).count() == 0
+    assert idx1.select("file_path").distinct().count() > n0
+
+    # no new files -> the same frame comes back untouched
+    idx2 = update_file_bloom_index(spark, path, idx1, "o_custkey")
+    assert idx2 is idx1
+
+    # the updated index serves exact pruned lookups over the grown table
+    probe = orders.agg(F.min("o_custkey")).first()[0]
+    got = pruned_point_lookup(spark, path, idx1, "o_custkey", probe)
+    want = spark.read.parquet(path).where(F.col("o_custkey") == probe)
+    assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0
