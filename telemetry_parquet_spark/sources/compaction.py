@@ -138,3 +138,25 @@ def read_compacted(spark: SparkSession, out_path: str) -> DataFrame:
     ``group_id`` layout column that partition discovery adds, so the
     compacted table is schema-identical to the table it re-laid out."""
     return spark.read.parquet(out_path).drop("group_id")
+
+
+def maintenance_pass(
+    spark: SparkSession,
+    landing_path: str,
+    compacted_path: str,
+    target_bytes: int,
+    min_files: int = 2,
+) -> dict:
+    """One cycle of the table-maintenance loop a streaming landing zone
+    needs: manifest the accumulated small files (zero-row ones included),
+    and if there are at least ``min_files`` rewrite them into
+    ~``target_bytes`` groups under ``compacted_path``. Returns the cycle's
+    accounting — callers schedule this per closed partition (e.g. after a
+    day's ``availableNow`` relay finishes) so compaction always runs
+    behind the write frontier, never against in-flight files."""
+    n_files = file_manifest(spark, landing_path).count()
+    if n_files < min_files:
+        return {"compacted": False, "n_files": n_files, "n_groups": 0}
+    plan = compact(spark, landing_path, compacted_path, target_bytes)
+    n_groups = plan.select("group_id").distinct().count()
+    return {"compacted": True, "n_files": n_files, "n_groups": n_groups}

@@ -260,3 +260,32 @@ def ohlc_bars(
             "volume",
         )
     )
+
+
+def stream_append_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    checkpoint: str,
+    schema=None,
+) -> None:
+    """``availableNow`` file-to-file relay: stream NEW files under
+    ``src_path`` (the checkpoint remembers processed ones across calls)
+    into an append-mode parquet sink at ``dest_path`` — the landing-zone
+    pattern whose small-file debris ``sources/compaction.py::
+    maintenance_pass`` cleans up once a partition is closed. Synchronous;
+    each call drains whatever arrived since the last one."""
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(src_path)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", dest_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -82,3 +82,56 @@ def test_compact_preserves_rows_and_reduces_files(spark, small_files, tmp_path):
     )
     assert n_out < N_FILES
     assert n_out <= total // (total // 4) + 2
+
+
+def test_streaming_landing_maintenance_loop(spark, sf_dir, tmp_path):
+    """The full lifecycle: two availableNow micro-batch relays append
+    small files into a landing zone, then a maintenance pass compacts it
+    — the row multiset survives both hops (source → landing → compacted)
+    and the file count drops. This is the 'compact closed partitions as
+    data lands' loop a 100 TB streaming table needs."""
+    from telemetry_parquet_spark.sources.compaction import (
+        file_manifest,
+        maintenance_pass,
+        read_compacted,
+    )
+    from telemetry_parquet_spark.streaming.pipelines import (
+        stream_append_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    landing = str(tmp_path / "landing")
+    compacted = str(tmp_path / "compacted")
+    ckpt = str(tmp_path / "ckpt")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    first = orders.where(F.col("o_orderkey") % 2 == 0)
+    second = orders.where(F.col("o_orderkey") % 2 != 0)
+
+    # batch 1 lands, relay drains it; batch 2 lands, relay drains ONLY it
+    first.repartition(5).write.mode("overwrite").parquet(src)
+    stream_append_parquet(spark, src, landing, ckpt)
+    n_after_first = file_manifest(spark, landing).count()
+    second.repartition(5).write.mode("append").parquet(src)
+    stream_append_parquet(spark, src, landing, ckpt)
+    n_after_second = file_manifest(spark, landing).count()
+    assert n_after_second > n_after_first  # second relay appended files
+
+    landed = spark.read.parquet(landing)
+    assert landed.count() == orders.count()
+
+    stats = maintenance_pass(spark, landing, compacted, target_bytes=1 << 30)
+    assert stats["compacted"] and stats["n_files"] == n_after_second
+    assert stats["n_groups"] < n_after_second  # fewer files afterwards
+
+    got = read_compacted(spark, compacted)
+    assert got.schema == landed.schema
+    assert got.exceptAll(landed).union(landed.exceptAll(got)).count() == 0
+
+    # an idle cycle (nothing new, below min_files) declines to rewrite
+    empty_landing = str(tmp_path / "noop")
+    first.limit(1).write.parquet(empty_landing)
+    noop = maintenance_pass(
+        spark, empty_landing, str(tmp_path / "noop_out"),
+        target_bytes=1 << 30, min_files=2,
+    )
+    assert noop == {"compacted": False, "n_files": 1, "n_groups": 0}
