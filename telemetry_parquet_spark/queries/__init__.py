@@ -39,71 +39,69 @@ from telemetry_parquet_spark.queries import kmeans  # noqa: F401, E402
 # (no file I/O at import time) and is refreshed by hand from the latest
 # CORRECTNESS_r{N}.json each round.
 #
-# Round-8 window (see CORRECTNESS_CUMULATIVE.md for the full ledger; after
-# round 7 the registry is fully green — 168/170 oracled queries hash-green
-# at their latest driver row, 0 red — so this round is new-surface first,
-# then staleness rotation, exactly as the r7 verdict ordered):
-# 1. Queries new in round 8 plus the two round-7 additions registered after
-#    the r07 window was pinned (layout_zorder_keys, ts_hypertable_rollup) —
-#    the only names with no driver row at all.
-# 2. The full r04-stale cohort (23 names) — the oldest verdicts left.
-# 3. The r05 cohort fills the remaining slots alphabetically; overflow
-#    rotates to round 9.
+# Round-9 window (see CORRECTNESS_CUMULATIVE.md for the full ledger;
+# cumulative state after r08: every registered query green at its latest
+# driver row, 0 red, so this window is new-surface first, then the
+# staleness rotation the r8 verdict ordered):
+# 1. Queries new in round 9 — the only names with no driver row at all.
+# 2. The FULL r05-stale cohort (35 names — the oldest verdicts left).
+# 3. The r06 cohort fills the remaining 13 slots alphabetically; the rest
+#    rotates to round 10.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (new in round 8 / post-window round 7)
-    "bm25_indexed_topk",
-    "sim_knn_graph_lsh_tables",
-    "layout_zorder_keys",
-    "ts_hypertable_rollup",
-    "hll_det_register_table",
-    "hll_det_distinct_users",
-    "hll_det_orderkey_estimates",
-    "hll_det_daily_merge",
-    "ml_kmeans_assignments",
-    "ml_kmeans_centroids",
-    "stream_hll_registers",
-    "skip_bloom_point_lookup",
-    "sim_ivf_det_topk",
-    # latest driver row r04
-    "dd_incremental_bloom",
-    "dd_minhash_near_dup_pairs",
-    "dd_ngram_jaccard_pairs",
-    "dd_prefix_fingerprint_groups",
-    "dd_simhash_near_dup_pairs",
-    "f_date_functions",
-    "f_string_functions",
-    "json_union_coercion",
-    "lang_id",
-    "mix_sampled_corpus",
-    "mm_image_near_dup",
-    "p7_column_expressions",
-    "pack_sequences",
-    "pii_redaction",
-    "rep_repetition_features",
-    "sim_brute_force_topk",
-    "sim_ivf_exact_topk",
-    "sim_ivf_probe_topk",
-    "split_train_holdout",
-    "text_stats",
-    "w1_latest_order_per_customer",
-    "w2_running_order_total",
-    "x1_token_explode",
-    # latest driver row r05 (alphabetical; the rest of the r05 cohort —
-    # from dd_repeated_spans on — rotates to round 9's window)
-    "a1_earliest_event_per_user",
-    "a2_row_first",
-    "a3_map_first",
-    "a4_map_sum",
-    "a5_search_counts_pivot",
-    "a7_hll_distinct_users",
-    "a8_counts_per_nation",
-    "a9_null_counts",
-    "analyze_column_stats",
-    "bp_boilerplate_removal",
-    "bp_hot_segments",
-    "cap_budget_per_source",
-    "cap_per_source",
-    "corpus_global_order",
+    # never driver-checked (new in round 9)
+    "ml_kmeans_k256_assignments",
+    "scan_planned_mixed_predicates",
+    # latest driver row r05 (complete cohort)
+    "dd_duplicate_passages",
+    "dd_repeated_spans",
+    "dd_simhash_md5_pairs",
+    "dq_constraints",
+    "embedding_quantize_int8",
+    "encode_token_ids",
+    "events_flatten",
+    "feature_hashing_counts",
+    "graph_pagerank",
+    "html_strip_normalize",
+    "j1_anti_orders_without_lineitems",
+    "j2_semi_customers_with_orders",
+    "j3_broadcast_enrich",
+    "len_quantiles_by_lang",
+    "o3_top_events_per_user",
+    "outlier_trim_by_lang",
+    "p2_dynamic_predicates",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sessionize_events",
+    "stream_dedup_keys",
+    "stream_session_windows",
+    "stream_sliding_halfhour",
+    "stream_static_enrich",
+    "stream_stream_view_purchase",
+    "stream_tumbling_hourly",
+    "stream_user_running_stats",
+    "token_counting",
+    "u1_union_by_name",
+    "u2_except_all",
+    "u3_intersect",
+    "vocab_table",
+    "w3_event_gaps",
+    "zorder_codes",
+    # latest driver row r06 (alphabetical; the rest — from encode_bpe_ids
+    # on — rotates to round 10's window)
+    "asof_last_purchase_before_view",
+    "basket_part_pairs",
+    "blocklist_filter",
+    "bpe_learn_merges",
+    "chunk_documents",
+    "cms_sketch_counts",
+    "cms_term_estimates",
+    "comparator_summary",
+    "corpus_e2e_curation",
+    "cube_order_volume",
+    "dd_incremental_near_dup",
+    "dd_semantic_prune",
+    "embedding_centroids",
 )
 
 
