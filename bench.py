@@ -177,6 +177,14 @@ HEADLINE = [
     # raises unless pruning engaged). Layout build is fingerprint-cached,
     # so this row measures index build + probe + pruned scan.
     "skip_bloom_point_lookup",
+    # round 9: k=256 Lloyd assignment via the int64 numpy-matmul
+    # pandas_udf (bit-identical to the codegen fold, without its k-term
+    # recompile cost — the hundreds-of-cells IVF training path)
+    "ml_kmeans_k256_assignments",
+    # round 9: unified scan planner — min/max stats prune the date range,
+    # per-file Bloom bitmaps prune the custkey point predicate, one scan
+    # reads only the doubly-surviving files (raises unless BOTH pruned)
+    "scan_planned_mixed_predicates",
 ]
 
 
@@ -261,10 +269,31 @@ def main() -> None:
     }
     # Full record: one line on stdout + a file copy (survives any tail
     # window). Compact summary LAST so a bounded tail always parses.
+    # BENCH_full.json holds BOTH isolation regimes side by side, labeled
+    # ({"contended": ..., "uncontended": ...}), so the driver-window run
+    # (other sessions active — the default label) and the min-of-N
+    # protocol run (SPARK_GRAFT_BENCH_LABEL=uncontended) never clobber
+    # each other and cross-round comparisons are self-describing. Runs at
+    # a non-default sf land under "<label>_sf<sf>" and never touch the
+    # sf0.1 headline records.
     print(json.dumps(out))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_full.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    label = os.environ.get("SPARK_GRAFT_BENCH_LABEL", "contended")
+    if out["sf"] != 0.1:
+        label = f"{label}_sf{sf}"
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    )
+    full: dict = {"contended": None, "uncontended": None}
+    try:
+        with open(full_path) as f:
+            prev = json.load(f)
+        if isinstance(prev, dict) and "contended" in prev:
+            full = prev
+    except (OSError, ValueError):
+        pass
+    full[label] = out
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
     print(json.dumps({k: out[k] for k in ("metric", "value", "unit", "sf")}))
     spark.stop()
 
