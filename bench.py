@@ -185,6 +185,10 @@ HEADLINE = [
     # per-file Bloom bitmaps prune the custkey point predicate, one scan
     # reads only the doubly-surviving files (raises unless BOTH pruned)
     "scan_planned_mixed_predicates",
+    # round 9: z-order payoff through the planner — TWO range predicates
+    # each pruning via per-file min/max (per-predicate accounting), only
+    # possible because the Morton layout keeps both envelopes tight
+    "scan_planned_zorder_ranges",
 ]
 
 

@@ -36,7 +36,7 @@ _EAGER = re.compile(
     r"^(stream_|graph_pagerank|graph_label_prop|sim_ivf|dd_minhash"
     r"|dd_simhash|dd_embedding|lm_|ts_hypertable_rollup|bm25_indexed"
     r"|dd_ngram|dd_duplicate|dd_incremental|mm_image|ml_als|ml_kmeans"
-    r"|bpe_|encode_bpe|skip_bloom)"
+    r"|bpe_|encode_bpe|skip_bloom|scan_planned)"
 )
 
 

@@ -51,6 +51,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-checked (new in round 9)
     "ml_kmeans_k256_assignments",
     "scan_planned_mixed_predicates",
+    "scan_planned_zorder_ranges",
     # latest driver row r05 (complete cohort)
     "dd_duplicate_passages",
     "dd_repeated_spans",
@@ -101,7 +102,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cube_order_volume",
     "dd_incremental_near_dup",
     "dd_semantic_prune",
-    "embedding_centroids",
 )
 
 

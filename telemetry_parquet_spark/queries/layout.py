@@ -191,3 +191,71 @@ def scan_planned_mixed_predicates(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority",
     )
+
+
+@query(
+    "scan_planned_zorder_ranges",
+    # oracle = the plain full-scan double-range filter. The Spark side
+    # serves it through the unified planner over a Z-ORDERED layout
+    # (lineitem clustered on the Morton curve of (l_partkey, l_suppkey)),
+    # where per-file min/max envelopes are tight on BOTH columns at once
+    # — and RAISES unless each column's stats prune independently
+    # (require_each_pruning with per-predicate accounting). A linear sort
+    # could only ever satisfy one of the two.
+    oracle="""
+    WITH b AS (
+      SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+    FROM lineitem, b
+    WHERE l_partkey BETWEEN pmin + CAST(floor((pmax - pmin) * 0.50) AS BIGINT)
+                        AND pmin + CAST(floor((pmax - pmin) * 0.75) AS BIGINT)
+      AND l_suppkey BETWEEN smin + CAST(floor((smax - smin) * 0.25) AS BIGINT)
+                        AND smin + CAST(floor((smax - smin) * 0.50) AS BIGINT)
+    """,
+)
+def scan_planned_zorder_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two range predicates, BOTH pruned by min/max stats, on one scan —
+    the payoff a z-order layout exists for, proven through the planner's
+    per-predicate file accounting. Build is fingerprint-cached; bound
+    arithmetic is integer-exact (int-valued doubles, floor) so the
+    predicate endpoints match the oracle's bit for bit."""
+    import math as _math
+    import os
+
+    from telemetry_parquet_spark.sources.layout import ensure_zorder_dataset
+    from telemetry_parquet_spark.sources.scan_planner import (
+        Range,
+        build_minmax_file_stats,
+        plan_scan,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    data = ensure_zorder_dataset(
+        spark, src,
+        "zorder_lineitem_" + os.path.basename(sf_dir.rstrip("/")),
+        x="l_partkey", y="l_suppkey",
+    )
+    files = spark.read.parquet(data)
+    b = files.agg(
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"), F.max("l_suppkey").alias("smax"),
+    ).first()
+    p_lo = b.pmin + _math.floor((b.pmax - b.pmin) * 0.50)
+    p_hi = b.pmin + _math.floor((b.pmax - b.pmin) * 0.75)
+    s_lo = b.smin + _math.floor((b.smax - b.smin) * 0.25)
+    s_hi = b.smin + _math.floor((b.smax - b.smin) * 0.50)
+    stats = build_minmax_file_stats(files, ["l_partkey", "l_suppkey"])
+    pruned, _plan = plan_scan(
+        spark,
+        data,
+        [Range("l_partkey", p_lo, p_hi), Range("l_suppkey", s_lo, s_hi)],
+        stats=stats,
+        require_each_pruning=True,
+    )
+    return pruned.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice",
+    )

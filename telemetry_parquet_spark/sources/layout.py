@@ -216,3 +216,34 @@ def cluster_zorder_adaptive(
     return keyed.repartitionByRange(num_files, F.col("zval")).sortWithinPartitions(
         "zval"
     )
+
+
+def ensure_zorder_dataset(
+    spark,
+    src_path: str,
+    name: str,
+    x: str,
+    y: str,
+    n_files: int = 32,
+    bits: int = 8,
+) -> str:
+    """Materialize ``src_path`` z-order-clustered on (x, y) into
+    ``n_files`` zval-range files under the session warehouse
+    (fingerprint-cached). The zval key is dropped before the write — the
+    layout's value is that BOTH columns' per-file min/max envelopes come
+    out tight, which is exactly what the unified scan planner's stats
+    pruning consumes (scan_planner.py); the table schema stays the
+    source's."""
+    from telemetry_parquet_spark.sources.skipping import materialize_cached
+
+    def write(out: str) -> None:
+        (
+            cluster_zorder_adaptive(
+                spark.read.parquet(src_path), x, y, n_files, bits=bits
+            )
+            .drop("zval")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    return materialize_cached(spark, src_path, name, write)

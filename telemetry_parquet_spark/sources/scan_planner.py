@@ -167,13 +167,15 @@ def plan_scan(
         ]
         if covered:
             rows = {r.file_path: r for r in stats.collect()}
-            kept = [
-                f
-                for f in kept
-                if f not in rows
-                or all(_minmax_keep(rows[f], p) for p in covered)
-            ]
-            plan.steps.append(("minmax", len(kept)))
+            # one accounting step PER predicate, so a multi-column layout
+            # (e.g. z-order) can PROVE both dimensions pruned
+            for p in covered:
+                kept = [
+                    f
+                    for f in kept
+                    if f not in rows or _minmax_keep(rows[f], p)
+                ]
+                plan.steps.append((f"minmax:{p.col}", len(kept)))
 
     for col, index in (bloom_indexes or {}).items():
         for p in predicates:

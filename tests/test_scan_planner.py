@@ -66,7 +66,7 @@ def test_composed_pruning_exact_and_engaged(spark, split_orders, ts_bounds):
     assert pruned.exceptAll(expected).union(expected.exceptAll(pruned)).count() == 0
     assert pruned.count() > 0
     # both mechanisms removed files, and the accounting is monotone
-    assert plan.pruned_by("minmax") > 0
+    assert plan.pruned_by("minmax:o_orderdate") > 0
     assert plan.pruned_by("bloom:o_custkey") > 0
     kept = [n for _, n in plan.steps]
     assert kept == sorted(kept, reverse=True)
@@ -86,7 +86,7 @@ def test_minmax_only_range(spark, split_orders, ts_bounds):
         F.col("o_orderdate").between(ts_bounds.lo, ts_bounds.hi)
     )
     assert pruned.count() == expected.count()
-    assert plan.steps[0][0] == "minmax"
+    assert plan.steps[0][0] == "minmax:o_orderdate"
 
 
 def test_absent_key_returns_empty(spark, split_orders):
