@@ -48,6 +48,7 @@ from telemetry_parquet_spark.sources.skipping import (
     NUM_BITS,
     NUM_HASHES,
     bloom_candidate_files,
+    bloom_candidate_files_any,
 )
 
 
@@ -66,6 +67,17 @@ class Eq:
 
     col: str
     value: object = None
+
+
+@dataclass(frozen=True)
+class In:
+    """col IN (values) — the IN-list point-lookup shape. Min/max keeps a
+    file if ANY value lands in its envelope; Bloom keeps the UNION of the
+    per-value candidate sets (both conservative, so the residual filter
+    stays exact)."""
+
+    col: str
+    values: tuple = ()
 
 
 @dataclass
@@ -102,14 +114,16 @@ def build_minmax_file_stats(files_df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def _minmax_keep(row, pred) -> bool:
+    mn, mx = row[f"min_{pred.col}"], row[f"max_{pred.col}"]
+    if mn is None or mx is None:  # no stats -> unknown -> keep
+        return True
+    if isinstance(pred, In):
+        return any(mn <= v <= mx for v in pred.values)
     lo, hi = (
         (pred.lo, pred.hi)
         if isinstance(pred, Range)
         else (pred.value, pred.value)
     )
-    mn, mx = row[f"min_{pred.col}"], row[f"max_{pred.col}"]
-    if mn is None or mx is None:  # no stats -> unknown -> keep
-        return True
     if lo is not None and mx < lo:
         return False
     if hi is not None and mn > hi:
@@ -120,6 +134,8 @@ def _minmax_keep(row, pred) -> bool:
 def _predicate_expr(pred):
     if isinstance(pred, Eq):
         return F.col(pred.col) == F.lit(pred.value)
+    if isinstance(pred, In):
+        return F.col(pred.col).isin(*pred.values)
     e = F.lit(True)
     if pred.lo is not None:
         e = e & (F.col(pred.col) >= F.lit(pred.lo))
@@ -142,8 +158,9 @@ def plan_scan(
     table at ``data_path``; return (pruned-and-filtered DataFrame, plan).
 
     ``stats`` routes every predicate whose column it covers through
-    min/max envelope pruning; ``bloom_indexes[col]`` routes ``Eq``
-    predicates on ``col`` through the per-file Bloom index. Mechanisms
+    min/max envelope pruning; ``bloom_indexes[col]`` routes ``Eq`` and
+    ``In`` predicates on ``col`` through the per-file Bloom index (an IN
+    list probes in ONE job via ``bloom_candidate_files_any``). Mechanisms
     only remove files, so their composition is order-free; the residual
     filter guarantees exactness regardless. With ``require_each_pruning``
     each wired mechanism must skip >= 1 file or the planner RAISES."""
@@ -183,8 +200,16 @@ def plan_scan(
                 cands = set(
                     bloom_candidate_files(index, p.value, num_bits, num_hashes)
                 )
-                kept = [f for f in kept if f in cands]
-                plan.steps.append((f"bloom:{col}", len(kept)))
+            elif isinstance(p, In) and p.col == col:
+                cands = set(  # one job for the whole IN list
+                    bloom_candidate_files_any(
+                        index, p.values, num_bits, num_hashes
+                    )
+                )
+            else:
+                continue
+            kept = [f for f in kept if f in cands]
+            plan.steps.append((f"bloom:{col}", len(kept)))
 
     plan.files = kept
     if require_each_pruning:

@@ -101,6 +101,45 @@ def bloom_candidate_files(
     return [r.file_path for r in hits.select("file_path").collect()]
 
 
+def bloom_candidate_files_any(
+    index: DataFrame,
+    values,
+    num_bits: int = NUM_BITS,
+    num_hashes: int = NUM_HASHES,
+) -> list[str]:
+    """Files that MIGHT contain ANY of ``values`` (the IN-list probe) in
+    ONE job: the probe relation is len(values) × num_hashes rows, a file
+    qualifies when every probe word of at least one value matches. Equals
+    the union of per-value ``bloom_candidate_files`` results without a
+    driver loop over values."""
+    spark = index.sparkSession
+    vals = spark.createDataFrame([(str(v),) for v in values], ["__val"])
+    word, mask = _word_and_mask(F.col("__pos"))
+    probe = (
+        vals.select(
+            "__val",
+            F.explode(
+                _positions(F.col("__val"), num_bits, num_hashes)
+            ).alias("__pos"),
+        )
+        .select("__val", word.alias("word_idx"), mask.alias("__mask"))
+        .groupBy("__val", "word_idx")
+        .agg(F.bit_or("__mask").alias("need"))
+    )
+    need_counts = probe.groupBy("__val").agg(F.count("*").alias("n_need"))
+    hits = (
+        index.join(F.broadcast(probe), "word_idx")
+        .where(F.col("bits").bitwiseAND(F.col("need")) == F.col("need"))
+        .groupBy("file_path", "__val")
+        .agg(F.count("*").alias("n_ok"))
+        .join(F.broadcast(need_counts), "__val")
+        .where(F.col("n_ok") == F.col("n_need"))
+        .select("file_path")
+        .distinct()
+    )
+    return [r.file_path for r in hits.collect()]
+
+
 def pruned_point_lookup(
     spark: SparkSession,
     data_path: str,

@@ -137,3 +137,43 @@ def test_pruned_by_unknown_mechanism_raises():
     plan = ScanPlan(total_files=4, steps=[("minmax", 2)])
     with pytest.raises(KeyError):
         plan.pruned_by("bloom:x")
+
+
+def test_in_list_pruning_exact_and_single_probe_union(spark, split_orders):
+    """An IN-list predicate prunes through the batched one-job Bloom probe
+    (union of per-value candidate sets) and through min/max, and the
+    result equals the full-scan isin filter exactly."""
+    from telemetry_parquet_spark.sources.scan_planner import In
+    from telemetry_parquet_spark.sources.skipping import (
+        bloom_candidate_files,
+        bloom_candidate_files_any,
+        build_file_bloom_index,
+    )
+
+    files = spark.read.parquet(split_orders)
+    keys = [
+        r[0]
+        for r in files.select("o_custkey").distinct().orderBy("o_custkey")
+        .limit(3).collect()
+    ]
+    index = build_file_bloom_index(files, "o_custkey")
+
+    # batched probe == union of per-value probes
+    union = set()
+    for v in keys:
+        union |= set(bloom_candidate_files(index, v))
+    batched = set(bloom_candidate_files_any(index, keys))
+    assert batched == union
+
+    pruned, plan = plan_scan(
+        spark,
+        split_orders,
+        [In("o_custkey", tuple(keys))],
+        stats=build_minmax_file_stats(files, ["o_custkey"]),
+        bloom_indexes={"o_custkey": index},
+    )
+    expected = files.where(F.col("o_custkey").isin(keys))
+    assert pruned.exceptAll(expected).union(expected.exceptAll(pruned)).count() == 0
+    assert pruned.count() > 0
+    assert plan.pruned_by("bloom:o_custkey") >= 0
+    assert len(plan.files) <= plan.total_files
