@@ -177,3 +177,52 @@ def test_in_list_pruning_exact_and_single_probe_union(spark, split_orders):
     assert pruned.count() > 0
     assert plan.pruned_by("bloom:o_custkey") >= 0
     assert len(plan.files) <= plan.total_files
+
+
+def test_table_service_lifecycle_end_to_end(spark, sf_dir, tmp_path):
+    """The whole table-service story on one table: a streaming relay
+    lands files, the Bloom index keeps up INCREMENTALLY, point lookups go
+    through the planner against the live index, then compaction rewrites
+    the landing zone and a fresh index over the compacted layout serves
+    the same lookup — identical answers at every step."""
+    from telemetry_parquet_spark.sources.compaction import (
+        maintenance_pass,
+        read_compacted,
+    )
+    from telemetry_parquet_spark.sources.skipping import (
+        update_file_bloom_index,
+    )
+    from telemetry_parquet_spark.streaming.pipelines import (
+        stream_append_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    probe = orders.agg(F.min("o_custkey")).first()[0]
+    expected = orders.where(F.col("o_custkey") == probe).drop("_metadata")
+
+    index = None
+    for batch in (
+        orders.where(F.col("o_orderkey") % 2 == 0),
+        orders.where(F.col("o_orderkey") % 2 != 0),
+    ):
+        batch.repartition(4).write.mode("append").parquet(src)
+        stream_append_parquet(spark, src, landing, ckpt)
+        index = update_file_bloom_index(
+            spark, landing, index, "o_custkey"
+        ).localCheckpoint()
+
+    pruned, plan = plan_scan(
+        spark, landing, [Eq("o_custkey", probe)],
+        bloom_indexes={"o_custkey": index},
+    )
+    assert pruned.exceptAll(expected).union(expected.exceptAll(pruned)).count() == 0
+    assert len(plan.files) < plan.total_files
+
+    compacted = str(tmp_path / "compacted")
+    stats = maintenance_pass(spark, landing, compacted, target_bytes=1 << 30)
+    assert stats["compacted"]
+    got = read_compacted(spark, compacted).where(F.col("o_custkey") == probe)
+    assert got.exceptAll(expected).union(expected.exceptAll(got)).count() == 0
