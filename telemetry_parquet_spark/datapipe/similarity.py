@@ -13,6 +13,9 @@ same final exact-rescore stage.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -147,6 +150,59 @@ def table_seed(seed: int, t: int) -> int:
     return seed + 7919 * t
 
 
+SIG_SCALE = 1_000_000
+
+
+def quantize_plane(plane: list[float], scale: int = SIG_SCALE) -> list[int]:
+    """floor(x * scale + 0.5) per component — the same one-multiply-one-
+    add-one-floor recipe the k-means family uses, IEEE-identical in any
+    engine."""
+    import math
+
+    return [int(math.floor(x * scale + 0.5)) for x in plane]
+
+
+def int_sigs_udf(dim: int, bits: int, tables: int, seed: int = 42):
+    """ALL tables' signatures in ONE Arrow pass: quantize the vector and
+    every hyperplane to int64 (floor(x·10⁶ + 0.5)), take the integer
+    matmul (batch × dim) @ (dim × tables·bits), read the sign bits, pack
+    per table. Returns a pandas_udf emitting array<long> of length
+    ``tables``.
+
+    Exactness: the dots are INTEGERS bounded by dim · (0.6·10⁶) · (5·10⁶)
+    ≈ 2·10¹⁴ < 2⁵³, so they are exact in int64 AND as int-valued doubles
+    under ANY summation order — the oracle's `list_inner_product` over the
+    same quantized lists yields bit-identical signs with no dependence on
+    either engine's fold order (stronger than the float-fold signature,
+    whose cross-engine equality leaned on both engines happening to sum
+    sequentially). Perf: replaces tables·bits interpreted per-element
+    folds per vector with one numpy matmul per Arrow batch."""
+    planes = [
+        p
+        for t in range(tables)
+        for p in _hyperplanes(dim, bits, table_seed(seed, t))
+    ]
+    qp = np.array(
+        [quantize_plane(p) for p in planes], dtype=np.int64
+    )  # (tables*bits, dim)
+    weights = np.array([1 << i for i in range(bits)], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        qm = np.floor(m * float(SIG_SCALE) + 0.5).astype(np.int64)
+        signs = (qm @ qp.T >= 0).astype(np.int64)  # (batch, tables*bits)
+        per_table = [
+            signs[:, t * bits:(t + 1) * bits] @ weights
+            for t in range(tables)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return sigs
+
+
 def lsh_bucket_top_k(
     queries: DataFrame,
     corpus: DataFrame,
@@ -160,6 +216,7 @@ def lsh_bucket_top_k(
     exclude_self: bool = False,
     multiprobe: bool = False,
     tables: int = 1,
+    sig_mode: str = "fold",
 ) -> DataFrame:
     """Approximate per-query top-k: bucket corpus and queries by hyperplane
     signature, equi-join buckets (shuffle on the signature — ~2^bits
@@ -181,39 +238,60 @@ def lsh_bucket_top_k(
       A pair can collide in several tables, so the multi-table path
       dedups (query, candidate) BEFORE the window rank; single-table
       plans are unchanged (no explode, no dedup).
+    - ``sig_mode``: "fold" computes each signature bit as a JVM
+      higher-order fold (no Python anywhere); "int" computes ALL
+      signatures in one Arrow matmul over int64-quantized vectors and
+      planes (``int_sigs_udf``) — a DIFFERENT (quantized) but equally
+      deterministic hash family whose cross-engine exactness is
+      order-free (integer dots < 2^53), and the right choice once
+      tables×bits folds dominate (the bench default for the multi-table
+      config; measured in SCALE.md).
     """
     from pyspark.sql import Window as W
+
+    if sig_mode not in ("fold", "int"):
+        raise ValueError(f"unknown sig_mode {sig_mode!r}")
 
     def sig_for(df_vec: Column, t: int) -> Column:
         planes = _hyperplanes(dim, bits, table_seed(seed, t))
         return lsh_signature(df_vec, planes)
 
+    sig_arr = (
+        int_sigs_udf(dim, bits, tables, seed) if sig_mode == "int" else None
+    )
+
     if tables == 1:
-        c = corpus.withColumn("__sig", sig_for(F.col(vec_col), 0)).withColumn(
-            "__cn", norm(F.col(vec_col))
+
+        def one_sig(df: DataFrame, idc: str, vname: str, nname: str) -> DataFrame:
+            sig = (
+                sig_arr(F.col(vec_col))[0]
+                if sig_arr is not None
+                else sig_for(F.col(vec_col), 0)
+            )
+            return df.select(
+                F.col(idc),
+                F.col(vec_col).alias(vname),
+                norm(F.col(vec_col)).alias(nname),
+                sig.alias("__sig0"),
+            )
+
+        c = one_sig(corpus, corpus_id, vec_col, "__cn").withColumnRenamed(
+            "__sig0", "__sig"
         )
-        sig = sig_for(F.col(vec_col), 0)
+        qbase = one_sig(queries, query_id, "__qv", "__qn")
         if multiprobe:
             probes = F.array(
-                sig,
+                F.col("__sig0"),
                 *[
-                    sig.bitwiseXOR(F.lit(1 << i).cast("long"))
+                    F.col("__sig0").bitwiseXOR(F.lit(1 << i).cast("long"))
                     for i in range(bits)
                 ],
             )
-            q = queries.select(
-                F.col(query_id),
-                F.col(vec_col).alias("__qv"),
-                norm(F.col(vec_col)).alias("__qn"),
-                F.explode(probes).alias("__sig"),
+            q = qbase.select(
+                query_id, "__qv", "__qn", F.explode(probes).alias("__sig")
             )
         else:
-            q = queries.select(
-                F.col(query_id),
-                F.col(vec_col).alias("__qv"),
-                norm(F.col(vec_col)).alias("__qn"),
-                sig.alias("__sig"),
-            )
+            q = qbase.withColumnRenamed("__sig0", "__sig")
         scored = c.join(q, "__sig").select(
             query_id,
             corpus_id,
@@ -232,9 +310,27 @@ def lsh_bucket_top_k(
         def tagged(
             df: DataFrame, idc: str, keep_vec: str, keep_norm: str, probe: bool
         ) -> DataFrame:
+            if sig_arr is not None:
+                # one Arrow pass computes every table's signature; the
+                # explode then reads array elements instead of folding
+                base = df.select(
+                    F.col(idc),
+                    F.col(vec_col).alias(keep_vec),
+                    norm(F.col(vec_col)).alias(keep_norm),
+                    sig_arr(F.col(vec_col)).alias("__sigs"),
+                )
+                sig_of = lambda t: F.col("__sigs")[t]  # noqa: E731
+            else:
+                base = df.select(
+                    F.col(idc),
+                    F.col(vec_col).alias(keep_vec),
+                    norm(F.col(vec_col)).alias(keep_norm),
+                    F.col(vec_col).alias("__rawv"),
+                )
+                sig_of = lambda t: sig_for(F.col("__rawv"), t)  # noqa: E731
             entries = []
             for t in range(tables):
-                s = sig_for(F.col(vec_col), t)
+                s = sig_of(t)
                 entries.append(F.struct(F.lit(t).alias("t"), s.alias("s")))
                 if probe:
                     entries.extend(
@@ -244,10 +340,10 @@ def lsh_bucket_top_k(
                         )
                         for i in range(bits)
                     )
-            return df.select(
-                F.col(idc),
-                F.col(vec_col).alias(keep_vec),
-                norm(F.col(vec_col)).alias(keep_norm),
+            return base.select(
+                idc,
+                keep_vec,
+                keep_norm,
                 F.explode(F.array(*entries)).alias("__p"),
             ).select(
                 idc,

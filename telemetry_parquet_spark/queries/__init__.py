@@ -52,6 +52,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ml_kmeans_k256_assignments",
     "scan_planned_mixed_predicates",
     "scan_planned_zorder_ranges",
+    # behavior CHANGED in round 9 (int64-matmul signature family + new
+    # quantized oracles) — re-verify ahead of the stale cohort
+    "sim_knn_graph_lsh_tables",
+    "sim_knn_graph_lsh_probe",
     # latest driver row r05 (complete cohort)
     "dd_duplicate_passages",
     "dd_repeated_spans",
@@ -100,8 +104,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "comparator_summary",
     "corpus_e2e_curation",
     "cube_order_volume",
-    "dd_incremental_near_dup",
-    "dd_semantic_prune",
 )
 
 

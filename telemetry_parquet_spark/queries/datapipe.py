@@ -235,6 +235,7 @@ def _knn_lsh_oracle(
     k: int = 3,
     max_hamming: int = 0,
     tables: int = 1,
+    sig_mode: str = "fold",
 ) -> str:
     """DuckDB replay of the LSH-bucketed KNN graph: the hyperplanes are
     deterministic driver constants (same ``_hyperplanes`` call as the Spark
@@ -244,14 +245,31 @@ def _knn_lsh_oracle(
     ``dd_embedding_near_dup_lsh`` precedent, extended to ranked output).
     ``tables`` > 1 states the OR-amplified candidate set directly: a pair
     is a candidate if ANY table's signatures match — proving the Spark
-    side's explode + equi-join + distinct implements exactly that union."""
+    side's explode + equi-join + distinct implements exactly that union.
+
+    ``sig_mode='int'`` replays the QUANTIZED hash family
+    (``int_sigs_udf``): both vector and planes go through
+    floor(x·10⁶ + 0.5) and the sign is taken on the resulting INTEGER
+    dot, which is < 2⁵³ and therefore exact under any summation order in
+    either engine — the only cross-engine float contract left is the
+    quantization itself (one multiply+add+floor per element, IEEE-fixed).
+    The rescore cosine stays the raw-vector float computation in both
+    modes."""
     from telemetry_parquet_spark.datapipe.similarity import (
         _hyperplanes,
+        quantize_plane,
         table_seed,
     )
 
     def sig_terms(t: int) -> str:
         planes = _hyperplanes(dim, bits, table_seed(seed, t))
+        if sig_mode == "int":
+            return " + ".join(
+                "(CASE WHEN list_inner_product(qv, ["
+                + ",".join(f"{float(c)!r}" for c in quantize_plane(p))
+                + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+                for i, p in enumerate(planes)
+            )
         return " + ".join(
             "(CASE WHEN list_inner_product(v, ["
             + ",".join(repr(float(x)) for x in p)
@@ -274,9 +292,15 @@ def _knn_lsh_oracle(
         )
 
     match = " OR ".join(match_t(t) for t in range(tables))
+    qv_col = (
+        ", list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> floor(x * 1000000 + 0.5)) AS qv"
+        if sig_mode == "int"
+        else ""
+    )
     return f"""
     WITH vecs AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v{qv_col} FROM embeddings
     ), sig AS (
       SELECT vec_id, v, {sig_cols} FROM vecs
     )
@@ -307,7 +331,7 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_knn_graph_lsh_probe",
-    oracle=_knn_lsh_oracle(bits=6, max_hamming=1),
+    oracle=_knn_lsh_oracle(bits=6, max_hamming=1, sig_mode="int"),
 )
 def sim_knn_graph_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe variant of ``sim_knn_graph_lsh``: finer buckets (6 bits
@@ -323,13 +347,14 @@ def sim_knn_graph_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     return lsh_bucket_top_k(
-        queries, emb, dim=64, bits=6, k=3, exclude_self=True, multiprobe=True
+        queries, emb, dim=64, bits=6, k=3, exclude_self=True,
+        multiprobe=True, sig_mode="int",
     )
 
 
 @query(
     "sim_knn_graph_lsh_tables",
-    oracle=_knn_lsh_oracle(bits=8, tables=8),
+    oracle=_knn_lsh_oracle(bits=8, tables=8, sig_mode="int"),
 )
 def sim_knn_graph_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-TABLE variant of ``sim_knn_graph_lsh`` — the round-8 default
@@ -342,13 +367,18 @@ def sim_knn_graph_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     more absolute recall only by examining 3-10x more candidates. The
     oracle states the union DIRECTLY (match on ANY table's signature
     equality), proving the explode + equi-join + distinct implements
-    exactly the OR-amplified candidate set."""
+    exactly the OR-amplified candidate set. Signatures come from the
+    int64-matmul family (``sig_mode='int'``): one Arrow pass computes all
+    64 sign bits per vector instead of 64 interpreted folds — measured
+    14.6 s → 3.0 s at sf0.1 — and the quantized integer dots make the
+    cross-engine sign agreement order-free (SCALE.md)."""
     from telemetry_parquet_spark.datapipe.similarity import lsh_bucket_top_k
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     return lsh_bucket_top_k(
-        queries, emb, dim=64, bits=8, k=3, exclude_self=True, tables=8
+        queries, emb, dim=64, bits=8, k=3, exclude_self=True, tables=8,
+        sig_mode="int",
     )
 
 
