@@ -371,3 +371,41 @@ def test_or_amplification_recall_on_clustered_corpus(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.9, f"clustered-corpus recall {recall:.3f} < 0.9"
+
+
+def test_int_sigs_udf_matches_driver_recomputation(spark):
+    """The Arrow int-signature pass equals a plain-Python recomputation of
+    the same quantized integer dots — guards the matmul, the sign rule
+    (dot >= 0 sets the bit), and the per-table bit packing."""
+    import math as _math
+    import random as _random
+
+    from telemetry_parquet_spark.datapipe.similarity import (
+        _hyperplanes,
+        int_sigs_udf,
+        quantize_plane,
+        table_seed,
+    )
+
+    dim, bits, tables, seed = 8, 5, 3, 42
+    rng = _random.Random(11)
+    rows = [(i, [rng.uniform(-0.9, 0.9) for _ in range(dim)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: list(r.s)
+        for r in df.select(
+            "vec_id", int_sigs_udf(dim, bits, tables, seed)("embedding").alias("s")
+        ).collect()
+    }
+    for vid, vec in rows:
+        qv = [int(_math.floor(x * 1e6 + 0.5)) for x in vec]
+        want = []
+        for t in range(tables):
+            planes = _hyperplanes(dim, bits, table_seed(seed, t))
+            sig = 0
+            for i, p in enumerate(planes):
+                qp = quantize_plane(p)
+                if sum(a * b for a, b in zip(qv, qp)) >= 0:
+                    sig |= 1 << i
+            want.append(sig)
+        assert got[vid] == want, vid
