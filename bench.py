@@ -189,6 +189,9 @@ HEADLINE = [
     # each pruning via per-file min/max (per-predicate accounting), only
     # possible because the Morton layout keeps both envelopes tight
     "scan_planned_zorder_ranges",
+    # round 9: the n-column generalization — stride-3 Morton layout,
+    # THREE half-domain ranges each pruning via per-file min/max
+    "scan_planned_zorder3_ranges",
 ]
 
 

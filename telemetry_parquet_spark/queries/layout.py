@@ -259,3 +259,81 @@ def scan_planned_zorder_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_extendedprice",
     )
+
+
+@query(
+    "scan_planned_zorder3_ranges",
+    # oracle = the plain full-scan triple-range filter; the Spark side
+    # serves it through the planner over a 3-COLUMN z-order layout
+    # (stride-3 Morton interleave, zorder_code_n) and RAISES unless all
+    # THREE columns' min/max stats prune independently — the n-column
+    # generalization the 2-D module promised, proven engaged.
+    oracle="""
+    WITH b AS (
+      SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax,
+             MIN(l_orderkey) AS omin, MAX(l_orderkey) AS omax
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    FROM lineitem, b
+    WHERE l_partkey BETWEEN pmin + CAST(floor((pmax - pmin) * 0.55) AS BIGINT)
+                        AND pmax
+      AND l_suppkey BETWEEN smin AND smin + CAST(floor((smax - smin) * 0.45) AS BIGINT)
+      AND l_orderkey BETWEEN omin + CAST(floor((omax - omin) * 0.55) AS BIGINT)
+                         AND omax
+    """,
+)
+def scan_planned_zorder3_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three range predicates, EACH pruned by per-file min/max, on one
+    scan of a 3-column Morton layout (l_partkey × l_suppkey × l_orderkey,
+    6 bits per column). Each range is a half-domain cut at 0.55/0.45
+    — strictly inside one half, pinning the column's top bucket bit while
+    staying clear of the boundary VALUE itself (a cut at exactly 0.50
+    lands on a value the lower-half files legitimately contain, so
+    nothing can be pruned on that axis — found at sf0.01) — necessary for pruning here, because with 32
+    zval-range files only the top ~5 interleave bits are fixed per file,
+    i.e. each column's single most significant bit (a mid-domain range
+    spanning both halves of any column prunes nothing — verified). The
+    planner must skip files on all three axes or raise."""
+    import math as _math
+    import os
+
+    from telemetry_parquet_spark.sources.layout import ensure_zorder_dataset_n
+    from telemetry_parquet_spark.sources.scan_planner import (
+        Range,
+        build_minmax_file_stats,
+        plan_scan,
+    )
+
+    cols = ["l_partkey", "l_suppkey", "l_orderkey"]
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    data = ensure_zorder_dataset_n(
+        spark, src,
+        "zorder3_lineitem_" + os.path.basename(sf_dir.rstrip("/")),
+        cols=cols,
+    )
+    files = spark.read.parquet(data)
+    b = files.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+
+    def bound(c: str, frac: float) -> int:
+        return b[f"mn_{c}"] + _math.floor(
+            (b[f"mx_{c}"] - b[f"mn_{c}"]) * frac
+        )
+
+    preds = [
+        Range("l_partkey", bound("l_partkey", 0.55), b["mx_l_partkey"]),
+        Range("l_suppkey", b["mn_l_suppkey"], bound("l_suppkey", 0.45)),
+        Range("l_orderkey", bound("l_orderkey", 0.55), b["mx_l_orderkey"]),
+    ]
+    pruned, _plan = plan_scan(
+        spark, data, preds,
+        stats=build_minmax_file_stats(files, cols),
+        require_each_pruning=True,
+    )
+    return pruned.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )

@@ -15,8 +15,11 @@ Scale notes (100 TB):
 - the write is ONE range shuffle on the morton code (same cost as any
   sorted export); skipping benefits accrue to every subsequent scan;
 - bit arithmetic is on BIGINT with 16-bit inputs — no overflow, ANSI-safe;
-- for >2 columns the same spread generalizes (interleave stride = n_cols);
-  16 bits/column keeps two columns inside a 32-bit code.
+- >2 columns: ``zorder_code_n`` / ``zorder_key_adaptive_n`` implement the
+  stride-n interleave (z bit i*n+j = bit i of column j) with the same
+  per-column bucket regimes; n*bits <= 62 keeps the code in one BIGINT.
+  Gated by a 3-axis rectangle-shrink test and the 3-range planner query
+  ``scan_planned_zorder3_ranges`` (all three predicates must prune).
 
 `tests/test_layout.py` proves the skipping property from parquet footer
 metadata: after z-order layout, per-file (x, y) rectangles shrink on BOTH
@@ -241,6 +244,103 @@ def ensure_zorder_dataset(
             cluster_zorder_adaptive(
                 spark.read.parquet(src_path), x, y, n_files, bits=bits
             )
+            .drop("zval")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    return materialize_cached(spark, src_path, name, write)
+
+
+# --- n-column generalization ----------------------------------------------
+#
+# The 2-column path uses the parallel-bit-spread magic numbers (stride 2).
+# For n columns the interleave is stride n: z bit (i*n + j) = bit i of
+# column j. The generic construction below emits one shift-mask-shift term
+# per (column, bit) — n*bits codegen'd integer ops per row, no UDF, no
+# shuffle — which for the practical range (n <= 4, bits <= 10) is within
+# ~2x of the magic-number path and keeps the code obviously correct. The
+# adaptive bucket regimes (exact rank-CDF / approx quantile boundaries)
+# apply per column unchanged.
+
+
+def zorder_code_n(cols: list, bits: int = 6) -> Column:
+    """Morton interleave of n bucket columns, ``bits`` bits each: z bit
+    (i*n + j) = bit i of column j. Requires n * bits <= 62 (BIGINT)."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"n*bits = {n * bits} exceeds BIGINT capacity")
+    out = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        cc = (F.col(c) if isinstance(c, str) else c).cast("bigint")
+        for i in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(cc, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return out
+
+
+def zorder_key_adaptive_n(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 6,
+    out_col: str = "zval",
+    mode: str = "auto",
+    exact_max_distinct: int = 1 << 16,
+) -> DataFrame:
+    """n-column ``zorder_key_adaptive``: per-column equal-frequency
+    buckets (exact rank-CDF map or approx quantile projection, chosen per
+    column as in the 2-column path), then the stride-n interleave. The
+    fact table never shuffles in any regime."""
+    if mode == "auto":
+        cnt = df.agg(
+            *[F.approx_count_distinct(c).alias(c) for c in cols]
+        ).first()
+        modes = {
+            c: "exact" if cnt[c] <= exact_max_distinct else "approx"
+            for c in cols
+        }
+    else:
+        modes = {c: mode for c in cols}
+    out = df
+    tags = []
+    for idx, c in enumerate(cols):
+        tag = f"_b{idx}"
+        tags.append(tag)
+        if modes[c] == "exact":
+            bm = rank_bucket_map(df, c, bits)
+            out = (
+                out.join(F.broadcast(bm), out[c] == bm["v"], "left")
+                .drop("v")
+                .withColumnRenamed("bucket", tag)
+            )
+        else:
+            out = out.withColumn(tag, quantile_bucket_expr(df, c, bits))
+    return out.withColumn(out_col, zorder_code_n(tags, bits)).drop(*tags)
+
+
+def ensure_zorder_dataset_n(
+    spark,
+    src_path: str,
+    name: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 6,
+) -> str:
+    """``ensure_zorder_dataset`` for n clustering columns: zval-range
+    files whose per-file min/max envelopes are tight on EVERY clustering
+    column at once (fingerprint-cached; zval dropped before the write)."""
+    from telemetry_parquet_spark.sources.skipping import materialize_cached
+
+    def write(out: str) -> None:
+        keyed = zorder_key_adaptive_n(
+            spark.read.parquet(src_path), cols, bits=bits
+        )
+        (
+            keyed.repartitionByRange(n_files, F.col("zval"))
+            .sortWithinPartitions("zval")
             .drop("zval")
             .write.mode("overwrite")
             .parquet(out)

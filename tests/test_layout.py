@@ -242,3 +242,50 @@ def test_auto_mode_matches_exact_on_small_domain(spark, sf_dir):
     a = {tuple(r[k] for k in key): r["zval"] for r in auto.collect()}
     e = {tuple(r[k] for k in key): r["zval"] for r in exact.collect()}
     assert a == e
+
+
+def test_zorder3_prunes_all_three_dimensions(spark, sf_dir, tmp_path):
+    """The n-column generalization's payoff: after a stride-3 Morton
+    layout on (l_partkey, l_suppkey, l_orderkey), a HALF-domain predicate
+    on EACH column prunes files — where a single-column sort prunes only
+    its own axis. Also pins zorder_code_n's packing against a Python
+    recomputation."""
+    from telemetry_parquet_spark.sources.layout import (
+        zorder_code_n,
+        zorder_key_adaptive_n,
+    )
+
+    cols = ["l_partkey", "l_suppkey", "l_orderkey"]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_linenumber", *cols
+    )
+    n_files = 32
+    zpath = str(tmp_path / "z3")
+    (
+        zorder_key_adaptive_n(li, cols, bits=6)
+        .repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.parquet(zpath)
+    )
+    # per-axis half-domain boxes (cut at 0.55 to sit clear of the median
+    # boundary value; see scan_planned_zorder3_ranges)
+    hits = {}
+    for c in cols:
+        lo = li.approxQuantile(c, [0.55], 0.0)[0]
+        box = {c: (int(lo), int(li.agg(F.max(c)).first()[0]))}
+        hits[c], total = _candidate_files(zpath, box)
+        assert hits[c] < total, (c, hits[c], total)  # every axis prunes
+
+    # packing: interleave equals a driver-side recomputation
+    rows = [(5, 9, 63), (0, 0, 0), (63, 1, 32)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    got = [r.z for r in df.select(zorder_code_n(["a", "b", "c"], 6).alias("z")).collect()]
+    def pyz(a, b, c):
+        z = 0
+        for i in range(6):
+            z |= ((a >> i) & 1) << (3 * i)
+            z |= ((b >> i) & 1) << (3 * i + 1)
+            z |= ((c >> i) & 1) << (3 * i + 2)
+        return z
+    assert got == [pyz(*r) for r in rows]
