@@ -192,6 +192,9 @@ HEADLINE = [
     # round 9: the n-column generalization — stride-3 Morton layout,
     # THREE half-domain ranges each pruning via per-file min/max
     "scan_planned_zorder3_ranges",
+    # round 9: dense batch KNN — one integer matmul per corpus Arrow
+    # batch, per-partition top-k trim, k*n_queries*partitions-row shuffle
+    "sim_matmul_batch_topk",
 ]
 
 

@@ -402,3 +402,99 @@ def quantize_int8(vec: Column, eps: float = 1e-12):
         vec, lambda x: F.round(x.cast("double") * 127 / scale).cast("int")
     )
     return codes, scale
+
+
+def matmul_batch_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+    scale: int = SIG_SCALE,
+) -> DataFrame:
+    """EXACT batch KNN as dense linear algebra: the query batch rides into
+    a ``mapInPandas`` as a driver-side int64 matrix (batch KNN contract:
+    n_queries is bounded), every corpus Arrow batch is scored in ONE
+    (batch × dim) @ (dim × n_queries) integer matmul, and each partition
+    emits only its per-query top-k — so the corpus is touched once with
+    NO join and the only shuffle is k · n_queries · n_partitions rows
+    into the final rank window (vs ``pairwise_top_k``'s materialized
+    broadcast-join pair set).
+
+    Scores are integer micro-cosines over floor(x·10⁶ + 0.5)-quantized
+    vectors: the dot is an exact int64 (< 2⁵³, any summation order), and
+    ``floor(dot / (‖a‖·‖b‖) · 10⁶ + 0.5)`` is a fixed chain of correctly-
+    rounded IEEE ops on identical inputs — deterministic across numpy,
+    Spark, and DuckDB (the bm25_micros recipe), so the whole operator
+    carries an exact oracle. The per-partition trim orders by the SAME
+    (cos_micros desc, id asc) key as the final window, which makes the
+    trim a superset of the global top-k by construction. Zero-norm
+    vectors are excluded (cosine undefined)."""
+    q_rows = queries.select(query_id, vec_col).collect()
+    qm = np.array(
+        [
+            np.floor(np.asarray(r[1], dtype=np.float64) * scale + 0.5)
+            for r in q_rows
+        ],
+        dtype=np.int64,
+    )
+    qids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    qn2 = (qm * qm).sum(axis=1)
+    keep = qn2 > 0
+    qm, qids, qn2 = qm[keep], qids[keep], qn2[keep]
+    qnorm = np.sqrt(qn2.astype(np.float64))
+    nq = len(qids)
+    out_schema = f"{query_id} long, {corpus_id} long, cos_micros long"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            cids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cm = np.floor(m * scale + 0.5).astype(np.int64)
+            cn2 = (cm * cm).sum(axis=1)
+            ok = cn2 > 0
+            cids, cm, cn2 = cids[ok], cm[ok], cn2[ok]
+            if len(cids) == 0:
+                continue
+            cnorm = np.sqrt(cn2.astype(np.float64))
+            s = (cm @ qm.T) / (cnorm[:, None] * qnorm[None, :])
+            micros = np.floor(s * 1e6 + 0.5).astype(np.int64)
+            parts = []
+            for j in range(nq):
+                col = micros[:, j]
+                ids = cids
+                if exclude_self:
+                    m_ok = ids != qids[j]
+                    col, ids = col[m_ok], ids[m_ok]
+                top = np.lexsort((ids, -col))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_id: qids[j],
+                            corpus_id: ids[top],
+                            "cos_micros": col[top],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    from pyspark.sql import Window as W
+
+    scored = corpus.select(
+        F.col(corpus_id), F.col(vec_col)
+    ).mapInPandas(score, out_schema)
+    w = W.partitionBy(query_id).orderBy(
+        F.desc("cos_micros"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )

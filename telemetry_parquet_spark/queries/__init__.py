@@ -53,6 +53,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_planned_mixed_predicates",
     "scan_planned_zorder_ranges",
     "scan_planned_zorder3_ranges",
+    "sim_matmul_batch_topk",
     # behavior CHANGED in round 9 (int64-matmul signature family + new
     # quantized oracles) — re-verify ahead of the stale cohort
     "sim_knn_graph_lsh_tables",
@@ -103,7 +104,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_sketch_counts",
     "cms_term_estimates",
     "comparator_summary",
-    "corpus_e2e_curation",
 )
 
 

@@ -1055,3 +1055,56 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = docs.where(F.col("doc_id") % 10 < 7)
     new_day = docs.where(F.col("doc_id") % 10 >= 7)
     return incremental_near_dup(new_day, history, threshold=0.5)
+
+
+_MATMUL_KNN_N_QUERIES = 64
+_MATMUL_KNN_K = 10
+
+
+@query(
+    "sim_matmul_batch_topk",
+    # Integer micro-cosine scores over floor(x*1e6+0.5)-quantized vectors:
+    # the dot is an exact int64 (order-free in any engine) and
+    # floor(dot/(|a||b|)*1e6 + 0.5) is a fixed chain of correctly-rounded
+    # IEEE ops on identical inputs (the bm25_micros recipe) - so the dense
+    # matmul KNN carries an EXACT oracle with no fold-order contract.
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * 1000000 + 0.5)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), n AS (
+      SELECT vec_id, qv, list_inner_product(qv, qv) AS n2
+      FROM c WHERE list_inner_product(qv, qv) > 0
+    )
+    SELECT q.vec_id AS query_id, c.vec_id,
+           CAST(floor(list_inner_product(q.qv, c.qv)
+                      / (sqrt(q.n2) * sqrt(c.n2)) * 1000000 + 0.5)
+                AS BIGINT) AS cos_micros
+    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {_MATMUL_KNN_N_QUERIES}
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY cos_micros DESC, c.vec_id ASC) <= {_MATMUL_KNN_K}
+    """,
+)
+def sim_matmul_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN as dense linear algebra (similarity.py::matmul_batch_top_k):
+    the 64-query batch rides into a mapInPandas as an int64 matrix, every
+    corpus Arrow batch is scored by ONE (batch x dim) @ (dim x 64) integer
+    matmul, and each partition ships only its per-query top-10 into the
+    final rank window - corpus touched once, no join, shuffle is
+    k * n_queries * n_partitions rows. The third member of the
+    Arrow-matmul family (k-means assignment, LSH signatures, dense KNN)."""
+    from telemetry_parquet_spark.datapipe.similarity import matmul_batch_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    queries = emb.where(F.col("vec_id") < _MATMUL_KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return matmul_batch_top_k(
+        queries, emb, k=_MATMUL_KNN_K, exclude_self=True
+    )

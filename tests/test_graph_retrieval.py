@@ -409,3 +409,41 @@ def test_int_sigs_udf_matches_driver_recomputation(spark):
                     sig |= 1 << i
             want.append(sig)
         assert got[vid] == want, vid
+
+
+def test_matmul_batch_topk_partition_invariant(spark):
+    """matmul_batch_top_k's per-partition trim must be invariant to the
+    corpus partitioning (the trim orders by the SAME (cos_micros, id) key
+    as the final window, so each partition's top-k is a superset of its
+    contribution to the global top-k) — and zero-norm vectors are
+    excluded, queries included."""
+    import random as _random
+
+    from telemetry_parquet_spark.datapipe.similarity import matmul_batch_top_k
+
+    rng = _random.Random(3)
+    rows = [(i, [rng.uniform(-0.8, 0.8) for _ in range(12)]) for i in range(150)]
+    rows.append((900, [0.0] * 12))  # zero vector: excluded both sides
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.where(F.col("vec_id") < 5).union(
+        corpus.where(F.col("vec_id") == 900)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def run(df):
+        return sorted(
+            (r.query_id, r.vec_id, r.cos_micros)
+            for r in matmul_batch_top_k(
+                queries, df, k=4, exclude_self=True
+            ).collect()
+        )
+
+    a = run(corpus.repartition(7))
+    b = run(corpus.coalesce(1))
+    assert a == b
+    qids = {t[0] for t in a}
+    assert qids == set(range(5))  # zero-norm query dropped
+    assert all(t[1] != 900 for t in a)  # zero-norm corpus row never appears
+    per_q = {}
+    for q, _, _ in a:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v == 4 for v in per_q.values())
