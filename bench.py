@@ -195,6 +195,13 @@ HEADLINE = [
     # round 9: dense batch KNN — one integer matmul per corpus Arrow
     # batch, per-partition top-k trim, k*n_queries*partitions-row shuffle
     "sim_matmul_batch_topk",
+    # round 9: versioned snapshot table — append/append/delete/compact
+    # commit chain + four time-travel reads (warehouse-cached build, so
+    # steady-state cost is the manifest-pinned reads)
+    "snapshot_time_travel",
+    # round 9: copy-on-write MERGE INTO — one key semi-join to find
+    # affected files, rewrite only those, carry the rest by reference
+    "snapshot_merge_upsert",
 ]
 
 

@@ -30,6 +30,7 @@ from telemetry_parquet_spark.queries import retrieval  # noqa: F401, E402
 from telemetry_parquet_spark.queries import layout  # noqa: F401, E402
 from telemetry_parquet_spark.queries import hll  # noqa: F401, E402
 from telemetry_parquet_spark.queries import kmeans  # noqa: F401, E402
+from telemetry_parquet_spark.queries import table_service  # noqa: F401, E402
 
 # The driver evaluates exactly the first 50 entries of ``queries()`` in
 # registration order. Until every query has appeared green in some
@@ -54,6 +55,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_planned_zorder_ranges",
     "scan_planned_zorder3_ranges",
     "sim_matmul_batch_topk",
+    "snapshot_time_travel",
+    "snapshot_merge_upsert",
     # behavior CHANGED in round 9 (int64-matmul signature family + new
     # quantized oracles) — re-verify ahead of the stale cohort
     "sim_knn_graph_lsh_tables",
@@ -102,8 +105,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_learn_merges",
     "chunk_documents",
     "cms_sketch_counts",
-    "cms_term_estimates",
-    "comparator_summary",
 )
 
 

@@ -1,0 +1,159 @@
+"""Table-service lifecycle under ONE exact oracle: versioned snapshots.
+
+``sources/snapshots.py`` gives the engine a commit log (append /
+copy-on-write delete / compaction-as-a-version / time travel). This query
+drives the WHOLE chain — append, append, delete, compact — and returns
+one summary row per version, so the driver's hash check proves all four
+lifecycle invariants at once against plain relational SQL:
+
+- v1/v2: appends accumulate exactly the appended rows;
+- v3: delete removes exactly the matching rows (file-granular
+  copy-on-write — untouched files carried by reference);
+- v4: compaction changes the LAYOUT only — v4 must hash identical to v3.
+
+The version chain is materialized once per testdata fingerprint under the
+session warehouse (the ensure_bm25_index discipline) and each run reads
+it back through time travel, so the query also exercises manifest-pinned
+reads rather than directory listing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.queries.registry import query
+from telemetry_parquet_spark.sources.skipping import materialize_cached
+
+_SUM = "CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))"
+
+
+@query(
+    "snapshot_time_travel",
+    # One row per committed version; v4 (compaction) must equal v3 —
+    # layout changed, rows didn't. COUNT/SUM both CAST (hugeint lint).
+    oracle=f"""
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
+         v3 AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT')
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_SUM} AS sum_price FROM v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), {_SUM} FROM orders
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), {_SUM} FROM v3
+    UNION ALL
+    SELECT 4, CAST(COUNT(*) AS BIGINT), {_SUM} FROM v3
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the orders version chain (append 70% → append 30% → delete
+    '1-URGENT' → compact) once per testdata fingerprint, then time-travel
+    every version and summarize it. sources/snapshots.py docstring has the
+    commit-log design; reference parity note there (S7/S12 lineage)."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+        delete_where,
+        read_snapshot,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 < 7))
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 >= 7))
+        delete_where(spark, root, "o_orderpriority = '1-URGENT'")
+        compact_table(spark, root, target_bytes=64 * 1024 * 1024)
+
+    root = materialize_cached(
+        spark, src, "snap_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    parts = []
+    for v in (1, 2, 3, 4):
+        parts.append(
+            read_snapshot(spark, root, v)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+                .cast("decimal(25,2)")
+                .alias("sum_price"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "sum_price")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "snapshot_merge_upsert",
+    # MERGE INTO (append 70% → merge updates∪inserts) summarized per
+    # orderstatus: matched keys (o_orderkey%20<4, all inside the 70%
+    # target) take the source's 'MERGED' priority; unmatched source keys
+    # (o_orderkey%10=8, outside the target) are inserts. The oracle
+    # replays MERGE as target-minus-source-keys ∪ source — the
+    # operators/merge.py::merge_upsert semantics the COW commit must
+    # reproduce file-granularly.
+    oracle="""
+    WITH target AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, 'MERGED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 20 < 4 OR o_orderkey % 10 = 8
+    ),
+    merged AS (
+      SELECT t.* FROM target t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      UNION ALL SELECT * FROM source
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority = 'MERGED' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_merged,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
+               AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO on the snapshot table
+    (sources/snapshots.py::merge_into): one key semi-join finds affected
+    files, only those rewrite (minus matched ∪ all source rows),
+    untouched files carry by reference, pre-merge version stays
+    readable. Summarized per status so the driver hash checks update,
+    insert, and carry-over content at once."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        merge_into,
+        read_snapshot,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def source_df(orders):
+        return orders.where(
+            (F.col("o_orderkey") % 20 < 4) | (F.col("o_orderkey") % 10 == 8)
+        ).withColumn("o_orderpriority", F.lit("MERGED"))
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 < 7))
+        merge_into(spark, root, source_df(orders), keys=["o_orderkey"])
+
+    root = materialize_cached(
+        spark, src, "snapmerge_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    return read_snapshot(spark, root).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "MERGED", 1).otherwise(0)
+        ).alias("n_merged"),
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+        .cast("decimal(25,2)")
+        .alias("sum_price"),
+    )

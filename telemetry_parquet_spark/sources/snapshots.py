@@ -1,0 +1,345 @@
+"""Versioned snapshot table: commit-log manifests, time travel,
+copy-on-write delete, compaction-as-a-version, vacuum.
+
+The lifecycle layer the rest of the table-service family plugs into.
+``compaction.py`` rewrites files, ``skipping.py`` indexes them,
+``scan_planner.py`` prunes them — but none of those answers the question a
+100 TB table asks every minute: *which files ARE the table right now, and
+which files were the table yesterday?* This module answers it the way the
+public table formats (Iceberg's snapshot list, Delta's commit log) do:
+
+- The table is a directory of IMMUTABLE parquet data files plus a
+  ``_manifests/`` commit log. Manifest ``v{N}.json`` lists the data files
+  that make up version N (sorted, relative paths), the stored schema, and
+  the action that produced it.
+- Every mutation — ``append``, ``delete_where``, ``compact_table`` —
+  writes NEW data files and then commits a NEW manifest. Data files are
+  never edited or removed by a commit, so **readers of any existing
+  version are never disturbed**: time travel is just "read the file list
+  of manifest N".
+- Commits are atomic via ``O_CREAT|O_EXCL`` on the manifest file: two
+  writers racing to commit version N+1 cannot both succeed (optimistic
+  concurrency — the loser retries against the new head). On an object
+  store this is the atomic-put-if-absent the formats build on.
+- ``vacuum`` is the ONLY destructive operation: it deletes data files no
+  retained manifest references, after which expired versions are
+  unreadable by design.
+
+Scale: a manifest is file-list-sized (the object every table format
+materializes — at 10^6+ files Iceberg splits it into avro manifest
+files per partition; the JSON here is the same structure one level
+smaller). All row-sized work (append write, delete rewrite, compaction
+rewrite) is distributed; the driver only ever handles file LISTS.
+``delete_where`` is copy-on-write at file granularity: one distributed
+scan finds the affected files (groupBy ``_metadata.file_path`` over the
+predicate), untouched files carry over by reference, and only affected
+files are rewritten without the matching rows.
+
+Reference parity: the reference's S7/S12 lineage manages per-day
+directory swaps by hand (utils/package.scala:149-153 era) — one
+hard-wired "version" dimension with no history. This generalizes it to
+arbitrary versioned commits with time travel, net-new engine surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, _MANIFEST_DIR, f"v{version:06d}.json")
+
+
+def _list_versions(root: str) -> list[int]:
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def latest_version(root: str) -> int:
+    """Head of the commit log. Raises if the table does not exist."""
+    versions = _list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {root}")
+    return versions[-1]
+
+
+def read_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f)
+
+
+def history(root: str) -> list[dict]:
+    """The commit log, oldest first — one dict per version with its
+    action, parent and file count (time-travel catalog)."""
+    out = []
+    for v in _list_versions(root):
+        m = read_manifest(root, v)
+        out.append(
+            {
+                "version": m["version"],
+                "action": m["action"],
+                "parent": m["parent"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out
+
+
+def _commit(root: str, action: str, files: list[str], schema_json: str,
+            parent: int | None) -> int:
+    """Atomically write the next manifest. ``O_EXCL`` makes the commit
+    the linearization point: if another writer took this version number
+    first, the open fails and the caller retries against the new head."""
+    version = 0 if parent is None else parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "action": action,
+        "files": sorted(files),
+        "schema": schema_json,
+    }
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    fd = os.open(
+        _manifest_path(root, version),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    return version
+
+
+def _write_commit_files(df: DataFrame, root: str, version_tag: str) -> list[str]:
+    """Write ``df`` as immutable part files under a commit-private
+    directory and return their table-relative paths. A crashed write
+    leaves orphans in an UNCOMMITTED directory — invisible to readers
+    (manifests never referenced it) and reclaimed by vacuum."""
+    out_dir = os.path.join(root, _DATA_DIR, version_tag)
+    df.write.mode("error").parquet(out_dir)
+    rel = []
+    for dirpath, _, names in os.walk(out_dir):
+        for name in names:
+            if name.endswith(".parquet"):
+                full = os.path.join(dirpath, name)
+                rel.append(os.path.relpath(full, root))
+    return rel
+
+
+def create_table(root: str, schema: StructType) -> int:
+    """Commit the empty v0 so ``read_snapshot`` of a fresh table returns
+    an empty, correctly-typed DataFrame."""
+    return _commit(root, "create", [], schema.json(), parent=None)
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The table AS OF ``version`` (default: head). Reads exactly the
+    manifest's file list under the stored schema — concurrent commits
+    cannot change what this returns."""
+    v = latest_version(root) if version is None else version
+    m = read_manifest(root, v)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(root, f) for f in m["files"]]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def append(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """Commit ``df``'s rows as a new version: new data files + (parent's
+    files ∪ new files). Parent files carry over BY REFERENCE — an append
+    never rewrites a byte of existing data."""
+    try:
+        parent = latest_version(root)
+        m = read_manifest(root, parent)
+        carried, schema_json = m["files"], m["schema"]
+    except FileNotFoundError:
+        parent = create_table(root, df.schema)
+        carried, schema_json = [], df.schema.json()
+    new = _write_commit_files(df, root, f"c{parent + 1:06d}")
+    return _commit(root, "append", carried + new, schema_json, parent)
+
+
+def delete_where(spark: SparkSession, root: str, predicate) -> int:
+    """Copy-on-write delete at file granularity: files with NO matching
+    row carry over by reference; files WITH matches are rewritten without
+    the matching rows (NULL predicate = no match, SQL DELETE semantics).
+    One distributed scan finds the affected files; only their rows are
+    read again for the rewrite."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    if not m["files"]:
+        return _commit(root, "delete", [], m["schema"], parent)
+    snap = read_snapshot(spark, root, parent)
+    root_abs = os.path.abspath(root)
+    affected = set()
+    for r in (
+        snap.where(hit)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+        .collect()
+    ):
+        p = r.file_path
+        if p.startswith("file:"):  # file:///abs/path -> /abs/path
+            p = "/" + p[5:].lstrip("/")
+        affected.add(os.path.relpath(p, root_abs))
+    carried = [f for f in m["files"] if f not in affected]
+    rewrite = [f for f in m["files"] if f in affected]
+    if affected and not rewrite:
+        raise RuntimeError(
+            f"delete_where: scan found matches in {sorted(affected)[:3]} "
+            "but none resolved to a manifest file — path normalization bug, "
+            "refusing to commit a no-op delete"
+        )
+    if not rewrite:
+        return _commit(root, "delete", carried, m["schema"], parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    kept_rows = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(root, f) for f in rewrite])
+        .where(~hit)
+    )
+    new = _write_commit_files(kept_rows, root, f"c{parent + 1:06d}")
+    return _commit(root, "delete", carried + new, m["schema"], parent)
+
+
+def merge_into(
+    spark: SparkSession, root: str, source: DataFrame, keys: list[str]
+) -> int:
+    """MERGE INTO head USING ``source`` ON ``keys`` — WHEN MATCHED UPDATE
+    ALL, WHEN NOT MATCHED INSERT ALL — as one copy-on-write commit.
+
+    File-granular COW, the lakehouse-format mechanic: ONE distributed
+    semi-join on the keys finds the files holding matched rows; those
+    files are rewritten as (their rows MINUS matched) ∪ (ALL source
+    rows) — each source row either updates a matched target row or is an
+    insert, so the union is exactly the merged content of the affected
+    region — and every untouched file carries over by reference. This is
+    ``operators/merge.py::merge_upsert``'s logical semantics lifted onto
+    the commit log: same anti-join ∪ source shape, but the rewrite
+    touches only affected files instead of the whole table, and history
+    keeps the pre-merge version readable.
+
+    Contract: ``source`` has the table's columns and at most one row per
+    key (the standard MERGE cardinality rule — two source rows for one
+    target key would make the update ambiguous; enforced with a loud
+    error, driver-sized check is a 1-row agg)."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if set(source.columns) != {f.name for f in schema.fields}:
+        raise ValueError(
+            f"merge_into: source columns {sorted(source.columns)} != "
+            f"table columns {sorted(f.name for f in schema.fields)}"
+        )
+    source = source.select(*[f.name for f in schema.fields])
+    dup = (
+        source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError("merge_into: source has duplicate merge keys")
+    if not m["files"]:
+        new = _write_commit_files(source, root, f"c{parent + 1:06d}")
+        return _commit(root, "merge", new, m["schema"], parent)
+    snap = read_snapshot(spark, root, parent)
+    root_abs = os.path.abspath(root)
+    affected = set()
+    for r in (
+        snap.select(
+            F.col("_metadata.file_path").alias("file_path"), *keys
+        )
+        .join(source.select(*keys), on=keys, how="left_semi")
+        .select("file_path")
+        .distinct()
+        .collect()
+    ):
+        p = r.file_path
+        if p.startswith("file:"):
+            p = "/" + p[5:].lstrip("/")
+        affected.add(os.path.relpath(p, root_abs))
+    carried = [f for f in m["files"] if f not in affected]
+    rewrite = [f for f in m["files"] if f in affected]
+    if affected and not rewrite:
+        raise RuntimeError(
+            "merge_into: matched files did not resolve to manifest entries"
+        )
+    region = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(root, f) for f in rewrite])
+        if rewrite
+        else spark.createDataFrame([], schema)
+    )
+    merged = region.join(source.select(*keys), on=keys, how="left_anti")
+    merged = merged.select(*source.columns).unionByName(source)
+    new = _write_commit_files(merged, root, f"c{parent + 1:06d}")
+    return _commit(root, "merge", carried + new, m["schema"], parent)
+
+
+def compact_table(
+    spark: SparkSession, root: str, target_bytes: int
+) -> int:
+    """Commit a compacted LAYOUT of the head version: identical row
+    multiset, fewer files (~``target_bytes`` each, next-fit over the
+    manifest's byte sizes). Old versions keep reading the old files —
+    compaction behind the write frontier never disturbs a reader."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    if not m["files"]:
+        return _commit(root, "compact", [], m["schema"], parent)
+    total = sum(
+        os.path.getsize(os.path.join(root, f)) for f in m["files"]
+    )
+    n_groups = max(1, -(-total // int(target_bytes)))
+    rows = read_snapshot(spark, root, parent).repartition(n_groups)
+    new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
+    return _commit(root, "compact", new, m["schema"], parent)
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[str]:
+    """Delete data files referenced by NO retained manifest (the last
+    ``keep_last`` versions are retained) and drop the expired manifests.
+    Also reclaims uncommitted orphan directories from crashed writers.
+    The only destructive operation in the module; everything else is
+    append-only."""
+    versions = _list_versions(root)
+    keep = set(versions[-keep_last:])
+    live: set[str] = set()
+    for v in keep:
+        live.update(read_manifest(root, v)["files"])
+    removed = []
+    data_root = os.path.join(root, _DATA_DIR)
+    for dirpath, _, names in os.walk(data_root):
+        for name in names:
+            rel = os.path.relpath(os.path.join(dirpath, name), root)
+            if rel not in live and name.endswith(".parquet"):
+                os.remove(os.path.join(root, rel))
+                removed.append(rel)
+    for v in versions:
+        if v not in keep:
+            os.remove(_manifest_path(root, v))
+    # drop now-empty commit directories so the data dir mirrors the log
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            d = os.path.join(data_root, name)
+            if os.path.isdir(d) and not any(
+                files for _, _, files in os.walk(d)
+            ):
+                shutil.rmtree(d)
+    return sorted(removed)

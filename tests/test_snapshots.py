@@ -1,0 +1,200 @@
+"""Snapshot-table lifecycle tests (sources/snapshots.py): append/time
+travel, copy-on-write delete at file granularity, compaction-as-a-version
+leaving old readers undisturbed, atomic commit conflicts, and vacuum as
+the only destructive step."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.sources.snapshots import (
+    append,
+    compact_table,
+    create_table,
+    delete_where,
+    history,
+    latest_version,
+    merge_into,
+    read_manifest,
+    read_snapshot,
+    vacuum,
+)
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def _multiset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    """v1 = orderkey%10<7, v2 = the rest (full orders at head)."""
+    root = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir)
+    v1 = append(spark, root, orders.where(F.col("o_orderkey") % 10 < 7))
+    v2 = append(spark, root, orders.where(F.col("o_orderkey") % 10 >= 7))
+    assert (v1, v2) == (1, 2)
+    return root
+
+
+def test_append_and_time_travel(spark, sf_dir, table):
+    orders = _orders(spark, sf_dir)
+    head = read_snapshot(spark, table)
+    assert _multiset(head) == _multiset(orders)
+    v1 = read_snapshot(spark, table, 1)
+    assert _multiset(v1) == _multiset(orders.where(F.col("o_orderkey") % 10 < 7))
+    v0 = read_snapshot(spark, table, 0)
+    assert v0.count() == 0 and v0.schema == orders.schema
+    acts = [h["action"] for h in history(table)]
+    assert acts == ["create", "append", "append"]
+
+
+def test_append_carries_files_by_reference(spark, table):
+    m1 = read_manifest(table, 1)
+    m2 = read_manifest(table, 2)
+    assert set(m1["files"]) <= set(m2["files"])  # no rewrite on append
+
+
+def test_delete_where_copy_on_write(spark, sf_dir, table):
+    orders = _orders(spark, sf_dir)
+    v3 = delete_where(spark, table, "o_orderpriority = '1-URGENT'")
+    assert v3 == 3
+    head = read_snapshot(spark, table)
+    assert _multiset(head) == _multiset(
+        orders.where(F.col("o_orderpriority") != "1-URGENT")
+    )
+    # old version still has the deleted rows — readers undisturbed
+    assert read_snapshot(spark, table, 2).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count() > 0
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    root = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], ["id", "tag"]
+    )
+    append(spark, root, df)
+    delete_where(spark, root, "tag = 'a'")
+    got = _multiset(read_snapshot(spark, root))
+    assert got == [(2, None), (3, "b")]  # NULL predicate = no match
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "frag")
+    orders = _orders(spark, sf_dir)
+    for i in range(6):  # six tiny appends = many small files
+        append(spark, root, orders.where(F.col("o_orderkey") % 6 == i))
+    before = read_manifest(table_root := root, latest_version(root))
+    v = compact_table(spark, root, target_bytes=64 * 1024 * 1024)
+    after = read_manifest(root, v)
+    assert len(after["files"]) < len(before["files"])
+    assert _multiset(read_snapshot(spark, root)) == _multiset(orders)
+    # pre-compaction version reads the ORIGINAL files, still intact
+    assert _multiset(read_snapshot(spark, root, v - 1)) == _multiset(orders)
+
+
+def test_commit_conflict_raises(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "conflict")
+    orders = _orders(spark, sf_dir).limit(10)
+    append(spark, root, orders)
+    # simulate a racing writer that already took version 2
+    from telemetry_parquet_spark.sources.snapshots import _commit
+
+    m = read_manifest(root, 1)
+    _commit(root, "append", m["files"], m["schema"], parent=1)
+    with pytest.raises(FileExistsError):
+        _commit(root, "append", m["files"], m["schema"], parent=1)
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "vac")
+    orders = _orders(spark, sf_dir)
+    append(spark, root, orders.where(F.col("o_orderkey") % 2 == 0))
+    append(spark, root, orders.where(F.col("o_orderkey") % 2 == 1))
+    compact_table(spark, root, target_bytes=64 * 1024 * 1024)
+    head_rows = _multiset(read_snapshot(spark, root))
+    removed = vacuum(root, keep_last=1)
+    assert removed  # the pre-compaction files went away
+    # head unaffected; expired versions gone from the log
+    assert _multiset(read_snapshot(spark, root)) == head_rows
+    assert [h["version"] for h in history(root)] == [latest_version(root)]
+    # every retained manifest file exists on disk
+    for f in read_manifest(root, latest_version(root))["files"]:
+        assert os.path.exists(os.path.join(root, f))
+
+
+def test_merge_into_updates_inserts_cow(spark, tmp_path):
+    root = str(tmp_path / "merge")
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["id", "tag", "val"],
+    )
+    # two files so COW carry-by-reference is observable
+    append(spark, root, target.where(F.col("id") <= 2))
+    append(spark, root, target.where(F.col("id") >= 3))
+    m_before = read_manifest(root, latest_version(root))
+    source = spark.createDataFrame(
+        [(2, "B", 21.0), (5, "e", 50.0)], ["id", "tag", "val"]
+    )
+    v = merge_into(spark, root, source, keys=["id"])
+    got = _multiset(read_snapshot(spark, root))
+    assert got == [
+        (1, "a", 10.0),
+        (2, "B", 21.0),
+        (3, "c", 30.0),
+        (4, "d", 40.0),
+        (5, "e", 50.0),
+    ]
+    # pre-merge version unchanged
+    assert _multiset(read_snapshot(spark, root, v - 1)) == _multiset(target)
+    # the file holding ids {3,4} (no matches) carried over by reference
+    m_after = read_manifest(root, v)
+    assert set(m_before["files"]) & set(m_after["files"])
+    assert history(root)[-1]["action"] == "merge"
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    root = str(tmp_path / "mergedup")
+    append(
+        spark, root,
+        spark.createDataFrame([(1, "a")], ["id", "tag"]),
+    )
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], ["id", "tag"])
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_into(spark, root, dup, keys=["id"])
+
+
+def test_merge_into_empty_table_is_insert_all(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    root = str(tmp_path / "mergeempty")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("tag", StringType())]
+    )
+    create_table(root, schema)
+    src = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    merge_into(spark, root, src, keys=["id"])
+    assert _multiset(read_snapshot(spark, root)) == [(1, "a"), (2, "b")]
+
+
+def test_empty_create_then_delete_noop(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    root = str(tmp_path / "empty")
+    schema = StructType([StructField("id", LongType())])
+    create_table(root, schema)
+    v = delete_where(spark, root, "id = 1")
+    assert v == 1
+    assert read_snapshot(spark, root).count() == 0
