@@ -101,10 +101,12 @@ def history(root: str) -> list[dict]:
 
 
 def _commit(root: str, action: str, files: list[str], schema_json: str,
-            parent: int | None) -> int:
+            parent: int | None, extra: dict | None = None) -> int:
     """Atomically write the next manifest. ``O_EXCL`` makes the commit
     the linearization point: if another writer took this version number
-    first, the open fails and the caller retries against the new head."""
+    first, the open fails and the caller retries against the new head.
+    ``extra`` rides application metadata into the manifest atomically —
+    e.g. the streaming sink's (stream, batch_id) idempotence stamp."""
     version = 0 if parent is None else parent + 1
     manifest = {
         "version": version,
@@ -112,6 +114,7 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
         "action": action,
         "files": sorted(files),
         "schema": schema_json,
+        **(extra or {}),
     }
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     fd = os.open(
@@ -160,7 +163,9 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
-def append(spark: SparkSession, root: str, df: DataFrame) -> int:
+def append(
+    spark: SparkSession, root: str, df: DataFrame, extra: dict | None = None
+) -> int:
     """Commit ``df``'s rows as a new version: new data files + (parent's
     files ∪ new files). Parent files carry over BY REFERENCE — an append
     never rewrites a byte of existing data."""
@@ -172,7 +177,7 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> int:
         parent = create_table(root, df.schema)
         carried, schema_json = [], df.schema.json()
     new = _write_commit_files(df, root, f"c{parent + 1:06d}")
-    return _commit(root, "append", carried + new, schema_json, parent)
+    return _commit(root, "append", carried + new, schema_json, parent, extra)
 
 
 def delete_where(spark: SparkSession, root: str, predicate) -> int:

@@ -289,3 +289,63 @@ def stream_append_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_commit_snapshots(
+    spark: SparkSession,
+    src_path: str,
+    table_root: str,
+    checkpoint: str,
+    schema=None,
+) -> None:
+    """``availableNow`` stream into the versioned snapshot table
+    (sources/snapshots.py): every micro-batch commits as ONE atomic
+    append version, so readers see batch-aligned snapshots (never a
+    half-written batch) and time travel works per micro-batch.
+
+    Exactly-once across restarts by batch-id idempotence — the standard
+    foreachBatch transactional-sink recipe: each commit records the
+    stream's ``batch_id`` in its manifest, and a replayed batch (crash
+    AFTER the snapshot commit but BEFORE the checkpoint advanced) is
+    recognized by scanning the commit log for that batch id and skipped,
+    so at-least-once delivery + idempotent commit = exactly-once table
+    content. A crash BEFORE the commit leaves only uncommitted data files
+    (invisible to readers, reclaimed by vacuum). The stamp rides in the
+    manifest ATOMICALLY (written with the O_EXCL commit itself, via
+    ``append``'s ``extra``), so there is no window where the batch is
+    committed but unstamped."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources import snapshots as S
+
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    ckpt_tag = _os.path.abspath(checkpoint)
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        try:
+            head = S.latest_version(table_root)
+            for v in range(head, -1, -1):
+                meta = S.read_manifest(table_root, v)
+                if (
+                    meta.get("batch_id") == batch_id
+                    and meta.get("stream") == ckpt_tag
+                ):
+                    return  # replayed batch: already committed
+        except FileNotFoundError:
+            pass
+        S.append(
+            spark, table_root, batch_df,
+            extra={"batch_id": batch_id, "stream": ckpt_tag},
+        )
+
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(src_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

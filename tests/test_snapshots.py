@@ -189,6 +189,53 @@ def test_merge_into_empty_table_is_insert_all(spark, tmp_path):
     assert _multiset(read_snapshot(spark, root)) == [(1, "a"), (2, "b")]
 
 
+def test_stream_commit_snapshots_exactly_once(spark, sf_dir, tmp_path):
+    """availableNow stream → one atomic snapshot version per micro-batch;
+    a replayed batch (checkpoint restored to pre-batch state, simulating
+    a crash after the table commit but before the checkpoint advanced)
+    must be recognized by its manifest stamp and skipped."""
+    import shutil
+
+    from telemetry_parquet_spark.streaming.pipelines import (
+        stream_commit_snapshots,
+    )
+
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    orders = _orders(spark, sf_dir)
+    b1 = orders.where(F.col("o_orderkey") % 3 == 0)
+    b2 = orders.where(F.col("o_orderkey") % 3 == 1)
+
+    b1.write.mode("overwrite").parquet(src)
+    stream_commit_snapshots(spark, src, root, ckpt)
+    v1 = latest_version(root)
+    assert _multiset(read_snapshot(spark, root)) == _multiset(b1)
+    assert read_manifest(root, v1)["batch_id"] == 0
+
+    ckpt_saved = str(tmp_path / "ckpt_saved")
+    b2.write.mode("append").parquet(src)
+    shutil.copytree(ckpt, ckpt_saved)  # pre-batch-1 checkpoint
+    stream_commit_snapshots(spark, src, root, ckpt)
+    v2 = latest_version(root)
+    assert v2 > v1
+    assert _multiset(read_snapshot(spark, root)) == _multiset(b1.union(b2))
+    # time travel: the batch-0 version still reads exactly batch 0
+    assert _multiset(read_snapshot(spark, root, v1)) == _multiset(b1)
+
+    # crash replay: restore the checkpoint, re-drain — same files, same
+    # batch_id=1, already stamped in the log → must commit NOTHING new
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_saved, ckpt)
+    stream_commit_snapshots(spark, src, root, ckpt)
+    assert latest_version(root) == v2
+    assert _multiset(read_snapshot(spark, root)) == _multiset(b1.union(b2))
+
+    # idle drain: nothing new landed → no new version
+    stream_commit_snapshots(spark, src, root, ckpt)
+    assert latest_version(root) == v2
+
+
 def test_empty_create_then_delete_noop(spark, tmp_path):
     from pyspark.sql.types import LongType, StructField, StructType
 
