@@ -164,15 +164,45 @@ def read_snapshot(
 
 
 def append(
-    spark: SparkSession, root: str, df: DataFrame, extra: dict | None = None
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    extra: dict | None = None,
+    allow_evolution: bool = False,
 ) -> int:
     """Commit ``df``'s rows as a new version: new data files + (parent's
     files ∪ new files). Parent files carry over BY REFERENCE — an append
-    never rewrites a byte of existing data."""
+    never rewrites a byte of existing data.
+
+    With ``allow_evolution`` the committed schema becomes the union of
+    the table's and ``df``'s columns (add-column evolution): old data
+    files are NEVER rewritten — ``read_snapshot`` reads every file under
+    the manifest schema, so pre-evolution files surface the new columns
+    as NULL (the metadata-only ALTER TABLE ADD COLUMN of the table
+    formats). Without it, a column-set mismatch is a loud error — schema
+    drift in a pipeline should never commit silently."""
     try:
         parent = latest_version(root)
         m = read_manifest(root, parent)
         carried, schema_json = m["files"], m["schema"]
+        table_schema = StructType.fromJson(json.loads(schema_json))
+        table_cols = [f.name for f in table_schema.fields]
+        if set(df.columns) != set(table_cols):
+            if not allow_evolution:
+                raise ValueError(
+                    f"append: schema mismatch (df={sorted(df.columns)}, "
+                    f"table={sorted(table_cols)}); pass "
+                    "allow_evolution=True to add columns"
+                )
+            evolved = StructType(list(table_schema.fields))
+            for f_ in df.schema.fields:
+                if f_.name not in set(table_cols):
+                    evolved.add(f_)
+            missing = [c for c in table_cols if c not in set(df.columns)]
+            for c in missing:
+                df = df.withColumn(c, F.lit(None).cast(table_schema[c].dataType))
+            df = df.select(*[f.name for f in evolved.fields])
+            schema_json = evolved.json()
     except FileNotFoundError:
         parent = create_table(root, df.schema)
         carried, schema_json = [], df.schema.json()

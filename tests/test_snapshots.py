@@ -189,6 +189,31 @@ def test_merge_into_empty_table_is_insert_all(spark, tmp_path):
     assert _multiset(read_snapshot(spark, root)) == [(1, "a"), (2, "b")]
 
 
+def test_append_schema_evolution(spark, tmp_path):
+    """Add-column evolution is metadata-only: old files are never
+    rewritten and surface the new column as NULL under the evolved
+    manifest schema; unflagged drift is a loud error."""
+    root = str(tmp_path / "evolve")
+    append(spark, root, spark.createDataFrame([(1, "a")], ["id", "tag"]))
+    wider = spark.createDataFrame([(2, "b", 9.5)], ["id", "tag", "score"])
+    with pytest.raises(ValueError, match="allow_evolution"):
+        append(spark, root, wider)
+    m_before = read_manifest(root, latest_version(root))
+    v = append(spark, root, wider, allow_evolution=True)
+    m_after = read_manifest(root, v)
+    assert set(m_before["files"]) <= set(m_after["files"])  # no rewrite
+    got = _multiset(read_snapshot(spark, root))
+    assert got == [(1, "a", None), (2, "b", 9.5)]
+    # dropping a known column also needs the flag; with it, NULL-fills
+    narrower = spark.createDataFrame([(3,)], ["id"])
+    append(spark, root, narrower, allow_evolution=True)
+    assert _multiset(read_snapshot(spark, root)) == [
+        (1, "a", None),
+        (2, "b", 9.5),
+        (3, None, None),
+    ]
+
+
 def test_stream_commit_snapshots_exactly_once(spark, sf_dir, tmp_path):
     """availableNow stream → one atomic snapshot version per micro-batch;
     a replayed batch (checkpoint restored to pre-batch state, simulating
