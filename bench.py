@@ -202,6 +202,9 @@ HEADLINE = [
     # round 9: copy-on-write MERGE INTO — one key semi-join to find
     # affected files, rewrite only those, carry the rest by reference
     "snapshot_merge_upsert",
+    # round 9: OPTIMIZE ZORDER as a snapshot commit + manifest-pinned
+    # planner scan with per-predicate pruning proofs
+    "snapshot_zorder_planned",
 ]
 
 

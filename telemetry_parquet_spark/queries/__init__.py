@@ -57,6 +57,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_matmul_batch_topk",
     "snapshot_time_travel",
     "snapshot_merge_upsert",
+    "snapshot_zorder_planned",
     # behavior CHANGED in round 9 (int64-matmul signature family + new
     # quantized oracles) — re-verify ahead of the stale cohort
     "sim_knn_graph_lsh_tables",
@@ -104,7 +105,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "blocklist_filter",
     "bpe_learn_merges",
     "chunk_documents",
-    "cms_sketch_counts",
 )
 
 

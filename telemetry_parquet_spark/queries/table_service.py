@@ -157,3 +157,86 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(25,2)")
         .alias("sum_price"),
     )
+
+
+@query(
+    "snapshot_zorder_planned",
+    # oracle = the plain full-scan double-range filter over lineitem. The
+    # Spark side serves it from a SNAPSHOT VERSION's manifest file list:
+    # fragmented appends → OPTIMIZE ZORDER commit (compact_table with
+    # zorder_cols — stride-2 Morton on (l_partkey, l_suppkey)) → planner
+    # over snapshot_files(head) with require_each_pruning, so a green row
+    # proves the table format and the layout/skipping service compose:
+    # both columns' min/max stats prune files of a manifest-pinned read.
+    oracle="""
+    WITH b AS (
+      SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+    FROM lineitem, b
+    WHERE l_partkey BETWEEN pmin + CAST(floor((pmax - pmin) * 0.25) AS BIGINT)
+                        AND pmin + CAST(floor((pmax - pmin) * 0.50) AS BIGINT)
+      AND l_suppkey BETWEEN smin + CAST(floor((smax - smin) * 0.50) AS BIGINT)
+                        AND smin + CAST(floor((smax - smin) * 0.75) AS BIGINT)
+    """,
+)
+def snapshot_zorder_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on the snapshot table, proven through the planner:
+    lineitem lands as four fragmented appends, one ``compact_table``
+    commit re-lays the head along the (l_partkey, l_suppkey) Morton
+    curve, and the unified planner scans the head version's manifest
+    file list with two range predicates that must EACH prune files
+    (RAISES otherwise). Pre-compaction versions stay readable — the
+    rewrite is just another commit."""
+    import math as _math
+
+    from telemetry_parquet_spark.sources.scan_planner import (
+        Range,
+        build_minmax_file_stats,
+        plan_scan,
+    )
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+        snapshot_files,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+
+    def build(root: str) -> None:
+        li = spark.read.parquet(src)
+        for i in range(4):
+            append(spark, root, li.where(F.col("l_orderkey") % 4 == i))
+        compact_table(
+            spark, root, target_bytes=1 << 30,
+            zorder_cols=["l_partkey", "l_suppkey"], n_files=32,
+        )
+
+    root = materialize_cached(
+        spark, src, "snapz_lineitem_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    paths = snapshot_files(root)
+    files = spark.read.parquet(*paths)
+    b = files.agg(
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"), F.max("l_suppkey").alias("smax"),
+    ).first()
+    p_lo = b.pmin + _math.floor((b.pmax - b.pmin) * 0.25)
+    p_hi = b.pmin + _math.floor((b.pmax - b.pmin) * 0.50)
+    s_lo = b.smin + _math.floor((b.smax - b.smin) * 0.50)
+    s_hi = b.smin + _math.floor((b.smax - b.smin) * 0.75)
+    stats = build_minmax_file_stats(files, ["l_partkey", "l_suppkey"])
+    pruned, _plan = plan_scan(
+        spark,
+        paths,
+        [Range("l_partkey", p_lo, p_hi), Range("l_suppkey", s_lo, s_hi)],
+        stats=stats,
+        require_each_pruning=True,
+    )
+    return pruned.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice",
+    )

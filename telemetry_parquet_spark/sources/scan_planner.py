@@ -146,7 +146,7 @@ def _predicate_expr(pred):
 
 def plan_scan(
     spark: SparkSession,
-    data_path: str,
+    data_path: str | list[str],
     predicates: list,
     stats: DataFrame | None = None,
     bloom_indexes: dict[str, DataFrame] | None = None,
@@ -155,7 +155,9 @@ def plan_scan(
     require_each_pruning: bool = False,
 ) -> tuple[DataFrame, ScanPlan]:
     """Compose min/max + Bloom pruning for ``predicates`` over the parquet
-    table at ``data_path``; return (pruned-and-filtered DataFrame, plan).
+    table at ``data_path`` — a directory OR an explicit file list (e.g. a
+    snapshot version's manifest, ``snapshots.py::snapshot_files``);
+    return (pruned-and-filtered DataFrame, plan).
 
     ``stats`` routes every predicate whose column it covers through
     min/max envelope pruning; ``bloom_indexes[col]`` routes ``Eq`` and
@@ -164,10 +166,11 @@ def plan_scan(
     only remove files, so their composition is order-free; the residual
     filter guarantees exactness regardless. With ``require_each_pruning``
     each wired mechanism must skip >= 1 file or the planner RAISES."""
-    schema = spark.read.parquet(data_path).schema
+    paths = data_path if isinstance(data_path, list) else [data_path]
+    schema = spark.read.parquet(*paths).schema
     all_files = [
         r.file_path
-        for r in spark.read.parquet(data_path)
+        for r in spark.read.parquet(*paths)
         .select(F.col("_metadata.file_path").alias("file_path"))
         .distinct()
         .collect()

@@ -328,23 +328,62 @@ def merge_into(
 
 
 def compact_table(
-    spark: SparkSession, root: str, target_bytes: int
+    spark: SparkSession,
+    root: str,
+    target_bytes: int,
+    zorder_cols: list[str] | None = None,
+    bits: int = 8,
+    n_files: int | None = None,
 ) -> int:
     """Commit a compacted LAYOUT of the head version: identical row
     multiset, fewer files (~``target_bytes`` each, next-fit over the
-    manifest's byte sizes). Old versions keep reading the old files —
-    compaction behind the write frontier never disturbs a reader."""
+    manifest's byte sizes; ``n_files`` overrides the byte-derived count).
+    Old versions keep reading the old files — compaction behind the write
+    frontier never disturbs a reader.
+
+    With ``zorder_cols`` this is OPTIMIZE ZORDER: rows are laid out along
+    the stride-n Morton curve of those columns
+    (``layout.py::zorder_key_adaptive_n`` — equal-frequency buckets, fact
+    table never shuffles for its bucket keys) via ONE range shuffle, so
+    every column's per-file min/max envelope tightens at once and a
+    subsequent ``plan_snapshot_scan`` prunes on all of them — the layout
+    service and the table format composed."""
     parent = latest_version(root)
     m = read_manifest(root, parent)
     if not m["files"]:
         return _commit(root, "compact", [], m["schema"], parent)
-    total = sum(
-        os.path.getsize(os.path.join(root, f)) for f in m["files"]
-    )
-    n_groups = max(1, -(-total // int(target_bytes)))
-    rows = read_snapshot(spark, root, parent).repartition(n_groups)
+    if n_files is None:
+        total = sum(
+            os.path.getsize(os.path.join(root, f)) for f in m["files"]
+        )
+        n_files = max(1, -(-total // int(target_bytes)))
+    rows = read_snapshot(spark, root, parent)
+    if zorder_cols:
+        from telemetry_parquet_spark.sources.layout import (
+            zorder_key_adaptive_n,
+        )
+
+        rows = (
+            zorder_key_adaptive_n(rows, zorder_cols, bits=bits)
+            .repartitionByRange(n_files, F.col("zval"))
+            .sortWithinPartitions("zval")
+            .drop("zval")
+        )
+        action = "compact-zorder"
+    else:
+        rows = rows.repartition(n_files)
+        action = "compact"
     new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
-    return _commit(root, "compact", new, m["schema"], parent)
+    return _commit(root, action, new, m["schema"], parent)
+
+
+def snapshot_files(root: str, version: int | None = None) -> list[str]:
+    """Absolute paths of the data files that ARE the table at
+    ``version`` — the file list the scan planner consumes."""
+    v = latest_version(root) if version is None else version
+    return [
+        os.path.join(root, f) for f in read_manifest(root, v)["files"]
+    ]
 
 
 def vacuum(root: str, keep_last: int = 1) -> list[str]:

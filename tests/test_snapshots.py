@@ -189,6 +189,46 @@ def test_merge_into_empty_table_is_insert_all(spark, tmp_path):
     assert _multiset(read_snapshot(spark, root)) == [(1, "a"), (2, "b")]
 
 
+def test_compact_zorder_preserves_rows_and_tightens_envelopes(
+    spark, sf_dir, tmp_path
+):
+    """OPTIMIZE ZORDER commit: row multiset identical, and the MEAN
+    per-file min/max envelope on BOTH curve columns tightens vs the
+    fragmented layout (each fragmented file spans the whole domain; a
+    z-range file pins the top Morton bits of both columns) — the
+    property the planner's pruning feeds on."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.scan_planner import (
+        build_minmax_file_stats,
+    )
+    from telemetry_parquet_spark.sources.snapshots import snapshot_files
+
+    root = str(tmp_path / "zopt")
+    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    for i in range(4):
+        append(spark, root, li.where(F.col("l_orderkey") % 4 == i))
+    v_frag = latest_version(root)
+    v = compact_table(
+        spark, root, target_bytes=1 << 30,
+        zorder_cols=["l_partkey", "l_suppkey"], n_files=16,
+    )
+    assert read_manifest(root, v)["action"] == "compact-zorder"
+    assert _multiset(read_snapshot(spark, root, v)) == _multiset(li)
+
+    def envelope_mean(version, col):
+        paths = snapshot_files(root, version)
+        stats = build_minmax_file_stats(
+            spark.read.parquet(*paths), [col]
+        ).collect()
+        return sum(r[f"max_{col}"] - r[f"min_{col}"] for r in stats) / len(
+            stats
+        )
+
+    for col in ("l_partkey", "l_suppkey"):
+        assert envelope_mean(v, col) < envelope_mean(v_frag, col), col
+
+
 def test_append_schema_evolution(spark, tmp_path):
     """Add-column evolution is metadata-only: old files are never
     rewritten and surface the new column as NULL under the evolved
