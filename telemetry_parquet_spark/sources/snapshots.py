@@ -148,6 +148,28 @@ def create_table(root: str, schema: StructType) -> int:
     return _commit(root, "create", [], schema.json(), parent=None)
 
 
+def _carry_meta(m: dict) -> dict:
+    """Table-level metadata every commit must propagate from its parent
+    (currently: CHECK constraints)."""
+    return {"constraints": m["constraints"]} if m.get("constraints") else {}
+
+
+def _validate_constraints(df: DataFrame, constraints: dict) -> None:
+    """SQL CHECK semantics: a row violates a constraint only when the
+    expression is FALSE (NULL passes). One limit(1) probe per constraint
+    over the NEW rows only — existing data was validated when the
+    constraint was added."""
+    for name, expr in (constraints or {}).items():
+        bad = df.where(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint '{name}' ({expr}) violated by new rows; "
+                "nothing committed"
+            )
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
@@ -181,10 +203,13 @@ def append(
     as NULL (the metadata-only ALTER TABLE ADD COLUMN of the table
     formats). Without it, a column-set mismatch is a loud error — schema
     drift in a pipeline should never commit silently."""
+    meta = {}
     try:
         parent = latest_version(root)
         m = read_manifest(root, parent)
         carried, schema_json = m["files"], m["schema"]
+        _validate_constraints(df, m.get("constraints"))
+        meta = _carry_meta(m)
         table_schema = StructType.fromJson(json.loads(schema_json))
         table_cols = [f.name for f in table_schema.fields]
         if set(df.columns) != set(table_cols):
@@ -207,7 +232,10 @@ def append(
         parent = create_table(root, df.schema)
         carried, schema_json = [], df.schema.json()
     new = _write_commit_files(df, root, f"c{parent + 1:06d}")
-    return _commit(root, "append", carried + new, schema_json, parent, extra)
+    return _commit(
+        root, "append", carried + new, schema_json, parent,
+        {**meta, **(extra or {})},
+    )
 
 
 def delete_where(spark: SparkSession, root: str, predicate) -> int:
@@ -221,7 +249,7 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
     if not m["files"]:
-        return _commit(root, "delete", [], m["schema"], parent)
+        return _commit(root, "delete", [], m["schema"], parent, _carry_meta(m))
     snap = read_snapshot(spark, root, parent)
     root_abs = os.path.abspath(root)
     affected = set()
@@ -244,7 +272,7 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
             "refusing to commit a no-op delete"
         )
     if not rewrite:
-        return _commit(root, "delete", carried, m["schema"], parent)
+        return _commit(root, "delete", carried, m["schema"], parent, _carry_meta(m))
     schema = StructType.fromJson(json.loads(m["schema"]))
     kept_rows = (
         spark.read.schema(schema)
@@ -252,7 +280,7 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
         .where(~hit)
     )
     new = _write_commit_files(kept_rows, root, f"c{parent + 1:06d}")
-    return _commit(root, "delete", carried + new, m["schema"], parent)
+    return _commit(root, "delete", carried + new, m["schema"], parent, _carry_meta(m))
 
 
 def merge_into(
@@ -285,6 +313,7 @@ def merge_into(
             f"table columns {sorted(f.name for f in schema.fields)}"
         )
     source = source.select(*[f.name for f in schema.fields])
+    _validate_constraints(source, m.get("constraints"))
     dup = (
         source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
     )
@@ -292,7 +321,7 @@ def merge_into(
         raise ValueError("merge_into: source has duplicate merge keys")
     if not m["files"]:
         new = _write_commit_files(source, root, f"c{parent + 1:06d}")
-        return _commit(root, "merge", new, m["schema"], parent)
+        return _commit(root, "merge", new, m["schema"], parent, _carry_meta(m))
     snap = read_snapshot(spark, root, parent)
     root_abs = os.path.abspath(root)
     affected = set()
@@ -324,7 +353,7 @@ def merge_into(
     merged = region.join(source.select(*keys), on=keys, how="left_anti")
     merged = merged.select(*source.columns).unionByName(source)
     new = _write_commit_files(merged, root, f"c{parent + 1:06d}")
-    return _commit(root, "merge", carried + new, m["schema"], parent)
+    return _commit(root, "merge", carried + new, m["schema"], parent, _carry_meta(m))
 
 
 def compact_table(
@@ -351,7 +380,7 @@ def compact_table(
     parent = latest_version(root)
     m = read_manifest(root, parent)
     if not m["files"]:
-        return _commit(root, "compact", [], m["schema"], parent)
+        return _commit(root, "compact", [], m["schema"], parent, _carry_meta(m))
     if n_files is None:
         total = sum(
             os.path.getsize(os.path.join(root, f)) for f in m["files"]
@@ -374,7 +403,87 @@ def compact_table(
         rows = rows.repartition(n_files)
         action = "compact"
     new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
-    return _commit(root, action, new, m["schema"], parent)
+    return _commit(root, action, new, m["schema"], parent, _carry_meta(m))
+
+
+def add_check_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT CHECK(expr) as a metadata commit: the
+    HEAD data is validated once (a constraint must hold when added —
+    Delta's rule), then every later ``append``/``merge_into`` validates
+    only its NEW rows before committing. NULL evaluates as satisfied
+    (SQL CHECK semantics)."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    constraints = dict(m.get("constraints") or {})
+    if name in constraints:
+        raise ValueError(f"constraint '{name}' already exists")
+    _validate_constraints(
+        read_snapshot(spark, root, parent), {name: expr}
+    )
+    constraints[name] = expr
+    return _commit(
+        root, "add-constraint", m["files"], m["schema"], parent,
+        {"constraints": constraints},
+    )
+
+
+def drop_check_constraint(root: str, name: str) -> int:
+    """Metadata-only commit removing a CHECK constraint."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    constraints = dict(m.get("constraints") or {})
+    if name not in constraints:
+        raise KeyError(name)
+    del constraints[name]
+    extra = {"constraints": constraints} if constraints else {}
+    return _commit(
+        root, "drop-constraint", m["files"], m["schema"], parent, extra
+    )
+
+
+def restore_table(root: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF — rollback as a new commit: the
+    head becomes ``version``'s exact state (files, schema, constraints)
+    but HISTORY IS PRESERVED — the bad versions stay readable for
+    forensics until vacuum expires them. Metadata-only: no data moves."""
+    target = read_manifest(root, version)
+    parent = latest_version(root)
+    return _commit(
+        root, "restore", target["files"], target["schema"], parent,
+        {**_carry_meta(target), "restored_from": version},
+    )
+
+
+def table_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+) -> DataFrame:
+    """CDC between two versions: the head-schema rows with a ``_change``
+    column ('insert' = in ``to`` but not ``from``, 'delete' = in ``from``
+    but not ``to``, multiset semantics). Computed ONLY over the files the
+    versions do NOT share — carried-by-reference files cancel exactly,
+    so an append diffs only its new files and a pure re-layout
+    (compaction, restore) diffs its rewritten region and yields EMPTY.
+    An update (COW merge) appears as delete + insert, the standard
+    changes-feed encoding."""
+    mf = read_manifest(root, from_version)
+    mt = read_manifest(root, to_version)
+    schema = StructType.fromJson(json.loads(mt["schema"]))
+    f_only = [f for f in mf["files"] if f not in set(mt["files"])]
+    t_only = [f for f in mt["files"] if f not in set(mf["files"])]
+
+    def _read(files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in files]
+        )
+
+    old, new = _read(f_only), _read(t_only)
+    inserts = new.exceptAll(old).withColumn("_change", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change", F.lit("delete"))
+    return inserts.unionByName(deletes)
 
 
 def snapshot_files(root: str, version: int | None = None) -> list[str]:

@@ -11,15 +11,19 @@ import pytest
 from pyspark.sql import functions as F
 
 from telemetry_parquet_spark.sources.snapshots import (
+    add_check_constraint,
     append,
     compact_table,
     create_table,
     delete_where,
+    drop_check_constraint,
     history,
     latest_version,
     merge_into,
     read_manifest,
     read_snapshot,
+    restore_table,
+    table_changes,
     vacuum,
 )
 
@@ -299,6 +303,80 @@ def test_stream_commit_snapshots_exactly_once(spark, sf_dir, tmp_path):
     # idle drain: nothing new landed → no new version
     stream_commit_snapshots(spark, src, root, ckpt)
     assert latest_version(root) == v2
+
+
+def test_check_constraints_gate_commits(spark, tmp_path):
+    """Adding a constraint validates the head once; later appends/merges
+    validate only their new rows and refuse to commit on violation
+    (no new version, no orphan readable). NULL satisfies (SQL CHECK)."""
+    root = str(tmp_path / "ck")
+    append(spark, root, spark.createDataFrame([(1, 10.0)], ["id", "val"]))
+    add_check_constraint(spark, root, "val_pos", "val > 0")
+    v = latest_version(root)
+    with pytest.raises(ValueError, match="val_pos"):
+        append(spark, root, spark.createDataFrame([(2, -1.0)], ["id", "val"]))
+    assert latest_version(root) == v  # nothing committed
+    append(
+        spark, root,
+        spark.createDataFrame([(3, None)], "id bigint, val double"),
+    )
+    append(spark, root, spark.createDataFrame([(4, 2.0)], ["id", "val"]))
+    with pytest.raises(ValueError, match="val_pos"):
+        merge_into(
+            spark, root,
+            spark.createDataFrame([(4, -9.0)], ["id", "val"]),
+            keys=["id"],
+        )
+    # the constraint rides through delete/compact commits
+    delete_where(spark, root, "id = 3")
+    compact_table(spark, root, target_bytes=1 << 30)
+    assert read_manifest(root, latest_version(root))["constraints"] == {
+        "val_pos": "val > 0"
+    }
+    # adding a constraint the head violates is refused
+    with pytest.raises(ValueError, match="id_small"):
+        add_check_constraint(spark, root, "id_small", "id < 2")
+    drop_check_constraint(root, "val_pos")
+    append(spark, root, spark.createDataFrame([(5, -1.0)], ["id", "val"]))
+
+
+def test_restore_table_rolls_back_and_keeps_history(spark, sf_dir, table):
+    orders = _orders(spark, sf_dir)
+    delete_where(spark, table, "o_orderpriority = '1-URGENT'")
+    v = restore_table(table, 2)  # undo the delete
+    assert _multiset(read_snapshot(spark, table)) == _multiset(orders)
+    m = read_manifest(table, v)
+    assert m["action"] == "restore" and m["restored_from"] == 2
+    # the rolled-back delete version is still readable
+    assert read_snapshot(spark, table, 3).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count() == 0
+
+
+def test_table_changes_cdc(spark, sf_dir, table):
+    orders = _orders(spark, sf_dir)
+    # v1 -> v2: the second append's rows, all inserts
+    ch = table_changes(spark, table, 1, 2)
+    assert _multiset(ch.where(F.col("_change") == "insert").drop("_change")) \
+        == _multiset(orders.where(F.col("o_orderkey") % 10 >= 7))
+    assert ch.where(F.col("_change") == "delete").count() == 0
+    # delete commit: changes = exactly the removed rows
+    v3 = delete_where(spark, table, "o_orderpriority = '1-URGENT'")
+    ch = table_changes(spark, table, 2, v3)
+    assert _multiset(ch.where(F.col("_change") == "delete").drop("_change")) \
+        == _multiset(orders.where(F.col("o_orderpriority") == "1-URGENT"))
+    assert ch.where(F.col("_change") == "insert").count() == 0
+    # compaction: pure re-layout -> EMPTY changes despite full rewrite
+    v4 = compact_table(spark, table, target_bytes=1 << 30)
+    assert table_changes(spark, table, v3, v4).count() == 0
+    # merge: update encodes as delete + insert
+    src = spark.createDataFrame(
+        read_snapshot(spark, table).limit(1).collect()
+    ).withColumn("o_orderpriority", F.lit("CDCUPD"))
+    v5 = merge_into(spark, table, src, keys=["o_orderkey"])
+    ch = table_changes(spark, table, v4, v5).collect()
+    kinds = sorted(r["_change"] for r in ch)
+    assert kinds == ["delete", "insert"]
 
 
 def test_empty_create_then_delete_noop(spark, tmp_path):
