@@ -205,6 +205,9 @@ HEADLINE = [
     # round 9: OPTIMIZE ZORDER as a snapshot commit + manifest-pinned
     # planner scan with per-predicate pruning proofs
     "snapshot_zorder_planned",
+    # round 9: CDC changes feed over non-shared manifest files — raises
+    # unless the compaction diff cancels to empty
+    "snapshot_changes_feed",
 ]
 
 

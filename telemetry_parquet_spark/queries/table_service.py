@@ -240,3 +240,42 @@ def snapshot_zorder_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_extendedprice",
     )
+
+
+@query(
+    "snapshot_changes_feed",
+    # CDC over the time-travel chain (same cached table as
+    # snapshot_time_travel): v2→v3 was the delete commit, so the feed is
+    # exactly the removed rows tagged 'delete' — and the Spark side
+    # RAISES unless the v3→v4 compaction diff is EMPTY (carried/rewritten
+    # files cancel in the non-shared-files diff), the
+    # re-layouts-are-invisible-to-CDC proof.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, 'delete' AS _change
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshot versions
+    (sources/snapshots.py::table_changes): diffed over ONLY the files the
+    two manifests do not share, so append diffs ∝ appended data and a
+    compaction commit — full physical rewrite, zero logical change —
+    yields an EMPTY feed by multiset cancellation (asserted here with a
+    loud raise before returning the delete feed)."""
+    from telemetry_parquet_spark.sources.snapshots import table_changes
+
+    # reuse (or build) the snapshot_time_travel chain — same fingerprint
+    # cache, so at steady state this query is two manifest-pinned diffs
+    snapshot_time_travel(spark, sf_dir)
+    root = materialize_cached(
+        spark,
+        os.path.join(sf_dir, "orders.parquet"),
+        "snap_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        lambda _root: None,  # already built by the line above
+    )
+    if table_changes(spark, root, 3, 4).limit(1).count():
+        raise RuntimeError(
+            "compaction diff not empty — CDC cancellation broken"
+        )
+    return table_changes(spark, root, 2, 3)
