@@ -78,7 +78,11 @@ def _fit(spark: SparkSession, sf_dir: str):
     from telemetry_parquet_spark.ml.kmeans_det import kmeans_fit, quantize_vectors
 
     qvec = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
-    assigned, _ = kmeans_fit(qvec, k=K, iters=ITERS)
+    # matmul even at k=8: the literal-expression fold recompiles codegen
+    # every iteration (measured sf0.1: expr 4.2 s vs matmul 1.8 s warm);
+    # bit-identical by the backend-equality gate, so the oracle is
+    # unaffected.
+    assigned, _ = kmeans_fit(qvec, k=K, iters=ITERS, assignment="matmul")
     return assigned, qvec
 
 
@@ -224,7 +228,10 @@ def sim_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     qvec = quantize_vectors(load_table(spark, sf_dir, "embeddings")).persist()
-    assigned, centroids = kmeans_fit(qvec, k=K, iters=ITERS)
+    # matmul backend: kills the per-iteration codegen recompile (see _fit)
+    assigned, centroids = kmeans_fit(
+        qvec, k=K, iters=ITERS, assignment="matmul"
+    )
 
     # top-NPROBE cells per query by packed integer distance, from the
     # driver-held literal centroids (k*dim ints — the BPE-argmax contract)
