@@ -107,6 +107,8 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
     first, the open fails and the caller retries against the new head.
     ``extra`` rides application metadata into the manifest atomically —
     e.g. the streaming sink's (stream, batch_id) idempotence stamp."""
+    import time as _time
+
     version = 0 if parent is None else parent + 1
     manifest = {
         "version": version,
@@ -114,6 +116,7 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
         "action": action,
         "files": sorted(files),
         "schema": schema_json,
+        "committed_at": _time.time(),
         **(extra or {}),
     }
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
@@ -404,6 +407,38 @@ def compact_table(
         action = "compact"
     new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
     return _commit(root, action, new, m["schema"], parent, _carry_meta(m))
+
+
+def version_as_of(root: str, ts: float) -> int:
+    """AS OF TIMESTAMP: the newest version committed at or before ``ts``
+    (commit times are stamped into manifests at the linearization point).
+    Raises if the table did not exist yet at ``ts``."""
+    best = None
+    for v in _list_versions(root):
+        if read_manifest(root, v)["committed_at"] <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version of {root} existed at timestamp {ts}"
+        )
+    return best
+
+
+def commit_with_retry(fn, retries: int = 3):
+    """Run a mutator under optimistic concurrency: on a commit conflict
+    (another writer took the version number — ``FileExistsError`` from
+    the O_EXCL linearization point) re-invoke ``fn`` so it re-reads the
+    new head and re-derives its commit against it. ``fn`` must be a
+    closure over (spark, root, …) that performs ONE mutator call; its
+    work before the commit is recomputed per attempt by design — that is
+    what makes the retry correct against the moved head."""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except FileExistsError:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def add_check_constraint(

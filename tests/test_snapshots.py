@@ -379,6 +379,44 @@ def test_table_changes_cdc(spark, sf_dir, table):
     assert kinds == ["delete", "insert"]
 
 
+def test_version_as_of_timestamp_and_commit_retry(spark, tmp_path):
+    from telemetry_parquet_spark.sources.snapshots import (
+        _commit,
+        commit_with_retry,
+        version_as_of,
+    )
+
+    root = str(tmp_path / "asof")
+    append(spark, root, spark.createDataFrame([(1,)], ["id"]))
+    t_after_v1 = read_manifest(root, 1)["committed_at"]
+    append(spark, root, spark.createDataFrame([(2,)], ["id"]))
+    assert version_as_of(root, t_after_v1) == 1
+    assert version_as_of(root, read_manifest(root, 2)["committed_at"]) == 2
+    with pytest.raises(FileNotFoundError):
+        version_as_of(root, t_after_v1 - 1e6)
+
+    # conflict retry: a racing writer takes v3; the first attempt commits
+    # against the STALE head (parent=2 -> v3 taken -> FileExistsError),
+    # the retry re-reads the moved head and lands as v4
+    m2 = read_manifest(root, 2)
+    _commit(root, "append", m2["files"], m2["schema"], parent=2)  # racer
+    state = {"attempts": 0}
+
+    def mutator():
+        state["attempts"] += 1
+        if state["attempts"] == 1:  # stale view of the head
+            return _commit(
+                root, "append", m2["files"], m2["schema"], parent=2
+            )
+        return append(spark, root, spark.createDataFrame([(3,)], ["id"]))
+
+    v = commit_with_retry(mutator)
+    assert state["attempts"] == 2 and v == latest_version(root) == 4
+    assert sorted(r.id for r in read_snapshot(spark, root).collect()) == [
+        1, 2, 3,
+    ]
+
+
 def test_empty_create_then_delete_noop(spark, tmp_path):
     from pyspark.sql.types import LongType, StructField, StructType
 
