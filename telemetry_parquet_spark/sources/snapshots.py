@@ -241,31 +241,77 @@ def append(
     )
 
 
-def delete_where(spark: SparkSession, root: str, predicate) -> int:
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    scan_predicates: list | None = None,
+) -> int:
     """Copy-on-write delete at file granularity: files with NO matching
     row carry over by reference; files WITH matches are rewritten without
     the matching rows (NULL predicate = no match, SQL DELETE semantics).
     One distributed scan finds the affected files; only their rows are
-    read again for the rewrite."""
+    read again for the rewrite.
+
+    ``scan_predicates`` (planner ``Range``/``Eq``/``In`` objects) bounds
+    even that detection scan: per-file min/max stats prune the candidate
+    set first, so on a z-ordered/partitioned layout the WHOLE delete —
+    detection and rewrite — costs ∝ the affected region, never the table.
+    CONTRACT: every delete-predicate match must satisfy the scan
+    predicates (they describe where matches can live); a file pruned by
+    them is treated as match-free. The commit records the pruning
+    (``scan_candidates``/``scanned``) for audit."""
     parent = latest_version(root)
     m = read_manifest(root, parent)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
     if not m["files"]:
         return _commit(root, "delete", [], m["schema"], parent, _carry_meta(m))
-    snap = read_snapshot(spark, root, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
     root_abs = os.path.abspath(root)
-    affected = set()
-    for r in (
-        snap.where(hit)
+
+    def _rel(p: str) -> str:
+        if p.startswith("file:"):  # file:///abs/path -> /abs/path
+            p = "/" + p[5:].lstrip("/")
+        return os.path.relpath(p, root_abs)
+
+    candidates = list(m["files"])
+    if scan_predicates:
+        from telemetry_parquet_spark.sources.scan_planner import (
+            build_minmax_file_stats,
+            _minmax_keep,
+        )
+
+        head = spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in candidates]
+        )
+        cols = sorted({p.col for p in scan_predicates})
+        stats = {
+            _rel(r.file_path): r
+            for r in build_minmax_file_stats(head, cols).collect()
+        }
+        candidates = [
+            f
+            for f in candidates
+            if f not in stats
+            or all(_minmax_keep(stats[f], p) for p in scan_predicates)
+        ]
+    if not candidates:
+        return _commit(
+            root, "delete", m["files"], m["schema"], parent,
+            {**_carry_meta(m), "scan_candidates": 0,
+             "scanned": len(m["files"])},
+        )
+    scan = spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in candidates]
+    )
+    affected = {
+        _rel(r.file_path)
+        for r in scan.where(hit)
         .select(F.col("_metadata.file_path").alias("file_path"))
         .distinct()
         .collect()
-    ):
-        p = r.file_path
-        if p.startswith("file:"):  # file:///abs/path -> /abs/path
-            p = "/" + p[5:].lstrip("/")
-        affected.add(os.path.relpath(p, root_abs))
+    }
     carried = [f for f in m["files"] if f not in affected]
     rewrite = [f for f in m["files"] if f in affected]
     if affected and not rewrite:
@@ -274,16 +320,20 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
             "but none resolved to a manifest file — path normalization bug, "
             "refusing to commit a no-op delete"
         )
+    audit = {
+        **_carry_meta(m),
+        "scan_candidates": len(candidates),
+        "scanned": len(m["files"]),
+    }
     if not rewrite:
-        return _commit(root, "delete", carried, m["schema"], parent, _carry_meta(m))
-    schema = StructType.fromJson(json.loads(m["schema"]))
+        return _commit(root, "delete", carried, m["schema"], parent, audit)
     kept_rows = (
         spark.read.schema(schema)
         .parquet(*[os.path.join(root, f) for f in rewrite])
         .where(~hit)
     )
     new = _write_commit_files(kept_rows, root, f"c{parent + 1:06d}")
-    return _commit(root, "delete", carried + new, m["schema"], parent, _carry_meta(m))
+    return _commit(root, "delete", carried + new, m["schema"], parent, audit)
 
 
 def merge_into(

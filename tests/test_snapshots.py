@@ -379,6 +379,43 @@ def test_table_changes_cdc(spark, sf_dir, table):
     assert kinds == ["delete", "insert"]
 
 
+def test_delete_where_scan_predicates_prune_detection(spark, sf_dir, tmp_path):
+    """Pruned COW delete: the same predicate deletes the same rows, but
+    with scan_predicates bounding the detection scan the commit records
+    fewer candidate files than the table holds — delete cost ∝ affected
+    region on a clustered layout."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.scan_planner import Range
+
+    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    lo, hi = 1, 5  # small l_partkey range
+
+    def build(root):
+        append(spark, root, li)
+        compact_table(
+            spark, root, target_bytes=1 << 30,
+            zorder_cols=["l_partkey", "l_suppkey"], n_files=8,
+        )
+
+    r1, r2 = str(tmp_path / "plain"), str(tmp_path / "pruned")
+    build(r1)
+    build(r2)
+    delete_where(spark, r1, f"l_partkey BETWEEN {lo} AND {hi}")
+    delete_where(
+        spark, r2, f"l_partkey BETWEEN {lo} AND {hi}",
+        scan_predicates=[Range("l_partkey", lo, hi)],
+    )
+    assert _multiset(read_snapshot(spark, r1)) == _multiset(
+        read_snapshot(spark, r2)
+    )
+    m = read_manifest(r2, latest_version(r2))
+    assert m["scan_candidates"] < m["scanned"]
+    assert read_snapshot(spark, r2).where(
+        (F.col("l_partkey") >= lo) & (F.col("l_partkey") <= hi)
+    ).count() == 0
+
+
 def test_version_as_of_timestamp_and_commit_retry(spark, tmp_path):
     from telemetry_parquet_spark.sources.snapshots import (
         _commit,
