@@ -337,7 +337,11 @@ def delete_where(
 
 
 def merge_into(
-    spark: SparkSession, root: str, source: DataFrame, keys: list[str]
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    prune_by_key_range: bool = True,
 ) -> int:
     """MERGE INTO head USING ``source`` ON ``keys`` — WHEN MATCHED UPDATE
     ALL, WHEN NOT MATCHED INSERT ALL — as one copy-on-write commit.
@@ -352,6 +356,15 @@ def merge_into(
     the commit log: same anti-join ∪ source shape, but the rewrite
     touches only affected files instead of the whole table, and history
     keeps the pre-merge version readable.
+
+    ``prune_by_key_range`` (default on) bounds even the detection
+    semi-join: the SOURCE's own key min/max (one 1-row agg) intersected
+    with per-file key envelopes (one map-side stats build) prunes the
+    files scanned for matches — derived from the data, so it needs no
+    caller contract and is always exact (a file whose key envelope misses
+    every source key cannot hold a match). On a key-clustered layout the
+    whole merge costs ∝ the source's key range. The commit records
+    ``scan_candidates``/``scanned`` for audit.
 
     Contract: ``source`` has the table's columns and at most one row per
     key (the standard MERGE cardinality rule — two source rows for one
@@ -375,22 +388,56 @@ def merge_into(
     if not m["files"]:
         new = _write_commit_files(source, root, f"c{parent + 1:06d}")
         return _commit(root, "merge", new, m["schema"], parent, _carry_meta(m))
-    snap = read_snapshot(spark, root, parent)
     root_abs = os.path.abspath(root)
-    affected = set()
-    for r in (
-        snap.select(
-            F.col("_metadata.file_path").alias("file_path"), *keys
-        )
-        .join(source.select(*keys), on=keys, how="left_semi")
-        .select("file_path")
-        .distinct()
-        .collect()
-    ):
-        p = r.file_path
+
+    def _rel(p: str) -> str:
         if p.startswith("file:"):
             p = "/" + p[5:].lstrip("/")
-        affected.add(os.path.relpath(p, root_abs))
+        return os.path.relpath(p, root_abs)
+
+    candidates = list(m["files"])
+    if prune_by_key_range:
+        from telemetry_parquet_spark.sources.scan_planner import (
+            Range,
+            _minmax_keep,
+            build_minmax_file_stats,
+        )
+
+        bounds = source.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in keys],
+            *[F.max(k).alias(f"hi_{k}") for k in keys],
+        ).first()
+        ranges = [
+            Range(k, bounds[f"lo_{k}"], bounds[f"hi_{k}"]) for k in keys
+        ]
+        head = spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in candidates]
+        )
+        stats = {
+            _rel(r.file_path): r
+            for r in build_minmax_file_stats(head, keys).collect()
+        }
+        candidates = [
+            f
+            for f in candidates
+            if f not in stats
+            or all(_minmax_keep(stats[f], p) for p in ranges)
+        ]
+    affected = set()
+    if candidates:
+        scan = spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in candidates]
+        )
+        affected = {
+            _rel(r.file_path)
+            for r in scan.select(
+                F.col("_metadata.file_path").alias("file_path"), *keys
+            )
+            .join(source.select(*keys), on=keys, how="left_semi")
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
     carried = [f for f in m["files"] if f not in affected]
     rewrite = [f for f in m["files"] if f in affected]
     if affected and not rewrite:
@@ -406,7 +453,11 @@ def merge_into(
     merged = region.join(source.select(*keys), on=keys, how="left_anti")
     merged = merged.select(*source.columns).unionByName(source)
     new = _write_commit_files(merged, root, f"c{parent + 1:06d}")
-    return _commit(root, "merge", carried + new, m["schema"], parent, _carry_meta(m))
+    return _commit(
+        root, "merge", carried + new, m["schema"], parent,
+        {**_carry_meta(m), "scan_candidates": len(candidates),
+         "scanned": len(m["files"])},
+    )
 
 
 def compact_table(

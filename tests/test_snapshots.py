@@ -416,6 +416,51 @@ def test_delete_where_scan_predicates_prune_detection(spark, sf_dir, tmp_path):
     ).count() == 0
 
 
+def test_merge_into_key_range_prunes_detection(spark, sf_dir, tmp_path):
+    """Key-range merge pruning needs no contract — the source's own
+    min/max bounds the detection scan. Same result with and without,
+    fewer candidate files recorded on a key-clustered layout."""
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    src = (
+        li.where(_F.col("l_orderkey") <= 64)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(*[_F.first(c).alias(c) for c in li.columns
+               if c not in ("l_orderkey", "l_linenumber")])
+        .withColumn("l_returnflag", _F.lit("Z"))
+        .select(*li.columns)
+    )
+
+    def build(root):
+        append(spark, root, li)
+        # cluster by the first merge key so its envelopes are tight
+        compact_table(
+            spark, root, target_bytes=1 << 30,
+            zorder_cols=["l_orderkey", "l_linenumber"], n_files=8,
+        )
+
+    r1, r2 = str(tmp_path / "noprune"), str(tmp_path / "prune")
+    build(r1)
+    build(r2)
+    merge_into(
+        spark, r1, src, keys=["l_orderkey", "l_linenumber"],
+        prune_by_key_range=False,
+    )
+    merge_into(spark, r2, src, keys=["l_orderkey", "l_linenumber"])
+    assert _multiset(read_snapshot(spark, r1)) == _multiset(
+        read_snapshot(spark, r2)
+    )
+    m = read_manifest(r2, latest_version(r2))
+    assert m["scan_candidates"] < m["scanned"]
+    got = read_snapshot(spark, r2).where(
+        _F.col("l_returnflag") == "Z"
+    ).count()
+    assert got == src.count()
+
+
 def test_version_as_of_timestamp_and_commit_retry(spark, tmp_path):
     from telemetry_parquet_spark.sources.snapshots import (
         _commit,
