@@ -208,6 +208,10 @@ HEADLINE = [
     # round 9: CDC changes feed over non-shared manifest files — raises
     # unless the compaction diff cancels to empty
     "snapshot_changes_feed",
+    # round 9: incremental materialized-view maintenance over the CDC
+    # feed — refresh cost per commit's change volume, hash-equal to
+    # direct re-aggregation
+    "snapshot_incremental_view",
 ]
 
 

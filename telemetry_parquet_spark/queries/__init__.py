@@ -59,6 +59,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "snapshot_merge_upsert",
     "snapshot_zorder_planned",
     "snapshot_changes_feed",
+    "snapshot_incremental_view",
     # behavior CHANGED in round 9 (int64-matmul signature family + new
     # quantized oracles) — re-verify ahead of the stale cohort
     "sim_knn_graph_lsh_tables",
@@ -104,7 +105,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_last_purchase_before_view",
     "basket_part_pairs",
     "blocklist_filter",
-    "bpe_learn_merges",
 )
 
 

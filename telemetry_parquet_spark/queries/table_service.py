@@ -279,3 +279,60 @@ def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compaction diff not empty — CDC cancellation broken"
         )
     return table_changes(spark, root, 2, 3)
+
+
+@query(
+    "snapshot_incremental_view",
+    # Incremental materialized-view maintenance: the per-status SUM/COUNT
+    # view is initialized at v1 and then REFRESHED through the CDC feed
+    # of every commit (append v2, delete v3, compaction v4 — which
+    # contributes nothing by cancellation). The oracle is the DIRECT
+    # aggregation of the final state, so a green row is the cross-engine
+    # proof that increments compose to re-computation — the IVM contract.
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
+               AS sum_price
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped SUM/COUNT view maintained incrementally over the commit
+    log (sources/snapshots.py::refresh_view_incremental): refresh cost ∝
+    each commit's change volume (table_changes diffs only non-shared
+    files), never the table — yet the result must hash-equal the direct
+    aggregation. DECIMAL-cast elements keep every partial sum associative
+    so the increments are bit-exact."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        read_snapshot,
+        refresh_view_incremental,
+        table_changes,
+    )
+
+    snapshot_time_travel(spark, sf_dir)  # ensure the cached chain
+    root = materialize_cached(
+        spark,
+        os.path.join(sf_dir, "orders.parquet"),
+        "snap_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        lambda _root: None,
+    )
+    dec = F.col("o_totalprice").cast("decimal(15,2)")
+    state = (
+        read_snapshot(spark, root, 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(dec).alias("sum_val"),
+        )
+    )
+    for a, b in ((1, 2), (2, 3), (3, 4)):
+        changes = table_changes(spark, root, a, b).withColumn("__p", dec)
+        state = refresh_view_incremental(
+            state, changes, ["o_orderstatus"], "__p"
+        )
+    return state.select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_val").cast("decimal(25,2)").alias("sum_price"),
+    )

@@ -622,6 +622,47 @@ def table_changes(
     return inserts.unionByName(deletes)
 
 
+def refresh_view_incremental(
+    state: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_col: str,
+    sum_alias: str = "sum_val",
+    cnt_alias: str = "n_rows",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for a grouped
+    SUM/COUNT view over the CDC feed: ``state`` is the view as of
+    version A (``group_cols…, cnt_alias, sum_alias``), ``changes`` is
+    ``table_changes(A, B)``, and the result is the view as of B — inserts
+    add, deletes subtract, groups whose count reaches zero disappear.
+    Because ``table_changes`` diffs only non-shared files, the refresh
+    cost is ∝ the commit's change volume, never the table: the
+    incremental-view-maintenance contract a commit log exists to enable.
+    Exactness: the caller supplies ``sum_col`` pre-cast to DECIMAL/int so
+    partial sums are associative — increments then compose bit-equal to a
+    direct re-aggregation (driver-gated by snapshot_incremental_view)."""
+    sign = F.when(F.col("_change") == F.lit("insert"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = changes.groupBy(*group_cols).agg(
+        F.sum(sign).alias("__d_cnt"),
+        F.sum(F.col(sum_col) * sign).alias("__d_sum"),
+    )
+    zero_sum = F.lit(0).cast(delta.schema["__d_sum"].dataType)
+    merged = state.join(delta, on=group_cols, how="full_outer").select(
+        *group_cols,
+        (
+            F.coalesce(F.col(cnt_alias), F.lit(0))
+            + F.coalesce(F.col("__d_cnt"), F.lit(0))
+        ).alias(cnt_alias),
+        (
+            F.coalesce(F.col(sum_alias), zero_sum)
+            + F.coalesce(F.col("__d_sum"), zero_sum)
+        ).alias(sum_alias),
+    )
+    return merged.where(F.col(cnt_alias) > 0)
+
+
 def snapshot_files(root: str, version: int | None = None) -> list[str]:
     """Absolute paths of the data files that ARE the table at
     ``version`` — the file list the scan planner consumes."""

@@ -499,6 +499,31 @@ def test_version_as_of_timestamp_and_commit_retry(spark, tmp_path):
     ]
 
 
+def test_refresh_view_incremental_group_lifecycle(spark, tmp_path):
+    """IVM edge cases: a brand-new group appears via inserts, an emptied
+    group disappears (count reaches 0), and a mixed delta adjusts both
+    count and sum exactly."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        refresh_view_incremental,
+    )
+
+    state = spark.createDataFrame(
+        [("a", 2, 30.0), ("b", 1, 5.0)], ["g", "n_rows", "sum_val"]
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", 10.0, "delete"),   # a: 2->1 rows, 30->20
+            ("b", 5.0, "delete"),    # b: emptied -> disappears
+            ("c", 7.0, "insert"),    # c: new group
+            ("c", 3.0, "insert"),
+        ],
+        ["g", "v", "_change"],
+    )
+    out = refresh_view_incremental(state, changes, ["g"], "v")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("a", 1, 20.0), ("c", 2, 10.0)]
+
+
 def test_empty_create_then_delete_noop(spark, tmp_path):
     from pyspark.sql.types import LongType, StructField, StructType
 
