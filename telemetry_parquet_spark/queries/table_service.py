@@ -29,6 +29,32 @@ from telemetry_parquet_spark.sources.skipping import materialize_cached
 _SUM = "CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))"
 
 
+def _time_travel_chain(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse, fingerprint-cached) the shared orders version
+    chain: v1 append 70% -> v2 append 30% -> v3 delete '1-URGENT' ->
+    v4 compact. One table serves snapshot_time_travel,
+    snapshot_changes_feed, and snapshot_incremental_view."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+        delete_where,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 < 7))
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 >= 7))
+        delete_where(spark, root, "o_orderpriority = '1-URGENT'")
+        compact_table(spark, root, target_bytes=64 * 1024 * 1024)
+
+    return materialize_cached(
+        spark, src, "snap_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+
+
 @query(
     "snapshot_time_travel",
     # One row per committed version; v4 (compaction) must equal v3 —
@@ -51,26 +77,9 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     '1-URGENT' → compact) once per testdata fingerprint, then time-travel
     every version and summarize it. sources/snapshots.py docstring has the
     commit-log design; reference parity note there (S7/S12 lineage)."""
-    from telemetry_parquet_spark.sources.snapshots import (
-        append,
-        compact_table,
-        delete_where,
-        read_snapshot,
-    )
+    from telemetry_parquet_spark.sources.snapshots import read_snapshot
 
-    src = os.path.join(sf_dir, "orders.parquet")
-
-    def build(root: str) -> None:
-        orders = spark.read.parquet(src)
-        append(spark, root, orders.where(F.col("o_orderkey") % 10 < 7))
-        append(spark, root, orders.where(F.col("o_orderkey") % 10 >= 7))
-        delete_where(spark, root, "o_orderpriority = '1-URGENT'")
-        compact_table(spark, root, target_bytes=64 * 1024 * 1024)
-
-    root = materialize_cached(
-        spark, src, "snap_orders_" + os.path.basename(sf_dir.rstrip("/")),
-        build,
-    )
+    root = _time_travel_chain(spark, sf_dir)
     parts = []
     for v in (1, 2, 3, 4):
         parts.append(
@@ -265,15 +274,9 @@ def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     loud raise before returning the delete feed)."""
     from telemetry_parquet_spark.sources.snapshots import table_changes
 
-    # reuse (or build) the snapshot_time_travel chain — same fingerprint
-    # cache, so at steady state this query is two manifest-pinned diffs
-    snapshot_time_travel(spark, sf_dir)
-    root = materialize_cached(
-        spark,
-        os.path.join(sf_dir, "orders.parquet"),
-        "snap_orders_" + os.path.basename(sf_dir.rstrip("/")),
-        lambda _root: None,  # already built by the line above
-    )
+    # reuse (or build) the shared chain — at steady state this query is
+    # just two manifest-pinned diffs
+    root = _time_travel_chain(spark, sf_dir)
     if table_changes(spark, root, 3, 4).limit(1).count():
         raise RuntimeError(
             "compaction diff not empty — CDC cancellation broken"
@@ -310,13 +313,7 @@ def snapshot_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_changes,
     )
 
-    snapshot_time_travel(spark, sf_dir)  # ensure the cached chain
-    root = materialize_cached(
-        spark,
-        os.path.join(sf_dir, "orders.parquet"),
-        "snap_orders_" + os.path.basename(sf_dir.rstrip("/")),
-        lambda _root: None,
-    )
+    root = _time_travel_chain(spark, sf_dir)
     dec = F.col("o_totalprice").cast("decimal(15,2)")
     state = (
         read_snapshot(spark, root, 1)
