@@ -524,6 +524,58 @@ def test_refresh_view_incremental_group_lifecycle(spark, tmp_path):
     assert got == [("a", 1, 20.0), ("c", 2, 10.0)]
 
 
+def test_streaming_cdc_source_replays_commit_log(spark, sf_dir, tmp_path):
+    """The snapshot_changes streaming source: availableNow drain streams
+    every commit's diff (offsets = versions); the collected feed equals
+    the batch table_changes over the same interval; a second drain from
+    the checkpoint emits nothing; a new commit then streams exactly its
+    own delta."""
+    from telemetry_parquet_spark.streaming import cdc_source
+
+    cdc_source.register(spark)
+    root = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id bigint, val double"
+    )
+    append(spark, root, df.where(F.col("id") < 10))
+    append(spark, root, df.where(F.col("id") >= 10))
+    delete_where(spark, root, "id % 5 = 0")
+    compact_table(spark, root, target_bytes=1 << 30)
+
+    def drain():
+        out = []
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("root", root)
+            .load()
+            .writeStream.foreachBatch(
+                lambda batch, _id: out.extend(
+                    tuple(r) for r in batch.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(out)
+
+    got = drain()
+    # the stream is the per-commit EVENT LOG (a row inserted then deleted
+    # appears twice), i.e. the concatenation of per-step diffs — not the
+    # net interval diff
+    want = sorted(
+        tuple(r)
+        for v in range(1, latest_version(root) + 1)
+        for r in table_changes(spark, root, v - 1, v).collect()
+    )
+    assert got == want and len(got) == 24  # 20 inserts + 4 deletes
+    assert drain() == []  # checkpoint: nothing new
+    append(spark, root, spark.createDataFrame([(99, 9.9)], "id bigint, val double"))
+    assert drain() == [(99, 9.9, "insert")]
+
+
 def test_empty_create_then_delete_noop(spark, tmp_path):
     from pyspark.sql.types import LongType, StructField, StructType
 
