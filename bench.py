@@ -212,6 +212,9 @@ HEADLINE = [
     # feed — refresh cost per commit's change volume, hash-equal to
     # direct re-aggregation
     "snapshot_incremental_view",
+    # round 9: SQL front door — cross-version join via VERSION AS OF
+    # rewritten onto manifest-pinned temp views, one Catalyst plan
+    "snapshot_sql_cross_version",
 ]
 
 

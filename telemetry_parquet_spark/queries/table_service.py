@@ -285,6 +285,50 @@ def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_sql_cross_version",
+    # The SQL FRONT DOOR (sources/sql_front.py): one statement joins two
+    # versions of the same snapshot table via `VERSION AS OF` syntax —
+    # v2 (all rows) against v3 (post-delete) per order status. The oracle
+    # replays both versions as WHERE clauses over the base table, so a
+    # green row proves the rewriter resolves each time-travel clause to
+    # the right manifest AND that the cross-version join runs as one
+    # Catalyst plan with correct results.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_deleted
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def snapshot_sql_cross_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-version SQL through the front door
+    (sources/sql_front.py::engine_sql): `snap VERSION AS OF 2` joined to
+    `snap VERSION AS OF 3` in a single statement. The rewriter registers
+    each referenced version as a manifest-pinned temp view and hands ONE
+    statement to Catalyst — no driver-side loop over versions — so
+    pushdown/pruning apply across the whole cross-version plan."""
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    root = _time_travel_chain(spark, sf_dir)
+    return engine_sql(
+        spark,
+        """
+        SELECT a.o_orderstatus AS o_orderstatus, a.n_all, b.n_kept,
+               a.n_all - b.n_kept AS n_deleted
+        FROM (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_all
+              FROM snap VERSION AS OF 2 GROUP BY o_orderstatus) a
+        JOIN (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_kept
+              FROM snap VERSION AS OF 3 GROUP BY o_orderstatus) b
+        ON a.o_orderstatus = b.o_orderstatus
+        """,
+        tables={"snap": root},
+    )
+
+
+@query(
     "snapshot_incremental_view",
     # Incremental materialized-view maintenance: the per-status SUM/COUNT
     # view is initialized at v1 and then REFRESHED through the CDC feed

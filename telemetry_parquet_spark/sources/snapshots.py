@@ -241,6 +241,34 @@ def append(
     )
 
 
+def overwrite(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    extra: dict | None = None,
+) -> int:
+    """INSERT OVERWRITE as a commit: the new version's file list is ONLY
+    ``df``'s freshly written files — no parent file carries over. The
+    parent version stays fully readable (its files are untouched until
+    vacuum), so an overwrite is as time-travel-safe as an append. This is
+    the full-state-replace primitive materialized views need: the
+    streaming IVM loop (streaming/ivm.py) commits each refreshed view
+    state as one atomic overwrite version. Creates the table if absent."""
+    meta = {}
+    try:
+        parent = latest_version(root)
+        m = read_manifest(root, parent)
+        _validate_constraints(df, m.get("constraints"))
+        meta = _carry_meta(m)
+    except FileNotFoundError:
+        parent = create_table(root, df.schema)
+    new = _write_commit_files(df, root, f"c{parent + 1:06d}")
+    return _commit(
+        root, "overwrite", new, df.schema.json(), parent,
+        {**meta, **(extra or {})},
+    )
+
+
 def delete_where(
     spark: SparkSession,
     root: str,

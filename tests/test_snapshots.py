@@ -585,3 +585,31 @@ def test_empty_create_then_delete_noop(spark, tmp_path):
     v = delete_where(spark, root, "id = 1")
     assert v == 1
     assert read_snapshot(spark, root).count() == 0
+
+
+def test_overwrite_replaces_state_keeps_parent_readable(spark, sf_dir, table):
+    from telemetry_parquet_spark.sources.snapshots import overwrite
+
+    orders = _orders(spark, sf_dir)
+    head_before = latest_version(table)
+    small = orders.where(F.col("o_orderkey") % 100 == 0)
+    v = overwrite(spark, table, small)
+    assert v == head_before + 1
+    assert read_manifest(table, v)["action"] == "overwrite"
+    # new head is ONLY the overwritten rows
+    assert _multiset(read_snapshot(spark, table)) == _multiset(small)
+    # no parent file carried over, and the parent stays fully readable
+    assert not set(read_manifest(table, v)["files"]) & set(
+        read_manifest(table, head_before)["files"]
+    )
+    assert _multiset(read_snapshot(spark, table, head_before)) == _multiset(
+        orders
+    )
+    # CDC across the overwrite cancels the unchanged rows (small ⊂
+    # orders): the NET change is just the rows the overwrite dropped
+    ch = table_changes(spark, table, head_before, v)
+    assert ch.where(F.col("_change") == "insert").count() == 0
+    assert (
+        ch.where(F.col("_change") == "delete").count()
+        == orders.count() - small.count()
+    )
