@@ -215,6 +215,10 @@ HEADLINE = [
     # round 9: SQL front door — cross-version join via VERSION AS OF
     # rewritten onto manifest-pinned temp views, one Catalyst plan
     "snapshot_sql_cross_version",
+    # round 9: merge-on-read deletes — deletion vectors committed
+    # instead of file rewrites (raise-proven), anti-joined at read,
+    # materialized by compaction
+    "snapshot_mor_delete",
 ]
 
 

@@ -285,6 +285,86 @@ def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_mor_delete",
+    # Merge-on-read lifecycle: append 70% → append rest → MOR delete
+    # ('1-URGENT' becomes a deletion vector, no data file rewritten —
+    # ASSERTED with a raise on the manifests) → second stacked MOR
+    # delete ('2-HIGH') → compaction materializes both vectors. One
+    # summary row per version; v3/v4 prove read-time DV application,
+    # v5 must hash-equal v4 (materialization is layout-only).
+    oracle=f"""
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
+         v3 AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'),
+         v4 AS (SELECT * FROM orders
+                WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_SUM} AS sum_price FROM v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), {_SUM} FROM orders
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), {_SUM} FROM v3
+    UNION ALL
+    SELECT 4, CAST(COUNT(*) AS BIGINT), {_SUM} FROM v4
+    UNION ALL
+    SELECT 5, CAST(COUNT(*) AS BIGINT), {_SUM} FROM v4
+    """,
+)
+def snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes (sources/snapshots.py::delete_where_mor):
+    each delete commits a deletion vector instead of rewriting files —
+    the manifests are INSPECTED here and the query RAISES unless both
+    delete commits kept the data-file list byte-identical and stacked
+    DVs (write cost = deleted positions, the Iceberg-v2/Delta-DV trade).
+    Reads anti-join the vectors out; the final compaction materializes
+    them, and its summary row must hash-equal the pre-compaction one."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+        delete_where_mor,
+        read_manifest,
+        read_snapshot,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 < 7))
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 >= 7))
+        delete_where_mor(spark, root, "o_orderpriority = '1-URGENT'")
+        delete_where_mor(spark, root, "o_orderpriority = '2-HIGH'")
+        compact_table(spark, root, target_bytes=64 * 1024 * 1024)
+
+    root = materialize_cached(
+        spark, src, "snapmor_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    m2, m3, m4 = (read_manifest(root, v) for v in (2, 3, 4))
+    if m3["files"] != m2["files"] or m4["files"] != m2["files"]:
+        raise RuntimeError("MOR delete rewrote data files")
+    if len(m3.get("dv", [])) == 0 or len(m4.get("dv", [])) <= len(m3["dv"]):
+        raise RuntimeError("MOR delete did not stack deletion vectors")
+    if read_manifest(root, 5).get("dv"):
+        raise RuntimeError("compaction failed to materialize DVs")
+    parts = []
+    for v in (1, 2, 3, 4, 5):
+        parts.append(
+            read_snapshot(spark, root, v)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+                .cast("decimal(25,2)")
+                .alias("sum_price"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "sum_price")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
     "snapshot_sql_cross_version",
     # The SQL FRONT DOOR (sources/sql_front.py): one statement joins two
     # versions of the same snapshot table via `VERSION AS OF` syntax —

@@ -24,6 +24,11 @@ public table formats (Iceberg's snapshot list, Delta's commit log) do:
 - ``vacuum`` is the ONLY destructive operation: it deletes data files no
   retained manifest references, after which expired versions are
   unreadable by design.
+- Deletes come in BOTH standard strategies: copy-on-write
+  (``delete_where`` — affected files rewritten) and merge-on-read
+  (``delete_where_mor`` — a deletion vector of (file, pos) commits and
+  reads anti-join it out; ``compact_table`` materializes outstanding
+  vectors; COW mutators refuse to run over them).
 
 Scale: a manifest is file-list-sized (the object every table format
 materializes — at 10^6+ files Iceberg splits it into avro manifest
@@ -173,17 +178,75 @@ def _validate_constraints(df: DataFrame, constraints: dict) -> None:
             )
 
 
+def _rel_file_expr(root: str):
+    """Column expr turning ``_metadata.file_path`` (``file:/abs/…`` or
+    plain ``/abs/…``) into a table-relative path, matching the manifest's
+    file list and the deletion-vector ``file`` column."""
+    abs_prefix = os.path.abspath(root) + "/"
+    uri_prefix = "file:" + abs_prefix
+    fp = F.col("_metadata.file_path")
+    big = F.lit(1 << 20)
+    return (
+        F.when(
+            fp.startswith(uri_prefix),
+            fp.substr(F.lit(len(uri_prefix) + 1), big),
+        )
+        .when(
+            fp.startswith(abs_prefix),
+            fp.substr(F.lit(len(abs_prefix) + 1), big),
+        )
+        .otherwise(fp)
+    )
+
+
+def _scan_with_pos(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    schema: StructType,
+    dv: list[str],
+) -> DataFrame:
+    """Read ``files`` with row positions (``__file``, ``__pos`` from the
+    parquet ``_metadata`` pseudo-column) and the deletion vectors in
+    ``dv`` APPLIED (left_anti on (file, pos) — DV side is
+    deleted-row-count-sized, so the join broadcasts under AQE for
+    typical delete volumes). Position columns survive for callers that
+    stack further DVs (``delete_where_mor``)."""
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in files]
+    ).select(
+        "*",
+        _rel_file_expr(root).alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    if dv:
+        dv_df = spark.read.parquet(*[os.path.join(root, d) for d in dv])
+        df = df.join(
+            dv_df,
+            on=(df["__file"] == dv_df["file"])
+            & (df["__pos"] == dv_df["pos"]),
+            how="left_anti",
+        )
+    return df
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """The table AS OF ``version`` (default: head). Reads exactly the
     manifest's file list under the stored schema — concurrent commits
-    cannot change what this returns."""
+    cannot change what this returns. Merge-on-read: if the manifest
+    carries deletion vectors (``delete_where_mor``), the deleted
+    positions are anti-joined out at read time."""
     v = latest_version(root) if version is None else version
     m = read_manifest(root, v)
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not m["files"]:
         return spark.createDataFrame([], schema)
+    if m.get("dv"):
+        return _scan_with_pos(
+            spark, root, m["files"], schema, m["dv"]
+        ).select(*[f.name for f in schema.fields])
     paths = [os.path.join(root, f) for f in m["files"]]
     return spark.read.schema(schema).parquet(*paths)
 
@@ -213,6 +276,8 @@ def append(
         carried, schema_json = m["files"], m["schema"]
         _validate_constraints(df, m.get("constraints"))
         meta = _carry_meta(m)
+        if m.get("dv"):  # outstanding deletion vectors stay in force
+            meta["dv"] = m["dv"]
         table_schema = StructType.fromJson(json.loads(schema_json))
         table_cols = [f.name for f in table_schema.fields]
         if set(df.columns) != set(table_cols):
@@ -238,6 +303,70 @@ def append(
     return _commit(
         root, "append", carried + new, schema_json, parent,
         {**meta, **(extra or {})},
+    )
+
+
+def _require_no_dv(m: dict, op: str) -> None:
+    """The COW mutators rewrite files from their RAW bytes; doing that
+    under outstanding deletion vectors would resurrect deleted rows.
+    Scoping contract (documented, loud): materialize DVs first with
+    ``compact_table`` — which reads through ``read_snapshot`` and so
+    folds them in — then mutate."""
+    if m.get("dv"):
+        raise ValueError(
+            f"{op}: table has outstanding deletion vectors "
+            f"({len(m['dv'])} dv files); run compact_table to "
+            "materialize them first"
+        )
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    root: str,
+    predicate,
+) -> int:
+    """MERGE-ON-READ delete: instead of rewriting affected files (the
+    ``delete_where`` copy-on-write path), commit a DELETION VECTOR — a
+    parquet file of (file, pos) row positions — and leave every data
+    file untouched. ``read_snapshot`` anti-joins the DV out at read
+    time; ``compact_table`` materializes outstanding DVs into a clean
+    rewrite (it reads through ``read_snapshot``). The write cost of a
+    delete drops from rewriting every affected FILE to writing the
+    deleted POSITIONS — the Iceberg v2 position-delete / Delta deletion-
+    vector trade: cheaper writes, a (DV-sized) anti-join at read.
+
+    DVs stack: a second MOR delete appends its own vector (computed on
+    the LOGICAL view, so positions never duplicate across vectors).
+    Appends carry DVs forward (they reference only pre-existing files);
+    COW mutators refuse to run until DVs are materialized
+    (``_require_no_dv``). NULL predicate = no match, SQL semantics."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    meta = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {})}
+    if not m["files"]:
+        return _commit(
+            root, "delete-mor", [], m["schema"], parent, meta
+        )
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    matches = (
+        _scan_with_pos(spark, root, m["files"], schema, m.get("dv", []))
+        .where(hit)
+        .select(
+            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        )
+    )
+    # repartition (not coalesce): the detection scan stays parallel and
+    # only the matched POSITIONS shuffle to one writer. One DV file per
+    # delete commit — a delete big enough for that to matter is better
+    # served by the COW path (the formats make the same size-based call).
+    new_dv = _write_commit_files(
+        matches.repartition(1), root, f"dv{parent + 1:06d}"
+    )
+    return _commit(
+        root, "delete-mor", m["files"], m["schema"], parent,
+        {**meta, "dv": meta.get("dv", []) + new_dv},
     )
 
 
@@ -291,6 +420,7 @@ def delete_where(
     (``scan_candidates``/``scanned``) for audit."""
     parent = latest_version(root)
     m = read_manifest(root, parent)
+    _require_no_dv(m, "delete_where")
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
     if not m["files"]:
@@ -400,6 +530,7 @@ def merge_into(
     error, driver-sized check is a 1-row agg)."""
     parent = latest_version(root)
     m = read_manifest(root, parent)
+    _require_no_dv(m, "merge_into")
     schema = StructType.fromJson(json.loads(m["schema"]))
     if set(source.columns) != {f.name for f in schema.fields}:
         raise ValueError(
@@ -616,7 +747,11 @@ def restore_table(root: str, version: int) -> int:
     parent = latest_version(root)
     return _commit(
         root, "restore", target["files"], target["schema"], parent,
-        {**_carry_meta(target), "restored_from": version},
+        {
+            **_carry_meta(target),
+            **({"dv": target["dv"]} if target.get("dv") else {}),
+            "restored_from": version,
+        },
     )
 
 
@@ -630,21 +765,53 @@ def table_changes(
     so an append diffs only its new files and a pure re-layout
     (compaction, restore) diffs its rewritten region and yields EMPTY.
     An update (COW merge) appears as delete + insert, the standard
-    changes-feed encoding."""
+    changes-feed encoding.
+
+    Merge-on-read deletes widen the affected region: a DV delta (vector
+    files one manifest has and the other hasn't) re-includes exactly the
+    data files those vectors reference — the diff then compares each
+    side's LOGICAL rows (its own DVs applied) over that region, so a MOR
+    delete feeds precisely the newly-deleted rows and a compaction that
+    materializes DVs still cancels to empty. Cost stays file-granular:
+    non-shared files plus DV-referenced files, never the table."""
     mf = read_manifest(root, from_version)
     mt = read_manifest(root, to_version)
     schema = StructType.fromJson(json.loads(mt["schema"]))
     f_only = [f for f in mf["files"] if f not in set(mt["files"])]
     t_only = [f for f in mt["files"] if f not in set(mf["files"])]
 
-    def _read(files: list[str]) -> DataFrame:
+    dv_f, dv_t = mf.get("dv", []), mt.get("dv", [])
+    dv_delta = [d for d in dv_t if d not in set(dv_f)] + [
+        d for d in dv_f if d not in set(dv_t)
+    ]
+    dv_touched: set[str] = set()
+    if dv_delta:
+        dv_touched = {
+            r.file
+            for r in spark.read.parquet(
+                *[os.path.join(root, d) for d in dv_delta]
+            )
+            .select("file")
+            .distinct()
+            .collect()  # driver-sized: one row per DV-affected FILE
+        }
+
+    def _side(all_files: list[str], only: list[str], dv: list[str]):
+        files = sorted(
+            set(only) | (dv_touched & set(all_files))
+        )
         if not files:
             return spark.createDataFrame([], schema)
+        if dv:
+            return _scan_with_pos(spark, root, files, schema, dv).select(
+                *[f.name for f in schema.fields]
+            )
         return spark.read.schema(schema).parquet(
             *[os.path.join(root, f) for f in files]
         )
 
-    old, new = _read(f_only), _read(t_only)
+    old = _side(mf["files"], f_only, dv_f)
+    new = _side(mt["files"], t_only, dv_t)
     inserts = new.exceptAll(old).withColumn("_change", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change", F.lit("delete"))
     return inserts.unionByName(deletes)
@@ -693,11 +860,14 @@ def refresh_view_incremental(
 
 def snapshot_files(root: str, version: int | None = None) -> list[str]:
     """Absolute paths of the data files that ARE the table at
-    ``version`` — the file list the scan planner consumes."""
+    ``version`` — the file list the scan planner consumes. Refuses a
+    version with outstanding deletion vectors: a raw-file read would
+    resurrect MOR-deleted rows (materialize with ``compact_table``, or
+    read logically via ``read_snapshot``)."""
     v = latest_version(root) if version is None else version
-    return [
-        os.path.join(root, f) for f in read_manifest(root, v)["files"]
-    ]
+    m = read_manifest(root, v)
+    _require_no_dv(m, "snapshot_files")
+    return [os.path.join(root, f) for f in m["files"]]
 
 
 def vacuum(root: str, keep_last: int = 1) -> list[str]:
@@ -710,7 +880,9 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
     keep = set(versions[-keep_last:])
     live: set[str] = set()
     for v in keep:
-        live.update(read_manifest(root, v)["files"])
+        m = read_manifest(root, v)
+        live.update(m["files"])
+        live.update(m.get("dv", []))  # deletion vectors are data too
     removed = []
     data_root = os.path.join(root, _DATA_DIR)
     for dirpath, _, names in os.walk(data_root):

@@ -89,16 +89,43 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         f_only = [f for f in mf["files"] if f not in set(mt["files"])]
         t_only = [f for f in mt["files"] if f not in set(mf["files"])]
 
-        def rows(files):
+        # merge-on-read deletes: a DV delta re-includes the data files
+        # its vectors reference; each side then diffs its LOGICAL rows
+        # (own DVs masked out) — mirrors snapshots.py::table_changes.
+        dv_f, dv_t = mf.get("dv", []), mt.get("dv", [])
+        dv_delta = [d for d in dv_t if d not in set(dv_f)] + [
+            d for d in dv_f if d not in set(dv_t)
+        ]
+
+        def dv_positions(dv_files):
+            pos: dict[str, set[int]] = {}
+            for d in dv_files:
+                t = pq.read_table(os.path.join(partition.root, d))
+                for f_, p_ in zip(
+                    t.column("file").to_pylist(), t.column("pos").to_pylist()
+                ):
+                    pos.setdefault(f_, set()).add(p_)
+            return pos
+
+        touched = set(dv_positions(dv_delta)) if dv_delta else set()
+        files_old = sorted(set(f_only) | (touched & set(mf["files"])))
+        files_new = sorted(set(t_only) | (touched & set(mt["files"])))
+        mask_old = dv_positions(dv_f) if dv_f else {}
+        mask_new = dv_positions(dv_t) if dv_t else {}
+
+        def rows(files, mask):
             for f in files:
                 table = pq.read_table(
                     os.path.join(partition.root, f), columns=self.fields
                 )
-                for rec in table.to_pylist():
+                dead = mask.get(f, ())
+                for i, rec in enumerate(table.to_pylist()):
+                    if i in dead:
+                        continue
                     yield tuple(rec[c] for c in self.fields)
 
-        diff = Counter(rows(t_only))
-        diff.subtract(Counter(rows(f_only)))
+        diff = Counter(rows(files_new, mask_new))
+        diff.subtract(Counter(rows(files_old, mask_old)))
         for row, n in diff.items():
             tag = "insert" if n > 0 else "delete"
             for _ in range(abs(n)):

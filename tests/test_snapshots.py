@@ -613,3 +613,93 @@ def test_overwrite_replaces_state_keeps_parent_readable(spark, sf_dir, table):
         ch.where(F.col("_change") == "delete").count()
         == orders.count() - small.count()
     )
+
+
+def test_mor_delete_lifecycle(spark, sf_dir, table):
+    """delete_where_mor: no file rewrite, read-time DV application,
+    stacking, append carry, COW guards, CDC, compaction materializes."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        delete_where_mor,
+        merge_into,
+        snapshot_files,
+    )
+
+    orders = _orders(spark, sf_dir)
+    m2 = read_manifest(table, 2)
+    v3 = delete_where_mor(spark, table, "o_orderpriority = '1-URGENT'")
+    m3 = read_manifest(table, v3)
+    # no data file rewritten; one stacked vector; old version undisturbed
+    assert m3["files"] == m2["files"] and len(m3["dv"]) == 1
+    assert _multiset(read_snapshot(spark, table, 2)) == _multiset(orders)
+    kept = orders.where(F.col("o_orderpriority") != "1-URGENT")
+    assert _multiset(read_snapshot(spark, table)) == _multiset(kept)
+    # CDC of the MOR delete is exactly the removed rows
+    ch = table_changes(spark, table, 2, v3)
+    assert ch.where(F.col("_change") == "insert").count() == 0
+    assert (
+        _multiset(ch.drop("_change"))
+        == _multiset(orders.where(F.col("o_orderpriority") == "1-URGENT"))
+    )
+    # second MOR delete stacks; positions never overlap across vectors
+    v4 = delete_where_mor(spark, table, "o_orderpriority = '2-HIGH'")
+    m4 = read_manifest(table, v4)
+    assert m4["files"] == m2["files"] and len(m4["dv"]) == 2
+    kept2 = kept.where(F.col("o_orderpriority") != "2-HIGH")
+    assert _multiset(read_snapshot(spark, table)) == _multiset(kept2)
+    # append carries the vectors forward
+    extra = orders.limit(0)
+    v5 = append(spark, table, extra)
+    assert read_manifest(table, v5)["dv"] == m4["dv"]
+    # COW mutators and raw-file planner access refuse outstanding DVs
+    with pytest.raises(ValueError, match="deletion vectors"):
+        delete_where(spark, table, "o_orderkey = 1")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        merge_into(spark, table, orders.limit(1), keys=["o_orderkey"])
+    with pytest.raises(ValueError, match="deletion vectors"):
+        snapshot_files(table)
+    # compaction materializes: vectors gone, content identical, and the
+    # CDC across it cancels to empty
+    v6 = compact_table(spark, table, target_bytes=1 << 30)
+    assert not read_manifest(table, v6).get("dv")
+    assert _multiset(read_snapshot(spark, table, v6)) == _multiset(kept2)
+    assert table_changes(spark, table, v5, v6).count() == 0
+    # vacuum keeps the DV files of retained MOR versions readable
+    vacuum(table, keep_last=3)  # retains v4(mor), v5(append), v6(compact)
+    assert _multiset(read_snapshot(spark, table, 4)) == _multiset(kept2)
+
+
+def test_mor_delete_streams_through_cdc_source(spark, sf_dir, tmp_path):
+    """The streaming CDC source masks DVs executor-side: a MOR delete
+    streams exactly the deleted rows, and the materializing compaction
+    streams nothing."""
+    from telemetry_parquet_spark.sources.snapshots import delete_where_mor
+    from telemetry_parquet_spark.streaming import cdc_source
+
+    orders = _orders(spark, sf_dir)
+    root = str(tmp_path / "mor_stream")
+    append(spark, root, orders)
+    delete_where_mor(spark, root, "o_orderpriority = '1-URGENT'")
+    compact_table(spark, root, target_bytes=1 << 30)
+
+    cdc_source.register(spark)
+    batch = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("startingVersion", 1)  # skip the initial append
+        .load()
+    )
+    q = (
+        batch.writeStream.format("memory")
+        .queryName("mor_cdc")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("mor_cdc")
+    assert got.where(F.col("_change") == "insert").count() == 0
+    assert _multiset(got.drop("_change")) == _multiset(
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+    )
