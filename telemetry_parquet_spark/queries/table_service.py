@@ -365,6 +365,94 @@ def snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_mor_update",
+    # MOR UPDATE: one commit = deletion vector over matched rows + new
+    # files holding their updated copies ('1-URGENT' → 'UPDATED'), no
+    # existing file rewritten (raise-proven: v2's file list must be a
+    # strict superset of v1's). v3 compaction materializes; must
+    # hash-equal v2. All-string update — no float math introduced.
+    oracle=f"""
+    WITH v2 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'UPDATED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+    )
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_updated, {_SUM} AS sum_price FROM orders
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority = 'UPDATED' THEN 1 ELSE 0
+                    END) AS BIGINT), {_SUM} FROM v2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority = 'UPDATED' THEN 1 ELSE 0
+                    END) AS BIGINT), {_SUM} FROM v2
+    """,
+)
+def snapshot_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (sources/snapshots.py::update_where_mor):
+    matched rows are masked by a deletion vector and their updated
+    copies appended — write cost ∝ matched rows, zero file rewrites
+    (asserted with a raise on the manifests). The row count must be
+    conserved (mask and copies balance exactly), the updated tag count
+    equals the matched predicate count, and the total price is untouched
+    by the string update. Compaction folds the vector away; its summary
+    row must hash-equal the MOR version's."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+        read_manifest,
+        read_snapshot,
+        update_where_mor,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        append(spark, root, orders)
+        update_where_mor(
+            spark, root, "o_orderpriority = '1-URGENT'",
+            {"o_orderpriority": "'UPDATED'"},
+        )
+        compact_table(spark, root, target_bytes=64 * 1024 * 1024)
+
+    root = materialize_cached(
+        spark, src, "snapmu_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    m1, m2, m3 = (read_manifest(root, v) for v in (1, 2, 3))
+    if not set(m2["files"]) > set(m1["files"]):
+        raise RuntimeError("MOR update did not append-only its copies")
+    if not m2.get("dv") or m3.get("dv"):
+        raise RuntimeError("MOR update DV missing or not materialized")
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            read_snapshot(spark, root, v)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority") == "UPDATED", 1
+                    ).otherwise(0)
+                ).alias("n_updated"),
+                F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+                .cast("decimal(25,2)")
+                .alias("sum_price"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "n_updated",
+                    "sum_price")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
     "snapshot_sql_cross_version",
     # The SQL FRONT DOOR (sources/sql_front.py): one statement joins two
     # versions of the same snapshot table via `VERSION AS OF` syntax —

@@ -370,6 +370,63 @@ def delete_where_mor(
     )
 
 
+def update_where_mor(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    assignments: dict[str, object],
+) -> int:
+    """MERGE-ON-READ update: one commit that (a) masks the matched rows
+    with a deletion vector and (b) appends their updated copies as new
+    files — ``UPDATE t SET col = expr WHERE pred`` without rewriting any
+    existing file. ``assignments`` maps column name -> Column or SQL
+    expression string (evaluated per matched row). Write cost = matched
+    positions + matched-row copies; the standard MOR-update encoding
+    (delete vector + data file), materialized away by ``compact_table``.
+    CDC sees it through the generic DV-delta machinery as delete+insert
+    per updated row. NULL predicate = no match, SQL semantics."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    if not m["files"]:
+        return _commit(
+            root, "update-mor", [], m["schema"], parent, _carry_meta(m)
+        )
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    cols = [f.name for f in schema.fields]
+    bad = set(assignments) - set(cols)
+    if bad:
+        raise ValueError(f"update_where_mor: unknown columns {sorted(bad)}")
+    matched = _scan_with_pos(
+        spark, root, m["files"], schema, m.get("dv", [])
+    ).where(hit)
+    dv_rows = matched.select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+    )
+    updated = matched.select(
+        *[
+            (
+                F.expr(assignments[c]).cast(schema[c].dataType).alias(c)
+                if isinstance(assignments.get(c), str)
+                else assignments[c].cast(schema[c].dataType).alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in cols
+        ]
+    )
+    _validate_constraints(updated, m.get("constraints"))
+    tag = f"u{parent + 1:06d}"
+    new_dv = _write_commit_files(dv_rows.repartition(1), root, tag + "dv")
+    new_files = _write_commit_files(updated, root, tag)
+    meta = {**_carry_meta(m), "dv": m.get("dv", []) + new_dv}
+    return _commit(
+        root, "update-mor", m["files"] + new_files, m["schema"], parent,
+        meta,
+    )
+
+
 def overwrite(
     spark: SparkSession,
     root: str,

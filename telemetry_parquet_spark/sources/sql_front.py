@@ -9,6 +9,15 @@ with the time-travel syntax the public table formats expose:
 - ``<name> TIMESTAMP AS OF <epoch>``  — resolved via ``version_as_of``
 - ``DESCRIBE HISTORY <name>``         — the commit log as a DataFrame
 - bare ``<name>``                     — the table HEAD at call time
+- ``DELETE FROM <name> [WHERE …]``    — copy-on-write ``delete_where``
+- ``UPDATE <name> SET … [WHERE …]``   — merge-on-read ``update_where_mor``
+- ``INSERT INTO|OVERWRITE <name> SELECT …`` — ``append`` / ``overwrite``
+  (the SELECT goes through the same rewriter: INSERT … SELECT from a
+  time-traveled version works)
+- ``OPTIMIZE <name> [ZORDER BY (…)]`` — ``compact_table``
+- ``VACUUM <name> [RETAIN n VERSIONS]`` / ``RESTORE <name> TO VERSION
+  AS OF n`` — lifecycle maintenance
+DML returns a one-row (action, version) DataFrame.
 
 Spark-first design: this is a *rewriter*, not an interpreter. Each
 referenced ``(table, version)`` pair is registered once as a temp view
@@ -88,20 +97,145 @@ def _register(
     return view
 
 
+def _split_assignments(s: str) -> list[str]:
+    """Split a SET clause on top-level commas (paren/quote-aware)."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _resolve(tables: dict[str, str], name: str) -> str:
+    if name not in tables:
+        raise KeyError(f"unknown snapshot table {name!r}")
+    return tables[name]
+
+
+def _version_df(spark: SparkSession, action: str, version: int) -> DataFrame:
+    return spark.createDataFrame(
+        [(action, version)],
+        StructType(
+            [
+                StructField("action", StringType(), False),
+                StructField("version", IntegerType(), False),
+            ]
+        ),
+    )
+
+
+def _dml(
+    spark: SparkSession, sql: str, tables: dict[str, str]
+) -> DataFrame | None:
+    """Dispatch the DML/maintenance statements; None -> not DML."""
+    from telemetry_parquet_spark.sources import snapshots as S
+
+    m = re.fullmatch(
+        r"\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        v = S.delete_where(spark, root, m.group(2) or "1=1")
+        return _version_df(spark, "delete", v)
+
+    m = re.fullmatch(
+        r"\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        assignments = {}
+        for part in _split_assignments(m.group(2)):
+            col, expr = part.split("=", 1)
+            assignments[col.strip()] = expr.strip()
+        v = S.update_where_mor(
+            spark, root, m.group(3) or "1=1", assignments
+        )
+        return _version_df(spark, "update-mor", v)
+
+    m = re.fullmatch(
+        r"\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\s+.+?|TABLE\s+\w+"
+        r".*?|VALUES\s+.+?)\s*;?\s*",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        root = _resolve(tables, m.group(2))
+        rows = engine_sql(spark, m.group(3), tables)
+        if m.group(1).upper() == "OVERWRITE":
+            return _version_df(
+                spark, "overwrite", S.overwrite(spark, root, rows)
+            )
+        return _version_df(spark, "append", S.append(spark, root, rows))
+
+    m = re.fullmatch(
+        r"\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        zcols = (
+            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        )
+        v = S.compact_table(
+            spark, root, target_bytes=128 * 1024 * 1024, zorder_cols=zcols
+        )
+        return _version_df(spark, "optimize", v)
+
+    m = re.fullmatch(
+        r"\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        removed = S.vacuum(root, keep_last=int(m.group(2) or 1))
+        return _version_df(spark, f"vacuum:{len(removed)}_files",
+                           S.latest_version(root))
+
+    m = re.fullmatch(
+        r"\s*RESTORE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        v = S.restore_table(root, int(m.group(2)))
+        return _version_df(spark, "restore", v)
+    return None
+
+
 def engine_sql(
     spark: SparkSession, sql: str, tables: dict[str, str]
 ) -> DataFrame:
     """Run ``sql`` with time-travel syntax resolved against ``tables``
-    (logical name -> snapshot root). See module docstring for the
-    supported clauses and the rewrite contract."""
+    (logical name -> snapshot root). Queries rewrite onto manifest-pinned
+    temp views; DML and maintenance statements (``DELETE FROM`` —
+    copy-on-write, ``UPDATE … SET`` — merge-on-read, ``INSERT
+    INTO/OVERWRITE … SELECT``, ``OPTIMIZE [ZORDER BY (…)]``, ``VACUUM
+    [RETAIN n VERSIONS]``, ``RESTORE … TO VERSION AS OF n``) dispatch to
+    the commit-log mutators and return a one-row (action, version)
+    DataFrame. See module docstring for the rewrite contract."""
     m = re.fullmatch(
         r"\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
     )
     if m:
-        name = m.group(1)
-        if name not in tables:
-            raise KeyError(f"unknown snapshot table {name!r}")
-        return describe_history(spark, tables[name])
+        return describe_history(spark, _resolve(tables, m.group(1)))
+    dml = _dml(spark, sql, tables)
+    if dml is not None:
+        return dml
 
     for name, root in tables.items():
         def _sub_version(mo: re.Match) -> str:

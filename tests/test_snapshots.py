@@ -703,3 +703,35 @@ def test_mor_delete_streams_through_cdc_source(spark, sf_dir, tmp_path):
     assert _multiset(got.drop("_change")) == _multiset(
         orders.where(F.col("o_orderpriority") == "1-URGENT")
     )
+
+
+def test_mor_update_masks_and_copies(spark, sf_dir, table):
+    """update_where_mor: DV + updated copies in ONE commit, no rewrite,
+    old version intact, CDC = delete(old)+insert(new), compaction folds."""
+    from telemetry_parquet_spark.sources.snapshots import update_where_mor
+
+    orders = _orders(spark, sf_dir)
+    m2 = read_manifest(table, 2)
+    v3 = update_where_mor(
+        spark, table, "o_orderstatus = 'F'",
+        {"o_orderpriority": "'BULK'"},
+    )
+    m3 = read_manifest(table, v3)
+    assert set(m3["files"]) > set(m2["files"]) and len(m3["dv"]) == 1
+    n_f = orders.where(F.col("o_orderstatus") == "F").count()
+    head = read_snapshot(spark, table)
+    assert head.count() == orders.count()  # mask and copies balance
+    assert head.where(F.col("o_orderpriority") == "BULK").count() == n_f
+    assert _multiset(read_snapshot(spark, table, 2)) == _multiset(orders)
+    # CDC: one delete + one insert per updated row
+    ch = table_changes(spark, table, 2, v3)
+    assert ch.where(F.col("_change") == "delete").count() == n_f
+    ins = ch.where(F.col("_change") == "insert")
+    assert ins.count() == n_f
+    assert ins.where(F.col("o_orderpriority") != "BULK").count() == 0
+    # unknown column is loud; compaction materializes
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where_mor(spark, table, "1=1", {"nope": "'x'"})
+    v4 = compact_table(spark, table, target_bytes=1 << 30)
+    assert not read_manifest(table, v4).get("dv")
+    assert _multiset(read_snapshot(spark, table, v4)) == _multiset(head)

@@ -114,3 +114,96 @@ def test_describe_history(spark, table):
 def test_unknown_history_table_raises(spark, table):
     with pytest.raises(KeyError):
         engine_sql(spark, "DESCRIBE HISTORY nope", tables={"t": table})
+
+
+def test_dml_round_trip(spark, sf_dir, tmp_path):
+    """The DML surface: INSERT INTO/OVERWRITE, UPDATE (MOR), DELETE
+    (COW), OPTIMIZE, RESTORE, VACUUM — all through one front door."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        history as snap_history,
+    )
+
+    orders = _orders(spark, sf_dir)
+    root = str(tmp_path / "dml")
+    t = {"t": root}
+    orders.where(F.col("o_orderkey") % 10 < 7).createOrReplaceTempView(
+        "dml_src_a"
+    )
+    orders.where(F.col("o_orderkey") % 10 >= 7).createOrReplaceTempView(
+        "dml_src_b"
+    )
+
+    r = engine_sql(spark, "INSERT INTO t SELECT * FROM dml_src_a", t)
+    assert (r.first().action, r.first().version) == ("append", 1)
+    engine_sql(spark, "INSERT INTO t SELECT * FROM dml_src_b", t)
+    assert engine_sql(spark, "SELECT COUNT(*) AS n FROM t", t).first().n \
+        == orders.count()
+
+    # UPDATE is merge-on-read: masked + copied, count conserved
+    r = engine_sql(
+        spark,
+        "UPDATE t SET o_orderpriority = 'X' "
+        "WHERE o_orderpriority = '1-URGENT'",
+        t,
+    ).first()
+    assert r.action == "update-mor"
+    n_urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
+    got = engine_sql(
+        spark,
+        "SELECT COUNT(*) AS total, "
+        "SUM(CASE WHEN o_orderpriority = 'X' THEN 1 ELSE 0 END) AS nx "
+        "FROM t",
+        t,
+    ).first()
+    assert (got.total, got.nx) == (orders.count(), n_urgent)
+
+    # OPTIMIZE materializes the DV; DELETE (COW) then works
+    engine_sql(spark, "OPTIMIZE t", t)
+    engine_sql(spark, "DELETE FROM t WHERE o_orderpriority = 'X'", t)
+    assert engine_sql(spark, "SELECT COUNT(*) AS n FROM t", t).first().n \
+        == orders.count() - n_urgent
+
+    # INSERT OVERWRITE replaces; RESTORE rolls back as a commit
+    pre_overwrite = engine_sql(
+        spark, "SELECT COUNT(*) AS n FROM t", t
+    ).first().n
+    r = engine_sql(
+        spark, "INSERT OVERWRITE t SELECT * FROM dml_src_a LIMIT 5", t
+    ).first()
+    assert r.action == "overwrite"
+    assert engine_sql(spark, "SELECT COUNT(*) AS n FROM t", t).first().n == 5
+    engine_sql(
+        spark, f"RESTORE t TO VERSION AS OF {r.version - 1}", t
+    )
+    assert engine_sql(spark, "SELECT COUNT(*) AS n FROM t", t).first().n \
+        == pre_overwrite
+
+    # VACUUM retains the head chain; files for dropped versions reclaimed
+    r = engine_sql(spark, "VACUUM t RETAIN 2 VERSIONS", t).first()
+    assert r.action.startswith("vacuum:")
+    assert engine_sql(spark, "SELECT COUNT(*) AS n FROM t", t).first().n \
+        == pre_overwrite
+    assert len(snap_history(root)) == 2
+
+
+def test_insert_select_from_time_travel(spark, sf_dir, tmp_path):
+    """INSERT … SELECT FROM <t> VERSION AS OF n goes through the same
+    rewriter — derived tables can be built from historical versions."""
+    orders = _orders(spark, sf_dir)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    t = {"src": a, "dst": b}
+    orders.limit(100).createOrReplaceTempView("tt_seed")
+    engine_sql(spark, "INSERT INTO src SELECT * FROM tt_seed", t)
+    engine_sql(spark, "DELETE FROM src WHERE o_orderkey % 2 = 0", t)
+    engine_sql(
+        spark,
+        "INSERT INTO dst SELECT * FROM src VERSION AS OF 1 "
+        "WHERE o_orderkey % 2 = 0",
+        t,
+    )
+    n_even = (
+        orders.limit(100).where(F.col("o_orderkey") % 2 == 0).count()
+    )
+    assert engine_sql(
+        spark, "SELECT COUNT(*) AS n FROM dst", t
+    ).first().n == n_even
