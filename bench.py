@@ -219,6 +219,12 @@ HEADLINE = [
     # instead of file rewrites (raise-proven), anti-joined at read,
     # materialized by compaction
     "snapshot_mor_delete",
+    # round 9: merge-on-read UPDATE — DV mask + appended copies in one
+    # commit, row count conserved, compaction folds
+    "snapshot_mor_update",
+    # round 9: commit-time manifest column stats — range scan pruned
+    # from the manifest alone, zero plan-time data I/O (raise-proven)
+    "snapshot_stats_pruned_scan",
 ]
 
 

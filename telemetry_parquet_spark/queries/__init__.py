@@ -50,6 +50,10 @@ from telemetry_parquet_spark.queries import table_service  # noqa: F401, E402
 #    rotates to round 10.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-checked (new in round 9)
+    "snapshot_mor_delete",
+    "snapshot_mor_update",
+    "snapshot_sql_cross_version",
+    "snapshot_stats_pruned_scan",
     "ml_kmeans_k256_assignments",
     "scan_planned_mixed_predicates",
     "scan_planned_zorder_ranges",
@@ -99,12 +103,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "u3_intersect",
     "vocab_table",
     "w3_event_gaps",
-    "zorder_codes",
-    # latest driver row r06 (alphabetical; the rest — from encode_bpe_ids
-    # on — rotates to round 10's window)
-    "asof_last_purchase_before_view",
-    "basket_part_pairs",
-    "blocklist_filter",
+    # zorder_codes (r05-stale) rotated to round 10 — its slot went to
+    # snapshot_stats_pruned_scan (never driver-checked)
+    # (the r06 cohort — asof_last_purchase_before_view on, alphabetical —
+    # rotates to round 10's window; its three slots went to the new
+    # MOR/SQL-front-door queries above)
 )
 
 

@@ -497,6 +497,65 @@ def snapshot_sql_cross_version(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_stats_pruned_scan",
+    # Commit-time manifest column stats: lineitem lands range-clustered
+    # on l_orderkey, every commit records per-file min/max footers in
+    # the MANIFEST, and the planner prunes a 20%-band range predicate
+    # from the manifest ALONE — zero data/footer I/O at plan time,
+    # RAISES unless files were actually skipped. Oracle = the plain
+    # full-scan filter.
+    oracle="""
+    WITH b AS (
+      SELECT MIN(l_orderkey) AS kmin, MAX(l_orderkey) AS kmax FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+    FROM lineitem, b
+    WHERE l_orderkey BETWEEN
+        kmin + CAST(floor((kmax - kmin) * 0.40) AS BIGINT)
+        AND kmin + CAST(floor((kmax - kmin) * 0.60) AS BIGINT)
+    """,
+)
+def snapshot_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style manifest statistics
+    (sources/snapshots.py::_stats_for_commit / plan_snapshot_scan):
+    commits record per-file column min/max from the parquet footers;
+    a later range scan prunes files by manifest inspection only — the
+    first data byte read is already post-prune (raise-proven)."""
+    import math as _math
+
+    from telemetry_parquet_spark.sources.scan_planner import Range
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        plan_snapshot_scan,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+
+    def build(root: str) -> None:
+        li = spark.read.parquet(src)
+        append(
+            spark, root,
+            li.repartitionByRange(16, F.col("l_orderkey")),
+        )
+
+    root = materialize_cached(
+        spark, src, "snapst_lineitem_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    b = spark.read.parquet(src).agg(
+        F.min("l_orderkey").alias("kmin"), F.max("l_orderkey").alias("kmax")
+    ).first()
+    lo = b.kmin + _math.floor((b.kmax - b.kmin) * 0.40)
+    hi = b.kmin + _math.floor((b.kmax - b.kmin) * 0.60)
+    pruned, _plan = plan_snapshot_scan(
+        spark, root, [Range("l_orderkey", lo, hi)], require_pruning=True
+    )
+    return pruned.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+
+
+@query(
     "snapshot_incremental_view",
     # Incremental materialized-view maintenance: the per-status SUM/COUNT
     # view is initialized at v1 and then REFRESHED through the CDC feed

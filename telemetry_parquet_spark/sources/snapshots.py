@@ -105,13 +105,71 @@ def history(root: str) -> list[dict]:
     return out
 
 
+def _file_footer_stats(path: str) -> dict:
+    """Per-column [min, max] from the parquet footer of ONE file —
+    row-group stats folded, JSON-representable types only (int / float /
+    str / bool; temporal and binary columns are skipped — the planner
+    treats a missing stat as 'unknown: keep'). Strings are NOT truncated
+    (truncating a max downward would prune incorrectly); the Iceberg
+    round-up-truncation refinement is left undone and documented."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list] = {}
+    md = pq.ParquetFile(path).metadata
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if not all(
+                isinstance(v, (int, float, str, bool)) for v in (mn, mx)
+            ):
+                continue
+            name = col.path_in_schema
+            if name in out:
+                out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+            else:
+                out[name] = [mn, mx]
+    return out
+
+
+def _stats_for_commit(
+    root: str, files: list[str], parent: int | None
+) -> dict:
+    """Per-file column stats for the manifest: carried files reuse the
+    parent's entries, fresh files get ONE footer read each (driver-side,
+    file-count-sized — the same metadata pass every table format performs
+    at commit time so that later planning needs zero data I/O)."""
+    parent_stats = {}
+    if parent is not None:
+        try:
+            parent_stats = read_manifest(root, parent).get("stats", {})
+        except FileNotFoundError:
+            pass
+    stats = {}
+    for f in files:
+        if f in parent_stats:
+            stats[f] = parent_stats[f]
+        else:
+            try:
+                stats[f] = _file_footer_stats(os.path.join(root, f))
+            except Exception:
+                stats[f] = {}  # unreadable footer -> no stats -> keep
+    return stats
+
+
 def _commit(root: str, action: str, files: list[str], schema_json: str,
             parent: int | None, extra: dict | None = None) -> int:
     """Atomically write the next manifest. ``O_EXCL`` makes the commit
     the linearization point: if another writer took this version number
     first, the open fails and the caller retries against the new head.
     ``extra`` rides application metadata into the manifest atomically —
-    e.g. the streaming sink's (stream, batch_id) idempotence stamp."""
+    e.g. the streaming sink's (stream, batch_id) idempotence stamp.
+    Every commit also records per-file column min/max (``stats``) so the
+    planner can prune from the manifest alone."""
     import time as _time
 
     version = 0 if parent is None else parent + 1
@@ -122,6 +180,7 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
         "files": sorted(files),
         "schema": schema_json,
         "committed_at": _time.time(),
+        "stats": _stats_for_commit(root, files, parent),
         **(extra or {}),
     }
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
@@ -925,6 +984,72 @@ def snapshot_files(root: str, version: int | None = None) -> list[str]:
     m = read_manifest(root, v)
     _require_no_dv(m, "snapshot_files")
     return [os.path.join(root, f) for f in m["files"]]
+
+
+def plan_snapshot_scan(
+    spark: SparkSession,
+    root: str,
+    predicates: list,
+    version: int | None = None,
+    require_pruning: bool = False,
+):
+    """Predicate-driven pruned read of a snapshot version using ONLY the
+    manifest's commit-time column stats — zero data or footer I/O at
+    planning time (the table-format promise: planning cost ∝ the file
+    LIST, the first data byte read is already post-prune). Returns
+    (DataFrame, ScanPlan). Per-predicate pruning accounting as in
+    ``scan_planner.plan_scan``; with ``require_pruning`` every predicate
+    must skip at least one file or this RAISES. The residual filter is
+    re-applied (and pushed into the parquet scan), so the result is
+    EXACTLY the full-scan answer regardless of stats coverage. Refuses
+    outstanding deletion vectors (raw-file scan)."""
+    from telemetry_parquet_spark.sources.scan_planner import (
+        ScanPlan,
+        _minmax_keep,
+        _predicate_expr,
+    )
+
+    v = latest_version(root) if version is None else version
+    m = read_manifest(root, v)
+    _require_no_dv(m, "plan_snapshot_scan")
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    stats = m.get("stats", {})
+    kept = sorted(m["files"])
+    plan = ScanPlan(total_files=len(kept))
+    for p in predicates:
+        def _keep(f: str) -> bool:
+            st = stats.get(f, {})
+            if p.col not in st:
+                return True  # no stats -> unknown -> keep
+            row = {
+                f"min_{p.col}": st[p.col][0],
+                f"max_{p.col}": st[p.col][1],
+            }
+            return _minmax_keep(row, p)
+
+        kept = [f for f in kept if _keep(f)]
+        plan.steps.append((f"manifest:{p.col}", len(kept)))
+    plan.files = [os.path.join(root, f) for f in kept]
+    if require_pruning:
+        prev = plan.total_files
+        for name, n in plan.steps:
+            if n >= prev:
+                raise RuntimeError(
+                    f"plan_snapshot_scan: {name} pruned nothing "
+                    f"({n}/{prev} files)"
+                )
+            prev = n
+    residual = None
+    for p in predicates:
+        e = _predicate_expr(p)
+        residual = e if residual is None else residual & e
+    if not kept:
+        empty = spark.createDataFrame([], schema)
+        return (
+            empty if residual is None else empty.where(residual)
+        ), plan
+    df = spark.read.schema(schema).parquet(*plan.files)
+    return (df if residual is None else df.where(residual)), plan
 
 
 def vacuum(root: str, keep_last: int = 1) -> list[str]:

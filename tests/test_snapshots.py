@@ -735,3 +735,51 @@ def test_mor_update_masks_and_copies(spark, sf_dir, table):
     v4 = compact_table(spark, table, target_bytes=1 << 30)
     assert not read_manifest(table, v4).get("dv")
     assert _multiset(read_snapshot(spark, table, v4)) == _multiset(head)
+
+
+def test_manifest_stats_and_planned_scan(spark, sf_dir, tmp_path):
+    """Commit-time column stats: recorded per file, carried by reference
+    on append, used by plan_snapshot_scan with zero data I/O, exact."""
+    from telemetry_parquet_spark.sources.scan_planner import Range
+    from telemetry_parquet_spark.sources.snapshots import (
+        plan_snapshot_scan,
+    )
+
+    orders = _orders(spark, sf_dir)
+    root = str(tmp_path / "stats")
+    append(
+        spark, root,
+        orders.where(F.col("o_orderkey") % 2 == 0)
+        .repartitionByRange(4, F.col("o_orderkey")),
+    )
+    m1 = read_manifest(root, 1)
+    assert m1["stats"] and all(
+        "o_orderkey" in st for st in m1["stats"].values()
+    )
+    # append carries parent stats by reference (same dict content)
+    append(
+        spark, root,
+        orders.where(F.col("o_orderkey") % 2 == 1)
+        .repartitionByRange(4, F.col("o_orderkey")),
+    )
+    m2 = read_manifest(root, 2)
+    for f in m1["files"]:
+        assert m2["stats"][f] == m1["stats"][f]
+    # planned range scan: prunes files, exact vs direct filter
+    keys = sorted(r.o_orderkey for r in orders.select("o_orderkey").collect())
+    lo, hi = keys[len(keys) // 3], keys[len(keys) // 2]
+    got, plan = plan_snapshot_scan(
+        spark, root, [Range("o_orderkey", lo, hi)], require_pruning=True
+    )
+    assert len(plan.files) < plan.total_files
+    expected = orders.where(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+    )
+    assert _multiset(got) == _multiset(expected)
+    # a predicate that prunes nothing raises under require_pruning
+    with pytest.raises(RuntimeError, match="pruned nothing"):
+        plan_snapshot_scan(
+            spark, root,
+            [Range("o_orderkey", keys[0], keys[-1])],
+            require_pruning=True,
+        )
