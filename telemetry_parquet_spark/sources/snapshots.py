@@ -296,7 +296,10 @@ def read_snapshot(
     manifest's file list under the stored schema — concurrent commits
     cannot change what this returns. Merge-on-read: if the manifest
     carries deletion vectors (``delete_where_mor``), the deleted
-    positions are anti-joined out at read time."""
+    positions are anti-joined out at read time. ``version`` may be a
+    tag name (``create_tag``)."""
+    if isinstance(version, str):
+        version = resolve_ref(root, version)
     v = latest_version(root) if version is None else version
     m = read_manifest(root, v)
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -986,6 +989,60 @@ def snapshot_files(root: str, version: int | None = None) -> list[str]:
     return [os.path.join(root, f) for f in m["files"]]
 
 
+_TAG_DIR = "_tags"
+
+
+def create_tag(root: str, name: str, version: int | None = None) -> int:
+    """Named immutable ref: pin ``version`` (default head) under
+    ``name``. Atomic via ``O_EXCL`` — a tag can never be silently
+    retargeted (delete + recreate is the explicit path). Tagged versions
+    are PINNED against ``vacuum``: their manifests and files stay live
+    regardless of the retention window — the audit/reproducibility use
+    tags exist for (training-data snapshots, release pins)."""
+    v = latest_version(root) if version is None else version
+    read_manifest(root, v)  # must exist
+    os.makedirs(os.path.join(root, _TAG_DIR), exist_ok=True)
+    fd = os.open(
+        os.path.join(root, _TAG_DIR, f"{name}.json"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    import time as _time
+
+    with os.fdopen(fd, "w") as f:
+        json.dump({"name": name, "version": v,
+                   "created_at": _time.time()}, f)
+    return v
+
+
+def list_tags(root: str) -> dict[str, int]:
+    """name -> pinned version, every tag on the table."""
+    tdir = os.path.join(root, _TAG_DIR)
+    if not os.path.isdir(tdir):
+        return {}
+    out = {}
+    for n in sorted(os.listdir(tdir)):
+        if n.endswith(".json"):
+            with open(os.path.join(tdir, n)) as f:
+                t = json.load(f)
+            out[t["name"]] = t["version"]
+    return out
+
+
+def delete_tag(root: str, name: str) -> None:
+    """Drop the pin; the version becomes vacuumable again."""
+    os.remove(os.path.join(root, _TAG_DIR, f"{name}.json"))
+
+
+def resolve_ref(root: str, ref: int | str) -> int:
+    """A version number, or a tag name -> its pinned version."""
+    if isinstance(ref, int):
+        return ref
+    tags = list_tags(root)
+    if ref not in tags:
+        raise KeyError(f"unknown tag {ref!r} on {root}")
+    return tags[ref]
+
+
 def plan_snapshot_scan(
     spark: SparkSession,
     root: str,
@@ -1054,12 +1111,16 @@ def plan_snapshot_scan(
 
 def vacuum(root: str, keep_last: int = 1) -> list[str]:
     """Delete data files referenced by NO retained manifest (the last
-    ``keep_last`` versions are retained) and drop the expired manifests.
+    ``keep_last`` versions plus every TAGGED version are retained) and
+    drop the expired manifests.
     Also reclaims uncommitted orphan directories from crashed writers.
     The only destructive operation in the module; everything else is
     append-only."""
     versions = _list_versions(root)
     keep = set(versions[-keep_last:])
+    keep.update(  # tagged versions are pinned regardless of retention
+        v for v in list_tags(root).values() if v in set(versions)
+    )
     live: set[str] = set()
     for v in keep:
         m = read_manifest(root, v)

@@ -237,16 +237,21 @@ def engine_sql(
     if dml is not None:
         return dml
 
+    from telemetry_parquet_spark.sources.snapshots import resolve_ref
+
     for name, root in tables.items():
         def _sub_version(mo: re.Match) -> str:
-            return _register(spark, name, root, int(mo.group(1)))
+            g = mo.group(1)
+            # a number pins a version; a quoted string resolves a TAG
+            v = resolve_ref(root, g[1:-1]) if g.startswith("'") else int(g)
+            return _register(spark, name, root, v)
 
         def _sub_timestamp(mo: re.Match) -> str:
             ts = float(mo.group(1))
             return _register(spark, name, root, version_as_of(root, ts))
 
         sql = re.sub(
-            rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)",
+            rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+')",
             _sub_version,
             sql,
             flags=re.IGNORECASE,

@@ -783,3 +783,36 @@ def test_manifest_stats_and_planned_scan(spark, sf_dir, tmp_path):
             [Range("o_orderkey", keys[0], keys[-1])],
             require_pruning=True,
         )
+
+
+def test_tags_pin_versions_against_vacuum(spark, sf_dir, table):
+    """create_tag: read by name, atomic no-retarget, vacuum keeps
+    tagged versions readable while expiring untagged ones."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        create_tag,
+        delete_tag,
+        list_tags,
+        resolve_ref,
+    )
+
+    orders = _orders(spark, sf_dir)
+    v1_rows = _multiset(read_snapshot(spark, table, 1))
+    assert create_tag(table, "baseline", 1) == 1
+    compact_table(spark, table, target_bytes=1 << 30)
+    assert list_tags(table) == {"baseline": 1}
+    assert resolve_ref(table, "baseline") == 1
+    # read by tag name
+    assert _multiset(read_snapshot(spark, table, "baseline")) == v1_rows
+    # a tag cannot be silently retargeted
+    with pytest.raises(FileExistsError):
+        create_tag(table, "baseline", 2)
+    # vacuum with keep_last=1 would normally expire v1 — the tag pins it
+    removed = vacuum(table, keep_last=1)
+    assert _multiset(read_snapshot(spark, table, "baseline")) == v1_rows
+    assert 2 not in [h["version"] for h in history(table)]  # v2 expired
+    # drop the pin: the version becomes vacuumable
+    delete_tag(table, "baseline")
+    vacuum(table, keep_last=1)
+    assert 1 not in [h["version"] for h in history(table)]
+    with pytest.raises(KeyError):
+        resolve_ref(table, "baseline")

@@ -207,3 +207,16 @@ def test_insert_select_from_time_travel(spark, sf_dir, tmp_path):
     assert engine_sql(
         spark, "SELECT COUNT(*) AS n FROM dst", t
     ).first().n == n_even
+
+
+def test_version_as_of_tag_name(spark, table):
+    """VERSION AS OF 'tag' resolves through the tag registry."""
+    from telemetry_parquet_spark.sources.snapshots import create_tag
+
+    create_tag(table, "pre_delete", 2)
+    got = engine_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 'pre_delete'",
+        tables={"t": table},
+    )
+    assert got.first().n == read_snapshot(spark, table, 2).count()

@@ -56,6 +56,19 @@ def test_streaming_view_matches_direct_agg(spark, sf_dir, tmp_path):
         _direct(read_snapshot(spark, base))
     )
 
+    # drain 1b: a MERGE-ON-READ delete (deletion vector, no rewrite)
+    # must flow through the CDC stream into the view identically
+    from telemetry_parquet_spark.sources.snapshots import delete_where_mor
+
+    delete_where_mor(spark, base, "o_orderpriority = '2-HIGH'")
+    maintain_view_stream(
+        spark, base, view, ["o_orderstatus"], "o_totalprice", ckpt
+    )
+    assert _multiset(read_view(spark, view)) == _multiset(
+        _direct(read_snapshot(spark, base))
+    )
+    compact_table(spark, base, target_bytes=1 << 30)  # materialize DVs
+
     # drain 2: the checkpoint resumes — only the new commit streams.
     # Keep a pre-drain copy of the checkpoint to simulate a crash that
     # loses the checkpoint advance AFTER the view commit.
