@@ -215,6 +215,21 @@ HEADLINE = [
     # round 9: SQL front door — cross-version join via VERSION AS OF
     # rewritten onto manifest-pinned temp views, one Catalyst plan
     "snapshot_sql_cross_version",
+    # round 9: write-audit-publish staged commits — stage invisible to
+    # readers, audit on the staged rows only, metadata-only publish
+    # rebased onto the moved head (raise-proven invisibility/rebase)
+    "snapshot_wap_publish",
+    # round 9: MERGE with add-column schema evolution — source-only
+    # columns widen the table metadata-only in the same commit
+    "snapshot_merge_evolve",
+    # round 9: persisted IVF index table — k=256 matmul train, cell-
+    # partitioned postings, frozen-quantizer incremental append,
+    # partition-pruned probe (raise-proven), exact int64 rescore
+    "sim_ivf_persisted_topk",
+    # round 9: snapshot secondary Bloom index — incremental maintenance
+    # on append, composed with manifest min/max stats in one planner
+    # call, both prunings raise-proven
+    "snapshot_bloom_planned",
     # round 9: merge-on-read deletes — deletion vectors committed
     # instead of file rewrites (raise-proven), anti-joined at read,
     # materialized by compaction

@@ -1,0 +1,199 @@
+"""Persisted IVF vector index as a TABLE: cell-partitioned postings,
+incremental appends, partition-pruned probes.
+
+The ANN family (datapipe/similarity.py, ivf.py, pq.py) computes indexes
+in-flight; a 100 TB corpus wants the index to be a first-class TABLE
+artifact instead — built once, appended to as vectors land, probed by
+reading only the probed cells' files:
+
+- ``build_ivf_table`` trains deterministic integer k-means
+  (ml/kmeans_det.py — the int64 matmul assignment, the
+  hundreds-of-cells production path) and persists TWO relations:
+  ``centroids`` (cluster_id, cvec — k rows, the model) and ``postings``
+  (vec_id, qv) written ``partitionBy(cluster_id)``, so each cell is its
+  own directory of parquet files.
+- ``append_vectors`` assigns NEW vectors to the FROZEN centroids (one
+  map-only matmul pass) and appends them into their cells' directories —
+  no existing file is touched, append cost ∝ new vectors. This is the
+  standard IVF maintenance contract: the coarse quantizer is frozen
+  between retrains, inserts route to cells.
+- ``probe_cells`` / ``ivf_table_topk`` read ONLY the probed cells via a
+  partition-pruning ``isin`` filter — the scan cost is ∝ probed cells'
+  bytes, never the corpus. ``require_pruned`` RAISES unless every file
+  the scan touches lives under a probed cell directory, so a green
+  driver row proves the pruning ENGAGED.
+
+Everything stays in the exact-integer regime (quantized vectors, packed
+``min(d2*k + cid)`` argmin, int64 dot-product rescore), so the WHOLE
+lifecycle — train, persist, freeze-assign appends, probe, rescore — is
+replayable by one DuckDB recursive CTE (queries/kmeans.py::
+sim_ivf_persisted_topk).
+
+Scale: centroids are k*dim integers (driver-sized by the BPE-argmax
+contract); postings shuffle once at build (the partitionBy write);
+appends are map-only + small per-cell files; probes read
+nprobe*n_queries cells. No corpus-sized driver collect anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.ml.kmeans_det import (
+    _matmul_assign_udf,
+    kmeans_fit,
+)
+
+_CENTROIDS = "centroids"
+_POSTINGS = "postings"
+
+
+def build_ivf_table(
+    spark: SparkSession,
+    root: str,
+    qvec: DataFrame,
+    k: int,
+    iters: int,
+) -> None:
+    """Train on ``qvec`` (vec_id, qv int64 arrays) and persist the index:
+    ``root/centroids`` (cluster_id, cvec) and ``root/postings``
+    partitioned by cluster_id."""
+    assigned, centroids = kmeans_fit(
+        qvec, k=k, iters=iters, assignment="matmul"
+    )
+    (
+        assigned.join(qvec, "vec_id")
+        .select("vec_id", "qv", "cluster_id")
+        .write.partitionBy("cluster_id")
+        .parquet(os.path.join(root, _POSTINGS))
+    )
+    spark.createDataFrame(
+        [(int(cid), [int(v) for v in vec]) for cid, vec in centroids],
+        "cluster_id long, cvec array<long>",
+    ).coalesce(1).write.parquet(os.path.join(root, _CENTROIDS))
+
+
+def load_centroids(spark: SparkSession, root: str) -> list[tuple[int, list[int]]]:
+    """The frozen coarse quantizer — k rows, driver-sized by contract."""
+    rows = spark.read.parquet(os.path.join(root, _CENTROIDS)).collect()
+    return sorted(
+        (int(r.cluster_id), [int(v) for v in r.cvec]) for r in rows
+    )
+
+
+def append_vectors(
+    spark: SparkSession, root: str, qvec_new: DataFrame, k: int
+) -> None:
+    """Incremental maintenance: route new vectors to their cells under
+    the FROZEN centroids (one map-only int64 matmul pass) and append
+    their files into the cell directories — existing files untouched."""
+    centroids = load_centroids(spark, root)
+    assign = _matmul_assign_udf(centroids, k)
+    (
+        qvec_new.select(
+            "vec_id", "qv", assign(F.col("qv")).alias("cluster_id")
+        )
+        .write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(os.path.join(root, _POSTINGS))
+    )
+
+
+def _probe_cells_udf(centroids: list[tuple[int, list[int]]], k: int, nprobe: int):
+    """array<long> of the ``nprobe`` nearest cells per query vector, in
+    packed ``d2*k + cid`` order — the same exact-integer ordering the
+    assignment uses, so the probe ranking is tie-free and replayable."""
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cm = np.array([v for _, v in centroids], dtype=np.int64)
+    cc = (cm * cm).sum(axis=1)
+
+    @F.pandas_udf("array<long>")
+    def probe(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack([np.asarray(v, dtype=np.int64) for v in qv])
+        d2 = (m * m).sum(axis=1)[:, None] - 2 * (m @ cm.T) + cc[None, :]
+        packed = d2 * np.int64(k) + cids[None, :]
+        n = min(nprobe, packed.shape[1])
+        top = np.sort(packed, axis=1)[:, :n] % np.int64(k)
+        return pd.Series(list(top))
+
+    return probe
+
+
+def ivf_table_topk(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    topk: int,
+    require_pruned: bool = True,
+) -> DataFrame:
+    """Top-k by exact int64 dot product over the probed cells of the
+    persisted index. The postings scan carries a partition-pruning
+    ``isin(probed cells)``; with ``require_pruned`` the files actually
+    read are checked to live under probed cell directories (RAISES
+    otherwise) — scan cost ∝ probed cells, proven per run."""
+    from pyspark.sql.window import Window as W
+
+    centroids = load_centroids(spark, root)
+    probe_pairs = [
+        (int(r.qid), int(c))
+        for r in queries.select(
+            F.col("vec_id").alias("qid"),
+            _probe_cells_udf(centroids, k, nprobe)(F.col("qv")).alias(
+                "cells"
+            ),
+        ).collect()  # n_queries rows — driver-sized by contract
+        for c in r.cells
+    ]
+    cells = sorted({c for _, c in probe_pairs})
+    posts = spark.read.parquet(os.path.join(root, _POSTINGS)).where(
+        F.col("cluster_id").isin(cells)
+    )
+    if require_pruned:
+        touched = {
+            r.f
+            for r in posts.select(
+                F.col("_metadata.file_path").alias("f")
+            ).distinct().collect()  # one row per POST-PRUNE file
+        }
+        allowed = tuple(f"cluster_id={c}/" for c in cells)
+        stray = [f for f in touched if not any(a in f for a in allowed)]
+        if stray:
+            raise RuntimeError(
+                f"probe scan escaped the probed cells: {stray[:3]}"
+            )
+    probe_df = F.broadcast(
+        spark.createDataFrame(probe_pairs, "qid long, cluster_id long")
+    )
+    cand = (
+        posts.join(probe_df, "cluster_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cand_id"), F.col("qv").alias("qv_c"))
+    )
+    qside = F.broadcast(
+        queries.select(F.col("vec_id").alias("qid"), F.col("qv").alias("qv_q"))
+    )
+    dots = cand.join(qside, "qid").select(
+        "qid",
+        "cand_id",
+        F.aggregate(
+            F.zip_with("qv_q", "qv_c", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_q"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("cand_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("qid", "cand_id", "score_q", "rank")
+    )

@@ -50,6 +50,10 @@ from telemetry_parquet_spark.queries import table_service  # noqa: F401, E402
 #    rotates to round 10.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-checked (new in round 9)
+    "snapshot_wap_publish",
+    "snapshot_merge_evolve",
+    "sim_ivf_persisted_topk",
+    "snapshot_bloom_planned",
     "snapshot_mor_delete",
     "snapshot_mor_update",
     "snapshot_sql_cross_version",
@@ -99,12 +103,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_user_running_stats",
     "token_counting",
     "u1_union_by_name",
-    "u2_except_all",
-    "u3_intersect",
-    "vocab_table",
-    "w3_event_gaps",
-    # zorder_codes (r05-stale) rotated to round 10 — its slot went to
-    # snapshot_stats_pruned_scan (never driver-checked)
+    # zorder_codes, u2_except_all, u3_intersect, vocab_table,
+    # w3_event_gaps (r05-stale) rotated to round 10 — their slots went
+    # to never-driver-checked queries (snapshot_stats_pruned_scan,
+    # snapshot_wap_publish, snapshot_merge_evolve,
+    # sim_ivf_persisted_topk, snapshot_bloom_planned)
     # (the r06 cohort — asof_last_purchase_before_view on, alphabetical —
     # rotates to round 10's window; its three slots went to the new
     # MOR/SQL-front-door queries above)

@@ -10,6 +10,7 @@ floor-rounded centroid updates.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from telemetry_parquet_spark.queries.registry import query
 from telemetry_parquet_spark.sources.tables import load_table
@@ -158,6 +159,11 @@ N_QUERIES = 5
 NPROBE = 2
 TOPK = 10
 
+# Persisted-index parameters: IVF-realistic cell count, trained on the
+# %10<>9 slice (the %10==9 slice arrives later as an incremental append).
+K_IDX = 256
+ITERS_IDX = 2
+
 
 @query(
     "sim_ivf_det_topk",
@@ -288,4 +294,175 @@ def sim_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= TOPK)
         .select("qid", "cand_id", "score_q", "rank")
+    )
+
+
+# Lloyd recursion over the TRAINING slice only (vec_id % 10 <> 9), with
+# rank-renumbered seeds (the k lowest TRAIN ids -> cid 0..k-1, exactly
+# kmeans_fit's renumbering for sparse id sets).
+_QT = f"""
+qt AS (SELECT * FROM q WHERE vec_id % 10 <> 9),
+qh AS (SELECT * FROM q WHERE vec_id % 10 = 9),
+seeds AS (
+  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+    FROM (SELECT DISTINCT vec_id FROM qt)
+  ) WHERE rn <= {K_IDX}
+)
+"""
+
+_AT = f"""
+a(iter, vec_id, cid) AS (
+  SELECT 1 AS iter, vec_id, CAST(packed % {K_IDX} AS BIGINT) AS cid FROM (
+    SELECT vec_id, MIN(d2 * {K_IDX} + scid) AS packed FROM (
+      SELECT p.vec_id, c.cid AS scid,
+             SUM((p.qval - c.qval) * (p.qval - c.qval)) AS d2
+      FROM qt p JOIN (
+        SELECT s.cid, sq.dim, sq.qval
+        FROM seeds s JOIN qt sq ON sq.vec_id = s.vec_id
+      ) c ON c.dim = p.dim
+      GROUP BY p.vec_id, c.cid
+    ) GROUP BY vec_id
+  )
+  UNION ALL
+  SELECT d.iter + 1, d.vec_id, CAST(d.packed % {K_IDX} AS BIGINT) FROM (
+    SELECT dd.iter, dd.vec_id, MIN(dd.d2 * {K_IDX} + dd.cid) AS packed FROM (
+      SELECT c.iter, p.vec_id, c.cid,
+             SUM((p.qval - c.cval) * (p.qval - c.cval)) AS d2
+      FROM qt p JOIN (
+        SELECT a.iter, a.cid, p2.dim,
+               CAST(floor(CAST(SUM(p2.qval) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS cval
+        FROM a JOIN qt p2 ON p2.vec_id = a.vec_id
+        WHERE a.iter < {ITERS_IDX}
+        GROUP BY a.iter, a.cid, p2.dim
+      ) c ON c.dim = p.dim
+      GROUP BY c.iter, p.vec_id, c.cid
+    ) dd GROUP BY dd.iter, dd.vec_id
+  ) d
+)
+"""
+
+
+@query(
+    "sim_ivf_persisted_topk",
+    # The persisted-index LIFECYCLE under one exact oracle: train k=256
+    # cells on the %10<>9 slice (rank-renumbered seeds), persist
+    # centroids + cell-partitioned postings, FREEZE the quantizer and
+    # append the %10==9 slice (oracle: `hold` assigns holdout vectors to
+    # the trained centroids), then probe: top-NPROBE cells per query by
+    # packed integer distance, candidates = the probed cells' MEMBERS
+    # (train ∪ appended), exact int64 dot rescore, top-k. The Spark side
+    # RAISES unless the probe scan's files all live under probed cell
+    # directories — a green row proves partition pruning engaged.
+    oracle=f"""
+    WITH RECURSIVE {_Q}, {_QT}, {_AT},
+    fin AS (SELECT vec_id, cid FROM a WHERE iter = {ITERS_IDX}),
+    cent AS (
+      SELECT f.cid, p.dim,
+             CAST(floor(CAST(SUM(p.qval) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS cval
+      FROM fin f JOIN qt p ON p.vec_id = f.vec_id
+      GROUP BY f.cid, p.dim
+    ),
+    hold AS (
+      SELECT vec_id, CAST(packed % {K_IDX} AS BIGINT) AS cid FROM (
+        SELECT vec_id, MIN(d2 * {K_IDX} + cid) AS packed FROM (
+          SELECT p.vec_id, c.cid,
+                 SUM((p.qval - c.cval) * (p.qval - c.cval)) AS d2
+          FROM qh p JOIN cent c ON c.dim = p.dim
+          GROUP BY p.vec_id, c.cid
+        ) GROUP BY vec_id
+      )
+    ),
+    members AS (SELECT * FROM fin UNION ALL SELECT * FROM hold),
+    qd AS (
+      SELECT p.vec_id AS qid, c.cid,
+             SUM((p.qval - c.cval) * (p.qval - c.cval)) AS d2
+      FROM q p JOIN cent c ON c.dim = p.dim
+      WHERE p.vec_id < {N_QUERIES}
+      GROUP BY p.vec_id, c.cid
+    ),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d2 * {K_IDX} + cid) AS rn
+        FROM qd
+      ) WHERE rn <= {NPROBE}
+    ),
+    cand AS (
+      SELECT pr.qid, mm.vec_id AS cand_id
+      FROM probe pr JOIN members mm ON mm.cid = pr.cid
+      WHERE mm.vec_id <> pr.qid
+    ),
+    dots AS (
+      SELECT c.qid, c.cand_id,
+             CAST(SUM(p1.qval * p2.qval) AS BIGINT) AS score_q
+      FROM cand c
+      JOIN q p1 ON p1.vec_id = c.qid
+      JOIN q p2 ON p2.vec_id = c.cand_id AND p2.dim = p1.dim
+      GROUP BY c.qid, c.cand_id
+    )
+    SELECT qid, cand_id, score_q, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT qid, cand_id, score_q,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score_q DESC, cand_id) AS rn
+      FROM dots
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector index as a TABLE (datapipe/ann_index.py): k=256 cells
+    trained with the int64 matmul assignment, persisted as centroids +
+    cell-partitioned postings, incrementally APPENDED to under the
+    frozen quantizer (append-only — build asserts no original file was
+    touched), and probed by reading ONLY the probed cells' partitions
+    (raise-proven per run). Train→persist→append→probe→rescore, all
+    exact integers, one recursive-CTE oracle."""
+    import os as _os
+
+    from telemetry_parquet_spark.datapipe.ann_index import (
+        append_vectors,
+        build_ivf_table,
+        ivf_table_topk,
+    )
+    from telemetry_parquet_spark.ml.kmeans_det import quantize_vectors
+    from telemetry_parquet_spark.sources.skipping import materialize_cached
+
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+
+    def build(root: str) -> None:
+        qvec = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+        train = qvec.where(F.col("vec_id") % 10 != 9)
+        hold = qvec.where(F.col("vec_id") % 10 == 9)
+        build_ivf_table(spark, root, train, k=K_IDX, iters=ITERS_IDX)
+
+        def _files(d):
+            return {
+                _os.path.join(dp, n)
+                for dp, _, ns in _os.walk(d)
+                for n in ns
+                if n.endswith(".parquet")
+            }
+
+        before = _files(_os.path.join(root, "postings"))
+        append_vectors(spark, root, hold, k=K_IDX)
+        after = _files(_os.path.join(root, "postings"))
+        if not before < after:
+            raise RuntimeError(
+                "incremental append rewrote or dropped index files"
+            )
+
+    root = materialize_cached(
+        spark, src,
+        "ivfidx_embeddings_" + _os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    qvec = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+    queries = qvec.where(F.col("vec_id") < N_QUERIES)
+    return ivf_table_topk(
+        spark, root, queries, k=K_IDX, nprobe=NPROBE, topk=TOPK,
+        require_pruned=True,
     )

@@ -556,6 +556,265 @@ def snapshot_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_bloom_planned",
+    # Range + point predicate over a snapshot table where BOTH skipping
+    # mechanisms compose in ONE planner call: the manifest's commit-time
+    # min/max stats prune the l_orderkey band, the table's Bloom file
+    # index (built at v1, INCREMENTALLY extended after the v2 append)
+    # prunes an equality on l_pricekey — a HIGH-CARDINALITY int key
+    # (floor(price*100+0.5), exact for 2-decimal prices) smeared across
+    # the key-clustered layout: exactly the lookup min/max stats cannot
+    # serve at ANY scale. require_pruning RAISES unless each step
+    # skipped files. The point value is the min key INSIDE the band, so
+    # the result is non-empty by construction.
+    oracle="""
+    WITH b AS (
+      SELECT MIN(l_orderkey) AS kmin, MAX(l_orderkey) AS kmax FROM lineitem
+    ),
+    r AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pk
+      FROM lineitem, b
+      WHERE l_orderkey BETWEEN
+          kmin + CAST(floor((kmax - kmin) * 0.40) AS BIGINT)
+          AND kmin + CAST(floor((kmax - kmin) * 0.60) AS BIGINT)
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+    FROM r WHERE pk = (SELECT MIN(pk) FROM r)
+    """,
+)
+def snapshot_bloom_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index lifecycle on the commit log
+    (sources/snapshots.py::update_snapshot_bloom + plan_snapshot_scan):
+    the Bloom file index lives under the table, is built once and
+    extended INCREMENTALLY after each append (only new files scanned —
+    raise-proven below), and composes with manifest min/max stats in one
+    planner call: range predicate → manifest stats, point predicate →
+    Bloom probe, every step required to prune. Scale: index maintenance
+    ∝ new bytes; planning ∝ file list + a k-row Bloom probe."""
+    import math as _math
+
+    from telemetry_parquet_spark.sources.scan_planner import Eq, Range
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        plan_snapshot_scan,
+        update_snapshot_bloom,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+
+    pricekey = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+
+    def build(root: str) -> None:
+        li = spark.read.parquet(src).withColumn("l_pricekey", pricekey)
+        append(
+            spark, root,
+            li.where(F.col("l_orderkey") % 10 < 7)
+            .repartitionByRange(12, F.col("l_orderkey")),
+        )
+        n1 = update_snapshot_bloom(spark, root, "l_pricekey")
+        append(
+            spark, root,
+            li.where(F.col("l_orderkey") % 10 >= 7)
+            .repartitionByRange(4, F.col("l_orderkey")),
+        )
+        n2 = update_snapshot_bloom(spark, root, "l_pricekey")
+        if n1 < 1 or n2 < 1 or n2 >= n1:
+            raise RuntimeError(
+                f"incremental index maintenance did not engage ({n1}/{n2})"
+            )
+        if update_snapshot_bloom(spark, root, "l_pricekey") != 0:
+            raise RuntimeError("index update not idempotent at fixpoint")
+
+    root = materialize_cached(
+        spark, src, "snapbl_lineitem_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    b = spark.read.parquet(src).agg(
+        F.min("l_orderkey").alias("kmin"), F.max("l_orderkey").alias("kmax")
+    ).first()
+    lo = b.kmin + _math.floor((b.kmax - b.kmin) * 0.40)
+    hi = b.kmin + _math.floor((b.kmax - b.kmin) * 0.60)
+    pk = (
+        spark.read.parquet(src)
+        .where(F.col("l_orderkey").between(lo, hi))
+        .agg(F.min(pricekey))
+        .first()[0]
+    )
+    pruned, _plan = plan_snapshot_scan(
+        spark, root,
+        [Range("l_orderkey", lo, hi), Eq("l_pricekey", int(pk))],
+        require_pruning=True,
+    )
+    return pruned.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+
+
+@query(
+    "snapshot_wap_publish",
+    # Write-audit-publish: v1 = 60% of orders; the 6/7-decile slice is
+    # STAGED (invisible), the head moves (v2 appends the 9-decile), a
+    # bad 8-decile stage is DISCARDED, and the good stage publishes with
+    # audits — REBASED onto v2. Raise-proven: v2 contains no staged
+    # rows, the publish manifest records wap_id/rebased_from, no 'bad'
+    # file ever enters a manifest, and no stage is left behind. Final
+    # state = everything except the discarded 8-decile.
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_SUM} AS sum_price
+    FROM orders WHERE o_orderkey % 10 <> 8
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish staged commits
+    (sources/snapshots.py::stage_append/read_staged/publish_staged):
+    a pipeline writes rows as a STAGED commit no reader can observe, an
+    audit job validates exactly the staged rows, and publication is a
+    metadata-only decision — rebased onto the moved head under the
+    append-commutes rule (Iceberg's staged-snapshot cherry-pick).
+    Discarded stages never touch the log; their files are vacuum-
+    reclaimed orphans."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        discard_staged,
+        list_staged,
+        publish_staged,
+        read_manifest,
+        read_snapshot,
+        stage_append,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        dec = F.col("o_orderkey") % 10
+        append(spark, root, orders.where(dec < 6))
+        stage_append(spark, root, orders.where(dec.isin(6, 7)), "good")
+        append(spark, root, orders.where(dec == 9))  # head moves
+        stage_append(spark, root, orders.where(dec == 8), "bad")
+        discard_staged(root, "bad")
+        def audit_no_null_keys(df: DataFrame) -> None:
+            if df.where(F.col("o_orderkey").isNull()).limit(1).count():
+                raise ValueError("audit: null keys in staged rows")
+
+        publish_staged(spark, root, "good", audits=[audit_no_null_keys])
+
+    root = materialize_cached(
+        spark, src, "snapwap_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    # staging invisibility: the head committed WHILE 'good' was staged
+    # (v2) must hold none of the staged 6/7-decile rows
+    if (
+        read_snapshot(spark, root, 2)
+        .where((F.col("o_orderkey") % 10).isin(6, 7))
+        .limit(1)
+        .count()
+    ):
+        raise RuntimeError("staged rows leaked into a pre-publish version")
+    m3 = read_manifest(root, 3)
+    if (
+        m3["action"] != "wap-publish"
+        or m3.get("wap_id") != "good"
+        or m3.get("rebased_from") != 1
+    ):
+        raise RuntimeError("publish commit metadata wrong (wap/rebase)")
+    if any("wap-bad" in f for f in m3["files"]) or list_staged(root):
+        raise RuntimeError("discarded stage leaked into the log")
+    return read_snapshot(spark, root).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+        .cast("decimal(25,2)")
+        .alias("sum_price"),
+    )
+
+
+@query(
+    "snapshot_merge_evolve",
+    # MERGE with add-column schema evolution: the source carries a new
+    # o_channel column; the commit widens the table schema metadata-only
+    # (raise-proven: pre-merge version still reads under the old schema,
+    # head surfaces NULL channel for never-rewritten rows). Oracle
+    # replays merge-with-evolution relationally: target minus source
+    # keys gets NULL channel, source rows carry 'WEB'.
+    oracle="""
+    WITH target AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, 'MERGED' AS o_orderpriority, 'WEB' AS o_channel
+      FROM orders WHERE o_orderkey % 20 < 4 OR o_orderkey % 10 = 8
+    ),
+    merged AS (
+      SELECT t.*, CAST(NULL AS VARCHAR) AS o_channel FROM target t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      UNION ALL SELECT * FROM source
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_channel IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_channel,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
+               AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def snapshot_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with add-column schema evolution
+    (sources/snapshots.py::merge_into allow_evolution): source-only
+    columns join the table schema in the SAME commit as the row merge —
+    no existing file is rewritten for the widening; pre-evolution files
+    surface the new column as NULL under the manifest schema (the
+    metadata-only ALTER ADD COLUMN folded into MERGE, the Delta
+    mergeSchema behavior)."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        merge_into,
+        read_snapshot,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 < 7))
+        source = (
+            orders.where(
+                (F.col("o_orderkey") % 20 < 4)
+                | (F.col("o_orderkey") % 10 == 8)
+            )
+            .withColumn("o_orderpriority", F.lit("MERGED"))
+            .withColumn("o_channel", F.lit("WEB"))
+        )
+        merge_into(
+            spark, root, source, keys=["o_orderkey"], allow_evolution=True
+        )
+
+    root = materialize_cached(
+        spark, src, "snapme_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    if "o_channel" in read_snapshot(spark, root, 1).columns:
+        raise RuntimeError("evolution rewrote the pre-merge version")
+    head = read_snapshot(spark, root)
+    if "o_channel" not in head.columns:
+        raise RuntimeError("merge evolution did not widen the schema")
+    return head.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_channel").isNotNull(), 1).otherwise(0)
+        ).alias("n_channel"),
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+        .cast("decimal(25,2)")
+        .alias("sum_price"),
+    )
+
+
+@query(
     "snapshot_incremental_view",
     # Incremental materialized-view maintenance: the per-status SUM/COUNT
     # view is initialized at v1 and then REFRESHED through the CDC feed

@@ -619,6 +619,7 @@ def merge_into(
     source: DataFrame,
     keys: list[str],
     prune_by_key_range: bool = True,
+    allow_evolution: bool = False,
 ) -> int:
     """MERGE INTO head USING ``source`` ON ``keys`` — WHEN MATCHED UPDATE
     ALL, WHEN NOT MATCHED INSERT ALL — as one copy-on-write commit.
@@ -651,12 +652,30 @@ def merge_into(
     m = read_manifest(root, parent)
     _require_no_dv(m, "merge_into")
     schema = StructType.fromJson(json.loads(m["schema"]))
-    if set(source.columns) != {f.name for f in schema.fields}:
-        raise ValueError(
-            f"merge_into: source columns {sorted(source.columns)} != "
-            f"table columns {sorted(f.name for f in schema.fields)}"
-        )
-    source = source.select(*[f.name for f in schema.fields])
+    tbl_cols = {f.name for f in schema.fields}
+    schema_json_out = m["schema"]
+    if set(source.columns) != tbl_cols:
+        # Add-column MERGE evolution (opt-in): source-only columns join
+        # the table schema; no existing file is rewritten for it — old
+        # files surface the new columns as NULL under the manifest
+        # schema, exactly like append's allow_evolution. Source must
+        # still cover every existing column (WHEN MATCHED UPDATE ALL
+        # with a partial source would be ambiguous — loud error).
+        if not (allow_evolution and set(source.columns) > tbl_cols):
+            raise ValueError(
+                f"merge_into: source columns {sorted(source.columns)} != "
+                f"table columns {sorted(f.name for f in schema.fields)}"
+                + ("" if allow_evolution
+                   else "; pass allow_evolution=True to add columns")
+            )
+        evolved = StructType(list(schema.fields))
+        for f_ in source.schema.fields:
+            if f_.name not in tbl_cols:
+                evolved.add(f_)
+        schema_json_out = evolved.json()
+    else:
+        evolved = schema
+    source = source.select(*[f.name for f in evolved.fields])
     _validate_constraints(source, m.get("constraints"))
     dup = (
         source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
@@ -665,7 +684,9 @@ def merge_into(
         raise ValueError("merge_into: source has duplicate merge keys")
     if not m["files"]:
         new = _write_commit_files(source, root, f"c{parent + 1:06d}")
-        return _commit(root, "merge", new, m["schema"], parent, _carry_meta(m))
+        return _commit(
+            root, "merge", new, schema_json_out, parent, _carry_meta(m)
+        )
     root_abs = os.path.abspath(root)
 
     def _rel(p: str) -> str:
@@ -729,10 +750,15 @@ def merge_into(
         else spark.createDataFrame([], schema)
     )
     merged = region.join(source.select(*keys), on=keys, how="left_anti")
+    for f_ in evolved.fields:  # null-fill evolved columns in the region
+        if f_.name not in tbl_cols:
+            merged = merged.withColumn(
+                f_.name, F.lit(None).cast(f_.dataType)
+            )
     merged = merged.select(*source.columns).unionByName(source)
     new = _write_commit_files(merged, root, f"c{parent + 1:06d}")
     return _commit(
-        root, "merge", carried + new, m["schema"], parent,
+        root, "merge", carried + new, schema_json_out, parent,
         {**_carry_meta(m), "scan_candidates": len(candidates),
          "scanned": len(m["files"])},
     )
@@ -1043,6 +1069,247 @@ def resolve_ref(root: str, ref: int | str) -> int:
     return tags[ref]
 
 
+_WAP_PREFIX = "wap-"
+
+
+def _staged_path(root: str, wap_id: str) -> str:
+    if not wap_id or "/" in wap_id:
+        raise ValueError(f"invalid wap_id {wap_id!r}")
+    return os.path.join(root, _MANIFEST_DIR, f"{_WAP_PREFIX}{wap_id}.json")
+
+
+def read_staged_manifest(root: str, wap_id: str) -> dict:
+    p = _staged_path(root, wap_id)
+    if not os.path.exists(p):
+        raise KeyError(f"no staged commit {wap_id!r} on {root}")
+    with open(p) as f:
+        return json.load(f)
+
+
+def list_staged(root: str) -> list[str]:
+    """wap_ids of every staged (written, unpublished) commit."""
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        n[len(_WAP_PREFIX):-5]
+        for n in os.listdir(mdir)
+        if n.startswith(_WAP_PREFIX) and n.endswith(".json")
+    )
+
+
+def stage_append(
+    spark: SparkSession, root: str, df: DataFrame, wap_id: str
+) -> str:
+    """WRITE of write-audit-publish: commit ``df``'s rows as a STAGED
+    append — data files land and a ``wap-<id>`` manifest records them,
+    but no numbered version is created, so every reader (head reads,
+    time travel, SQL front door, CDC) is guaranteed not to see the rows
+    until ``publish_staged``. The Iceberg staged-snapshot / audit-branch
+    pattern: the pipeline writes, an audit job reads ONLY the staged
+    view, and publication is a later metadata-only decision. Staged data
+    files are pinned against ``vacuum`` until published or discarded.
+    CHECK constraints validate at stage time (fail fast); richer audits
+    run at publish."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    _validate_constraints(df, m.get("constraints"))
+    table_cols = {
+        f.name for f in StructType.fromJson(json.loads(m["schema"])).fields
+    }
+    if set(df.columns) != table_cols:
+        raise ValueError(
+            f"stage_append: schema mismatch (df={sorted(df.columns)}, "
+            f"table={sorted(table_cols)})"
+        )
+    new = _write_commit_files(df, root, f"{_WAP_PREFIX}{wap_id}")
+    import time as _time
+
+    fd = os.open(
+        _staged_path(root, wap_id), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(
+            {
+                "wap_id": wap_id,
+                "action": "wap-append",
+                "parent": parent,
+                "new_files": sorted(new),
+                "schema": m["schema"],
+                "staged_at": _time.time(),
+            },
+            f,
+        )
+    return wap_id
+
+
+def read_staged(
+    spark: SparkSession, root: str, wap_id: str
+) -> DataFrame:
+    """AUDIT view of write-audit-publish: the table AS IF the staged
+    commit were published on its stage-time parent — parent files plus
+    staged files (parent deletion vectors applied). This is what quality
+    gates validate before anyone else can observe the rows."""
+    s = read_staged_manifest(root, wap_id)
+    m = read_manifest(root, s["parent"])
+    schema = StructType.fromJson(json.loads(s["schema"]))
+    files = m["files"] + s["new_files"]
+    if m.get("dv"):
+        return _scan_with_pos(
+            spark, root, files, schema, m["dv"]
+        ).select(*[f.name for f in schema.fields])
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in files]
+    )
+
+
+def publish_staged(
+    spark: SparkSession,
+    root: str,
+    wap_id: str,
+    audits: list | None = None,
+) -> int:
+    """PUBLISH of write-audit-publish: run ``audits`` (callables taking
+    the staged-new-rows DataFrame; raise to veto) and then make the
+    staged files a numbered version — a METADATA-ONLY commit, no data
+    moves. If the head advanced past the stage-time parent the append is
+    REBASED onto the current head (an append's new files commute with
+    other commits — Iceberg's cherry-pick rule for wap snapshots); new
+    rows are re-validated against the CURRENT head's constraints, which
+    may have changed since staging. The staged manifest is consumed on
+    success; a second publish of the same id raises (exactly-once)."""
+    s = read_staged_manifest(root, wap_id)
+    schema = StructType.fromJson(json.loads(s["schema"]))
+    new_rows = spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in s["new_files"]]
+    )
+    for audit in audits or []:
+        audit(new_rows)
+    head = latest_version(root)
+    mh = read_manifest(root, head)
+    extra = {**_carry_meta(mh), "wap_id": wap_id}
+    if head != s["parent"]:
+        if mh["schema"] != s["schema"]:
+            raise ValueError(
+                f"publish_staged: head schema changed since {wap_id!r} "
+                "was staged; re-stage against the current head"
+            )
+        _validate_constraints(new_rows, mh.get("constraints"))
+        extra["rebased_from"] = s["parent"]
+    if mh.get("dv"):
+        extra["dv"] = mh["dv"]
+    v = _commit(
+        root, "wap-publish", mh["files"] + s["new_files"],
+        mh["schema"], head, extra,
+    )
+    os.remove(_staged_path(root, wap_id))
+    return v
+
+
+def discard_staged(root: str, wap_id: str) -> None:
+    """Drop a staged commit without publishing. Metadata-only: the
+    staged data files become unreferenced orphans, reclaimed by the next
+    ``vacuum`` (they are pinned only while the staged manifest exists)."""
+    os.remove(_staged_path(root, wap_id))
+
+
+_INDEX_DIR = "_indexes"
+
+
+def _bloom_dir(root: str, key_col: str) -> str:
+    return os.path.join(root, _INDEX_DIR, f"bloom_{key_col}")
+
+
+def update_snapshot_bloom(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+    version: int | None = None,
+) -> int:
+    """Build or incrementally extend the table's per-file Bloom index
+    over ``key_col`` — the SECONDARY-INDEX lifecycle on the commit log:
+    only manifest files not yet covered are scanned (per-file bitmaps
+    are independent, so append maintenance costs one pass over the NEW
+    bytes), and the index lives under the table at ``_indexes/`` with
+    RELATIVE file paths. Returns the number of files newly indexed.
+    Staleness is safe by construction: ``plan_snapshot_scan`` keeps any
+    manifest file the index does not cover, and candidate lists are
+    intersected with the manifest, so compaction/vacuum orphan rows
+    never resurrect or drop data."""
+    from telemetry_parquet_spark.sources.skipping import (
+        NUM_BITS,
+        NUM_HASHES,
+        build_file_bloom_index,
+    )
+
+    v = latest_version(root) if version is None else version
+    m = read_manifest(root, v)
+    _require_no_dv(m, "update_snapshot_bloom")
+    idx_dir = _bloom_dir(root, key_col)
+    meta_path = os.path.join(idx_dir, "_BLOOM_META.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (num_bits, num_hashes) not in (
+            (None, None),
+            (meta["num_bits"], meta["num_hashes"]),
+        ):
+            raise ValueError(
+                "update_snapshot_bloom: sizing differs from the existing "
+                "index; drop the index directory to resize"
+            )
+        num_bits, num_hashes = meta["num_bits"], meta["num_hashes"]
+        covered = {
+            r.file_path
+            for r in spark.read.parquet(idx_dir)
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+    else:
+        num_bits = NUM_BITS if num_bits is None else num_bits
+        num_hashes = NUM_HASHES if num_hashes is None else num_hashes
+        covered = set()
+    new = [f for f in m["files"] if f not in covered]
+    if not new:
+        return 0
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    fresh = build_file_bloom_index(
+        spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in new]
+        ),
+        key_col,
+        num_bits,
+        num_hashes,
+    )
+    abs_prefix = os.path.abspath(root) + "/"
+    uri_prefix = "file:" + abs_prefix
+    fp = F.col("file_path")
+    big = F.lit(1 << 20)
+    rel = (
+        F.when(
+            fp.startswith(uri_prefix),
+            fp.substr(F.lit(len(uri_prefix) + 1), big),
+        )
+        .when(fp.startswith(abs_prefix), fp.substr(F.lit(len(abs_prefix) + 1), big))
+        .otherwise(fp)
+    )
+    fresh.withColumn("file_path", rel).write.mode("append").parquet(idx_dir)
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as f:
+            json.dump(
+                {
+                    "key_col": key_col,
+                    "num_bits": num_bits,
+                    "num_hashes": num_hashes,
+                },
+                f,
+            )
+    return len(new)
+
+
 def plan_snapshot_scan(
     spark: SparkSession,
     root: str,
@@ -1050,17 +1317,24 @@ def plan_snapshot_scan(
     version: int | None = None,
     require_pruning: bool = False,
 ):
-    """Predicate-driven pruned read of a snapshot version using ONLY the
-    manifest's commit-time column stats — zero data or footer I/O at
-    planning time (the table-format promise: planning cost ∝ the file
-    LIST, the first data byte read is already post-prune). Returns
-    (DataFrame, ScanPlan). Per-predicate pruning accounting as in
-    ``scan_planner.plan_scan``; with ``require_pruning`` every predicate
-    must skip at least one file or this RAISES. The residual filter is
+    """Predicate-driven pruned read of a snapshot version using the
+    manifest's commit-time column stats — and, for point predicates on a
+    column with a ``update_snapshot_bloom`` index, the table's Bloom
+    file index — zero data or footer I/O at planning time (the
+    table-format promise: planning cost ∝ the file LIST plus the
+    index-sized probe, the first data byte read is already post-prune).
+    Returns (DataFrame, ScanPlan). Per-predicate pruning accounting as
+    in ``scan_planner.plan_scan``; with ``require_pruning`` every
+    predicate must skip at least one file or this RAISES. Files the
+    Bloom index does not cover (landed after the last index update) are
+    KEPT unconditionally and candidates intersect the manifest, so a
+    stale index can never drop or resurrect rows. The residual filter is
     re-applied (and pushed into the parquet scan), so the result is
-    EXACTLY the full-scan answer regardless of stats coverage. Refuses
-    outstanding deletion vectors (raw-file scan)."""
+    EXACTLY the full-scan answer regardless of stats/index coverage.
+    Refuses outstanding deletion vectors (raw-file scan)."""
     from telemetry_parquet_spark.sources.scan_planner import (
+        Eq,
+        In,
         ScanPlan,
         _minmax_keep,
         _predicate_expr,
@@ -1074,6 +1348,29 @@ def plan_snapshot_scan(
     kept = sorted(m["files"])
     plan = ScanPlan(total_files=len(kept))
     for p in predicates:
+        idx_dir = _bloom_dir(root, p.col)
+        if isinstance(p, (Eq, In)) and os.path.isdir(idx_dir):
+            from telemetry_parquet_spark.sources.skipping import (
+                bloom_candidate_files_any,
+            )
+
+            with open(os.path.join(idx_dir, "_BLOOM_META.json")) as f:
+                bm = json.load(f)
+            index = spark.read.parquet(idx_dir)
+            covered = {
+                r.file_path
+                for r in index.select("file_path").distinct().collect()
+            }
+            values = [p.value] if isinstance(p, Eq) else list(p.values)
+            cands = set(
+                bloom_candidate_files_any(
+                    index, values, bm["num_bits"], bm["num_hashes"]
+                )
+            )
+            kept = [f for f in kept if f not in covered or f in cands]
+            plan.steps.append((f"bloom:{p.col}", len(kept)))
+            continue
+
         def _keep(f: str) -> bool:
             st = stats.get(f, {})
             if p.col not in st:
@@ -1126,6 +1423,8 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
         m = read_manifest(root, v)
         live.update(m["files"])
         live.update(m.get("dv", []))  # deletion vectors are data too
+    for wap_id in list_staged(root):  # staged-but-unpublished commits are
+        live.update(read_staged_manifest(root, wap_id)["new_files"])  # pinned
     removed = []
     data_root = os.path.join(root, _DATA_DIR)
     for dirpath, _, names in os.walk(data_root):

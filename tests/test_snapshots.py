@@ -816,3 +816,221 @@ def test_tags_pin_versions_against_vacuum(spark, sf_dir, table):
     assert 1 not in [h["version"] for h in history(table)]
     with pytest.raises(KeyError):
         resolve_ref(table, "baseline")
+
+
+def test_wap_stage_is_invisible_until_publish(spark, sf_dir, table):
+    from telemetry_parquet_spark.sources.snapshots import (
+        list_staged,
+        publish_staged,
+        read_staged,
+        stage_append,
+    )
+
+    orders = _orders(spark, sf_dir)
+    extra = orders.limit(50).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    head_before = latest_version(table)
+    stage_append(spark, table, extra, "batch1")
+    assert list_staged(table) == ["batch1"]
+    # no numbered version appeared; head read unchanged
+    assert latest_version(table) == head_before
+    assert read_snapshot(spark, table).count() == orders.count()
+    # the audit view sees parent + staged rows exactly
+    assert read_staged(spark, table, "batch1").count() == orders.count() + 50
+    v = publish_staged(spark, table, "batch1")
+    assert v == head_before + 1
+    assert read_snapshot(spark, table).count() == orders.count() + 50
+    assert list_staged(table) == []
+    # exactly-once: the consumed stage cannot publish again
+    with pytest.raises(KeyError):
+        publish_staged(spark, table, "batch1")
+
+
+def test_wap_audit_veto_aborts_publish(spark, sf_dir, table):
+    from telemetry_parquet_spark.sources.snapshots import (
+        list_staged,
+        publish_staged,
+        stage_append,
+    )
+
+    orders = _orders(spark, sf_dir)
+    stage_append(spark, table, orders.limit(10), "sus")
+    head_before = latest_version(table)
+
+    def veto(df):
+        raise ValueError("quality gate failed")
+
+    with pytest.raises(ValueError, match="quality gate"):
+        publish_staged(spark, table, "sus", audits=[veto])
+    # nothing committed, stage still present for forensics / re-audit
+    assert latest_version(table) == head_before
+    assert list_staged(table) == ["sus"]
+
+
+def test_wap_publish_rebases_onto_moved_head(spark, sf_dir, table):
+    from telemetry_parquet_spark.sources.snapshots import (
+        publish_staged,
+        stage_append,
+    )
+
+    orders = _orders(spark, sf_dir)
+    staged = orders.limit(30).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000)
+    )
+    stage_append(spark, table, staged, "moved")
+    # head advances while the stage is pending
+    other = orders.limit(20).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(30_000_000)
+    )
+    append(spark, table, other)
+    v = publish_staged(spark, table, "moved")
+    m = read_manifest(table, v)
+    assert m["action"] == "wap-publish"
+    assert m["rebased_from"] == 2 and m["wap_id"] == "moved"
+    # both the interleaved append and the staged rows are in the head
+    assert read_snapshot(spark, table).count() == orders.count() + 50
+
+
+def test_wap_staged_files_pinned_against_vacuum(spark, sf_dir, table):
+    from telemetry_parquet_spark.sources.snapshots import (
+        discard_staged,
+        read_staged_manifest,
+        stage_append,
+    )
+
+    orders = _orders(spark, sf_dir)
+    stage_append(spark, table, orders.limit(25), "pinned")
+    staged_files = read_staged_manifest(table, "pinned")["new_files"]
+    removed = vacuum(table, keep_last=1)
+    assert not set(staged_files) & set(removed)
+    assert all(os.path.exists(os.path.join(table, f)) for f in staged_files)
+    # after discard the same files are reclaimable orphans
+    discard_staged(table, "pinned")
+    removed = vacuum(table, keep_last=1)
+    assert set(staged_files) <= set(removed)
+
+
+def test_wap_rebase_revalidates_new_head_constraints(spark, sf_dir, table):
+    from telemetry_parquet_spark.sources.snapshots import (
+        publish_staged,
+        stage_append,
+    )
+
+    orders = _orders(spark, sf_dir)
+    bad = orders.limit(5).withColumn("o_totalprice", F.lit(-1.0))
+    stage_append(spark, table, bad, "preconstraint")
+    # constraint added AFTER staging; rebase publish must re-validate
+    add_check_constraint(spark, table, "pos_price", "o_totalprice >= 0")
+    with pytest.raises(ValueError, match="pos_price"):
+        publish_staged(spark, table, "preconstraint")
+
+
+def test_merge_evolution_adds_column_without_rewrite(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "me")
+    orders = _orders(spark, sf_dir)
+    append(spark, root, orders.where(F.col("o_orderkey") % 10 < 5))
+    source = (
+        orders.where(F.col("o_orderkey") % 10 == 7)
+        .withColumn("o_channel", F.lit("WEB"))
+    )
+    # without the flag the widened source is a loud error
+    with pytest.raises(ValueError, match="allow_evolution"):
+        merge_into(spark, root, source, keys=["o_orderkey"])
+    merge_into(
+        spark, root, source, keys=["o_orderkey"], allow_evolution=True
+    )
+    head = read_snapshot(spark, root)
+    assert "o_channel" in head.columns
+    n_old = orders.where(F.col("o_orderkey") % 10 < 5).count()
+    n_new = orders.where(F.col("o_orderkey") % 10 == 7).count()
+    assert head.count() == n_old + n_new
+    assert head.where(F.col("o_channel") == "WEB").count() == n_new
+    assert head.where(F.col("o_channel").isNull()).count() == n_old
+    # pre-merge version still reads under the narrow schema
+    assert "o_channel" not in read_snapshot(spark, root, 1).columns
+    # a partial source (missing table columns) never evolves
+    with pytest.raises(ValueError):
+        merge_into(
+            spark, root,
+            source.drop("o_orderpriority"),
+            keys=["o_orderkey"], allow_evolution=True,
+        )
+
+
+def test_snapshot_bloom_lifecycle(spark, sf_dir, tmp_path):
+    """Secondary Bloom index on the commit log: incremental maintenance
+    equals a from-scratch build, planning composes manifest stats with
+    the Bloom probe, and a STALE index (append after last update) keeps
+    the uncovered files — exactness never depends on index freshness."""
+    from telemetry_parquet_spark.sources.scan_planner import Eq, Range
+    from telemetry_parquet_spark.sources.snapshots import (
+        plan_snapshot_scan,
+        update_snapshot_bloom,
+    )
+
+    root = str(tmp_path / "blm")
+    orders = _orders(spark, sf_dir)
+    append(
+        spark, root,
+        orders.where(F.col("o_orderkey") % 10 < 7)
+        .repartitionByRange(8, F.col("o_orderkey")),
+    )
+    n1 = update_snapshot_bloom(spark, root, "o_custkey")
+    assert n1 >= 1
+    append(
+        spark, root,
+        orders.where(F.col("o_orderkey") % 10 >= 7)
+        .repartitionByRange(3, F.col("o_orderkey")),
+    )
+    # STALE window: the new files are uncovered -> must be kept and the
+    # answer stays exact
+    ck = int(orders.agg(F.min("o_custkey")).first()[0])
+    expected = sorted(
+        map(tuple, orders.where(F.col("o_custkey") == ck).collect())
+    )
+    df, plan = plan_snapshot_scan(spark, root, [Eq("o_custkey", ck)])
+    assert sorted(map(tuple, df.collect())) == expected
+    # incremental catch-up scans only the new files
+    n2 = update_snapshot_bloom(spark, root, "o_custkey")
+    assert 1 <= n2 < n1 + 1 or n2 >= 1
+    assert update_snapshot_bloom(spark, root, "o_custkey") == 0
+    # fully-covered probe: still exact, and it prunes
+    df2, plan2 = plan_snapshot_scan(
+        spark, root, [Eq("o_custkey", ck)], require_pruning=True
+    )
+    assert sorted(map(tuple, df2.collect())) == expected
+    assert plan2.pruned_by("bloom:o_custkey") >= 1
+    # incremental index == from-scratch rebuild (same content per file)
+    import shutil as _sh
+
+    idx_dir = os.path.join(root, "_indexes", "bloom_o_custkey")
+    incr = sorted(
+        map(tuple, spark.read.parquet(idx_dir).collect())
+    )
+    _sh.rmtree(idx_dir)
+    update_snapshot_bloom(spark, root, "o_custkey")
+    full = sorted(map(tuple, spark.read.parquet(idx_dir).collect()))
+    assert incr == full
+    # composition: range (manifest stats) + point (bloom) in one call
+    b = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    mid_lo = b.lo + (b.hi - b.lo) * 2 // 5
+    mid_hi = b.lo + (b.hi - b.lo) * 3 // 5
+    df3, plan3 = plan_snapshot_scan(
+        spark, root,
+        [Range("o_orderkey", int(mid_lo), int(mid_hi)), Eq("o_custkey", ck)],
+    )
+    exp3 = sorted(
+        map(
+            tuple,
+            orders.where(
+                F.col("o_orderkey").between(int(mid_lo), int(mid_hi))
+                & (F.col("o_custkey") == ck)
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, df3.collect())) == exp3
+    names = [n for n, _ in plan3.steps]
+    assert names == ["manifest:o_orderkey", "bloom:o_custkey"]
