@@ -88,20 +88,81 @@ def load_centroids(spark: SparkSession, root: str) -> list[tuple[int, list[int]]
 
 
 def append_vectors(
-    spark: SparkSession, root: str, qvec_new: DataFrame, k: int
+    spark: SparkSession,
+    root: str,
+    qvec_new: DataFrame,
+    k: int,
+    dedup: bool = False,
 ) -> None:
     """Incremental maintenance: route new vectors to their cells under
     the FROZEN centroids (one map-only int64 matmul pass) and append
-    their files into the cell directories — existing files untouched."""
+    their files into the cell directories — existing files untouched.
+
+    ``dedup=True`` makes the append IDEMPOTENT on vec_id: the batch's
+    target cells are read back (a partition-pruned scan ∝ the touched
+    cells, the index's own pruning machinery) and already-present ids
+    are anti-joined away — so a replayed micro-batch adds nothing. This
+    is what turns the at-least-once delivery of a checkpointed stream
+    into exactly-once index content (``stream_index_vectors``)."""
     centroids = load_centroids(spark, root)
     assign = _matmul_assign_udf(centroids, k)
+    assigned = qvec_new.select(
+        "vec_id", "qv", assign(F.col("qv")).alias("cluster_id")
+    )
+    if dedup:
+        assigned = assigned.persist()
+        cells = [
+            int(r.cluster_id)
+            for r in assigned.select("cluster_id").distinct().collect()
+        ]  # <= min(k, batch) rows — driver-sized
+        if cells:
+            existing = (
+                spark.read.parquet(os.path.join(root, _POSTINGS))
+                .where(F.col("cluster_id").isin(cells))
+                .select("vec_id")
+            )
+            assigned = assigned.join(existing, "vec_id", "left_anti")
     (
-        qvec_new.select(
-            "vec_id", "qv", assign(F.col("qv")).alias("cluster_id")
-        )
-        .write.mode("append")
+        assigned.write.mode("append")
         .partitionBy("cluster_id")
         .parquet(os.path.join(root, _POSTINGS))
+    )
+
+
+def stream_index_vectors(
+    spark: SparkSession,
+    src_path: str,
+    root: str,
+    checkpoint: str,
+    k: int,
+    schema=None,
+) -> None:
+    """Streaming maintenance of the persisted index: an ``availableNow``
+    file-source stream over the landing zone routes each micro-batch of
+    raw (vec_id, embedding) rows into the index under the frozen
+    quantizer. Exactly-once index content: the checkpoint gives
+    at-least-once batches, and the idempotent append (``dedup=True`` —
+    replayed ids anti-join away against the touched cells only) makes
+    the replay a no-op, the same discipline as the snapshot sink's
+    batch-id stamps (streaming/pipelines.py::stream_commit_snapshots)."""
+    from telemetry_parquet_spark.ml.kmeans_det import quantize_vectors
+
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        append_vectors(
+            spark, root, quantize_vectors(batch_df), k=k, dedup=True
+        )
+
+    (
+        spark.readStream.schema(schema)
+        .parquet(src_path)
+        .writeStream.foreachBatch(feed)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
     )
 
 

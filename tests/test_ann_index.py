@@ -127,3 +127,61 @@ def test_index_build_and_append_deterministic(spark, sf_dir, index, tmp_path):
         )
 
     assert content(index) == content(root2)
+
+
+def test_dedup_append_is_idempotent(spark, sf_dir, index):
+    qvec = _qvec(spark, sf_dir)
+    hold = qvec.where(F.col("vec_id") % 10 == 9)
+    append_vectors(spark, index, hold, k=K, dedup=True)
+    n1 = spark.read.parquet(os.path.join(index, "postings")).count()
+    # replayed batch: identical rows must vanish in the anti-join
+    append_vectors(spark, index, hold, k=K, dedup=True)
+    n2 = spark.read.parquet(os.path.join(index, "postings")).count()
+    assert n1 == n2 == qvec.count()
+
+
+def test_stream_index_vectors_matches_batch(spark, sf_dir, index, tmp_path):
+    """availableNow streaming maintenance == batch append: two landing-
+    zone drops drain into the index and the final content equals the
+    batch-appended twin (frozen quantizer, idempotent routing)."""
+    from telemetry_parquet_spark.datapipe.ann_index import (
+        stream_index_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    emb.where(F.col("vec_id") % 10 == 9).where(
+        F.col("vec_id") % 20 == 9
+    ).write.mode("append").parquet(landing)
+    stream_index_vectors(spark, landing, index, ckpt, k=K)
+    emb.where(F.col("vec_id") % 10 == 9).where(
+        F.col("vec_id") % 20 != 9
+    ).write.mode("append").parquet(landing)
+    stream_index_vectors(spark, landing, index, ckpt, k=K)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(index, "postings"))
+            .select("vec_id", F.col("cluster_id").cast("long"))
+            .collect(),
+        )
+    )
+    qvec = _qvec(spark, sf_dir)
+    cents = load_centroids(spark, index)
+    want_hold = qvec.where(F.col("vec_id") % 10 == 9).select(
+        "vec_id", _matmul_assign_udf(cents, K)(F.col("qv")).alias("cid")
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(index, "postings"))
+            .where(~F.col("vec_id").isin(
+                [int(r.vec_id) for r in want_hold.select("vec_id").collect()]
+            ))
+            .select("vec_id", F.col("cluster_id").cast("long"))
+            .union(want_hold)
+            .collect(),
+        )
+    )
+    assert got == want
