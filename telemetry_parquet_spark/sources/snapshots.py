@@ -1316,6 +1316,7 @@ def plan_snapshot_scan(
     predicates: list,
     version: int | None = None,
     require_pruning: bool = False,
+    allow_dv: bool = False,
 ):
     """Predicate-driven pruned read of a snapshot version using the
     manifest's commit-time column stats — and, for point predicates on a
@@ -1331,7 +1332,14 @@ def plan_snapshot_scan(
     stale index can never drop or resurrect rows. The residual filter is
     re-applied (and pushed into the parquet scan), so the result is
     EXACTLY the full-scan answer regardless of stats/index coverage.
-    Refuses outstanding deletion vectors (raw-file scan)."""
+
+    Merge-on-read versions: by default outstanding deletion vectors are
+    refused (raw-file scan); with ``allow_dv`` the pruned read goes
+    through the DV-applying scan instead — pruning still drops whole
+    files from the manifest list (a DV masks rows, it never ADDS any, so
+    a file skipped by stats/Bloom stays skippable) and the vectors are
+    anti-joined out of the kept files only. The MOR table gets planned
+    scans without waiting for compaction."""
     from telemetry_parquet_spark.sources.scan_planner import (
         Eq,
         In,
@@ -1342,7 +1350,8 @@ def plan_snapshot_scan(
 
     v = latest_version(root) if version is None else version
     m = read_manifest(root, v)
-    _require_no_dv(m, "plan_snapshot_scan")
+    if not allow_dv:
+        _require_no_dv(m, "plan_snapshot_scan")
     schema = StructType.fromJson(json.loads(m["schema"]))
     stats = m.get("stats", {})
     kept = sorted(m["files"])
@@ -1402,7 +1411,12 @@ def plan_snapshot_scan(
         return (
             empty if residual is None else empty.where(residual)
         ), plan
-    df = spark.read.schema(schema).parquet(*plan.files)
+    if m.get("dv"):
+        df = _scan_with_pos(spark, root, kept, schema, m["dv"]).select(
+            *[f.name for f in schema.fields]
+        )
+    else:
+        df = spark.read.schema(schema).parquet(*plan.files)
     return (df if residual is None else df.where(residual)), plan
 
 

@@ -1034,3 +1034,87 @@ def test_snapshot_bloom_lifecycle(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, df3.collect())) == exp3
     names = [n for n, _ in plan3.steps]
     assert names == ["manifest:o_orderkey", "bloom:o_custkey"]
+
+
+def test_planned_scan_through_deletion_vectors(spark, sf_dir, tmp_path):
+    """plan_snapshot_scan(allow_dv=True): a MOR table gets pruned scans
+    without compaction — files drop by manifest stats, vectors anti-join
+    out of the kept files only, result equals the logical read."""
+    from telemetry_parquet_spark.sources.scan_planner import Range
+    from telemetry_parquet_spark.sources.snapshots import (
+        delete_where_mor,
+        plan_snapshot_scan,
+    )
+
+    root = str(tmp_path / "mordv")
+    orders = _orders(spark, sf_dir)
+    append(
+        spark, root, orders.repartitionByRange(10, F.col("o_orderkey"))
+    )
+    delete_where_mor(spark, root, "o_orderpriority = '1-URGENT'")
+    b = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    mid_lo = int(b.lo + (b.hi - b.lo) * 2 // 5)
+    mid_hi = int(b.lo + (b.hi - b.lo) * 3 // 5)
+    # default still refuses
+    with pytest.raises(ValueError, match="deletion vectors"):
+        plan_snapshot_scan(
+            spark, root, [Range("o_orderkey", mid_lo, mid_hi)]
+        )
+    df, plan = plan_snapshot_scan(
+        spark, root, [Range("o_orderkey", mid_lo, mid_hi)],
+        require_pruning=True, allow_dv=True,
+    )
+    expected = sorted(
+        map(
+            tuple,
+            orders.where(
+                F.col("o_orderkey").between(mid_lo, mid_hi)
+                & (F.col("o_orderpriority") != "1-URGENT")
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == expected
+    assert plan.pruned_by("manifest:o_orderkey") >= 1
+
+
+def test_planned_scan_time_travel_with_later_index(spark, sf_dir, tmp_path):
+    """An index built at the HEAD serves a time-traveled planned scan of
+    an older version: candidates intersect that version's manifest and
+    files the index does not cover are kept — stale/forward coverage is
+    exactness-safe in both directions."""
+    from telemetry_parquet_spark.sources.scan_planner import Eq
+    from telemetry_parquet_spark.sources.snapshots import (
+        plan_snapshot_scan,
+        update_snapshot_bloom,
+    )
+
+    root = str(tmp_path / "ttidx")
+    orders = _orders(spark, sf_dir)
+    append(
+        spark, root,
+        orders.where(F.col("o_orderkey") % 10 < 7)
+        .repartitionByRange(6, F.col("o_orderkey")),
+    )
+    append(
+        spark, root,
+        orders.where(F.col("o_orderkey") % 10 >= 7)
+        .repartitionByRange(2, F.col("o_orderkey")),
+    )
+    update_snapshot_bloom(spark, root, "o_orderkey")  # covers v2's files
+    ok = int(orders.agg(F.min("o_orderkey")).first()[0])
+    df, plan = plan_snapshot_scan(
+        spark, root, [Eq("o_orderkey", ok)], version=1
+    )
+    expected = sorted(
+        map(
+            tuple,
+            orders.where(
+                (F.col("o_orderkey") == ok)
+                & (F.col("o_orderkey") % 10 < 7)
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == expected
+    assert plan.steps[0][0] == "bloom:o_orderkey"
