@@ -166,6 +166,43 @@ def stream_index_vectors(
     )
 
 
+def compact_index(spark: SparkSession, root: str) -> tuple[int, int]:
+    """Maintenance after many streaming appends: rewrite the postings to
+    ONE file per cell (hash-repartition on cluster_id — every cell's
+    rows land in one task, parallelism = shuffle partitions; one
+    index-sized shuffle, never corpus-extra work since the index IS the
+    postings). Probes are unaffected mid-flight because they address
+    cells, not files, and the rewrite goes through a staging directory
+    with an atomic directory swap — a crash leaves the old or the new
+    layout, never a mix. Returns (files_before, files_after); content
+    equality is pytest-gated."""
+    import shutil
+
+    posts_dir = os.path.join(root, _POSTINGS)
+    staged_dir = os.path.join(root, _POSTINGS + ".compact")
+    old_dir = os.path.join(root, _POSTINGS + ".old")
+
+    def _count(d: str) -> int:
+        return sum(
+            1
+            for dp, _, ns in os.walk(d)
+            for n in ns
+            if n.endswith(".parquet")
+        )
+
+    before = _count(posts_dir)
+    posts = spark.read.parquet(posts_dir)
+    (
+        posts.repartition("cluster_id")
+        .write.partitionBy("cluster_id")
+        .parquet(staged_dir)
+    )
+    os.rename(posts_dir, old_dir)
+    os.rename(staged_dir, posts_dir)
+    shutil.rmtree(old_dir)
+    return before, _count(posts_dir)
+
+
 def _probe_cells_udf(centroids: list[tuple[int, list[int]]], k: int, nprobe: int):
     """array<long> of the ``nprobe`` nearest cells per query vector, in
     packed ``d2*k + cid`` order — the same exact-integer ordering the

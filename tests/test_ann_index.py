@@ -185,3 +185,40 @@ def test_stream_index_vectors_matches_batch(spark, sf_dir, index, tmp_path):
         )
     )
     assert got == want
+
+
+def test_compact_index_preserves_content(spark, sf_dir, index):
+    from telemetry_parquet_spark.datapipe.ann_index import compact_index
+
+    qvec = _qvec(spark, sf_dir)
+    hold = qvec.where(F.col("vec_id") % 10 == 9)
+    # several small appends -> file fragmentation
+    for m in (9, 19):
+        append_vectors(
+            spark, index, hold.where(F.col("vec_id") % 20 == m), k=K
+        )
+
+    def content():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(os.path.join(index, "postings"))
+                .select("vec_id", F.col("cluster_id").cast("long"))
+                .collect(),
+            )
+        )
+
+    before_rows = content()
+    n_before, n_after = compact_index(spark, index)
+    assert n_after < n_before
+    # one file per cell
+    posts_dir = os.path.join(index, "postings")
+    cells = [d for d in os.listdir(posts_dir) if d.startswith("cluster_id=")]
+    assert n_after == len(cells)
+    assert content() == before_rows
+    # probes still work on the compacted layout
+    out = ivf_table_topk(
+        spark, index, qvec.where(F.col("vec_id") < 2), k=K, nprobe=2,
+        topk=5, require_pruned=True,
+    )
+    assert out.count() > 0
