@@ -8,6 +8,8 @@ with the time-travel syntax the public table formats expose:
 - ``<name> VERSION AS OF <n>``        — manifest-pinned read of version n
 - ``<name> TIMESTAMP AS OF <epoch>``  — resolved via ``version_as_of``
 - ``DESCRIBE HISTORY <name>``         — the commit log as a DataFrame
+- ``DESCRIBE DETAIL <name>``          — one-row head-state metadata
+  (version, files, DVs, bytes, columns, constraints, tags, staged)
 - bare ``<name>``                     — the table HEAD at call time
 - ``DELETE FROM <name> [WHERE …]``    — copy-on-write ``delete_where``
 - ``UPDATE <name> SET … [WHERE …]``   — merge-on-read ``update_where_mor``
@@ -83,6 +85,62 @@ def describe_history(spark: SparkSession, root: str) -> DataFrame:
         for h in history(root)
     ]
     return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+
+
+def describe_detail(spark: SparkSession, root: str) -> DataFrame:
+    """``DESCRIBE DETAIL`` — one row of head-state metadata: version,
+    file/DV counts, total bytes, schema column count, constraints, tags,
+    staged (unpublished WAP) commits. Manifest-and-ref-sized — no data
+    files are opened (sizes come from the filesystem entries the
+    manifest lists)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import LongType
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        list_staged,
+        list_tags,
+        read_manifest,
+    )
+
+    v = latest_version(root)
+    m = read_manifest(root, v)
+    size = sum(
+        _os.path.getsize(_os.path.join(root, f))
+        for f in m["files"]
+        if _os.path.exists(_os.path.join(root, f))
+    )
+    n_cols = len(_json.loads(m["schema"])["fields"])
+    schema = StructType(
+        [
+            StructField("version", IntegerType(), False),
+            StructField("action", StringType(), False),
+            StructField("n_files", IntegerType(), False),
+            StructField("n_dv", IntegerType(), False),
+            StructField("size_bytes", LongType(), False),
+            StructField("n_columns", IntegerType(), False),
+            StructField("constraints", StringType(), False),
+            StructField("tags", StringType(), False),
+            StructField("staged", StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                v,
+                m["action"],
+                len(m["files"]),
+                len(m.get("dv", [])),
+                size,
+                n_cols,
+                ",".join(sorted(m.get("constraints") or {})),
+                ",".join(sorted(list_tags(root))),
+                ",".join(list_staged(root)),
+            )
+        ],
+        schema,
+    )
 
 
 def _view_name(name: str, version: int) -> str:
@@ -233,6 +291,11 @@ def engine_sql(
     )
     if m:
         return describe_history(spark, _resolve(tables, m.group(1)))
+    m = re.fullmatch(
+        r"\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
+    )
+    if m:
+        return describe_detail(spark, _resolve(tables, m.group(1)))
     dml = _dml(spark, sql, tables)
     if dml is not None:
         return dml

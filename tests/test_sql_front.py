@@ -220,3 +220,30 @@ def test_version_as_of_tag_name(spark, table):
         tables={"t": table},
     )
     assert got.first().n == read_snapshot(spark, table, 2).count()
+
+
+def test_describe_detail(spark, sf_dir, tmp_path):
+    from telemetry_parquet_spark.sources.snapshots import (
+        add_check_constraint,
+        append,
+        create_tag,
+        stage_append,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    root = str(tmp_path / "dd")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    append(spark, root, orders)
+    add_check_constraint(spark, root, "pos_key", "o_orderkey >= 0")
+    create_tag(root, "release-1")
+    stage_append(spark, root, orders.limit(5), "pending")
+    row = engine_sql(
+        spark, "DESCRIBE DETAIL snap", tables={"snap": root}
+    ).first()
+    assert row.version == 2  # append + add-constraint
+    assert row.action == "add-constraint"
+    assert row.n_files >= 1 and row.n_dv == 0
+    assert row.size_bytes > 0 and row.n_columns == 6
+    assert row.constraints == "pos_key"
+    assert row.tags == "release-1"
+    assert row.staged == "pending"
