@@ -105,16 +105,40 @@ def history(root: str) -> list[dict]:
     return out
 
 
-def _file_footer_stats(path: str) -> dict:
+def _encode_temporal(v):
+    """JSON-encodable ordinal for footer temporal stats: DATE → epoch
+    days, TIMESTAMP (parquet stats are tz-naive UTC) → epoch micros.
+    Integer encodings compare exactly, so `_minmax_keep` needs no
+    temporal special-casing once both sides are encoded."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return int(
+            (v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1))
+            .total_seconds() * 1_000_000
+        )
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return None
+
+
+def _file_footer_stats(path: str) -> tuple[dict, dict]:
     """Per-column [min, max] from the parquet footer of ONE file —
-    row-group stats folded, JSON-representable types only (int / float /
-    str / bool; temporal and binary columns are skipped — the planner
-    treats a missing stat as 'unknown: keep'). Strings are NOT truncated
-    (truncating a max downward would prune incorrectly); the Iceberg
-    round-up-truncation refinement is left undone and documented."""
+    row-group stats folded. Plain JSON types (int / float / str / bool)
+    are stored as-is; DATE/TIMESTAMP columns are stored as integer
+    ordinals (epoch days / epoch micros) with their kind recorded in the
+    returned types dict so the planner can encode predicate values the
+    same way. Binary and other non-orderable columns are skipped — the
+    planner treats a missing stat as 'unknown: keep'. Strings are NOT
+    truncated (truncating a max downward would prune incorrectly); the
+    Iceberg round-up-truncation refinement is left undone and
+    documented."""
+    import datetime as _dt
+
     import pyarrow.parquet as pq
 
     out: dict[str, list] = {}
+    types: dict[str, str] = {}
     md = pq.ParquetFile(path).metadata
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -124,29 +148,37 @@ def _file_footer_stats(path: str) -> dict:
             if st is None or not st.has_min_max:
                 continue
             mn, mx = st.min, st.max
-            if not all(
+            name = col.path_in_schema
+            if isinstance(mn, _dt.date) or isinstance(mn, _dt.datetime):
+                types[name] = (
+                    "timestamp" if isinstance(mn, _dt.datetime) else "date"
+                )
+                mn, mx = _encode_temporal(mn), _encode_temporal(mx)
+            elif not all(
                 isinstance(v, (int, float, str, bool)) for v in (mn, mx)
             ):
                 continue
-            name = col.path_in_schema
             if name in out:
                 out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
             else:
                 out[name] = [mn, mx]
-    return out
+    return out, types
 
 
 def _stats_for_commit(
     root: str, files: list[str], parent: int | None
-) -> dict:
-    """Per-file column stats for the manifest: carried files reuse the
-    parent's entries, fresh files get ONE footer read each (driver-side,
-    file-count-sized — the same metadata pass every table format performs
-    at commit time so that later planning needs zero data I/O)."""
-    parent_stats = {}
+) -> tuple[dict, dict]:
+    """Per-file column stats (+ temporal-encoding types) for the
+    manifest: carried files reuse the parent's entries, fresh files get
+    ONE footer read each (driver-side, file-count-sized — the same
+    metadata pass every table format performs at commit time so that
+    later planning needs zero data I/O)."""
+    parent_stats, types = {}, {}
     if parent is not None:
         try:
-            parent_stats = read_manifest(root, parent).get("stats", {})
+            pm = read_manifest(root, parent)
+            parent_stats = pm.get("stats", {})
+            types = dict(pm.get("stats_types", {}))
         except FileNotFoundError:
             pass
     stats = {}
@@ -155,10 +187,11 @@ def _stats_for_commit(
             stats[f] = parent_stats[f]
         else:
             try:
-                stats[f] = _file_footer_stats(os.path.join(root, f))
+                stats[f], t = _file_footer_stats(os.path.join(root, f))
+                types.update(t)
             except Exception:
                 stats[f] = {}  # unreadable footer -> no stats -> keep
-    return stats
+    return stats, types
 
 
 def _commit(root: str, action: str, files: list[str], schema_json: str,
@@ -173,6 +206,7 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
     import time as _time
 
     version = 0 if parent is None else parent + 1
+    stats, stats_types = _stats_for_commit(root, files, parent)
     manifest = {
         "version": version,
         "parent": parent,
@@ -180,7 +214,8 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
         "files": sorted(files),
         "schema": schema_json,
         "committed_at": _time.time(),
-        "stats": _stats_for_commit(root, files, parent),
+        "stats": stats,
+        **({"stats_types": stats_types} if stats_types else {}),
         **(extra or {}),
     }
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
@@ -1340,9 +1375,13 @@ def plan_snapshot_scan(
     a file skipped by stats/Bloom stays skippable) and the vectors are
     anti-joined out of the kept files only. The MOR table gets planned
     scans without waiting for compaction."""
+    import dataclasses
+    import datetime as _dt
+
     from telemetry_parquet_spark.sources.scan_planner import (
         Eq,
         In,
+        Range,
         ScanPlan,
         _minmax_keep,
         _predicate_expr,
@@ -1354,8 +1393,40 @@ def plan_snapshot_scan(
         _require_no_dv(m, "plan_snapshot_scan")
     schema = StructType.fromJson(json.loads(m["schema"]))
     stats = m.get("stats", {})
+    stat_types = m.get("stats_types", {})
     kept = sorted(m["files"])
     plan = ScanPlan(total_files=len(kept))
+
+    def _conv(col: str, val):
+        """Predicate value → the manifest's stored encoding (temporal
+        columns are stored as integer ordinals; see _file_footer_stats).
+        Accepts date/datetime objects or ISO strings."""
+        t = stat_types.get(col)
+        if val is None or t not in ("date", "timestamp"):
+            return val
+        if isinstance(val, str):
+            val = (
+                _dt.datetime.fromisoformat(val)
+                if t == "timestamp"
+                else _dt.date.fromisoformat(val)
+            )
+        if t == "timestamp" and not isinstance(val, _dt.datetime):
+            val = _dt.datetime(val.year, val.month, val.day)
+        return _encode_temporal(val)
+
+    def _converted(p):
+        if isinstance(p, Range):
+            return dataclasses.replace(
+                p, lo=_conv(p.col, p.lo), hi=_conv(p.col, p.hi)
+            )
+        if isinstance(p, Eq):
+            return dataclasses.replace(p, value=_conv(p.col, p.value))
+        if isinstance(p, In):
+            return dataclasses.replace(
+                p, values=tuple(_conv(p.col, v) for v in p.values)
+            )
+        return p
+
     for p in predicates:
         idx_dir = _bloom_dir(root, p.col)
         if isinstance(p, (Eq, In)) and os.path.isdir(idx_dir):
@@ -1380,15 +1451,17 @@ def plan_snapshot_scan(
             plan.steps.append((f"bloom:{p.col}", len(kept)))
             continue
 
+        cp = _converted(p)
+
         def _keep(f: str) -> bool:
             st = stats.get(f, {})
-            if p.col not in st:
+            if cp.col not in st:
                 return True  # no stats -> unknown -> keep
             row = {
-                f"min_{p.col}": st[p.col][0],
-                f"max_{p.col}": st[p.col][1],
+                f"min_{cp.col}": st[cp.col][0],
+                f"max_{cp.col}": st[cp.col][1],
             }
-            return _minmax_keep(row, p)
+            return _minmax_keep(row, cp)
 
         kept = [f for f in kept if _keep(f)]
         plan.steps.append((f"manifest:{p.col}", len(kept)))

@@ -1118,3 +1118,44 @@ def test_planned_scan_time_travel_with_later_index(spark, sf_dir, tmp_path):
     )
     assert sorted(map(tuple, df.collect())) == expected
     assert plan.steps[0][0] == "bloom:o_orderkey"
+
+
+def test_manifest_temporal_stats_prune_date_ranges(spark, sf_dir, tmp_path):
+    """Commit-time stats now cover DATE/TIMESTAMP columns (epoch-ordinal
+    encoding in the manifest): a time-range predicate — THE 100 TB
+    predicate — prunes files with zero data I/O, and ISO-string or
+    datetime predicate values both work."""
+    import datetime as dt
+
+    from telemetry_parquet_spark.sources.scan_planner import Range
+    from telemetry_parquet_spark.sources.snapshots import (
+        plan_snapshot_scan,
+        read_manifest,
+    )
+
+    root = str(tmp_path / "tstats")
+    orders = _orders(spark, sf_dir)
+    append(
+        spark, root, orders.repartitionByRange(10, F.col("o_orderdate"))
+    )
+    m = read_manifest(root, 1)
+    assert m.get("stats_types", {}).get("o_orderdate") == "timestamp"
+    some = next(iter(m["stats"].values()))
+    assert isinstance(some["o_orderdate"][0], int)  # epoch-micros ordinal
+    lo = dt.datetime(1997, 1, 1)
+    hi = dt.datetime(1997, 12, 31, 23, 59, 59)
+    df, plan = plan_snapshot_scan(
+        spark, root, [Range("o_orderdate", lo, hi)], require_pruning=True
+    )
+    expected = sorted(
+        map(tuple, orders.where(F.col("o_orderdate").between(lo, hi)).collect())
+    )
+    assert sorted(map(tuple, df.collect())) == expected
+    assert plan.pruned_by("manifest:o_orderdate") >= 1
+    # ISO-string bounds resolve identically
+    df2, plan2 = plan_snapshot_scan(
+        spark, root,
+        [Range("o_orderdate", "1997-01-01T00:00:00", "1997-12-31T23:59:59")],
+        require_pruning=True,
+    )
+    assert plan2.steps == plan.steps
