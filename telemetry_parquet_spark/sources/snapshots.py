@@ -105,6 +105,32 @@ def history(root: str) -> list[dict]:
     return out
 
 
+_STR_STAT_MAX = 32
+
+
+def _trunc_lower(s: str, n: int = _STR_STAT_MAX) -> str:
+    """Lower-bound truncation for a string MIN stat: a prefix is
+    lexicographically <= the full string, so it stays a valid lower
+    bound."""
+    return s[:n]
+
+
+def _trunc_upper(s: str, n: int = _STR_STAT_MAX) -> str:
+    """Upper-bound truncation for a string MAX stat (Iceberg's round-up
+    rule): truncate to ``n`` chars and increment the last incrementable
+    character, so the result is lexicographically >= EVERY string with
+    the original prefix. If no character can be incremented, the full
+    string is kept — truncating downward would prune incorrectly."""
+    if len(s) <= n:
+        return s
+    head = s[:n]
+    for i in range(n - 1, -1, -1):
+        cp = ord(head[i])
+        if cp < 0x10FFFF:
+            return head[:i] + chr(cp + 1)
+    return s
+
+
 def _encode_temporal(v):
     """JSON-encodable ordinal for footer temporal stats: DATE → epoch
     days, TIMESTAMP (parquet stats are tz-naive UTC) → epoch micros.
@@ -129,10 +155,11 @@ def _file_footer_stats(path: str) -> tuple[dict, dict]:
     ordinals (epoch days / epoch micros) with their kind recorded in the
     returned types dict so the planner can encode predicate values the
     same way. Binary and other non-orderable columns are skipped — the
-    planner treats a missing stat as 'unknown: keep'. Strings are NOT
-    truncated (truncating a max downward would prune incorrectly); the
-    Iceberg round-up-truncation refinement is left undone and
-    documented."""
+    planner treats a missing stat as 'unknown: keep'. Long strings are
+    bounded to ``_STR_STAT_MAX`` chars the safe way (Iceberg's rule):
+    MIN truncates to a prefix (still a lower bound), MAX truncates and
+    rounds the last character UP (still an upper bound) — manifests stay
+    small on text columns, pruning stays conservative."""
     import datetime as _dt
 
     import pyarrow.parquet as pq
@@ -162,6 +189,9 @@ def _file_footer_stats(path: str) -> tuple[dict, dict]:
                 out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
             else:
                 out[name] = [mn, mx]
+    for name, (mn, mx) in out.items():
+        if isinstance(mn, str):  # bound manifest size on long strings
+            out[name] = [_trunc_lower(mn), _trunc_upper(mx)]
     return out, types
 
 

@@ -1159,3 +1159,56 @@ def test_manifest_temporal_stats_prune_date_ranges(spark, sf_dir, tmp_path):
         require_pruning=True,
     )
     assert plan2.steps == plan.steps
+
+
+def test_string_stat_truncation_bounds():
+    """Iceberg round-up truncation: for ANY string, the truncated min
+    stays a lower bound and the truncated max an upper bound."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        _STR_STAT_MAX,
+        _trunc_lower,
+        _trunc_upper,
+    )
+
+    @given(st.text(min_size=0, max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def check(s: str) -> None:
+        lo, hi = _trunc_lower(s), _trunc_upper(s)
+        assert lo <= s <= hi
+        assert len(lo) <= _STR_STAT_MAX
+        # the upper bound covers EVERY string sharing the prefix
+        assert s + "zzzz" <= hi or len(s) <= _STR_STAT_MAX
+
+    check()
+
+
+def test_manifest_string_stats_truncated_and_exact(spark, sf_dir, tmp_path):
+    """Long text columns get bounded manifest stats; an equality scan
+    through the planner stays exact (conservative bounds keep the true
+    file)."""
+    from telemetry_parquet_spark.sources.scan_planner import Eq
+    from telemetry_parquet_spark.sources.snapshots import (
+        _STR_STAT_MAX,
+        plan_snapshot_scan,
+        read_manifest,
+    )
+
+    root = str(tmp_path / "strst")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    append(spark, root, docs.repartitionByRange(6, F.col("doc_id")))
+    m = read_manifest(root, 1)
+    lens = [
+        len(b)
+        for st_ in m["stats"].values()
+        if "text" in st_
+        for b in st_["text"]
+    ]
+    assert lens and max(lens) <= _STR_STAT_MAX
+    probe = docs.orderBy("doc_id").limit(1).first().text
+    df, _plan = plan_snapshot_scan(spark, root, [Eq("text", probe)])
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, docs.where(F.col("text") == probe).collect())
+    )
