@@ -863,3 +863,72 @@ def snapshot_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_val").cast("decimal(25,2)").alias("sum_price"),
     )
+
+
+@query(
+    "mv_rewrite_rollup",
+    # The rewrite answers GROUP BY o_orderstatus from a materialized view
+    # grouped by (o_orderstatus, o_orderpriority) — a strict rollup — after
+    # incrementally catching the view up to the base head (the build leaves
+    # it one append stale). require_rewrite=True RAISES on any fallback to
+    # the fact table, so a green row proves the rewrite ENGAGED. The oracle
+    # is the direct aggregation over ALL of orders (80% + 20% appends).
+    # AVG divides the two exact DECIMAL totals in IEEE double on both sides.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
+               AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def mv_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view query rewrite (sources/views.py): the engine
+    answers an aggregate over the FACT table from a cataloged rollup view
+    — subsumption-matched, staleness-checked against the commit log, and
+    incrementally refreshed first (cost ∝ the stale commits' change
+    volume, never the table). At 100 TB this is the difference between a
+    view-cardinality re-aggregation and a full fact scan per question.
+    Reference parity note in sources/views.py (MainEventsView.scala
+    derived-dataset lineage)."""
+    from telemetry_parquet_spark.sources.snapshots import append
+    from telemetry_parquet_spark.sources.views import (
+        Agg,
+        answer_aggregate,
+        create_view,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        base, view = os.path.join(root, "base"), os.path.join(root, "view")
+        append(spark, base, orders.where(F.col("o_orderkey") % 10 < 8))
+        create_view(
+            spark, base, view,
+            ["o_orderstatus", "o_orderpriority"], "o_totalprice",
+        )
+        # one more append AFTER the view materializes: every fresh run
+        # exercises staleness detection + incremental catch-up
+        append(spark, base, orders.where(F.col("o_orderkey") % 10 >= 8))
+
+    root = materialize_cached(
+        spark, src, "mv_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    out, used = answer_aggregate(
+        spark,
+        os.path.join(root, "base"),
+        [os.path.join(root, "view")],
+        ["o_orderstatus"],
+        [
+            Agg("count", alias="n_orders"),
+            Agg("sum", "o_totalprice", "sum_price"),
+            Agg("avg", "o_totalprice", "avg_price"),
+        ],
+        require_rewrite=True,
+    )
+    assert used is not None  # the rewrite path, proven
+    return out

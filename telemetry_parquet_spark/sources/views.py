@@ -1,0 +1,252 @@
+"""Materialized-view catalog + automatic aggregate query rewrite.
+
+The missing half of incremental view maintenance: ``snapshots.py``
+already keeps a grouped SUM/COUNT view exactly in sync with a base
+table's commit log (``refresh_view_incremental``, streamed by
+``streaming/ivm.py``). This module makes the maintained view USABLE the
+way a warehouse uses one — a user asks an aggregate question of the BASE
+table and the engine answers it from the view when the view subsumes the
+question, never touching the fact data:
+
+- **Rollup subsumption**: a view grouped by (a, b) answers any GROUP BY
+  over a subset of {a, b} — COUNT(*) re-aggregates as SUM(n_rows),
+  SUM(x) as SUM(sum_val), AVG(x) as SUM(sum_val)/SUM(n_rows). The
+  re-aggregation runs over the group-cardinality-sized view, so a 100 TB
+  fact table answers in view-sized time.
+- **Freshness**: the view's manifest records the base version it
+  reflects (``mv_base_version``). A rewrite against a stale view either
+  incrementally catches up first (``auto_refresh`` — cost ∝ the change
+  volume via ``table_changes``, the IVM contract) or refuses
+  (``RewriteMiss``) so the caller can fall back to the base scan.
+  Serving a stale answer silently is never an option.
+- **Proof discipline**: ``answer_aggregate(require_rewrite=True)``
+  RAISES when no view subsumes the question — the ``require_pruning`` /
+  ``require_each_pruning`` pattern: a green driver row on
+  ``mv_rewrite_rollup`` proves the rewrite ENGAGED, not merely that some
+  scan produced the right numbers. ``DataFrame.inputFiles`` on the
+  rewritten plan shows only view files (pytest-asserted).
+
+Exactness: the view stores DECIMAL partial sums (associative), so
+rewritten SUMs equal direct re-aggregation bit-for-bit; AVG divides the
+two exact totals in IEEE double (both exactly representable at DECIMAL
+(15,2) scale), deterministic across engines and task orderings.
+
+Reference parity: the reference pre-computes fixed derived datasets as
+standalone batch jobs and points consumers at the derived table by hand
+(views/MainEventsView.scala:11-63 — per-day overwrite of a derived
+parquet path; same pattern in SyncView/SyncFlatView). This module
+generalizes that to a cataloged view with automatic subsumption
+matching, staleness tracking against the commit log, and incremental
+catch-up — net-new engine surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.sources import snapshots as S
+
+
+class RewriteMiss(Exception):
+    """The view cannot answer the question (grouping not subsumed, agg
+    not derivable, or stale with refresh disallowed)."""
+
+
+@dataclass(frozen=True)
+class Agg:
+    """One requested aggregate: COUNT(*) is ``Agg('count')``; SUM/AVG
+    name the base column they aggregate."""
+
+    func: str  # 'count' | 'sum' | 'avg'
+    col: str | None = None
+    alias: str | None = None
+
+    @property
+    def out(self) -> str:
+        return self.alias or (
+            self.func if self.col is None else f"{self.func}_{self.col}"
+        )
+
+
+def create_view(
+    spark: SparkSession,
+    base_root: str,
+    view_root: str,
+    group_cols: list[str],
+    sum_col: str,
+    cast_to: str = "decimal(15,2)",
+) -> int:
+    """Materialize the grouped SUM/COUNT view of ``base_root``'s head and
+    commit it (with its defining metadata) as version 1 of the view
+    table. One full scan of the base — the last one rewrites need."""
+    base_version = S.latest_version(base_root)
+    base = S.read_snapshot(spark, base_root, base_version)
+    state = base.groupBy(*group_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col(sum_col).cast(cast_to)).alias("sum_val"),
+    )
+    return S.overwrite(
+        spark,
+        view_root,
+        state,
+        extra={
+            "mv_base_root": base_root,
+            "mv_base_version": base_version,
+            "mv_group_cols": list(group_cols),
+            "mv_sum_col": sum_col,
+            "mv_cast_to": cast_to,
+        },
+    )
+
+
+def view_info(view_root: str) -> dict:
+    """The view's defining metadata from its head manifest."""
+    m = S.read_manifest(view_root, S.latest_version(view_root))
+    if "mv_base_root" not in m:
+        raise ValueError(f"{view_root} is not a materialized view")
+    return m
+
+
+def refresh_view(spark: SparkSession, view_root: str) -> int:
+    """Catch the view up to its base table's head — cost ∝ the commits'
+    change volume (``table_changes`` diffs only non-shared files), never
+    the base table. No-op (returns the current view version) when
+    already fresh. Each refresh is itself an atomic, time-travelable
+    overwrite version of the view."""
+    m = view_info(view_root)
+    base_root, from_v = m["mv_base_root"], m["mv_base_version"]
+    to_v = S.latest_version(base_root)
+    if to_v == from_v:
+        return S.latest_version(view_root)
+    changes = S.table_changes(spark, base_root, from_v, to_v).withColumn(
+        "__p", F.col(m["mv_sum_col"]).cast(m["mv_cast_to"])
+    )
+    state = S.read_snapshot(spark, view_root)
+    new_state = S.refresh_view_incremental(
+        state, changes, m["mv_group_cols"], "__p"
+    )
+    return S.overwrite(
+        spark,
+        view_root,
+        new_state,
+        extra={
+            "mv_base_root": base_root,
+            "mv_base_version": to_v,
+            "mv_group_cols": m["mv_group_cols"],
+            "mv_sum_col": m["mv_sum_col"],
+            "mv_cast_to": m["mv_cast_to"],
+        },
+    )
+
+
+def _derive(agg: Agg, sum_col: str):
+    """The view-side expression computing ``agg``, or RewriteMiss."""
+    if agg.func == "count" and agg.col is None:
+        return F.sum("n_rows").cast("bigint").alias(agg.out)
+    if agg.func == "sum" and agg.col == sum_col:
+        return F.sum("sum_val").cast("decimal(25,2)").alias(agg.out)
+    if agg.func == "avg" and agg.col == sum_col:
+        return (
+            F.sum("sum_val").cast("double")
+            / F.sum("n_rows").cast("double")
+        ).alias(agg.out)
+    raise RewriteMiss(
+        f"{agg.func}({agg.col}) not derivable from SUM/COUNT({sum_col})"
+    )
+
+
+def rewrite_aggregate(
+    spark: SparkSession,
+    view_root: str,
+    group_cols: list[str],
+    aggs: list[Agg],
+    auto_refresh: bool = True,
+) -> DataFrame:
+    """Answer GROUP BY ``group_cols`` + ``aggs`` over the view's BASE
+    table by re-aggregating the VIEW — raises ``RewriteMiss`` when the
+    view doesn't subsume the question. Stale views incrementally catch up
+    first (``auto_refresh``) or miss: a rewrite never silently serves an
+    answer older than the base table's head."""
+    m = view_info(view_root)
+    if not set(group_cols) <= set(m["mv_group_cols"]):
+        raise RewriteMiss(
+            f"GROUP BY {group_cols} not subsumed by view grouping "
+            f"{m['mv_group_cols']}"
+        )
+    exprs = [_derive(a, m["mv_sum_col"]) for a in aggs]
+    if S.latest_version(m["mv_base_root"]) != m["mv_base_version"]:
+        if not auto_refresh:
+            raise RewriteMiss(
+                f"view at base v{m['mv_base_version']} is stale "
+                f"(base head v{S.latest_version(m['mv_base_root'])}) "
+                "and auto_refresh is off"
+            )
+        refresh_view(spark, view_root)
+    view = S.read_snapshot(spark, view_root)
+    if group_cols:
+        return view.groupBy(*group_cols).agg(*exprs)
+    return view.agg(*exprs)
+
+
+def answer_aggregate(
+    spark: SparkSession,
+    base_root: str,
+    view_roots: list[str],
+    group_cols: list[str],
+    aggs: list[Agg],
+    require_rewrite: bool = False,
+    auto_refresh: bool = True,
+) -> tuple[DataFrame, str | None]:
+    """The front door: try each cataloged view in order, fall back to a
+    direct aggregation of the base table when none subsumes the question.
+    Returns (answer, view_root used or None). ``require_rewrite`` turns
+    the fallback into a loud error — the proof knob the driver query
+    uses."""
+    misses = []
+    for root in view_roots:
+        try:
+            info = view_info(root)
+            if info["mv_base_root"] != base_root:
+                raise RewriteMiss(f"view {root} is over a different base")
+            return (
+                rewrite_aggregate(
+                    spark, root, group_cols, aggs, auto_refresh
+                ),
+                root,
+            )
+        except RewriteMiss as e:
+            misses.append(str(e))
+    if require_rewrite:
+        raise RuntimeError(
+            "no materialized view subsumes the question: "
+            + "; ".join(misses or ["no views cataloged"])
+        )
+    base = S.read_snapshot(spark, base_root)
+    exprs = []
+    for a in aggs:
+        if a.func == "count" and a.col is None:
+            exprs.append(F.count("*").alias(a.out))
+        elif a.func == "sum":
+            exprs.append(
+                F.sum(F.col(a.col).cast("decimal(15,2)"))
+                .cast("decimal(25,2)")
+                .alias(a.out)
+            )
+        elif a.func == "avg":
+            exprs.append(
+                (
+                    F.sum(F.col(a.col).cast("decimal(15,2)")).cast("double")
+                    / F.count("*").cast("double")
+                ).alias(a.out)
+            )
+        else:
+            raise ValueError(f"unsupported aggregate {a.func}")
+    out = (
+        base.groupBy(*group_cols).agg(*exprs)
+        if group_cols
+        else base.agg(*exprs)
+    )
+    return out, None

@@ -1,0 +1,152 @@
+"""Materialized-view query rewrite (sources/views.py): subsumption
+matching, staleness + incremental catch-up, fallback, and the
+only-the-view-is-scanned proof."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.sources import snapshots as S
+from telemetry_parquet_spark.sources.views import (
+    Agg,
+    RewriteMiss,
+    answer_aggregate,
+    create_view,
+    refresh_view,
+    rewrite_aggregate,
+)
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    """A small snapshot base table (a, b, x) + its (a, b) view."""
+    root = str(tmp_path / "base")
+    rows = [(i % 3, i % 2, float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "a int, b int, x double")
+    S.append(spark, root, df)
+    view = str(tmp_path / "view")
+    create_view(spark, root, view, ["a", "b"], "x")
+    return root, view
+
+
+def _direct(spark, root, group_cols):
+    base_df = S.read_snapshot(spark, root)
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(15,2)"))
+        .cast("decimal(25,2)")
+        .alias("s"),
+    ]
+    df = base_df.groupBy(*group_cols).agg(*aggs) if group_cols else base_df.agg(*aggs)
+    return sorted(map(tuple, df.collect()))
+
+
+def test_rewrite_scans_only_view_files(spark, base):
+    root, view = base
+    out = rewrite_aggregate(
+        spark, view, ["a"], [Agg("count", alias="n"), Agg("sum", "x", "s")]
+    )
+    files = out.inputFiles()
+    assert files, "rewritten plan has no file scan?"
+    assert all(os.path.abspath(view) in f for f in files), files
+    assert sorted(map(tuple, out.collect())) == _direct(spark, root, ["a"])
+
+
+def test_rollup_subset_and_global(spark, base):
+    root, view = base
+    for cols in (["a", "b"], ["b"], []):
+        got = rewrite_aggregate(
+            spark, view, cols, [Agg("count", alias="n"), Agg("sum", "x", "s")]
+        )
+        assert sorted(map(tuple, got.collect())) == _direct(spark, root, cols)
+
+
+def test_miss_on_unsubsumed_group_or_agg(spark, base):
+    _, view = base
+    with pytest.raises(RewriteMiss, match="not subsumed"):
+        rewrite_aggregate(spark, view, ["x"], [Agg("count")])
+    with pytest.raises(RewriteMiss, match="not derivable"):
+        rewrite_aggregate(spark, view, ["a"], [Agg("sum", "b")])
+    with pytest.raises(RewriteMiss, match="not derivable"):
+        rewrite_aggregate(spark, view, ["a"], [Agg("min", "x")])
+
+
+def test_stale_view_auto_refreshes_through_append_and_delete(spark, base, tmp_path):
+    root, view = base
+    extra = spark.createDataFrame(
+        [(0, 0, 1000.5), (7, 1, 2.25)], "a int, b int, x double"
+    )
+    S.append(spark, root, extra)
+    S.delete_where(spark, root, "a = 1")
+    out = rewrite_aggregate(
+        spark, view, ["a"], [Agg("count", alias="n"), Agg("sum", "x", "s")]
+    )
+    assert sorted(map(tuple, out.collect())) == _direct(spark, root, ["a"])
+    # the refresh rolled the view's recorded base version to head
+    m = S.read_manifest(view, S.latest_version(view))
+    assert m["mv_base_version"] == S.latest_version(root)
+    # deleting ALL of a group (a=1) removed its rows from the view state
+    assert S.read_snapshot(spark, view).where("a = 1").count() == 0
+
+
+def test_stale_without_auto_refresh_misses(spark, base):
+    root, view = base
+    S.append(
+        spark, root, spark.createDataFrame([(0, 0, 1.0)], "a int, b int, x double")
+    )
+    with pytest.raises(RewriteMiss, match="stale"):
+        rewrite_aggregate(spark, view, ["a"], [Agg("count")], auto_refresh=False)
+
+
+def test_refresh_noop_when_fresh(spark, base):
+    _, view = base
+    v = S.latest_version(view)
+    assert refresh_view(spark, view) == v
+    assert S.latest_version(view) == v
+
+
+def test_avg_derivation_matches_direct_double_division(spark, base):
+    root, view = base
+    out = rewrite_aggregate(spark, view, ["b"], [Agg("avg", "x", "avg_x")])
+    base_df = S.read_snapshot(spark, root)
+    direct = base_df.groupBy("b").agg(
+        (
+            F.sum(F.col("x").cast("decimal(15,2)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_x")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_answer_front_door_fallback_and_require(spark, base):
+    root, view = base
+    # no view subsumes GROUP BY x -> fallback answers from base
+    df, used = answer_aggregate(
+        spark, root, [view], ["x"], [Agg("count", alias="n")]
+    )
+    assert used is None and df.count() > 0
+    with pytest.raises(RuntimeError, match="no materialized view"):
+        answer_aggregate(
+            spark, root, [view], ["x"], [Agg("count")], require_rewrite=True
+        )
+    # subsumed -> answered by the view, reported as such
+    df, used = answer_aggregate(
+        spark, root, [view], ["a"], [Agg("count", alias="n")],
+        require_rewrite=True,
+    )
+    assert used == view
+    # a view over a DIFFERENT base never answers for this one
+    other = str(os.path.join(os.path.dirname(root), "other"))
+    S.append(spark, other, spark.createDataFrame([(1, 1, 1.0)], "a int, b int, x double"))
+    other_view = other + "_v"
+    create_view(spark, other, other_view, ["a"], "x")
+    with pytest.raises(RuntimeError, match="no materialized view"):
+        answer_aggregate(
+            spark, root, [other_view], ["a"], [Agg("count")],
+            require_rewrite=True,
+        )
