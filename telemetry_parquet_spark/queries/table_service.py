@@ -932,3 +932,76 @@ def mv_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert used is not None  # the rewrite path, proven
     return out
+
+
+@query(
+    "snapshot_join_planned",
+    # Stats-driven join planning (sources/join_planner.py): the customer
+    # side is range-laid-out on c_custkey, the predicate keeps ~1/8 of its
+    # files, and the broadcast threshold sits at HALF the full table's
+    # bytes — so only the POST-PRUNE size fits. require_broadcast +
+    # require_pruning='left' RAISE unless the manifest-stats pruning
+    # engaged AND the pruned bytes justified a broadcast: a green row
+    # proves the whole decision chain, and the answer must still equal the
+    # plain relational join. The c_custkey cutoff itself comes from the
+    # manifest column stats (MAX over per-file maxima), zero data I/O.
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
+               AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey <= (SELECT MAX(c_custkey) // 8 FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def snapshot_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prune-then-decide join: manifest min/max stats prune the dimension
+    scan, the surviving files' commit-time byte sizes drive the
+    broadcast-vs-shuffle choice, and only then does any data get read.
+    At 100 TB this converts a dimension that is too big to broadcast RAW
+    into a broadcast join whenever the predicate narrows it — the
+    decision Catalyst's static estimate can't make and AQE only makes
+    after paying the first shuffle."""
+    from telemetry_parquet_spark.sources.join_planner import plan_join
+    from telemetry_parquet_spark.sources.scan_planner import Range
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        latest_version,
+        read_manifest,
+    )
+
+    src = os.path.join(sf_dir, "customer.parquet")
+
+    def build(root: str) -> None:
+        customer = spark.read.parquet(src)
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        append(
+            spark, os.path.join(root, "customer"),
+            customer.repartitionByRange(16, "c_custkey"),
+        )
+        append(spark, os.path.join(root, "orders"), orders.repartition(4))
+
+    root = materialize_cached(
+        spark, src, "join_planned_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    cust_root = os.path.join(root, "customer")
+    m = read_manifest(cust_root, latest_version(cust_root))
+    hi = max(st["c_custkey"][1] for st in m["stats"].values()) // 8
+    full_bytes = sum(m["sizes"].values())
+    joined, plan = plan_join(
+        spark, cust_root, os.path.join(root, "orders"),
+        on=[("c_custkey", "o_custkey")],
+        left_predicates=[Range("c_custkey", None, hi)],
+        broadcast_threshold=full_bytes // 2,
+        require_broadcast=True,
+        require_pruning="left",
+    )
+    assert plan.broadcast == "left"  # the pruned dim side, proven
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+        .cast("decimal(25,2)")
+        .alias("sum_price"),
+    )

@@ -198,20 +198,22 @@ def _file_footer_stats(path: str) -> tuple[dict, dict]:
 def _stats_for_commit(
     root: str, files: list[str], parent: int | None
 ) -> tuple[dict, dict]:
-    """Per-file column stats (+ temporal-encoding types) for the
-    manifest: carried files reuse the parent's entries, fresh files get
-    ONE footer read each (driver-side, file-count-sized — the same
-    metadata pass every table format performs at commit time so that
-    later planning needs zero data I/O)."""
-    parent_stats, types = {}, {}
+    """Per-file column stats (+ temporal-encoding types) and byte sizes
+    for the manifest: carried files reuse the parent's entries, fresh
+    files get ONE footer read + stat each (driver-side, file-count-sized
+    — the same metadata pass every table format performs at commit time
+    so that later planning — scan pruning AND join-strategy choice
+    (join_planner.py) — needs zero data I/O)."""
+    parent_stats, types, parent_sizes = {}, {}, {}
     if parent is not None:
         try:
             pm = read_manifest(root, parent)
             parent_stats = pm.get("stats", {})
             types = dict(pm.get("stats_types", {}))
+            parent_sizes = pm.get("sizes", {})
         except FileNotFoundError:
             pass
-    stats = {}
+    stats, sizes = {}, {}
     for f in files:
         if f in parent_stats:
             stats[f] = parent_stats[f]
@@ -221,7 +223,13 @@ def _stats_for_commit(
                 types.update(t)
             except Exception:
                 stats[f] = {}  # unreadable footer -> no stats -> keep
-    return stats, types
+        try:
+            sizes[f] = parent_sizes.get(f) or os.path.getsize(
+                os.path.join(root, f)
+            )
+        except OSError:
+            pass  # no size -> join planner falls back to getsize/skip
+    return stats, types, sizes
 
 
 def _commit(root: str, action: str, files: list[str], schema_json: str,
@@ -236,7 +244,7 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
     import time as _time
 
     version = 0 if parent is None else parent + 1
-    stats, stats_types = _stats_for_commit(root, files, parent)
+    stats, stats_types, sizes = _stats_for_commit(root, files, parent)
     manifest = {
         "version": version,
         "parent": parent,
@@ -245,6 +253,7 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
         "schema": schema_json,
         "committed_at": _time.time(),
         "stats": stats,
+        "sizes": sizes,
         **({"stats_types": stats_types} if stats_types else {}),
         **(extra or {}),
     }
