@@ -240,6 +240,11 @@ HEADLINE = [
     # round 9: commit-time manifest column stats — range scan pruned
     # from the manifest alone, zero plan-time data I/O (raise-proven)
     "snapshot_stats_pruned_scan",
+    # round 9 (late): MV rewrite (view-sized answer incl. staleness check),
+    # stats-driven prune-then-broadcast join, branch rebase-merge chain
+    "mv_rewrite_rollup",
+    "snapshot_join_planned",
+    "snapshot_branch_merge",
 ]
 
 

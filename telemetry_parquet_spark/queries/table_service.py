@@ -1005,3 +1005,88 @@ def snapshot_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(25,2)")
         .alias("sum_price"),
     )
+
+
+@query(
+    "snapshot_branch_merge",
+    # Branch lifecycle under one exact oracle: fork at v1 (70% of orders),
+    # branch appends keys %10 IN (7,8) while MAIN independently appends
+    # %10 = 9, then the branch rebase-merges onto the moved head. Three
+    # labeled stages prove three invariants: the branch head sees fork +
+    # its own commits but NOT main's concurrent append (isolation); main
+    # pre-merge sees its own line only; the merge is exactly the union
+    # (appends commute). Stage summaries are per-orderstatus COUNT/SUM.
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
+         br   AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (7, 8)),
+         mn   AS (SELECT * FROM orders WHERE o_orderkey % 10 = 9)
+    SELECT 'branch_head' AS stage, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
+               AS sum_price
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM br)
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'main_pre_merge', o_orderstatus,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM mn)
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'merged', o_orderstatus,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branches on the snapshot table (sources/branches.py): fork,
+    branch-append ×2 in isolation, concurrent main append, rebase merge
+    (append-only commits commute onto the moved head — the Iceberg
+    cherry-pick rule), with the branch left in place (delete=False) so
+    every stage stays readable. All merge work is metadata-only."""
+    from telemetry_parquet_spark.sources.branches import (
+        branch_append,
+        create_branch,
+        merge_branch,
+        read_branch,
+    )
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        read_snapshot,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        t = os.path.join(root, "t")
+        append(spark, t, orders.where(F.col("o_orderkey") % 10 < 7))
+        create_branch(t, "etl")
+        branch_append(
+            spark, t, "etl", orders.where(F.col("o_orderkey") % 10 == 7)
+        )
+        branch_append(
+            spark, t, "etl", orders.where(F.col("o_orderkey") % 10 == 8)
+        )
+        append(spark, t, orders.where(F.col("o_orderkey") % 10 == 9))
+        merge_branch(spark, t, "etl", delete=False)
+
+    root = materialize_cached(
+        spark, src, "branch_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    t = os.path.join(root, "t")
+
+    def summarize(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+            .cast("decimal(25,2)")
+            .alias("sum_price"),
+        ).select(F.lit(stage).alias("stage"), "o_orderstatus", "n_rows", "sum_price")
+
+    out = summarize(read_branch(spark, t, "etl"), "branch_head")
+    out = out.unionAll(summarize(read_snapshot(spark, t, 2), "main_pre_merge"))
+    out = out.unionAll(summarize(read_snapshot(spark, t), "merged"))
+    return out

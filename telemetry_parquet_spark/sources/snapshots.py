@@ -1551,6 +1551,9 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
         live.update(m.get("dv", []))  # deletion vectors are data too
     for wap_id in list_staged(root):  # staged-but-unpublished commits are
         live.update(read_staged_manifest(root, wap_id)["new_files"])  # pinned
+    from telemetry_parquet_spark.sources.branches import branch_live_files
+
+    live.update(branch_live_files(root))  # live branches pin their files
     removed = []
     data_root = os.path.join(root, _DATA_DIR)
     for dirpath, _, names in os.walk(data_root):

@@ -6,10 +6,18 @@ SQL statement against versioned snapshot tables (``sources/snapshots.py``)
 with the time-travel syntax the public table formats expose:
 
 - ``<name> VERSION AS OF <n>``        — manifest-pinned read of version n
+  (a quoted string resolves a TAG; ``'branch:<b>'`` or
+  ``'branch:<b>@<k>'`` reads a branch head / branch sequence point)
 - ``<name> TIMESTAMP AS OF <epoch>``  — resolved via ``version_as_of``
 - ``DESCRIBE HISTORY <name>``         — the commit log as a DataFrame
 - ``DESCRIBE DETAIL <name>``          — one-row head-state metadata
-  (version, files, DVs, bytes, columns, constraints, tags, staged)
+  (version, files, DVs, bytes, columns, constraints, tags, staged,
+  branches)
+- ``DESCRIBE BRANCHES <name>``        — one row per live branch
+- ``CREATE BRANCH <b> ON <name> [VERSION AS OF <n|'tag'>]`` /
+  ``DROP BRANCH <b> ON <name>`` /
+  ``MERGE BRANCH <b> INTO <name>``    — branch lifecycle
+  (sources/branches.py; merge keeps the branch — DROP is explicit)
 - bare ``<name>``                     — the table HEAD at call time
 - ``DELETE FROM <name> [WHERE …]``    — copy-on-write ``delete_where``
 - ``UPDATE <name> SET … [WHERE …]``   — merge-on-read ``update_where_mor``
@@ -123,8 +131,11 @@ def describe_detail(spark: SparkSession, root: str) -> DataFrame:
             StructField("constraints", StringType(), False),
             StructField("tags", StringType(), False),
             StructField("staged", StringType(), False),
+            StructField("branches", StringType(), False),
         ]
     )
+    from telemetry_parquet_spark.sources.branches import list_branches
+
     return spark.createDataFrame(
         [
             (
@@ -137,6 +148,7 @@ def describe_detail(spark: SparkSession, root: str) -> DataFrame:
                 ",".join(sorted(m.get("constraints") or {})),
                 ",".join(sorted(list_tags(root))),
                 ",".join(list_staged(root)),
+                ",".join(sorted(list_branches(root))),
             )
         ],
         schema,
@@ -272,6 +284,44 @@ def _dml(
         root = _resolve(tables, m.group(1))
         v = S.restore_table(root, int(m.group(2)))
         return _version_df(spark, "restore", v)
+
+    from telemetry_parquet_spark.sources import branches as B
+
+    m = re.fullmatch(
+        r"\s*CREATE\s+BRANCH\s+(\w+)\s+ON\s+(\w+)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(2))
+        ref = m.group(3)
+        frm = None if ref is None else (
+            ref[1:-1] if ref.startswith("'") else int(ref)
+        )
+        B.create_branch(root, m.group(1), frm)
+        return _version_df(
+            spark, f"create-branch:{m.group(1)}", S.latest_version(root)
+        )
+
+    m = re.fullmatch(
+        r"\s*DROP\s+BRANCH\s+(\w+)\s+ON\s+(\w+)\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        B.delete_branch(_resolve(tables, m.group(2)), m.group(1))
+        return _version_df(
+            spark, f"drop-branch:{m.group(1)}",
+            S.latest_version(_resolve(tables, m.group(2))),
+        )
+
+    m = re.fullmatch(
+        r"\s*MERGE\s+BRANCH\s+(\w+)\s+INTO\s+(\w+)\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(2))
+        v = B.merge_branch(spark, root, m.group(1), delete=False)
+        return _version_df(spark, f"merge-branch:{m.group(1)}", v)
     return None
 
 
@@ -296,6 +346,35 @@ def engine_sql(
     )
     if m:
         return describe_detail(spark, _resolve(tables, m.group(1)))
+    m = re.fullmatch(
+        r"\s*DESCRIBE\s+BRANCHES\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
+    )
+    if m:
+        from telemetry_parquet_spark.sources.branches import (
+            list_branches,
+            read_branch_manifest,
+        )
+
+        root = _resolve(tables, m.group(1))
+        rows = []
+        for b, head in sorted(list_branches(root).items()):
+            bm = read_branch_manifest(root, b, head)
+            rows.append(
+                (b, head, bm["base_version"], bm.get("append_only", True))
+            )
+        from pyspark.sql.types import BooleanType
+
+        return spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("branch", StringType(), False),
+                    StructField("head", IntegerType(), False),
+                    StructField("base_version", IntegerType(), False),
+                    StructField("append_only", BooleanType(), False),
+                ]
+            ),
+        )
     dml = _dml(spark, sql, tables)
     if dml is not None:
         return dml
@@ -305,7 +384,20 @@ def engine_sql(
     for name, root in tables.items():
         def _sub_version(mo: re.Match) -> str:
             g = mo.group(1)
-            # a number pins a version; a quoted string resolves a TAG
+            # a number pins a version; a quoted string resolves a TAG,
+            # or 'branch:<b>[@<k>]' a branch head / sequence point
+            if g.startswith("'branch:"):
+                from telemetry_parquet_spark.sources.branches import (
+                    read_branch,
+                )
+
+                ref = g[len("'branch:"):-1]
+                b, _, k = ref.partition("@")
+                view = f"__snap_{name}_b_{b}_{k or 'head'}"
+                read_branch(
+                    spark, root, b, int(k) if k else None
+                ).createOrReplaceTempView(view)
+                return view
             v = resolve_ref(root, g[1:-1]) if g.startswith("'") else int(g)
             return _register(spark, name, root, v)
 

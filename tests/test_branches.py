@@ -1,0 +1,167 @@
+"""Branches on the snapshot table (sources/branches.py): isolation from
+main readers, fast-forward and rebase merges, the non-commuting refusal,
+constraint re-validation, and vacuum pinning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.sources import snapshots as S
+from telemetry_parquet_spark.sources.branches import (
+    branch_append,
+    branch_delete_where,
+    create_branch,
+    delete_branch,
+    list_branches,
+    merge_branch,
+    read_branch,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.append(spark, root, _df(spark, 0, 100))
+    return root
+
+
+def test_branch_isolated_from_main_and_vice_versa(spark, table):
+    create_branch(table, "dev")
+    branch_append(spark, table, "dev", _df(spark, 100, 150))
+    # main readers see nothing
+    assert S.read_snapshot(spark, table).count() == 100
+    assert [h["action"] for h in S.history(table)] == ["create", "append"]
+    # branch sees fork + its append
+    assert read_branch(spark, table, "dev").count() == 150
+    # a later MAIN commit is invisible to the branch
+    S.append(spark, table, _df(spark, 500, 510))
+    assert read_branch(spark, table, "dev").count() == 150
+
+
+def test_fast_forward_merge_carries_branch_deletes(spark, table):
+    create_branch(table, "dev")
+    branch_append(spark, table, "dev", _df(spark, 100, 150))
+    branch_delete_where(spark, table, "dev", "g = 0")
+    n = read_branch(spark, table, "dev").count()
+    v = merge_branch(spark, table, "dev")
+    assert v == S.latest_version(table)
+    assert S.read_snapshot(spark, table).count() == n
+    assert S.read_snapshot(spark, table).where("g = 0").count() == 0
+    # time travel still sees pre-merge main
+    assert S.read_snapshot(spark, table, 1).count() == 100
+    assert "dev" not in list_branches(table)
+
+
+def test_rebase_merge_appends_commute_with_main(spark, table):
+    create_branch(table, "dev")
+    branch_append(spark, table, "dev", _df(spark, 100, 150))
+    branch_append(spark, table, "dev", _df(spark, 150, 160))
+    S.append(spark, table, _df(spark, 200, 220))  # main moves
+    merge_branch(spark, table, "dev")
+    got = S.read_snapshot(spark, table)
+    assert got.count() == 100 + 50 + 10 + 20
+    m = S.read_manifest(table, S.latest_version(table))
+    assert m["action"] == "branch-merge" and m["rebased_from"] == 1
+
+
+def test_rebase_refuses_non_append_branch(spark, table):
+    create_branch(table, "dev")
+    branch_delete_where(spark, table, "dev", "g = 1")
+    S.append(spark, table, _df(spark, 200, 210))  # main moves
+    with pytest.raises(RuntimeError, match="do not commute"):
+        merge_branch(spark, table, "dev")
+    # fast-forward would have been fine: re-fork proves state intact
+    assert read_branch(spark, table, "dev").where("g = 1").count() == 0
+
+
+def test_rebase_revalidates_current_constraints(spark, table):
+    create_branch(table, "dev")
+    branch_append(spark, table, "dev", _df(spark, 1000, 1010))
+    # main adds a constraint the branch rows violate, then advances
+    S.add_check_constraint(spark, table, "small_k", "k < 500")
+    with pytest.raises(ValueError, match="small_k"):
+        merge_branch(spark, table, "dev")
+
+
+def test_branch_append_validates_fork_constraints_and_schema(spark, table):
+    S.add_check_constraint(spark, table, "small_k", "k < 500")
+    create_branch(table, "dev")
+    with pytest.raises(ValueError, match="small_k"):
+        branch_append(spark, table, "dev", _df(spark, 1000, 1010))
+    bad = spark.range(5).select(F.col("id").alias("wrong"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        branch_append(spark, table, "dev", bad)
+
+
+def test_vacuum_pins_branch_files_until_deleted(spark, table):
+    create_branch(table, "dev")
+    branch_append(spark, table, "dev", _df(spark, 100, 150))
+    S.append(spark, table, _df(spark, 200, 210))
+    S.append(spark, table, _df(spark, 300, 310))
+    removed = S.vacuum(table, keep_last=1)
+    # branch still fully readable after an aggressive vacuum
+    assert read_branch(spark, table, "dev").count() == 150
+    assert all("branch-dev" not in r for r in removed)
+    delete_branch(table, "dev")
+    removed = S.vacuum(table, keep_last=1)
+    assert any("branch-dev" in r for r in removed)  # now reclaimed
+    assert S.read_snapshot(spark, table).count() == 120
+
+
+def test_create_branch_from_tag_and_duplicate_refused(spark, table):
+    S.append(spark, table, _df(spark, 100, 120))
+    S.create_tag(table, "rel", 1)
+    create_branch(table, "hotfix", "rel")
+    assert read_branch(spark, table, "hotfix").count() == 100
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(table, "hotfix")
+
+
+def test_sql_front_branch_lifecycle(spark, table):
+    """The branch surface through the SQL front door: CREATE/DESCRIBE/
+    read-via-VERSION-AS-OF/MERGE/DROP, plus the DESCRIBE DETAIL column."""
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    t = {"t": table}
+    r = engine_sql(spark, "CREATE BRANCH dev ON t", tables=t).first()
+    assert r.action == "create-branch:dev"
+    branch_append(spark, table, "dev", _df(spark, 100, 140))
+
+    rows = engine_sql(spark, "DESCRIBE BRANCHES t", tables=t).collect()
+    assert [(x.branch, x.head, x.base_version, x.append_only) for x in rows] == [
+        ("dev", 1, 1, True)
+    ]
+    assert engine_sql(spark, "DESCRIBE DETAIL t", tables=t).first().branches == "dev"
+
+    n = engine_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 'branch:dev'",
+        tables=t,
+    ).first().n
+    assert n == 140
+    # branch sequence point 0 = the fork
+    n0 = engine_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 'branch:dev@0'",
+        tables=t,
+    ).first().n
+    assert n0 == 100
+    # main head unaffected until merge
+    assert engine_sql(spark, "SELECT COUNT(*) AS n FROM t", tables=t).first().n == 100
+
+    r = engine_sql(spark, "MERGE BRANCH dev INTO t", tables=t).first()
+    assert r.action == "merge-branch:dev" and r.version == 2
+    assert S.read_snapshot(spark, table).count() == 140
+    # merge keeps the branch; DROP is explicit
+    assert "dev" in list_branches(table)
+    engine_sql(spark, "DROP BRANCH dev ON t", tables=t)
+    assert "dev" not in list_branches(table)
