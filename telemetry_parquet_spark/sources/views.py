@@ -10,9 +10,11 @@ question, never touching the fact data:
 
 - **Rollup subsumption**: a view grouped by (a, b) answers any GROUP BY
   over a subset of {a, b} — COUNT(*) re-aggregates as SUM(n_rows),
-  SUM(x) as SUM(sum_val), AVG(x) as SUM(sum_val)/SUM(n_rows). The
-  re-aggregation runs over the group-cardinality-sized view, so a 100 TB
-  fact table answers in view-sized time.
+  SUM(x) as SUM(sum_x) for any materialized measure x, AVG(x) as
+  SUM(sum_x)/SUM(n_rows). The re-aggregation runs over the
+  group-cardinality-sized view, so a 100 TB fact table answers in
+  view-sized time. Views carry ANY number of measures (one n_rows, one
+  exact DECIMAL total per measure).
 - **Freshness**: the view's manifest records the base version it
   reflects (``mv_base_version``). A rewrite against a stale view either
   incrementally catches up first (``auto_refresh`` — cost ∝ the change
@@ -71,22 +73,35 @@ class Agg:
         )
 
 
+def _sum_name(m: dict, col: str) -> str:
+    """The view column holding ``col``'s running total. Single-measure
+    views created before multi-measure support store it as ``sum_val``."""
+    if m.get("mv_sum_col"):
+        return "sum_val"
+    return f"sum_{col}"
+
+
 def create_view(
     spark: SparkSession,
     base_root: str,
     view_root: str,
     group_cols: list[str],
-    sum_col: str,
+    sum_cols: str | list[str],
     cast_to: str = "decimal(15,2)",
 ) -> int:
-    """Materialize the grouped SUM/COUNT view of ``base_root``'s head and
-    commit it (with its defining metadata) as version 1 of the view
-    table. One full scan of the base — the last one rewrites need."""
+    """Materialize the grouped COUNT + per-measure SUM view of
+    ``base_root``'s head and commit it (with its defining metadata) as
+    version 1 of the view table. One full scan of the base — the last
+    one rewrites need."""
+    cols = [sum_cols] if isinstance(sum_cols, str) else list(sum_cols)
     base_version = S.latest_version(base_root)
     base = S.read_snapshot(spark, base_root, base_version)
     state = base.groupBy(*group_cols).agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col(sum_col).cast(cast_to)).alias("sum_val"),
+        *[
+            F.sum(F.col(c).cast(cast_to)).alias(f"sum_{c}")
+            for c in cols
+        ],
     )
     return S.overwrite(
         spark,
@@ -96,17 +111,20 @@ def create_view(
             "mv_base_root": base_root,
             "mv_base_version": base_version,
             "mv_group_cols": list(group_cols),
-            "mv_sum_col": sum_col,
+            "mv_sum_cols": cols,
             "mv_cast_to": cast_to,
         },
     )
 
 
 def view_info(view_root: str) -> dict:
-    """The view's defining metadata from its head manifest."""
+    """The view's defining metadata from its head manifest (legacy
+    single-measure key normalized to ``mv_sum_cols``)."""
     m = S.read_manifest(view_root, S.latest_version(view_root))
     if "mv_base_root" not in m:
         raise ValueError(f"{view_root} is not a materialized view")
+    if "mv_sum_cols" not in m:
+        m["mv_sum_cols"] = [m["mv_sum_col"]]
     return m
 
 
@@ -121,12 +139,38 @@ def refresh_view(spark: SparkSession, view_root: str) -> int:
     to_v = S.latest_version(base_root)
     if to_v == from_v:
         return S.latest_version(view_root)
-    changes = S.table_changes(spark, base_root, from_v, to_v).withColumn(
-        "__p", F.col(m["mv_sum_col"]).cast(m["mv_cast_to"])
-    )
+    changes = S.table_changes(spark, base_root, from_v, to_v)
     state = S.read_snapshot(spark, view_root)
-    new_state = S.refresh_view_incremental(
-        state, changes, m["mv_group_cols"], "__p"
+    groups, cast_to = m["mv_group_cols"], m["mv_cast_to"]
+    sign = F.when(
+        F.col("_change") == F.lit("insert"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    sums = {c: _sum_name(m, c) for c in m["mv_sum_cols"]}
+    delta = changes.groupBy(*groups).agg(
+        F.sum(sign).alias("__d_cnt"),
+        *[
+            F.sum(F.col(c).cast(cast_to) * sign).alias(f"__d_{name}")
+            for c, name in sums.items()
+        ],
+    )
+    merged_cols = [
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("__d_cnt"), F.lit(0))
+        ).alias("n_rows")
+    ]
+    for name in sums.values():
+        zero = F.lit(0).cast(delta.schema[f"__d_{name}"].dataType)
+        merged_cols.append(
+            (
+                F.coalesce(F.col(name), zero)
+                + F.coalesce(F.col(f"__d_{name}"), zero)
+            ).alias(name)
+        )
+    new_state = (
+        state.join(delta, on=groups, how="full_outer")
+        .select(*groups, *merged_cols)
+        .where(F.col("n_rows") > 0)
     )
     return S.overwrite(
         spark,
@@ -135,26 +179,34 @@ def refresh_view(spark: SparkSession, view_root: str) -> int:
         extra={
             "mv_base_root": base_root,
             "mv_base_version": to_v,
-            "mv_group_cols": m["mv_group_cols"],
-            "mv_sum_col": m["mv_sum_col"],
-            "mv_cast_to": m["mv_cast_to"],
+            "mv_group_cols": groups,
+            "mv_sum_cols": m["mv_sum_cols"],
+            "mv_cast_to": cast_to,
+            **(
+                {"mv_sum_col": m["mv_sum_col"]}
+                if m.get("mv_sum_col")
+                else {}
+            ),
         },
     )
 
 
-def _derive(agg: Agg, sum_col: str):
+def _derive(agg: Agg, m: dict):
     """The view-side expression computing ``agg``, or RewriteMiss."""
     if agg.func == "count" and agg.col is None:
         return F.sum("n_rows").cast("bigint").alias(agg.out)
-    if agg.func == "sum" and agg.col == sum_col:
-        return F.sum("sum_val").cast("decimal(25,2)").alias(agg.out)
-    if agg.func == "avg" and agg.col == sum_col:
+    if agg.func == "sum" and agg.col in m["mv_sum_cols"]:
         return (
-            F.sum("sum_val").cast("double")
+            F.sum(_sum_name(m, agg.col)).cast("decimal(25,2)").alias(agg.out)
+        )
+    if agg.func == "avg" and agg.col in m["mv_sum_cols"]:
+        return (
+            F.sum(_sum_name(m, agg.col)).cast("double")
             / F.sum("n_rows").cast("double")
         ).alias(agg.out)
     raise RewriteMiss(
-        f"{agg.func}({agg.col}) not derivable from SUM/COUNT({sum_col})"
+        f"{agg.func}({agg.col}) not derivable from COUNT/"
+        f"SUM({m['mv_sum_cols']})"
     )
 
 
@@ -176,7 +228,7 @@ def rewrite_aggregate(
             f"GROUP BY {group_cols} not subsumed by view grouping "
             f"{m['mv_group_cols']}"
         )
-    exprs = [_derive(a, m["mv_sum_col"]) for a in aggs]
+    exprs = [_derive(a, m) for a in aggs]
     if S.latest_version(m["mv_base_root"]) != m["mv_base_version"]:
         if not auto_refresh:
             raise RewriteMiss(

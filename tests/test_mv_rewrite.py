@@ -150,3 +150,45 @@ def test_answer_front_door_fallback_and_require(spark, base):
             spark, root, [other_view], ["a"], [Agg("count")],
             require_rewrite=True,
         )
+
+
+def test_multi_measure_view_sums_and_avgs(spark, tmp_path):
+    """A view materializing several measures answers SUM/AVG on each;
+    staleness catch-up maintains every measure's total exactly."""
+    from pyspark.sql import functions as F2
+
+    root = str(tmp_path / "mm_base")
+    rows = [(i % 4, float(i), float(i) * 0.5) for i in range(80)]
+    df = spark.createDataFrame(rows, "a int, x double, y double")
+    S.append(spark, root, df)
+    view = str(tmp_path / "mm_view")
+    create_view(spark, root, view, ["a"], ["x", "y"])
+    S.append(
+        spark, root,
+        spark.createDataFrame([(0, 7.25, 3.5), (9, 1.0, 2.0)],
+                              "a int, x double, y double"),
+    )
+    S.delete_where(spark, root, "a = 2")
+    out = rewrite_aggregate(
+        spark, view, [],
+        [
+            Agg("count", alias="n"),
+            Agg("sum", "x", "sx"),
+            Agg("sum", "y", "sy"),
+            Agg("avg", "y", "ay"),
+        ],
+    )
+    base_df = S.read_snapshot(spark, root)
+    direct = base_df.agg(
+        F2.count("*").alias("n"),
+        F2.sum(F2.col("x").cast("decimal(15,2)")).cast("decimal(25,2)").alias("sx"),
+        F2.sum(F2.col("y").cast("decimal(15,2)")).cast("decimal(25,2)").alias("sy"),
+        (
+            F2.sum(F2.col("y").cast("decimal(15,2)")).cast("double")
+            / F2.count("*").cast("double")
+        ).alias("ay"),
+    )
+    assert out.collect() == direct.collect()
+    # a measure the view does NOT materialize misses
+    with pytest.raises(RewriteMiss, match="not derivable"):
+        rewrite_aggregate(spark, view, [], [Agg("sum", "a")])
