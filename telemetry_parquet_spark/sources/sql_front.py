@@ -25,6 +25,10 @@ with the time-travel syntax the public table formats expose:
   (the SELECT goes through the same rewriter: INSERT … SELECT from a
   time-traveled version works)
 - ``OPTIMIZE <name> [ZORDER BY (…)]`` — ``compact_table``
+- with ``views={name: [mv_roots]}``: a plain ``SELECT <group cols +
+  COUNT/SUM/AVG> FROM <name> [GROUP BY …]`` answers from a subsuming
+  materialized view (sources/views.py — staleness-checked, incrementally
+  refreshed, view-sized); any other shape falls through to the scan
 - ``VACUUM <name> [RETAIN n VERSIONS]`` / ``RESTORE <name> TO VERSION
   AS OF n`` — lifecycle maintenance
 DML returns a one-row (action, version) DataFrame.
@@ -325,8 +329,70 @@ def _dml(
     return None
 
 
+_AGG_ITEM = re.compile(
+    r"(?:(COUNT)\s*\(\s*\*\s*\)|(SUM|AVG)\s*\(\s*(\w+)\s*\))"
+    r"(?:\s+AS\s+(\w+))?",
+    re.IGNORECASE,
+)
+
+
+def _try_mv_rewrite(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, str],
+    views: dict[str, list[str]],
+) -> DataFrame | None:
+    """Route a plain ``SELECT <group cols + COUNT/SUM/AVG> FROM <t>
+    [GROUP BY …]`` through the table's cataloged materialized views
+    (sources/views.py) — None when the statement has any other shape or
+    no view subsumes it, so the caller falls through to the normal scan
+    path. The restricted-shape parse is deliberate: anything with WHERE,
+    JOIN, expressions or HAVING takes the ordinary route."""
+    from telemetry_parquet_spark.sources.views import Agg, answer_aggregate
+
+    m = re.fullmatch(
+        r"\s*SELECT\s+(.+?)\s+FROM\s+(\w+)"
+        r"(?:\s+GROUP\s+BY\s+([\w\s,]+?))?\s*;?\s*",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m or m.group(2) not in views or m.group(2) not in tables:
+        return None
+    name = m.group(2)
+    group_cols = (
+        [c.strip() for c in m.group(3).split(",")] if m.group(3) else []
+    )
+    out_cols, aggs = [], []
+    for item in _split_assignments(m.group(1)):
+        if item in group_cols:
+            out_cols.append(item)
+            continue
+        am = _AGG_ITEM.fullmatch(item)
+        if not am:
+            return None  # expression we don't parse -> normal path
+        if am.group(1):  # COUNT(*)
+            agg = Agg("count", alias=am.group(4))
+        else:
+            agg = Agg(am.group(2).lower(), am.group(3), am.group(4))
+        aggs.append(agg)
+        out_cols.append(agg.out)
+    if not aggs:
+        return None
+    try:
+        df, used = answer_aggregate(
+            spark, tables[name], views[name], group_cols, aggs,
+            require_rewrite=True,
+        )
+    except RuntimeError:
+        return None  # no view subsumes -> honest fallback to the scan
+    return df.select(*out_cols)
+
+
 def engine_sql(
-    spark: SparkSession, sql: str, tables: dict[str, str]
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, str],
+    views: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Run ``sql`` with time-travel syntax resolved against ``tables``
     (logical name -> snapshot root). Queries rewrite onto manifest-pinned
@@ -335,7 +401,16 @@ def engine_sql(
     INTO/OVERWRITE … SELECT``, ``OPTIMIZE [ZORDER BY (…)]``, ``VACUUM
     [RETAIN n VERSIONS]``, ``RESTORE … TO VERSION AS OF n``) dispatch to
     the commit-log mutators and return a one-row (action, version)
-    DataFrame. See module docstring for the rewrite contract."""
+    DataFrame. With ``views`` (table name -> materialized-view roots), a
+    plain GROUP-BY aggregate over a cataloged table answers from a
+    subsuming view (staleness-checked, incrementally refreshed) instead
+    of scanning the fact data — any other shape, or no subsuming view,
+    falls through to the ordinary scan path. See module docstring for
+    the rewrite contract."""
+    if views:
+        mv = _try_mv_rewrite(spark, sql, tables, views)
+        if mv is not None:
+            return mv
     m = re.fullmatch(
         r"\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
     )

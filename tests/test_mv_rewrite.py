@@ -192,3 +192,44 @@ def test_multi_measure_view_sums_and_avgs(spark, tmp_path):
     # a measure the view does NOT materialize misses
     with pytest.raises(RewriteMiss, match="not derivable"):
         rewrite_aggregate(spark, view, [], [Agg("sum", "a")])
+
+
+def test_sql_front_door_routes_through_view(spark, base):
+    """engine_sql(views=...): a plain GROUP-BY aggregate answers from the
+    MV (inputFiles proves it), unsupported shapes fall back to the scan."""
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    root, view = base
+    t, v = {"t": root}, {"t": [view]}
+    out = engine_sql(
+        spark,
+        "SELECT a, COUNT(*) AS n, SUM(x) AS s, AVG(x) AS m "
+        "FROM t GROUP BY a",
+        tables=t, views=v,
+    )
+    assert out.columns == ["a", "n", "s", "m"]
+    assert all(os.path.abspath(view) in f for f in out.inputFiles())
+    want = engine_sql(
+        spark,
+        "SELECT a, COUNT(*) AS n, "
+        "CAST(SUM(CAST(x AS DECIMAL(15,2))) AS DECIMAL(25,2)) AS s, "
+        "CAST(SUM(CAST(x AS DECIMAL(15,2))) AS DOUBLE)/COUNT(*) AS m "
+        "FROM t GROUP BY a",
+        tables=t,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+    # global aggregate (no GROUP BY) routes too
+    g = engine_sql(spark, "SELECT COUNT(*) AS n FROM t", tables=t, views=v)
+    assert all(os.path.abspath(view) in f for f in g.inputFiles())
+    assert g.first().n == S.read_snapshot(spark, root).count()
+    # WHERE clause -> not the restricted shape -> honest fact-table scan
+    w = engine_sql(
+        spark, "SELECT COUNT(*) AS n FROM t WHERE a = 1", tables=t, views=v
+    )
+    assert any(os.path.abspath(root) in f for f in w.inputFiles())
+    assert w.first().n == S.read_snapshot(spark, root).where("a = 1").count()
+    # MIN isn't derivable -> falls back, still correct
+    mn = engine_sql(
+        spark, "SELECT a, MIN(x) AS lo FROM t GROUP BY a", tables=t, views=v
+    )
+    assert any(os.path.abspath(root) in f for f in mn.inputFiles())
