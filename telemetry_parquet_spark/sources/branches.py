@@ -174,11 +174,17 @@ def read_branch(
 
 
 def branch_append(
-    spark: SparkSession, root: str, name: str, df: DataFrame
+    spark: SparkSession,
+    root: str,
+    name: str,
+    df: DataFrame,
+    extra: dict | None = None,
 ) -> int:
     """Append to the branch: new data files + carried references, one
     branch manifest. CHECK constraints inherited from the fork point
-    validate here too. Cost ∝ appended data."""
+    validate here too. Cost ∝ appended data. ``extra`` rides application
+    metadata (e.g. a streaming batch-id idempotence stamp) into the
+    branch manifest atomically."""
     bm = read_branch_manifest(root, name)
     table_cols = {
         f.name
@@ -217,6 +223,7 @@ def branch_append(
                 else {}
             ),
             "append_only": bm.get("append_only", True),
+            **(extra or {}),
         },
     )
 

@@ -349,3 +349,60 @@ def stream_commit_snapshots(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_commit_branch(
+    spark: SparkSession,
+    src_path: str,
+    table_root: str,
+    branch: str,
+    checkpoint: str,
+    schema=None,
+) -> None:
+    """``availableNow`` stream landing on a BRANCH of the snapshot table
+    (sources/branches.py): micro-batches commit as atomic branch versions
+    that NO main reader can observe; once the ingest is audited
+    (``read_branch``) the whole run merges to main as ONE metadata-only
+    commit — write-audit-publish generalized from a single staged commit
+    to a streaming ingest of any length.
+
+    Exactly-once by the same batch-id idempotence recipe as
+    ``stream_commit_snapshots``: the (stream, batch_id) stamp rides in
+    each branch manifest atomically, and a replayed batch (crash after
+    the branch commit but before the checkpoint advanced) is recognized
+    by scanning the BRANCH chain and skipped. A crash before the commit
+    leaves only uncommitted data files, invisible everywhere and
+    vacuum-reclaimable."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources import branches as B
+
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    ckpt_tag = _os.path.abspath(checkpoint)
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        heads = B.list_branches(table_root)
+        if branch in heads:
+            for k in range(heads[branch], 0, -1):
+                bm = B.read_branch_manifest(table_root, branch, k)
+                if (
+                    bm.get("batch_id") == batch_id
+                    and bm.get("stream") == ckpt_tag
+                ):
+                    return  # replayed batch: already committed
+        B.branch_append(
+            spark, table_root, branch, batch_df,
+            extra={"batch_id": batch_id, "stream": ckpt_tag},
+        )
+
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(src_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

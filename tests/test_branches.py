@@ -165,3 +165,41 @@ def test_sql_front_branch_lifecycle(spark, table):
     assert "dev" in list_branches(table)
     engine_sql(spark, "DROP BRANCH dev ON t", tables=t)
     assert "dev" not in list_branches(table)
+
+
+def test_streaming_lands_on_branch_then_merges(spark, table, tmp_path):
+    """stream_commit_branch: micro-batches land as branch versions main
+    cannot see; a replayed drain is idempotent; the audited ingest merges
+    to main as one metadata-only commit."""
+    from telemetry_parquet_spark.streaming.pipelines import (
+        stream_commit_branch,
+    )
+
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    create_branch(table, "ingest")
+    _df(spark, 100, 130).write.mode("append").parquet(src)
+    stream_commit_branch(spark, src, table, "ingest", ckpt)
+    _df(spark, 130, 140).write.mode("append").parquet(src)
+    stream_commit_branch(spark, src, table, "ingest", ckpt)
+    # two drains = two branch commits; main untouched
+    assert list_branches(table)["ingest"] == 2
+    assert S.read_snapshot(spark, table).count() == 100
+    assert read_branch(spark, table, "ingest").count() == 140
+    # replay with nothing new: no extra commits (checkpoint + stamp)
+    stream_commit_branch(spark, src, table, "ingest", ckpt)
+    assert list_branches(table)["ingest"] == 2
+    # batch-id stamps rode into the branch manifests atomically
+    from telemetry_parquet_spark.sources.branches import (
+        read_branch_manifest,
+    )
+
+    stamps = [
+        read_branch_manifest(table, "ingest", k).get("batch_id")
+        for k in (1, 2)
+    ]
+    assert stamps == [0, 0] or stamps == [0, 1]  # per-drain batch ids
+    # audit on the branch, then one metadata-only merge
+    assert read_branch(spark, table, "ingest").where("k < 0").count() == 0
+    merge_branch(spark, table, "ingest")
+    assert S.read_snapshot(spark, table).count() == 140
