@@ -149,6 +149,7 @@ def create_branch(
         **({"stats_types": m["stats_types"]} if m.get("stats_types") else {}),
         **({"dv": m["dv"]} if m.get("dv") else {}),
         **({"constraints": m["constraints"]} if m.get("constraints") else {}),
+        **({"unique_keys": m["unique_keys"]} if m.get("unique_keys") else {}),
         "append_only": True,
     }
     return _write_branch_manifest(root, name, 0, fork)
@@ -196,6 +197,7 @@ def branch_append(
             f"branch={sorted(table_cols)})"
         )
     S._validate_constraints(df, bm.get("constraints"))
+    unique_audit = S._validate_unique(spark, root, bm, df)
     n = bm["n"] + 1
     new = S._write_commit_files(df, root, f"{_PREFIX}{name}-c{n:06d}")
     files = bm["files"] + new
@@ -222,7 +224,13 @@ def branch_append(
                 if bm.get("constraints")
                 else {}
             ),
+            **(
+                {"unique_keys": bm["unique_keys"]}
+                if bm.get("unique_keys")
+                else {}
+            ),
             "append_only": bm.get("append_only", True),
+            **unique_audit,
             **(extra or {}),
         },
     )
@@ -343,6 +351,8 @@ def merge_branch(
                 *[os.path.join(root, f) for f in added]
             )
             S._validate_constraints(new_rows, mh.get("constraints"))
+            # the rebase target may have gained keys since the fork
+            S._validate_unique(spark, root, mh, new_rows)
         files, schema = mh["files"] + added, mh["schema"]
         extra["rebased_from"] = bm["base_version"]
         if mh.get("dv"):

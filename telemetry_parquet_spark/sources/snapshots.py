@@ -291,8 +291,13 @@ def create_table(root: str, schema: StructType) -> int:
 
 def _carry_meta(m: dict) -> dict:
     """Table-level metadata every commit must propagate from its parent
-    (currently: CHECK constraints)."""
-    return {"constraints": m["constraints"]} if m.get("constraints") else {}
+    (currently: CHECK constraints and UNIQUE keys)."""
+    out = {}
+    if m.get("constraints"):
+        out["constraints"] = m["constraints"]
+    if m.get("unique_keys"):
+        out["unique_keys"] = m["unique_keys"]
+    return out
 
 
 def _validate_constraints(df: DataFrame, constraints: dict) -> None:
@@ -309,6 +314,85 @@ def _validate_constraints(df: DataFrame, constraints: dict) -> None:
                 f"CHECK constraint '{name}' ({expr}) violated by new rows; "
                 "nothing committed"
             )
+
+
+def _validate_unique(
+    spark: SparkSession, root: str, m: dict, df: DataFrame
+) -> dict:
+    """UNIQUE-key (primary-key) enforcement for an append: the batch must
+    be duplicate-free internally, non-null on every key column, and
+    disjoint from the parent's keys. The existing-side probe reads ONLY
+    the parent files whose manifest key-range envelope intersects the
+    batch's own key range — one driver-sized agg over the batch, then a
+    pruned left-semi probe — so on a key-clustered layout the whole check
+    costs ∝ the overlapping region, never the table (the merge-detection
+    discipline). Returns the per-key pruning audit that rides into the
+    commit manifest."""
+    audit: dict[str, list[int]] = {}
+    for name, cols in (m.get("unique_keys") or {}).items():
+        keys = df.select(*cols)
+        null_pred = None
+        for c in cols:
+            e = F.col(c).isNull()
+            null_pred = e if null_pred is None else null_pred | e
+        if keys.where(null_pred).limit(1).count():
+            raise ValueError(
+                f"UNIQUE constraint '{name}' ({cols}): NULL key in new "
+                "rows; nothing committed"
+            )
+        if (
+            keys.groupBy(*cols).count().where(F.col("count") > 1)
+            .limit(1).count()
+        ):
+            raise ValueError(
+                f"UNIQUE constraint '{name}' ({cols}): duplicate keys "
+                "within the new rows; nothing committed"
+            )
+        if not m.get("files"):
+            audit[name] = [0, 0]
+            continue
+        bounds = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).first()
+        stats = m.get("stats", {})
+        # temporal stats are stored as encoded ordinals (epoch days /
+        # micros) — comparing them against raw batch values would be
+        # wrong, so typed columns conservatively probe
+        typed = set(m.get("stats_types", {}))
+
+        def _intersects(f: str) -> bool:
+            st = stats.get(f, {})
+            for c in cols:
+                if c not in st or c in typed:
+                    return True  # no/encoded stats -> unknown -> probe
+                mn, mx = st[c]
+                if mn is None or mx is None:
+                    return True
+                if mx < bounds[f"lo_{c}"] or mn > bounds[f"hi_{c}"]:
+                    return False
+            return True
+
+        candidates = [f for f in m["files"] if _intersects(f)]
+        audit[name] = [len(candidates), len(m["files"])]
+        if not candidates:
+            continue
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        existing = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(root, f) for f in candidates])
+            .select(*cols)
+        )
+        if (
+            existing.join(keys.distinct(), on=list(cols), how="left_semi")
+            .limit(1).count()
+        ):
+            raise ValueError(
+                f"UNIQUE constraint '{name}' ({cols}): new rows collide "
+                "with existing keys; nothing committed (use merge_into "
+                "to upsert)"
+            )
+    return {"unique_scan": audit} if audit else {}
 
 
 def _rel_file_expr(root: str):
@@ -411,7 +495,7 @@ def append(
         m = read_manifest(root, parent)
         carried, schema_json = m["files"], m["schema"]
         _validate_constraints(df, m.get("constraints"))
-        meta = _carry_meta(m)
+        meta = {**_carry_meta(m), **_validate_unique(spark, root, m, df)}
         if m.get("dv"):  # outstanding deletion vectors stay in force
             meta["dv"] = m["dv"]
         table_schema = StructType.fromJson(json.loads(schema_json))
@@ -534,6 +618,14 @@ def update_where_mor(
     bad = set(assignments) - set(cols)
     if bad:
         raise ValueError(f"update_where_mor: unknown columns {sorted(bad)}")
+    for uname, ucols in (m.get("unique_keys") or {}).items():
+        touched = set(assignments) & set(ucols)
+        if touched:
+            raise ValueError(
+                f"update_where_mor: SET touches UNIQUE key '{uname}' "
+                f"columns {sorted(touched)}; use merge_into for key "
+                "changes"
+            )
     matched = _scan_with_pos(
         spark, root, m["files"], schema, m.get("dv", [])
     ).where(hit)
@@ -582,6 +674,8 @@ def overwrite(
         m = read_manifest(root, parent)
         _validate_constraints(df, m.get("constraints"))
         meta = _carry_meta(m)
+        # overwrite replaces the table: only INTERNAL uniqueness applies
+        _validate_unique(spark, root, {**m, "files": []}, df)
     except FileNotFoundError:
         parent = create_table(root, df.schema)
     new = _write_commit_files(df, root, f"c{parent + 1:06d}")
@@ -943,6 +1037,49 @@ def add_check_constraint(
     )
 
 
+def add_unique_constraint(
+    spark: SparkSession, root: str, name: str, cols: list[str]
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT UNIQUE(cols) as a metadata commit —
+    primary-key semantics: keys must be non-null and distinct. The HEAD
+    data is validated once here; every later ``append`` validates its
+    batch internally AND probes the parent for collisions with the scan
+    bounded by manifest key-range pruning (see ``_validate_unique`` —
+    cost ∝ the overlapping key region on a key-clustered layout, never
+    the table). ``merge_into`` remains the upsert path; ``update_where_mor``
+    refuses to SET a key column."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    uniques = dict(m.get("unique_keys") or {})
+    if name in uniques:
+        raise ValueError(f"unique constraint '{name}' already exists")
+    head = read_snapshot(spark, root, parent)
+    probe = {**m, "files": [], "unique_keys": {name: list(cols)}}
+    _validate_unique(spark, root, probe, head)
+    uniques[name] = list(cols)
+    return _commit(
+        root, "add-unique", m["files"], m["schema"], parent,
+        {**_carry_meta(m), "unique_keys": uniques},
+    )
+
+
+def drop_unique_constraint(root: str, name: str) -> int:
+    """Remove a UNIQUE constraint (metadata-only commit)."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    uniques = dict(m.get("unique_keys") or {})
+    if name not in uniques:
+        raise ValueError(f"no unique constraint '{name}'")
+    del uniques[name]
+    meta = _carry_meta(m)
+    meta.pop("unique_keys", None)
+    if uniques:
+        meta["unique_keys"] = uniques
+    return _commit(
+        root, "drop-unique", m["files"], m["schema"], parent, meta
+    )
+
+
 def drop_check_constraint(root: str, name: str) -> int:
     """Metadata-only commit removing a CHECK constraint."""
     parent = latest_version(root)
@@ -1270,6 +1407,8 @@ def publish_staged(
             )
         _validate_constraints(new_rows, mh.get("constraints"))
         extra["rebased_from"] = s["parent"]
+    # key uniqueness holds against the PUBLISH-time head, rebased or not
+    extra.update(_validate_unique(spark, root, mh, new_rows))
     if mh.get("dv"):
         extra["dv"] = mh["dv"]
     v = _commit(
