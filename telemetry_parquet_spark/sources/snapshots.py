@@ -1033,7 +1033,33 @@ def add_check_constraint(
     constraints[name] = expr
     return _commit(
         root, "add-constraint", m["files"], m["schema"], parent,
-        {"constraints": constraints},
+        {
+            **_carry_meta(m),
+            "constraints": constraints,
+            # a metadata commit must keep outstanding DVs in force —
+            # dropping them would resurrect MOR-deleted rows
+            **({"dv": m["dv"]} if m.get("dv") else {}),
+        },
+    )
+
+
+def alter_add_column(root: str, name: str, dtype: str) -> int:
+    """ALTER TABLE ADD COLUMN as a PURE metadata commit: the manifest's
+    schema widens, not one data file is touched — ``read_snapshot``
+    reads every file under the manifest schema, so existing rows surface
+    the new column as NULL (the same mechanism as ``append``'s
+    add-column evolution, without needing any new data)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if name in {f.name for f in schema.fields}:
+        raise ValueError(f"column '{name}' already exists")
+    schema.add(name, _parse_datatype_string(dtype), True)
+    return _commit(
+        root, "add-column", m["files"], schema.json(), parent,
+        {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {})},
     )
 
 
@@ -1059,7 +1085,11 @@ def add_unique_constraint(
     uniques[name] = list(cols)
     return _commit(
         root, "add-unique", m["files"], m["schema"], parent,
-        {**_carry_meta(m), "unique_keys": uniques},
+        {
+            **_carry_meta(m),
+            "unique_keys": uniques,
+            **({"dv": m["dv"]} if m.get("dv") else {}),
+        },
     )
 
 
@@ -1071,7 +1101,7 @@ def drop_unique_constraint(root: str, name: str) -> int:
     if name not in uniques:
         raise ValueError(f"no unique constraint '{name}'")
     del uniques[name]
-    meta = _carry_meta(m)
+    meta = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {})}
     meta.pop("unique_keys", None)
     if uniques:
         meta["unique_keys"] = uniques
@@ -1088,7 +1118,10 @@ def drop_check_constraint(root: str, name: str) -> int:
     if name not in constraints:
         raise KeyError(name)
     del constraints[name]
-    extra = {"constraints": constraints} if constraints else {}
+    extra = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {})}
+    extra.pop("constraints", None)
+    if constraints:
+        extra["constraints"] = constraints
     return _commit(
         root, "drop-constraint", m["files"], m["schema"], parent, extra
     )

@@ -25,6 +25,11 @@ with the time-travel syntax the public table formats expose:
   (the SELECT goes through the same rewriter: INSERT … SELECT from a
   time-traveled version works)
 - ``OPTIMIZE <name> [ZORDER BY (…)]`` — ``compact_table``
+- ``ALTER TABLE <name> ADD COLUMN <c> <type>`` — metadata-only widen
+- ``ALTER TABLE <name> ADD CONSTRAINT <c> CHECK (…) | UNIQUE (…)`` /
+  ``DROP CONSTRAINT <c>`` — commit-time constraint DDL
+- ``CREATE TAG <t> ON <name> [VERSION AS OF n]`` / ``DROP TAG`` —
+  named version pins
 - with ``views={name: [mv_roots]}``: a plain ``SELECT <group cols +
   COUNT/SUM/AVG> FROM <name> [GROUP BY …]`` answers from a subsuming
   materialized view (sources/views.py — staleness-checked, incrementally
@@ -288,6 +293,75 @@ def _dml(
         root = _resolve(tables, m.group(1))
         v = S.restore_table(root, int(m.group(2)))
         return _version_df(spark, "restore", v)
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>,\s]+?)"
+        r"\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        v = S.alter_add_column(root, m.group(2), m.group(3).strip())
+        return _version_df(spark, f"add-column:{m.group(2)}", v)
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+        r"CHECK\s*\((.+)\)\s*;?\s*",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        v = S.add_check_constraint(spark, root, m.group(2), m.group(3))
+        return _version_df(spark, f"add-constraint:{m.group(2)}", v)
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+        r"UNIQUE\s*\(([\w\s,]+)\)\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        cols = [c.strip() for c in m.group(3).split(",")]
+        v = S.add_unique_constraint(spark, root, m.group(2), cols)
+        return _version_df(spark, f"add-unique:{m.group(2)}", v)
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        name = m.group(2)
+        head = S.read_manifest(root, S.latest_version(root))
+        if name in (head.get("unique_keys") or {}):
+            v = S.drop_unique_constraint(root, name)
+        else:
+            v = S.drop_check_constraint(root, name)
+        return _version_df(spark, f"drop-constraint:{name}", v)
+
+    m = re.fullmatch(
+        r"\s*CREATE\s+TAG\s+([\w.-]+)\s+ON\s+(\w+)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(2))
+        v = S.create_tag(
+            root, m.group(1),
+            int(m.group(3)) if m.group(3) else None,
+        )
+        return _version_df(spark, f"create-tag:{m.group(1)}", v)
+
+    m = re.fullmatch(
+        r"\s*DROP\s+TAG\s+([\w.-]+)\s+ON\s+(\w+)\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(2))
+        S.delete_tag(root, m.group(1))
+        return _version_df(
+            spark, f"drop-tag:{m.group(1)}", S.latest_version(root)
+        )
 
     from telemetry_parquet_spark.sources import branches as B
 

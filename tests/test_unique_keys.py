@@ -139,3 +139,60 @@ def test_branch_and_wap_enforce_unique_keys(spark, table, tmp_path):
     S.stage_append(spark, table, _df(spark, 500, 501), "w1")
     with pytest.raises(ValueError, match="collide"):
         S.publish_staged(spark, table, "w1")
+
+
+def test_sql_ddl_surface(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN / ADD CONSTRAINT CHECK|UNIQUE / DROP
+    CONSTRAINT and CREATE/DROP TAG through the SQL front door."""
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    root = str(tmp_path / "sqlddl")
+    S.append(spark, root, _df(spark, 0, 20))
+    t = {"t": root}
+    r = engine_sql(spark, "ALTER TABLE t ADD COLUMN note STRING", tables=t)
+    assert r.first().action == "add-column:note"
+    head = S.read_snapshot(spark, root)
+    assert "note" in head.columns and head.where("note IS NULL").count() == 20
+
+    engine_sql(
+        spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (k >= 0)", tables=t
+    )
+    engine_sql(
+        spark, "ALTER TABLE t ADD CONSTRAINT pk UNIQUE (k)", tables=t
+    )
+    m = S.read_manifest(root, S.latest_version(root))
+    assert m["constraints"] == {"pos": "k >= 0"}
+    assert m["unique_keys"] == {"pk": ["k"]}
+    bad = spark.createDataFrame([(5, 0, None)], "k long, g long, note string")
+    with pytest.raises(ValueError, match="collide"):
+        S.append(spark, root, bad)
+
+    engine_sql(spark, "ALTER TABLE t DROP CONSTRAINT pk", tables=t)
+    S.append(spark, root, bad)  # unique gone, CHECK still enforced
+    m = S.read_manifest(root, S.latest_version(root))
+    assert "unique_keys" not in m and m["constraints"] == {"pos": "k >= 0"}
+
+    engine_sql(spark, "CREATE TAG v1.0 ON t", tables=t)
+    assert engine_sql(
+        spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 'v1.0'", tables=t
+    ).first().n == 21
+    engine_sql(spark, "DROP TAG v1.0 ON t", tables=t)
+    assert S.list_tags(root) == {}
+
+
+def test_metadata_commits_keep_deletion_vectors(spark, tmp_path):
+    """DDL commits on a MOR table must carry outstanding DVs — dropping
+    them would resurrect deleted rows."""
+    root = str(tmp_path / "mor_ddl")
+    S.append(spark, root, _df(spark, 0, 30))
+    S.delete_where_mor(spark, root, "k < 10")
+    assert S.read_snapshot(spark, root).count() == 20
+    S.add_check_constraint(spark, root, "pos", "k >= 0")
+    S.alter_add_column(root, "note", "string")
+    S.add_unique_constraint(spark, root, "pk", ["k"])
+    S.drop_unique_constraint(root, "pk")
+    S.drop_check_constraint(root, "pos")
+    # every DDL commit above kept the DV in force
+    assert S.read_snapshot(spark, root).count() == 20
+    m = S.read_manifest(root, S.latest_version(root))
+    assert m.get("dv"), "deletion vectors lost by a metadata commit"
