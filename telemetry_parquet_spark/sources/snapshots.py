@@ -291,12 +291,15 @@ def create_table(root: str, schema: StructType) -> int:
 
 def _carry_meta(m: dict) -> dict:
     """Table-level metadata every commit must propagate from its parent
-    (currently: CHECK constraints and UNIQUE keys)."""
+    (currently: CHECK constraints, UNIQUE keys, and dropped-column
+    tombstones — cleared only by a full compaction rewrite)."""
     out = {}
     if m.get("constraints"):
         out["constraints"] = m["constraints"]
     if m.get("unique_keys"):
         out["unique_keys"] = m["unique_keys"]
+    if m.get("dropped_cols"):
+        out["dropped_cols"] = m["dropped_cols"]
     return out
 
 
@@ -979,7 +982,111 @@ def compact_table(
         rows = rows.repartition(n_files)
         action = "compact"
     new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
-    return _commit(root, action, new, m["schema"], parent, _carry_meta(m))
+    meta = _carry_meta(m)
+    # a full rewrite physically sheds dropped columns: clear tombstones
+    meta.pop("dropped_cols", None)
+    return _commit(root, action, new, m["schema"], parent, meta)
+
+
+def compact_where(
+    spark: SparkSession,
+    root: str,
+    scan_predicates: list,
+    target_bytes: int,
+    zorder_cols: list[str] | None = None,
+    bits: int = 8,
+) -> int:
+    """Region-scoped OPTIMIZE: compact (optionally z-order) ONLY the
+    files whose manifest stats envelope intersects ``scan_predicates``
+    (planner ``Range``/``Eq``/``In``); every other file carries by
+    reference. The maintenance analog of the planner's pruned scan — on
+    a partitioned/clustered layout, compacting yesterday's hot region
+    costs ∝ that region, never the table. Identical row multiset by
+    construction (stats pruning is conservative: a file that COULD hold
+    matching rows is included in the rewrite verbatim, rows are never
+    filtered)."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    _require_no_dv(m, "compact_where")
+    if not m["files"]:
+        return _commit(
+            root, "compact-where", [], m["schema"], parent, _carry_meta(m)
+        )
+    _, plan = plan_snapshot_scan(spark, root, scan_predicates, parent)
+    region = {os.path.relpath(f, root) for f in plan.files}
+    carried = [f for f in m["files"] if f not in region]
+    if not region:
+        return _commit(
+            root, "compact-where", carried, m["schema"], parent,
+            {**_carry_meta(m), "region_files": 0},
+        )
+    total = sum(
+        os.path.getsize(os.path.join(root, f)) for f in region
+    )
+    n_files = max(1, -(-total // int(target_bytes)))
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    rows = spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in sorted(region)]
+    )
+    if zorder_cols:
+        from telemetry_parquet_spark.sources.layout import (
+            zorder_key_adaptive_n,
+        )
+
+        rows = (
+            zorder_key_adaptive_n(rows, zorder_cols, bits=bits)
+            .repartitionByRange(n_files, F.col("zval"))
+            .sortWithinPartitions("zval")
+            .drop("zval")
+        )
+    else:
+        rows = rows.repartition(n_files)
+    new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
+    return _commit(
+        root, "compact-where", carried + new, m["schema"], parent,
+        {**_carry_meta(m), "region_files": len(region)},
+    )
+
+
+def alter_drop_column(root: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN as a PURE metadata commit: the manifest
+    schema narrows; no data file is rewritten (parquet readers project by
+    name, so the physical column simply stops being read — the bytes are
+    reclaimed at the next compaction rewrite). Refuses when a CHECK
+    constraint or UNIQUE key references the column."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if name not in {f.name for f in schema.fields}:
+        raise ValueError(f"no column '{name}'")
+    if len(schema.fields) == 1:
+        raise ValueError("cannot drop the last column")
+    import re as _re
+
+    for cname, expr in (m.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(name)}\b", expr):
+            raise ValueError(
+                f"column '{name}' is referenced by CHECK constraint "
+                f"'{cname}'; drop the constraint first"
+            )
+    for uname, ucols in (m.get("unique_keys") or {}).items():
+        if name in ucols:
+            raise ValueError(
+                f"column '{name}' is part of UNIQUE key '{uname}'; drop "
+                "the constraint first"
+            )
+    narrowed = StructType(
+        [f for f in schema.fields if f.name != name]
+    )
+    meta = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {})}
+    # tombstone: the physical bytes survive in old files, so re-adding
+    # the same name is refused until a full compaction rewrites them
+    meta["dropped_cols"] = sorted(
+        set(m.get("dropped_cols", [])) | {name}
+    )
+    return _commit(
+        root, "drop-column", m["files"], narrowed.json(), parent, meta
+    )
 
 
 def version_as_of(root: str, ts: float) -> int:
@@ -1056,6 +1163,12 @@ def alter_add_column(root: str, name: str, dtype: str) -> int:
     schema = StructType.fromJson(json.loads(m["schema"]))
     if name in {f.name for f in schema.fields}:
         raise ValueError(f"column '{name}' already exists")
+    if name in m.get("dropped_cols", []):
+        raise ValueError(
+            f"column '{name}' was previously dropped and its physical "
+            "bytes survive in old files; compact_table first to rewrite "
+            "them, then re-add"
+        )
     schema.add(name, _parse_datatype_string(dtype), True)
     return _commit(
         root, "add-column", m["files"], schema.json(), parent,
@@ -1704,10 +1817,15 @@ def plan_snapshot_scan(
     return (df if residual is None else df.where(residual)), plan
 
 
-def vacuum(root: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    root: str, keep_last: int = 1, retain_since: float | None = None
+) -> list[str]:
     """Delete data files referenced by NO retained manifest (the last
-    ``keep_last`` versions plus every TAGGED version are retained) and
-    drop the expired manifests.
+    ``keep_last`` versions plus every TAGGED version are retained; with
+    ``retain_since`` every version committed at or after that epoch
+    second is ALSO retained — Delta's RETAIN-hours shape, resolved
+    against the commit timestamps the manifests already carry) and drop
+    the expired manifests.
     Also reclaims uncommitted orphan directories from crashed writers.
     The only destructive operation in the module; everything else is
     append-only."""
@@ -1716,6 +1834,13 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
     keep.update(  # tagged versions are pinned regardless of retention
         v for v in list_tags(root).values() if v in set(versions)
     )
+    if retain_since is not None:
+        keep.update(
+            v
+            for v in versions
+            if read_manifest(root, v).get("committed_at", 0.0)
+            >= retain_since
+        )
     live: set[str] = set()
     for v in keep:
         m = read_manifest(root, v)

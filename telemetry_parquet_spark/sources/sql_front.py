@@ -276,12 +276,22 @@ def _dml(
         return _version_df(spark, "optimize", v)
 
     m = re.fullmatch(
-        r"\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*",
+        r"\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?"
+        r"\s*;?\s*",
         sql, re.IGNORECASE,
     )
     if m:
+        import time as _time
+
         root = _resolve(tables, m.group(1))
-        removed = S.vacuum(root, keep_last=int(m.group(2) or 1))
+        if m.group(3) and m.group(3).upper() == "HOURS":
+            removed = S.vacuum(
+                root,
+                keep_last=1,
+                retain_since=_time.time() - 3600 * int(m.group(2)),
+            )
+        else:
+            removed = S.vacuum(root, keep_last=int(m.group(2) or 1))
         return _version_df(spark, f"vacuum:{len(removed)}_files",
                            S.latest_version(root))
 
@@ -303,6 +313,15 @@ def _dml(
         root = _resolve(tables, m.group(1))
         v = S.alter_add_column(root, m.group(2), m.group(3).strip())
         return _version_df(spark, f"add-column:{m.group(2)}", v)
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        v = S.alter_drop_column(root, m.group(2))
+        return _version_df(spark, f"drop-column:{m.group(2)}", v)
 
     m = re.fullmatch(
         r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"

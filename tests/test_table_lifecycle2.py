@@ -1,0 +1,114 @@
+"""Late round-9 table-service completions: metadata-only DROP COLUMN
+with tombstones, region-scoped compaction, and time-based vacuum
+retention."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.sources import snapshots as S
+from telemetry_parquet_spark.sources.scan_planner import Range
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") * 2).alias("x"),
+    )
+
+
+def test_drop_column_is_metadata_only_and_tombstoned(spark, tmp_path):
+    root = str(tmp_path / "dc")
+    S.append(spark, root, _df(spark, 0, 40))
+    files_before = set(S.read_manifest(root, 1)["files"])
+    v = S.alter_drop_column(root, "x")
+    m = S.read_manifest(root, v)
+    assert set(m["files"]) == files_before  # no data rewritten
+    got = S.read_snapshot(spark, root)
+    assert got.columns == ["k", "g"]
+    assert got.count() == 40
+    # time travel still sees the column at v1
+    assert "x" in S.read_snapshot(spark, root, 1).columns
+    # re-adding the same name refuses until a full rewrite
+    with pytest.raises(ValueError, match="previously dropped"):
+        S.alter_add_column(root, "x", "string")
+    S.compact_table(spark, root, target_bytes=64 * 1024 * 1024)
+    S.alter_add_column(root, "x", "string")  # tombstone cleared
+    assert S.read_snapshot(spark, root).where("x IS NULL").count() == 40
+
+
+def test_drop_column_refuses_constrained_columns(spark, tmp_path):
+    root = str(tmp_path / "dc2")
+    S.append(spark, root, _df(spark, 0, 10))
+    S.add_check_constraint(spark, root, "pos_x", "x >= 0")
+    S.add_unique_constraint(spark, root, "pk", ["k"])
+    with pytest.raises(ValueError, match="CHECK constraint 'pos_x'"):
+        S.alter_drop_column(root, "x")
+    with pytest.raises(ValueError, match="UNIQUE key 'pk'"):
+        S.alter_drop_column(root, "k")
+    S.drop_check_constraint(root, "pos_x")
+    S.alter_drop_column(root, "x")  # now fine
+
+
+def test_compact_where_rewrites_only_the_region(spark, tmp_path):
+    root = str(tmp_path / "cw")
+    # range layout on k: 10 files, each ~100 keys wide, multiple small
+    # files inside the low region via per-range repartition
+    low = _df(spark, 0, 200).repartition(6)
+    high = _df(spark, 200, 1000).repartitionByRange(8, "k")
+    S.append(spark, root, low)
+    S.append(spark, root, high)
+    m1 = S.read_manifest(root, S.latest_version(root))
+    before = S.read_snapshot(spark, root)
+    rows_before = sorted(map(tuple, before.collect()))
+    v = S.compact_where(
+        spark, root, [Range("k", 0, 199)], target_bytes=64 * 1024 * 1024
+    )
+    m2 = S.read_manifest(root, v)
+    # the high-region files carried by reference
+    high_files = [
+        f for f in m1["files"]
+        if m1["stats"][f]["k"][0] >= 200
+    ]
+    assert set(high_files) <= set(m2["files"])
+    assert m2["region_files"] >= 6  # the 6 low-region files rewrote
+    assert len(m2["files"]) < len(m1["files"])
+    after = sorted(map(tuple, S.read_snapshot(spark, root).collect()))
+    assert after == rows_before  # pure re-layout
+
+
+def test_vacuum_retain_since_keeps_recent_versions(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    S.append(spark, root, _df(spark, 0, 10))
+    S.overwrite(spark, root, _df(spark, 10, 20))
+    cutoff = time.time()
+    S.overwrite(spark, root, _df(spark, 20, 30))
+    S.overwrite(spark, root, _df(spark, 30, 40))
+    removed = S.vacuum(root, keep_last=1, retain_since=cutoff)
+    # versions committed after the cutoff all stay readable
+    assert S.read_snapshot(spark, root, 3).count() == 10
+    assert S.read_snapshot(spark, root, 4).count() == 10
+    # the pre-cutoff overwrite's files went
+    assert removed
+    with pytest.raises(FileNotFoundError):
+        S.read_manifest(root, 2)
+
+
+def test_sql_drop_column_and_vacuum_hours(spark, tmp_path):
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    root = str(tmp_path / "sql2")
+    S.append(spark, root, _df(spark, 0, 10))
+    t = {"t": root}
+    r = engine_sql(spark, "ALTER TABLE t DROP COLUMN x", tables=t)
+    assert r.first().action == "drop-column:x"
+    assert S.read_snapshot(spark, root).columns == ["k", "g"]
+    S.overwrite(spark, root, S.read_snapshot(spark, root).limit(5))
+    r = engine_sql(spark, "VACUUM t RETAIN 1 HOURS", tables=t).first()
+    assert r.action == "vacuum:0_files"  # everything is <1h old: kept
+    assert S.read_snapshot(spark, root, 1).count() == 10
