@@ -53,6 +53,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mv_rewrite_rollup",
     "snapshot_join_planned",
     "snapshot_branch_merge",
+    "split_grouped_holdout",
     "snapshot_wap_publish",
     "snapshot_merge_evolve",
     "sim_ivf_persisted_topk",
@@ -102,10 +103,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_sliding_halfhour",
     "stream_static_enrich",
     "stream_stream_view_purchase",
-    "stream_tumbling_hourly",
-    # stream_user_running_stats, token_counting, u1_union_by_name,
-    # zorder_codes, u2_except_all, u3_intersect, vocab_table,
-    # w3_event_gaps (r05-stale) rotated to round 10 — their slots went
+    # stream_tumbling_hourly, stream_user_running_stats, token_counting,
+    # u1_union_by_name, zorder_codes, u2_except_all, u3_intersect,
+    # vocab_table, w3_event_gaps (r05-stale) rotated to round 10 — their
+    # slots went
     # to never-driver-checked queries (snapshot_stats_pruned_scan,
     # snapshot_wap_publish, snapshot_merge_evolve,
     # sim_ivf_persisted_topk, snapshot_bloom_planned)

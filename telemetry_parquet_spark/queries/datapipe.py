@@ -1108,3 +1108,60 @@ def sim_matmul_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matmul_batch_top_k(
         queries, emb, k=_MATMUL_KNN_K, exclude_self=True
     )
+
+
+@query(
+    "split_grouped_holdout",
+    # Leakage-safe GROUPED split: the hash key is the GROUP column
+    # (source), so every document of a provenance lands in the same
+    # split — the guard that per-document splitting (split_train_holdout)
+    # cannot give when near-duplicates cluster within a source. 0xcd =
+    # round(256*80/100): the 80% threshold byte, string-compared.
+    oracle="""
+    WITH labeled AS (
+      SELECT source, doc_id,
+             CASE WHEN substr(md5(source || 'group-split-v1'), 1, 2) < 'cd'
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM labeled GROUP BY split
+    """,
+)
+def split_grouped_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped train/holdout split: hash the GROUP (source), not the
+    document, so correlated documents (same crawl, same author, near-dup
+    clusters within a provenance) can never straddle the split boundary —
+    the leakage guard an LLM eval needs. Pure projection (no shuffle to
+    assign); the no-straddle property is re-checked with a limit(1) probe
+    that RAISES on violation, the require-proof discipline."""
+    from telemetry_parquet_spark.datapipe.scrub import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "source",
+        "doc_id",
+        hash_split(F.col("source"), train_pct=80, salt="group-split-v1")
+        .alias("split"),
+    )
+    straddlers = (
+        labeled.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .limit(1)
+        .count()
+    )
+    if straddlers:
+        raise RuntimeError(
+            "split_grouped_holdout: a source straddles the split boundary"
+        )
+    return labeled.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
