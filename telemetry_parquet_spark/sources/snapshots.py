@@ -268,11 +268,19 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
 
 
 def _write_commit_files(df: DataFrame, root: str, version_tag: str) -> list[str]:
-    """Write ``df`` as immutable part files under a commit-private
-    directory and return their table-relative paths. A crashed write
-    leaves orphans in an UNCOMMITTED directory — invisible to readers
-    (manifests never referenced it) and reclaimed by vacuum."""
-    out_dir = os.path.join(root, _DATA_DIR, version_tag)
+    """Write ``df`` as immutable part files under a WRITER-private
+    directory and return their table-relative paths. The directory name
+    carries a per-attempt random token so two optimistic writers racing
+    for the same next version never collide at the data write — the
+    manifest's ``O_EXCL`` stays the ONLY linearization point, and the
+    loser's files are orphans in an uncommitted directory (invisible to
+    readers, since manifests reference files by path, and reclaimed by
+    vacuum). A crashed write leaves the same kind of orphan."""
+    import uuid as _uuid
+
+    out_dir = os.path.join(
+        root, _DATA_DIR, f"{version_tag}-{_uuid.uuid4().hex[:8]}"
+    )
     df.write.mode("error").parquet(out_dir)
     rel = []
     for dirpath, _, names in os.walk(out_dir):

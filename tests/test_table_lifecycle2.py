@@ -112,3 +112,45 @@ def test_sql_drop_column_and_vacuum_hours(spark, tmp_path):
     r = engine_sql(spark, "VACUUM t RETAIN 1 HOURS", tables=t).first()
     assert r.action == "vacuum:0_files"  # everything is <1h old: kept
     assert S.read_snapshot(spark, root, 1).count() == 10
+
+
+def test_concurrent_appenders_stress_no_lost_commits(spark, tmp_path):
+    """8 threads race appends through commit_with_retry against one
+    table: every batch must land exactly once (no lost update, no
+    double-commit) and the version chain must be gap-free — the
+    optimistic-concurrency contract under real contention, not just the
+    single-conflict unit test."""
+    import threading
+
+    root = str(tmp_path / "race")
+    S.append(spark, root, _df(spark, 0, 10))
+    N = 8
+    errors = []
+
+    def writer(i: int) -> None:
+        lo = 1000 * (i + 1)
+        try:
+            S.commit_with_retry(
+                lambda: S.append(spark, root, _df(spark, lo, lo + 10)),
+                retries=N,
+            )
+        except Exception as e:  # surfaces in the main thread's assert
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(N)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    head = S.latest_version(root)
+    assert head == 1 + N  # gap-free chain: create+first append + N races
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 10 + 10 * N
+    # every thread's batch present exactly once
+    for i in range(N):
+        lo = 1000 * (i + 1)
+        assert got.where(f"k >= {lo} AND k < {lo + 10}").count() == 10
+    # parents form a chain (each manifest's parent is version-1)
+    for v in range(1, head + 1):
+        assert S.read_manifest(root, v)["parent"] == v - 1
