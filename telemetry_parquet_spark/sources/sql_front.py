@@ -36,6 +36,11 @@ with the time-travel syntax the public table formats expose:
   refreshed, view-sized); any other shape falls through to the scan
 - ``VACUUM <name> [RETAIN n VERSIONS]`` / ``RESTORE <name> TO VERSION
   AS OF n`` — lifecycle maintenance
+- ``EXPLAIN <statement>`` — routing decisions WITHOUT executing: the
+  chosen route (materialized view + staleness / scan / which mutator),
+  the version each table reference pins with its manifest file/byte/DV
+  footprint, and per-view miss reasons (``explain_sql`` adds a
+  result-cache hit/miss row when given the cache dir)
 DML returns a one-row (action, version) DataFrame.
 
 Spark-first design: this is a *rewriter*, not an interpreter. Each
@@ -429,19 +434,13 @@ _AGG_ITEM = re.compile(
 )
 
 
-def _try_mv_rewrite(
-    spark: SparkSession,
-    sql: str,
-    tables: dict[str, str],
-    views: dict[str, list[str]],
-) -> DataFrame | None:
-    """Route a plain ``SELECT <group cols + COUNT/SUM/AVG> FROM <t>
-    [GROUP BY …]`` through the table's cataloged materialized views
-    (sources/views.py) — None when the statement has any other shape or
-    no view subsumes it, so the caller falls through to the normal scan
-    path. The restricted-shape parse is deliberate: anything with WHERE,
-    JOIN, expressions or HAVING takes the ordinary route."""
-    from telemetry_parquet_spark.sources.views import Agg, answer_aggregate
+def _parse_plain_aggregate(sql: str):
+    """``(table, group_cols, aggs, out_cols)`` for a plain ``SELECT
+    <group cols + COUNT/SUM/AVG> FROM <t> [GROUP BY …]``, else None —
+    the shared admission parse of the MV-rewrite and EXPLAIN paths.
+    Anything with WHERE, JOIN, expressions or HAVING is deliberately
+    rejected so those shapes take the ordinary scan route."""
+    from telemetry_parquet_spark.sources.views import Agg
 
     m = re.fullmatch(
         r"\s*SELECT\s+(.+?)\s+FROM\s+(\w+)"
@@ -449,7 +448,7 @@ def _try_mv_rewrite(
         sql,
         re.IGNORECASE | re.DOTALL,
     )
-    if not m or m.group(2) not in views or m.group(2) not in tables:
+    if not m:
         return None
     name = m.group(2)
     group_cols = (
@@ -471,6 +470,29 @@ def _try_mv_rewrite(
         out_cols.append(agg.out)
     if not aggs:
         return None
+    return name, group_cols, aggs, out_cols
+
+
+def _try_mv_rewrite(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, str],
+    views: dict[str, list[str]],
+) -> DataFrame | None:
+    """Route a plain ``SELECT <group cols + COUNT/SUM/AVG> FROM <t>
+    [GROUP BY …]`` through the table's cataloged materialized views
+    (sources/views.py) — None when the statement has any other shape or
+    no view subsumes it, so the caller falls through to the normal scan
+    path. The restricted-shape parse is deliberate: anything with WHERE,
+    JOIN, expressions or HAVING takes the ordinary route."""
+    from telemetry_parquet_spark.sources.views import answer_aggregate
+
+    parsed = _parse_plain_aggregate(sql)
+    if not parsed:
+        return None
+    name, group_cols, aggs, out_cols = parsed
+    if name not in views or name not in tables:
+        return None
     try:
         df, used = answer_aggregate(
             spark, tables[name], views[name], group_cols, aggs,
@@ -479,6 +501,154 @@ def _try_mv_rewrite(
     except RuntimeError:
         return None  # no view subsumes -> honest fallback to the scan
     return df.select(*out_cols)
+
+
+_MUTATOR_KIND = {
+    "DELETE": "DELETE (copy-on-write file rewrite commit)",
+    "UPDATE": "UPDATE (merge-on-read deletion-vector commit)",
+    "INSERT": "INSERT (append / overwrite commit)",
+    "OPTIMIZE": "OPTIMIZE (compaction rewrite commit)",
+    "VACUUM": "VACUUM (retention delete, destructive)",
+    "RESTORE": "RESTORE (rollback-as-commit)",
+    "ALTER": "ALTER TABLE (metadata-only commit)",
+    "CREATE": "CREATE (tag / branch / table DDL)",
+    "DROP": "DROP (tag / branch / constraint DDL)",
+    "MERGE": "MERGE BRANCH (metadata fast-forward or rebase)",
+}
+
+
+def explain_sql(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, str],
+    views: dict[str, list[str]] | None = None,
+    cache_dir: str | None = None,
+) -> DataFrame:
+    """``EXPLAIN <statement>`` through the front door: one (aspect,
+    detail) row per routing decision, computed from MANIFESTS ALONE —
+    nothing executes, commits, refreshes, or reads a data file. Reports:
+
+    - ``statement``  — query, or which commit-log mutator would run
+    - ``route``      — ``materialized-view <root>`` (with a staleness
+      row: the rewrite would incrementally catch the view up at read
+      time) when a cataloged view subsumes a plain aggregate, per-view
+      ``mv_miss`` reasons otherwise, else ``scan``
+    - ``pin``        — per referenced (table, version): resolved version
+      (HEAD / AS-OF / tag), file count, manifest byte total, outstanding
+      deletion vectors — the exact inputs the scan would be planned from
+    - ``result_cache`` — hit/miss under the version-pinned key, when the
+      cache directory is supplied
+
+    The observability face of the services the engine already routes
+    through silently (`_try_mv_rewrite`, `plan_snapshot_scan`,
+    `cached_sql`): EXPLAIN shows the decision without paying for the
+    answer."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        read_manifest,
+        resolve_ref,
+    )
+
+    stmt = sql.strip().rstrip(";").strip()
+    first = stmt.split(None, 1)[0].upper() if stmt else ""
+    rows: list[tuple[str, str]] = []
+    if first in _MUTATOR_KIND:
+        rows.append(("statement", _MUTATOR_KIND[first]))
+        rows.append(("route", "commit-log mutator"))
+    else:
+        rows.append(("statement", "query"))
+        route = "scan"
+        parsed = _parse_plain_aggregate(stmt) if views else None
+        if parsed:
+            name, group_cols, aggs, _ = parsed
+            if name in (views or {}) and name in tables:
+                from telemetry_parquet_spark.sources.views import (
+                    RewriteMiss,
+                    probe_aggregate,
+                )
+
+                for vroot in views[name]:
+                    try:
+                        p = probe_aggregate(vroot, group_cols, aggs)
+                    except RewriteMiss as e:
+                        rows.append(("mv_miss", f"{vroot}: {e}"))
+                        continue
+                    route = f"materialized-view {vroot}"
+                    rows.append(
+                        (
+                            "view_staleness",
+                            f"view at base v{p['view_base_version']}, "
+                            f"base head v{p['base_head']}, lag "
+                            f"{p['stale_commits']} commits"
+                            + (
+                                " (incremental catch-up at read)"
+                                if p["stale_commits"]
+                                else " (fresh)"
+                            ),
+                        )
+                    )
+                    break
+        rows.insert(1, ("route", route))
+    for name in sorted(tables):
+        if not re.search(rf"\b{re.escape(name)}\b", stmt):
+            continue
+        root = tables[name]
+        pinned: list[tuple[int | str, str]] = []
+        for mo in re.finditer(
+            rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+')",
+            stmt,
+            re.IGNORECASE,
+        ):
+            g = mo.group(1)
+            if g.startswith("'branch:"):
+                pinned.append((g[1:-1], g))
+                continue
+            v = resolve_ref(root, g[1:-1]) if g.startswith("'") else int(g)
+            pinned.append((v, g))
+        for mo in re.finditer(
+            rf"\b{re.escape(name)}\s+TIMESTAMP\s+AS\s+OF\s+"
+            r"([0-9]+(?:\.[0-9]+)?)",
+            stmt,
+            re.IGNORECASE,
+        ):
+            pinned.append(
+                (version_as_of(root, float(mo.group(1))), mo.group(1))
+            )
+        if not pinned:
+            pinned.append((latest_version(root), "HEAD"))
+        for v, ref in pinned:
+            if isinstance(v, str):  # branch ref: chain lives elsewhere
+                rows.append(("pin", f"{name} @ {v}"))
+                continue
+            m = read_manifest(root, v)
+            rows.append(
+                (
+                    "pin",
+                    f"{name} @ v{v} ({ref}): {len(m['files'])} files, "
+                    f"{sum((m.get('sizes') or {}).values())} bytes, "
+                    f"{len(m.get('dv') or [])} deletion vectors",
+                )
+            )
+    if cache_dir is not None:
+        import os as _os
+
+        from telemetry_parquet_spark.sources.result_cache import _key
+
+        digest, _ = _key(stmt, tables)
+        hit = _os.path.exists(
+            _os.path.join(cache_dir, digest, "_PINS.json")
+        )
+        rows.append(
+            ("result_cache", f"{'hit' if hit else 'miss'} key={digest[:12]}")
+        )
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("aspect", StringType(), False),
+                StructField("detail", StringType(), False),
+            ]
+        ),
+    )
 
 
 def engine_sql(
@@ -500,6 +670,9 @@ def engine_sql(
     of scanning the fact data — any other shape, or no subsuming view,
     falls through to the ordinary scan path. See module docstring for
     the rewrite contract."""
+    m = re.match(r"\s*EXPLAIN\s+", sql, re.IGNORECASE)
+    if m:
+        return explain_sql(spark, sql[m.end():], tables, views=views)
     if views:
         mv = _try_mv_rewrite(spark, sql, tables, views)
         if mv is not None:

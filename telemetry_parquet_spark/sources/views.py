@@ -243,6 +243,31 @@ def rewrite_aggregate(
     return view.agg(*exprs)
 
 
+def probe_aggregate(
+    view_root: str, group_cols: list[str], aggs: list[Agg]
+) -> dict:
+    """Subsumption check WITHOUT side effects — the EXPLAIN path. Runs
+    exactly ``rewrite_aggregate``'s admission tests (grouping subset,
+    every aggregate derivable from the view's totals) but never reads
+    view data and never refreshes: staleness is REPORTED, not repaired.
+    Raises ``RewriteMiss`` when the view can't answer the question."""
+    m = view_info(view_root)
+    if not set(group_cols) <= set(m["mv_group_cols"]):
+        raise RewriteMiss(
+            f"GROUP BY {group_cols} not subsumed by view grouping "
+            f"{m['mv_group_cols']}"
+        )
+    for a in aggs:
+        _derive(a, m)  # RewriteMiss when not derivable
+    head = S.latest_version(m["mv_base_root"])
+    return {
+        "base_root": m["mv_base_root"],
+        "view_base_version": m["mv_base_version"],
+        "base_head": head,
+        "stale_commits": head - m["mv_base_version"],
+    }
+
+
 def answer_aggregate(
     spark: SparkSession,
     base_root: str,
