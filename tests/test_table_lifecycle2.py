@@ -154,3 +154,50 @@ def test_concurrent_appenders_stress_no_lost_commits(spark, tmp_path):
     # parents form a chain (each manifest's parent is version-1)
     for v in range(1, head + 1):
         assert S.read_manifest(root, v)["parent"] == v - 1
+
+
+def test_concurrent_mixed_mutators_converge(spark, tmp_path):
+    """Appends and merge-on-read deletes racing through commit_with_retry:
+    order of interleaving must not matter — the delete predicates match
+    only the initial rows and the appended key ranges never match them,
+    so the final logical content is deterministic no matter who wins
+    which version slot. Exercises the retry path where a MOR delete
+    recomputes its deletion vector against a head that moved under it."""
+    import threading
+
+    root = str(tmp_path / "mixed")
+    S.append(spark, root, _df(spark, 0, 10))
+    errors = []
+
+    def run(fn, i):
+        try:
+            S.commit_with_retry(fn, retries=12)
+        except Exception as e:
+            errors.append((i, repr(e)))
+
+    jobs = [
+        lambda lo=1000 * (i + 1): S.append(spark, root, _df(spark, lo, lo + 10))
+        for i in range(4)
+    ] + [
+        lambda: S.delete_where_mor(spark, root, "k < 3"),
+        lambda: S.delete_where_mor(spark, root, "k >= 3 AND k < 6"),
+    ]
+    threads = [
+        threading.Thread(target=run, args=(fn, i))
+        for i, fn in enumerate(jobs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    head = S.latest_version(root)
+    assert head == 1 + len(jobs)  # every mutator committed exactly once
+    for v in range(1, head + 1):
+        assert S.read_manifest(root, v)["parent"] == v - 1
+    got = sorted(r.k for r in S.read_snapshot(spark, root).select("k").collect())
+    want = sorted(
+        list(range(6, 10))
+        + [k for i in range(4) for k in range(1000 * (i + 1), 1000 * (i + 1) + 10)]
+    )
+    assert got == want
