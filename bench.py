@@ -245,6 +245,9 @@ HEADLINE = [
     "mv_rewrite_rollup",
     "snapshot_join_planned",
     "snapshot_branch_merge",
+    # round 9 (late): multi-table transaction + cross-table consistent
+    # reads through the catalog commit log (pinned-resolver joins)
+    "catalog_txn_consistent_read",
 ]
 
 

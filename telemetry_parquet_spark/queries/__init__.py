@@ -44,10 +44,11 @@ from telemetry_parquet_spark.queries import table_service  # noqa: F401, E402
 # cumulative state after r08: every registered query green at its latest
 # driver row, 0 red, so this window is new-surface first, then the
 # staleness rotation the r8 verdict ordered):
-# 1. Queries new in round 9 — the only names with no driver row at all.
-# 2. The FULL r05-stale cohort (35 names — the oldest verdicts left).
-# 3. The r06 cohort fills the remaining 13 slots alphabetically; the rest
-#    rotates to round 10.
+# 1. Queries new in round 9 — the only names with no driver row at all
+#    (incl. the late catalog_txn_consistent_read).
+# 2. The r05-stale cohort fills the remaining slots (the oldest verdicts
+#    left); stream_stream_view_purchase and later names rotate to
+#    round 10.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-checked (new in round 9)
     "mv_rewrite_rollup",
@@ -72,6 +73,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "snapshot_zorder_planned",
     "snapshot_changes_feed",
     "snapshot_incremental_view",
+    "catalog_txn_consistent_read",
     # behavior CHANGED in round 9 (int64-matmul signature family + new
     # quantized oracles) — re-verify ahead of the stale cohort
     "sim_knn_graph_lsh_tables",
@@ -102,7 +104,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_session_windows",
     "stream_sliding_halfhour",
     "stream_static_enrich",
-    "stream_stream_view_purchase",
+    # stream_stream_view_purchase,
     # stream_tumbling_hourly, stream_user_running_stats, token_counting,
     # u1_union_by_name, zorder_codes, u2_except_all, u3_intersect,
     # vocab_table, w3_event_gaps (r05-stale) rotated to round 10 — their

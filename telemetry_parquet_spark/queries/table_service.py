@@ -1090,3 +1090,86 @@ def snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionAll(summarize(read_snapshot(spark, t, 2), "main_pre_merge"))
     out = out.unionAll(summarize(read_snapshot(spark, t), "merged"))
     return out
+
+
+@query(
+    "catalog_txn_consistent_read",
+    # The whole multi-table-transaction lifecycle under one exact oracle:
+    # two tables are cataloged from deterministic slices, a catalog
+    # snapshot pins the world (v0), one TRANSACTION appends to BOTH
+    # tables (stage → publish → one catalog commit = v1). The query reads
+    # the SAME multi-table join at both catalog versions through the
+    # pinned resolver (sql_at) — v0 must see neither table's transaction
+    # rows although both table HEADS contain them, v1 must see both.
+    # The oracle replays the two worlds relationally: a hash match proves
+    # cross-table consistent reads AND the all-or-nothing commit.
+    oracle="""
+    WITH f0 AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+         d0 AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+    s0 AS (
+      SELECT 'v0' AS stage,
+             (SELECT COUNT(*) FROM f0) AS n_facts,
+             (SELECT COUNT(*) FROM d0) AS n_dims,
+             CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
+                  AS DECIMAL(25,2)) AS revenue
+      FROM f0 f JOIN d0 d ON f.o_custkey = d.c_custkey
+    ),
+    s1 AS (
+      SELECT 'v1' AS stage,
+             (SELECT COUNT(*) FROM orders) AS n_facts,
+             (SELECT COUNT(*) FROM customer) AS n_dims,
+             CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
+                  AS DECIMAL(25,2)) AS revenue
+      FROM orders f JOIN customer d ON f.o_custkey = d.c_custkey
+    )
+    SELECT * FROM s0 UNION ALL SELECT * FROM s1
+    """,
+)
+def catalog_txn_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistent snapshots through the catalog commit log
+    (sources/catalog.py): v0 pins the pre-transaction world, one
+    CatalogTransaction (stage-all → publish-all → ONE catalog commit)
+    produces v1, and each stage's join runs through ``sql_at``'s pinned
+    bare-name resolution. Scale: a catalog commit is one tiny JSON
+    manifest; the pinned reads are ordinary manifest-pinned scans —
+    consistency costs zero data I/O."""
+    from telemetry_parquet_spark.sources.catalog import Catalog
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        cat = Catalog(root)
+        orders = spark.read.parquet(src)
+        cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        cat.create_table(
+            spark, "facts", orders.where(F.col("o_orderkey") % 10 < 8)
+        )
+        cat.create_table(
+            spark, "dims", cust.where(F.col("c_custkey") % 2 == 0)
+        )
+        cat.commit_snapshot()  # catalog v0: the pre-transaction world
+        with cat.transaction(spark) as tx:  # catalog v1, atomic
+            tx.append(
+                "facts", orders.where(F.col("o_orderkey") % 10 >= 8)
+            )
+            tx.append("dims", cust.where(F.col("c_custkey") % 2 == 1))
+
+    root = materialize_cached(
+        spark, src, "cat_txn_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    cat = Catalog(root)
+    stmt = """
+      SELECT (SELECT COUNT(*) FROM facts) AS n_facts,
+             (SELECT COUNT(*) FROM dims) AS n_dims,
+             CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
+                  AS DECIMAL(25,2)) AS revenue
+      FROM facts f JOIN dims d ON f.o_custkey = d.c_custkey
+    """
+    out = None
+    for stage, v in (("v0", 0), ("v1", 1)):
+        row = cat.sql_at(spark, stmt, v).select(
+            F.lit(stage).alias("stage"), "n_facts", "n_dims", "revenue"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -21,9 +21,32 @@ together: every statement the front door supports, plus
 - ``DROP TABLE <t>`` / ``DROP MATERIALIZED VIEW <v>`` — unregister
   (files stay until vacuumed/removed out of band; a catalog drop is a
   metadata act, the table-format discipline)
+- ``DESCRIBE CATALOG HISTORY``           — the catalog commit log (one
+  row per catalog version: which table versions it pins)
+
+The catalog also carries its OWN commit log — the root of cross-table
+atomicity (the role the catalog plays in the multi-table-transaction
+designs of the public table formats). Each catalog version pins every
+cataloged table at a specific table version:
+
+- ``commit_snapshot()`` pins the current heads — a named, durable,
+  cross-table CONSISTENT snapshot;
+- ``read(name, catalog_version=…)`` / ``sql_at(stmt, catalog_version)``
+  resolve bare table names at the pinned versions, so a multi-table
+  query sees one transactionally-consistent world, not a torn mix of
+  per-table heads read at slightly different times;
+- ``transaction()`` makes multi-table writes atomic FOR CATALOG READERS:
+  each per-table write stages as an invisible WAP commit, publication is
+  per-table metadata-only, and the new catalog version (the only thing a
+  catalog reader resolves through) lands in ONE ``O_EXCL`` commit — all
+  tables advance together or none do. A crash between table publishes
+  and the catalog commit leaves catalog readers on the old consistent
+  pins (table-level readers may see individual tables ahead — the
+  documented trade of catalog-rooted atomicity, same as the formats).
 
 Scale: the registry is object-count-sized JSON; reads resolve names to
-roots and delegate — no data I/O in the catalog layer itself.
+roots and delegate — no data I/O in the catalog layer itself. A catalog
+commit is one tiny JSON manifest regardless of data size.
 
 Reference parity: the reference's "catalog" is a hand-maintained S3
 prefix convention per job (views/MainEventsView.scala:55 —
@@ -146,6 +169,121 @@ class Catalog:
         del state["views"][name]
         self._save(state)
 
+    # -- catalog commit log (cross-table consistency) ------------------
+    def _log_dir(self) -> str:
+        return os.path.join(self.root, "_catalog_log")
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self._log_dir(), f"v{version:06d}.json")
+
+    def catalog_version(self) -> int:
+        """Latest catalog version, or -1 when no snapshot was ever
+        committed (bare-registry catalogs stay fully usable)."""
+        try:
+            names = os.listdir(self._log_dir())
+        except FileNotFoundError:
+            return -1
+        vs = [int(n[1:-5]) for n in names if n.endswith(".json")]
+        return max(vs, default=-1)
+
+    def read_catalog_commit(self, version: int) -> dict:
+        with open(self._commit_path(version)) as f:
+            return json.load(f)
+
+    def commit_snapshot(
+        self, action: str = "pin", pins: dict[str, int] | None = None
+    ) -> int:
+        """Commit a catalog version pinning EVERY cataloged table at a
+        table version (``pins`` overrides per table; default = current
+        head). ``O_EXCL`` on the catalog manifest is the linearization
+        point — same optimistic-concurrency contract as table commits,
+        retryable via ``snapshots.commit_with_retry``."""
+        import time as _time
+
+        tables = self.tables()
+        resolved = {
+            name: (pins or {}).get(name, S.latest_version(root))
+            for name, root in tables.items()
+        }
+        parent = self.catalog_version()
+        version = parent + 1
+        os.makedirs(self._log_dir(), exist_ok=True)
+        fd = os.open(
+            self._commit_path(version),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "parent": parent if parent >= 0 else None,
+                    "action": action,
+                    "pins": resolved,
+                    "committed_at": _time.time(),
+                },
+                f,
+            )
+        return version
+
+    def pins_at(self, catalog_version: int | None = None) -> dict[str, int]:
+        """Table-name -> table-version pins of a catalog version (latest
+        by default). Tables cataloged AFTER that snapshot are absent —
+        a consistent read exposes only the world the snapshot saw."""
+        v = (
+            self.catalog_version()
+            if catalog_version is None
+            else catalog_version
+        )
+        if v < 0:
+            raise ValueError("catalog has no committed snapshot yet")
+        return dict(self.read_catalog_commit(v)["pins"])
+
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        catalog_version: int | None = None,
+    ) -> DataFrame:
+        """Read a cataloged table — at HEAD (default), or at the version
+        a specific catalog snapshot pinned it to (cross-table consistent
+        time travel: pass ``cat.catalog_version()`` for the latest
+        snapshot)."""
+        root = self.table_root(name)
+        if catalog_version is None:
+            return S.read_snapshot(spark, root)
+        pins = self.pins_at(catalog_version)
+        if name not in pins:
+            raise KeyError(
+                f"table {name!r} is not pinned by catalog version "
+                f"{catalog_version}: cataloged after that snapshot"
+            )
+        return S.read_snapshot(spark, root, pins[name])
+
+    def sql_at(
+        self, spark: SparkSession, statement: str, catalog_version: int
+    ) -> DataFrame:
+        """Run a QUERY with every bare table reference resolved at the
+        catalog snapshot's pins — one transactionally-consistent
+        multi-table world. Mutators are rejected (mutating 'the past'
+        has no meaning); explicit ``AS OF`` clauses still work and
+        escape the pins deliberately."""
+        first = statement.strip().split(None, 1)[0].upper()
+        if first not in ("SELECT", "WITH", "DESCRIBE", "EXPLAIN"):
+            raise ValueError(
+                f"sql_at: only queries run against a pinned catalog "
+                f"version (got {first})"
+            )
+        pins = self.pins_at(catalog_version)
+        return engine_sql(
+            spark,
+            statement,
+            {n: r for n, r in self.tables().items() if n in pins},
+            pins=pins,
+        )
+
+    def transaction(self, spark: SparkSession) -> "CatalogTransaction":
+        return CatalogTransaction(self, spark)
+
     # -- SQL ----------------------------------------------------------
     def sql(self, spark: SparkSession, statement: str) -> DataFrame:
         """Run one statement against the catalog's namespace: catalog DDL
@@ -218,6 +356,105 @@ class Catalog:
             self.drop_table(m.group(1))
             return spark.createDataFrame([(m.group(1),)], "dropped string")
 
+        m = re.fullmatch(
+            r"\s*DESCRIBE\s+CATALOG\s+HISTORY\s*;?\s*",
+            statement, re.IGNORECASE,
+        )
+        if m:
+            rows = [
+                (
+                    c["version"],
+                    c["action"],
+                    json.dumps(c["pins"], sort_keys=True),
+                )
+                for c in (
+                    self.read_catalog_commit(v)
+                    for v in range(self.catalog_version() + 1)
+                )
+            ]
+            return spark.createDataFrame(
+                rows, "version int, action string, pins string"
+            )
+
         return engine_sql(
             spark, statement, self.tables(), views=self.views_for_sql()
         )
+
+
+class CatalogTransaction:
+    """Multi-table atomic write, rooted in the catalog commit log.
+
+    Usage::
+
+        with cat.transaction(spark) as tx:
+            tx.append("facts", new_facts)
+            tx.append("dims", new_dims)
+        # exiting the block publishes + commits ONE catalog version
+
+    Each ``append`` stages a WAP commit — data lands but NO reader (head
+    read, time travel, SQL, CDC, catalog) can see it. On clean exit the
+    stages publish per table (metadata-only, rebased onto moved heads
+    under the append-commutes rule) and one ``O_EXCL`` catalog commit
+    pins the published versions — the all-or-nothing point for catalog
+    readers. On exception, or ``abort()``, every stage is discarded and
+    no table OR catalog version is created. Exactly-once: a transaction
+    object commits at most once (stages are consumed)."""
+
+    def __init__(self, cat: Catalog, spark: SparkSession):
+        import uuid
+
+        self._cat = cat
+        self._spark = spark
+        self._txn_id = uuid.uuid4().hex[:12]
+        self._stages: list[tuple[str, str, str]] = []  # (name, root, wap)
+        self._done = False
+
+    def append(self, name: str, df: DataFrame) -> None:
+        if self._done:
+            raise RuntimeError("transaction already committed or aborted")
+        root = self._cat.table_root(name)
+        wap_id = f"txn-{self._txn_id}-{len(self._stages)}"
+        S.stage_append(self._spark, root, df, wap_id)
+        self._stages.append((name, root, wap_id))
+
+    def abort(self) -> None:
+        for _, root, wap_id in self._stages:
+            try:
+                S.discard_staged(root, wap_id)
+            except FileNotFoundError:
+                pass  # never staged / already consumed
+        self._stages, self._done = [], True
+
+    def commit(self) -> int:
+        """Publish every staged append, then pin the results in one
+        catalog commit. A publish failure (audit veto semantics live at
+        publish time) aborts the REMAINING stages; already-published
+        table versions stay — catalog readers never saw them, since the
+        catalog commit is the last act and did not happen."""
+        if self._done:
+            raise RuntimeError("transaction already committed or aborted")
+        published: dict[str, int] = {}
+        for i, (name, root, wap_id) in enumerate(self._stages):
+            try:
+                published[name] = S.publish_staged(
+                    self._spark, root, wap_id
+                )
+            except Exception:
+                self._stages = self._stages[i + 1:]
+                self.abort()
+                raise
+        self._stages, self._done = [], True
+        return S.commit_with_retry(
+            lambda: self._cat.commit_snapshot(
+                action=f"txn-{self._txn_id}", pins=published
+            )
+        )
+
+    def __enter__(self) -> "CatalogTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            self.abort()
+        elif not self._done:
+            self.commit()

@@ -656,6 +656,7 @@ def engine_sql(
     sql: str,
     tables: dict[str, str],
     views: dict[str, list[str]] | None = None,
+    pins: dict[str, int] | None = None,
 ) -> DataFrame:
     """Run ``sql`` with time-travel syntax resolved against ``tables``
     (logical name -> snapshot root). Queries rewrite onto manifest-pinned
@@ -668,12 +669,16 @@ def engine_sql(
     plain GROUP-BY aggregate over a cataloged table answers from a
     subsuming view (staleness-checked, incrementally refreshed) instead
     of scanning the fact data — any other shape, or no subsuming view,
-    falls through to the ordinary scan path. See module docstring for
-    the rewrite contract."""
+    falls through to the ordinary scan path. With ``pins`` (table name ->
+    version), BARE references resolve to the pinned version instead of
+    HEAD — the catalog's cross-table consistent-snapshot hook; explicit
+    ``AS OF`` clauses are untouched, and MV routing is bypassed (a view
+    answers at base HEAD, which a pinned read must not see). See module
+    docstring for the rewrite contract."""
     m = re.match(r"\s*EXPLAIN\s+", sql, re.IGNORECASE)
     if m:
         return explain_sql(spark, sql[m.end():], tables, views=views)
-    if views:
+    if views and not pins:  # a pinned read must not answer at base HEAD
         mv = _try_mv_rewrite(spark, sql, tables, views)
         if mv is not None:
             return mv
@@ -759,10 +764,12 @@ def engine_sql(
             sql,
             flags=re.IGNORECASE,
         )
-        # Bare references resolve to the HEAD pinned now — register under
-        # the table's own name so no rewrite of the statement is needed.
+        # Bare references resolve to the HEAD pinned now (or the caller's
+        # pinned version) — register under the table's own name so no
+        # rewrite of the statement is needed.
         if re.search(rf"\b{re.escape(name)}\b", sql):
+            v = (pins or {}).get(name, None)
             read_snapshot(
-                spark, root, latest_version(root)
+                spark, root, latest_version(root) if v is None else v
             ).createOrReplaceTempView(name)
     return spark.sql(sql)

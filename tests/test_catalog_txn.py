@@ -1,0 +1,148 @@
+"""Catalog commit log: cross-table consistent snapshots and multi-table
+atomic transactions (sources/catalog.py::commit_snapshot / read / sql_at
+/ CatalogTransaction). The catalog is the root of truth — all tables
+advance together in one O_EXCL catalog commit, or none do."""
+
+from __future__ import annotations
+
+import pytest
+
+from telemetry_parquet_spark.sources import snapshots as S
+from telemetry_parquet_spark.sources.catalog import Catalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = Catalog(str(tmp_path / "cat"))
+    c.create_table(
+        spark,
+        "facts",
+        spark.createDataFrame([(i, float(i)) for i in range(10)], "k int, x double"),
+    )
+    c.create_table(
+        spark,
+        "dims",
+        spark.createDataFrame([(i, f"d{i}") for i in range(3)], "k int, name string"),
+    )
+    return c
+
+
+def _counts(spark, c, v=None):
+    return (
+        c.read(spark, "facts", v).count(),
+        c.read(spark, "dims", v).count(),
+    )
+
+
+def test_transaction_commits_all_tables_atomically(spark, cat):
+    v0 = cat.commit_snapshot()
+    facts2 = spark.createDataFrame([(100, 1.0), (101, 2.0)], "k int, x double")
+    dims2 = spark.createDataFrame([(100, "d100")], "k int, name string")
+    with cat.transaction(spark) as tx:
+        tx.append("facts", facts2)
+        tx.append("dims", dims2)
+        # inside the block NOTHING is visible anywhere
+        assert _counts(spark, cat) == (10, 3)
+        assert cat.catalog_version() == v0
+        assert S.list_staged(cat.table_root("facts"))  # staged, invisible
+    v1 = cat.catalog_version()
+    assert v1 == v0 + 1
+    assert _counts(spark, cat) == (12, 4)          # head sees both
+    assert _counts(spark, cat, v1) == (12, 4)      # pinned sees both
+    assert _counts(spark, cat, v0) == (10, 3)      # the old world intact
+    assert not S.list_staged(cat.table_root("facts"))  # stages consumed
+    pins = cat.pins_at(v1)
+    assert pins["facts"] == S.latest_version(cat.table_root("facts"))
+    assert pins["dims"] == S.latest_version(cat.table_root("dims"))
+
+
+def test_transaction_abort_discards_everything(spark, cat):
+    v0 = cat.commit_snapshot()
+    h_facts = S.latest_version(cat.table_root("facts"))
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction(spark) as tx:
+            tx.append(
+                "facts",
+                spark.createDataFrame([(999, 9.0)], "k int, x double"),
+            )
+            raise RuntimeError("boom")
+    assert cat.catalog_version() == v0                     # no catalog commit
+    assert S.latest_version(cat.table_root("facts")) == h_facts  # no table commit
+    assert not S.list_staged(cat.table_root("facts"))      # stage discarded
+    assert _counts(spark, cat) == (10, 3)
+
+
+def test_transaction_rebases_over_concurrent_head_move(spark, cat):
+    tx = cat.transaction(spark)
+    tx.append("facts", spark.createDataFrame([(200, 2.0)], "k int, x double"))
+    # a concurrent writer advances facts between stage and publish
+    S.append(
+        spark,
+        cat.table_root("facts"),
+        spark.createDataFrame([(300, 3.0)], "k int, x double"),
+    )
+    v = tx.commit()
+    pins = cat.pins_at(v)
+    facts = cat.read(spark, "facts", v)
+    ks = {r.k for r in facts.select("k").collect()}
+    assert {200, 300} <= ks  # rebase kept both writers' rows
+    assert pins["facts"] == S.latest_version(cat.table_root("facts"))
+    m = S.read_manifest(cat.table_root("facts"), pins["facts"])
+    assert m["action"] == "wap-publish" and "rebased_from" in m
+
+
+def test_transaction_commits_exactly_once(spark, cat):
+    tx = cat.transaction(spark)
+    tx.append("dims", spark.createDataFrame([(7, "d7")], "k int, name string"))
+    tx.commit()
+    with pytest.raises(RuntimeError, match="already"):
+        tx.commit()
+    with pytest.raises(RuntimeError, match="already"):
+        tx.append("dims", spark.createDataFrame([(8, "d8")], "k int, name string"))
+
+
+def test_sql_at_consistent_world_and_mutator_rejection(spark, cat):
+    v0 = cat.commit_snapshot()
+    with cat.transaction(spark) as tx:
+        tx.append("facts", spark.createDataFrame([(5, 50.0)], "k int, x double"))
+        tx.append("dims", spark.createDataFrame([(5, "dup5")], "k int, name string"))
+    v1 = cat.catalog_version()
+    joined_old = cat.sql_at(
+        spark,
+        "SELECT COUNT(*) AS n FROM facts JOIN dims ON facts.k = dims.k",
+        v0,
+    ).first().n
+    joined_new = cat.sql_at(
+        spark,
+        "SELECT COUNT(*) AS n FROM facts JOIN dims ON facts.k = dims.k",
+        v1,
+    ).first().n
+    assert joined_old == 3      # k in {0,1,2}
+    assert joined_new == 3 + 2  # + two facts rows with k=5 × the new dim
+    with pytest.raises(ValueError, match="only queries"):
+        cat.sql_at(spark, "DELETE FROM facts WHERE k = 1", v1)
+
+
+def test_commit_snapshot_pins_survive_later_writes(spark, cat):
+    v0 = cat.commit_snapshot()
+    S.append(
+        spark,
+        cat.table_root("facts"),
+        spark.createDataFrame([(400, 4.0)], "k int, x double"),
+    )
+    assert cat.read(spark, "facts", v0).count() == 10  # pin unaffected
+    assert cat.read(spark, "facts").count() == 11      # head moved
+    hist = cat.sql(spark, "DESCRIBE CATALOG HISTORY").collect()
+    assert [r.version for r in hist] == list(range(v0 + 1))
+    assert '"facts": 1' in hist[v0].pins
+
+
+def test_table_cataloged_after_snapshot_is_absent_from_pin(spark, cat):
+    v0 = cat.commit_snapshot()
+    cat.create_table(
+        spark, "late", spark.createDataFrame([(1,)], "k int")
+    )
+    with pytest.raises(KeyError, match="cataloged after"):
+        cat.read(spark, "late", v0)
+    v1 = cat.commit_snapshot()
+    assert cat.read(spark, "late", v1).count() == 1
