@@ -417,6 +417,18 @@ class CatalogTransaction:
         S.stage_append(self._spark, root, df, wap_id)
         self._stages.append((name, root, wap_id))
 
+    def delete_where(self, name: str, predicate) -> None:
+        """Stage a merge-on-read delete — the cross-table 'remove this
+        entity everywhere' case: matched positions freeze at stage time
+        and publish as deletion vectors with the rest of the
+        transaction, atomically for catalog readers."""
+        if self._done:
+            raise RuntimeError("transaction already committed or aborted")
+        root = self._cat.table_root(name)
+        wap_id = f"txn-{self._txn_id}-{len(self._stages)}"
+        S.stage_delete_mor(self._spark, root, predicate, wap_id)
+        self._stages.append((name, root, wap_id))
+
     def abort(self) -> None:
         for _, root, wap_id in self._stages:
             try:

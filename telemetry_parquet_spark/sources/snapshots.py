@@ -1508,16 +1508,77 @@ def stage_append(
     return wap_id
 
 
+def stage_delete_mor(
+    spark: SparkSession, root: str, predicate, wap_id: str
+) -> str:
+    """Stage a MERGE-ON-READ delete the way ``stage_append`` stages an
+    append: the deletion vector (file, pos over the CURRENT logical
+    view) is computed and written now, but no numbered version exists —
+    every reader still sees the rows until ``publish_staged``. The
+    multi-table-transaction delete primitive: matched positions are
+    frozen at stage time, so the published commit deletes exactly the
+    rows the transaction saw (publication refuses if a conflicting
+    writer rewrote or MOR-deleted underneath — appends commute, they
+    only add files the vector never references). Staged DV files are
+    vacuum-pinned until published or discarded."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if m["files"]:
+        matches = (
+            _scan_with_pos(spark, root, m["files"], schema, m.get("dv", []))
+            .where(hit)
+            .select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            )
+        )
+    else:
+        matches = spark.createDataFrame([], "file string, pos long")
+    new_dv = _write_commit_files(
+        matches.repartition(1), root, f"{_WAP_PREFIX}{wap_id}"
+    )
+    import time as _time
+
+    fd = os.open(
+        _staged_path(root, wap_id), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(
+            {
+                "wap_id": wap_id,
+                "action": "wap-delete-mor",
+                "parent": parent,
+                "new_files": sorted(new_dv),  # key shared with appends so
+                "base_files": m["files"],     # vacuum pins them uniformly
+                "base_dv": m.get("dv", []),
+                "schema": m["schema"],
+                "staged_at": _time.time(),
+            },
+            f,
+        )
+    return wap_id
+
+
 def read_staged(
     spark: SparkSession, root: str, wap_id: str
 ) -> DataFrame:
     """AUDIT view of write-audit-publish: the table AS IF the staged
     commit were published on its stage-time parent — parent files plus
-    staged files (parent deletion vectors applied). This is what quality
-    gates validate before anyone else can observe the rows."""
+    staged files (parent deletion vectors applied), or, for a staged
+    MOR delete, the parent MINUS the staged vector's rows. This is what
+    quality gates validate before anyone else can observe the change."""
     s = read_staged_manifest(root, wap_id)
     m = read_manifest(root, s["parent"])
     schema = StructType.fromJson(json.loads(s["schema"]))
+    if s.get("action") == "wap-delete-mor":
+        if not m["files"]:
+            return spark.createDataFrame([], schema)
+        return _scan_with_pos(
+            spark, root, m["files"], schema,
+            (m.get("dv") or []) + s["new_files"],
+        ).select(*[f.name for f in schema.fields])
     files = m["files"] + s["new_files"]
     if m.get("dv"):
         return _scan_with_pos(
@@ -1544,6 +1605,8 @@ def publish_staged(
     may have changed since staging. The staged manifest is consumed on
     success; a second publish of the same id raises (exactly-once)."""
     s = read_staged_manifest(root, wap_id)
+    if s.get("action") == "wap-delete-mor":
+        return _publish_staged_delete(spark, root, wap_id, s, audits)
     schema = StructType.fromJson(json.loads(s["schema"]))
     new_rows = spark.read.schema(schema).parquet(
         *[os.path.join(root, f) for f in s["new_files"]]
@@ -1568,6 +1631,69 @@ def publish_staged(
     v = _commit(
         root, "wap-publish", mh["files"] + s["new_files"],
         mh["schema"], head, extra,
+    )
+    os.remove(_staged_path(root, wap_id))
+    return v
+
+
+def _publish_staged_delete(
+    spark: SparkSession,
+    root: str,
+    wap_id: str,
+    s: dict,
+    audits: list | None,
+) -> int:
+    """PUBLISH of a staged MOR delete: metadata-only — the staged
+    deletion vector joins the head's DV list. Commute rule (the delete
+    analog of the append cherry-pick): the vector's positions were
+    frozen against the stage-time logical view, so publication REBASES
+    over later appends (they only add files the vector never references)
+    but REFUSES if any stage-time file was rewritten away (COW/compact
+    — positions now point into vanished files) or if another deletion
+    vector landed since staging (two overlapping vectors would make the
+    CDC feed double-count the row). ``audits`` receive the TO-BE-DELETED
+    rows. Exactly-once: the staged manifest is consumed."""
+    head = latest_version(root)
+    mh = read_manifest(root, head)
+    if head != s["parent"]:
+        missing = set(s["base_files"]) - set(mh["files"])
+        if missing:
+            raise ValueError(
+                f"publish_staged: {len(missing)} stage-time files were "
+                f"rewritten since {wap_id!r} was staged (compaction or "
+                "copy-on-write); the frozen positions no longer resolve "
+                "— re-stage the delete against the current head"
+            )
+        if (mh.get("dv") or []) != (s["base_dv"] or []):
+            raise ValueError(
+                f"publish_staged: deletion vectors changed since "
+                f"{wap_id!r} was staged; overlapping vectors would "
+                "corrupt the CDC feed — re-stage the delete"
+            )
+    if audits:
+        schema = StructType.fromJson(json.loads(s["schema"]))
+        doomed_pos = spark.read.parquet(
+            *[os.path.join(root, f) for f in s["new_files"]]
+        )
+        scan = _scan_with_pos(
+            spark, root, s["base_files"], schema, s["base_dv"]
+        )
+        doomed = scan.join(
+            doomed_pos,
+            on=(scan["__file"] == doomed_pos["file"])
+            & (scan["__pos"] == doomed_pos["pos"]),
+            how="left_semi",
+        ).select(*[f.name for f in schema.fields])
+        for audit in audits:
+            audit(doomed)
+    extra = {
+        **_carry_meta(mh),
+        "wap_id": wap_id,
+        "dv": (mh.get("dv") or []) + s["new_files"],
+        **({"rebased_from": s["parent"]} if head != s["parent"] else {}),
+    }
+    v = _commit(
+        root, "wap-publish-delete", mh["files"], mh["schema"], head, extra
     )
     os.remove(_staged_path(root, wap_id))
     return v

@@ -137,6 +137,69 @@ def test_commit_snapshot_pins_survive_later_writes(spark, cat):
     assert '"facts": 1' in hist[v0].pins
 
 
+def test_transaction_deletes_entity_across_tables(spark, cat):
+    """The GDPR shape: one transaction removes k=2 from BOTH tables via
+    staged merge-on-read deletes; nothing disappears until the single
+    catalog commit, and the old catalog version still shows the rows."""
+    v0 = cat.commit_snapshot()
+    with cat.transaction(spark) as tx:
+        tx.delete_where("facts", "k = 2")
+        tx.delete_where("dims", "k = 2")
+        assert _counts(spark, cat) == (10, 3)  # invisible while staged
+    v1 = cat.catalog_version()
+    assert _counts(spark, cat, v1) == (9, 2)
+    assert _counts(spark, cat, v0) == (10, 3)
+    for t in ("facts", "dims"):
+        ks = {r.k for r in cat.read(spark, t, v1).select("k").collect()}
+        assert 2 not in ks
+        m = S.read_manifest(
+            cat.table_root(t), cat.pins_at(v1)[t]
+        )
+        assert m["action"] == "wap-publish-delete" and m["dv"]
+
+
+def test_staged_delete_rebases_over_append_refuses_rewrite(spark, cat):
+    root = cat.table_root("facts")
+    S.stage_delete_mor(spark, root, "k < 2", "d1")
+    # an append commutes: the frozen vector never references new files
+    S.append(spark, root, spark.createDataFrame([(1, 111.0)], "k int, x double"))
+    v = S.publish_staged(spark, root, "d1")
+    ks = sorted(r.k for r in S.read_snapshot(spark, root, v).select("k").collect())
+    # stage-time k in {0,1} gone; the concurrently-appended k=1 SURVIVES
+    # (positions were frozen before it existed — the documented contract)
+    assert ks == [1] + list(range(2, 10))
+    # a compaction rewrite does NOT commute
+    S.stage_delete_mor(spark, root, "k = 5", "d2")
+    S.compact_table(spark, root, target_bytes=1 << 30)
+    with pytest.raises(ValueError, match="rewritten since"):
+        S.publish_staged(spark, root, "d2")
+    S.discard_staged(root, "d2")
+    # nor does a concurrent deletion vector
+    S.stage_delete_mor(spark, root, "k = 5", "d3")
+    S.delete_where_mor(spark, root, "k = 6")
+    with pytest.raises(ValueError, match="vectors changed"):
+        S.publish_staged(spark, root, "d3")
+    S.discard_staged(root, "d3")
+
+
+def test_staged_delete_audit_sees_doomed_rows_and_can_veto(spark, cat):
+    root = cat.table_root("dims")
+    S.stage_delete_mor(spark, root, "k <= 1", "dd")
+    seen = []
+
+    def audit(df):
+        seen.extend(sorted(r.k for r in df.select("k").collect()))
+        if len(seen) > 1:
+            raise RuntimeError("too many rows doomed")
+
+    with pytest.raises(RuntimeError, match="too many"):
+        S.publish_staged(spark, root, "dd", audits=[audit])
+    assert seen == [0, 1]
+    assert S.list_staged(root) == ["dd"]  # veto keeps the stage
+    assert S.read_snapshot(spark, root).count() == 3  # nothing deleted
+    S.discard_staged(root, "dd")
+
+
 def test_table_cataloged_after_snapshot_is_absent_from_pin(spark, cat):
     v0 = cat.commit_snapshot()
     cat.create_table(
