@@ -429,6 +429,19 @@ class CatalogTransaction:
         S.stage_delete_mor(self._spark, root, predicate, wap_id)
         self._stages.append((name, root, wap_id))
 
+    def update_where(
+        self, name: str, predicate, assignments: dict[str, object]
+    ) -> None:
+        """Stage a merge-on-read update (mask + updated copies, both
+        frozen at stage time) — with append and delete_where this
+        completes the transactional DML triangle."""
+        if self._done:
+            raise RuntimeError("transaction already committed or aborted")
+        root = self._cat.table_root(name)
+        wap_id = f"txn-{self._txn_id}-{len(self._stages)}"
+        S.stage_update_mor(self._spark, root, predicate, assignments, wap_id)
+        self._stages.append((name, root, wap_id))
+
     def abort(self) -> None:
         for _, root, wap_id in self._stages:
             try:

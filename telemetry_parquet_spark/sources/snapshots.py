@@ -1561,14 +1561,100 @@ def stage_delete_mor(
     return wap_id
 
 
+def stage_update_mor(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    assignments: dict[str, object],
+    wap_id: str,
+) -> str:
+    """Stage a MERGE-ON-READ update (``update_where_mor``'s deletion-
+    vector mask + updated copies) without creating a version: matched
+    positions AND the rewritten copies freeze at stage time, invisible
+    to every reader until ``publish_staged``. Same commute contract as
+    the staged delete — publication rebases over appends, refuses
+    rewrites and concurrent vectors. Completes the transactional DML
+    triangle: a CatalogTransaction can insert, update, and delete across
+    tables in one atomic catalog commit."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    if not m["files"]:
+        raise ValueError("stage_update_mor: table has no data")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    cols = [f.name for f in schema.fields]
+    bad = set(assignments) - set(cols)
+    if bad:
+        raise ValueError(f"stage_update_mor: unknown columns {sorted(bad)}")
+    for uname, ucols in (m.get("unique_keys") or {}).items():
+        touched = set(assignments) & set(ucols)
+        if touched:
+            raise ValueError(
+                f"stage_update_mor: SET touches UNIQUE key '{uname}' "
+                f"columns {sorted(touched)}; use merge_into for key "
+                "changes"
+            )
+    matched = _scan_with_pos(
+        spark, root, m["files"], schema, m.get("dv", [])
+    ).where(hit)
+    dv_rows = matched.select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+    )
+    updated = matched.select(
+        *[
+            (
+                F.expr(assignments[c]).cast(schema[c].dataType).alias(c)
+                if isinstance(assignments.get(c), str)
+                else assignments[c].cast(schema[c].dataType).alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in cols
+        ]
+    )
+    _validate_constraints(updated, m.get("constraints"))
+    new_dv = _write_commit_files(
+        dv_rows.repartition(1), root, f"{_WAP_PREFIX}{wap_id}dv"
+    )
+    new_files = _write_commit_files(
+        updated, root, f"{_WAP_PREFIX}{wap_id}"
+    )
+    import time as _time
+
+    fd = os.open(
+        _staged_path(root, wap_id), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(
+            {
+                "wap_id": wap_id,
+                "action": "wap-update-mor",
+                "parent": parent,
+                # vacuum pins everything under "new_files"; the vector
+                # subset is recorded separately for publish
+                "new_files": sorted(new_files) + sorted(new_dv),
+                "data_files": sorted(new_files),
+                "dv_files": sorted(new_dv),
+                "base_files": m["files"],
+                "base_dv": m.get("dv", []),
+                "schema": m["schema"],
+                "staged_at": _time.time(),
+            },
+            f,
+        )
+    return wap_id
+
+
 def read_staged(
     spark: SparkSession, root: str, wap_id: str
 ) -> DataFrame:
     """AUDIT view of write-audit-publish: the table AS IF the staged
     commit were published on its stage-time parent — parent files plus
     staged files (parent deletion vectors applied), or, for a staged
-    MOR delete, the parent MINUS the staged vector's rows. This is what
-    quality gates validate before anyone else can observe the change."""
+    MOR delete/update, the parent with the staged vector masked out
+    (plus the updated copies). This is what quality gates validate
+    before anyone else can observe the change."""
     s = read_staged_manifest(root, wap_id)
     m = read_manifest(root, s["parent"])
     schema = StructType.fromJson(json.loads(s["schema"]))
@@ -1578,6 +1664,11 @@ def read_staged(
         return _scan_with_pos(
             spark, root, m["files"], schema,
             (m.get("dv") or []) + s["new_files"],
+        ).select(*[f.name for f in schema.fields])
+    if s.get("action") == "wap-update-mor":
+        return _scan_with_pos(
+            spark, root, m["files"] + s["data_files"], schema,
+            (m.get("dv") or []) + s["dv_files"],
         ).select(*[f.name for f in schema.fields])
     files = m["files"] + s["new_files"]
     if m.get("dv"):
@@ -1605,8 +1696,8 @@ def publish_staged(
     may have changed since staging. The staged manifest is consumed on
     success; a second publish of the same id raises (exactly-once)."""
     s = read_staged_manifest(root, wap_id)
-    if s.get("action") == "wap-delete-mor":
-        return _publish_staged_delete(spark, root, wap_id, s, audits)
+    if s.get("action") in ("wap-delete-mor", "wap-update-mor"):
+        return _publish_staged_mor(spark, root, wap_id, s, audits)
     schema = StructType.fromJson(json.loads(s["schema"]))
     new_rows = spark.read.schema(schema).parquet(
         *[os.path.join(root, f) for f in s["new_files"]]
@@ -1636,23 +1727,28 @@ def publish_staged(
     return v
 
 
-def _publish_staged_delete(
+def _publish_staged_mor(
     spark: SparkSession,
     root: str,
     wap_id: str,
     s: dict,
     audits: list | None,
 ) -> int:
-    """PUBLISH of a staged MOR delete: metadata-only — the staged
-    deletion vector joins the head's DV list. Commute rule (the delete
-    analog of the append cherry-pick): the vector's positions were
-    frozen against the stage-time logical view, so publication REBASES
-    over later appends (they only add files the vector never references)
-    but REFUSES if any stage-time file was rewritten away (COW/compact
-    — positions now point into vanished files) or if another deletion
-    vector landed since staging (two overlapping vectors would make the
-    CDC feed double-count the row). ``audits`` receive the TO-BE-DELETED
-    rows. Exactly-once: the staged manifest is consumed."""
+    """PUBLISH of a staged MOR delete or update: metadata-only — the
+    staged deletion vector joins the head's DV list (an update also adds
+    its updated-copy files). Commute rule (the DV analog of the append
+    cherry-pick): the vector's positions were frozen against the
+    stage-time logical view, so publication REBASES over later appends
+    (they only add files the vector never references) but REFUSES if any
+    stage-time file was rewritten away (COW/compact — positions now
+    point into vanished files) or if another deletion vector landed
+    since staging (two overlapping vectors would make the CDC feed
+    double-count the row). ``audits`` receive the TO-BE-DELETED rows
+    (delete) / the UPDATED COPIES (update). Exactly-once: the staged
+    manifest is consumed."""
+    is_update = s["action"] == "wap-update-mor"
+    dv_files = s["dv_files"] if is_update else s["new_files"]
+    data_files = s["data_files"] if is_update else []
     head = latest_version(root)
     mh = read_manifest(root, head)
     if head != s["parent"]:
@@ -1662,38 +1758,55 @@ def _publish_staged_delete(
                 f"publish_staged: {len(missing)} stage-time files were "
                 f"rewritten since {wap_id!r} was staged (compaction or "
                 "copy-on-write); the frozen positions no longer resolve "
-                "— re-stage the delete against the current head"
+                "— re-stage against the current head"
             )
         if (mh.get("dv") or []) != (s["base_dv"] or []):
             raise ValueError(
                 f"publish_staged: deletion vectors changed since "
                 f"{wap_id!r} was staged; overlapping vectors would "
-                "corrupt the CDC feed — re-stage the delete"
+                "corrupt the CDC feed — re-stage"
+            )
+        if is_update:  # constraints may have tightened since staging
+            _validate_constraints(
+                spark.read.schema(
+                    StructType.fromJson(json.loads(s["schema"]))
+                ).parquet(*[os.path.join(root, f) for f in data_files]),
+                mh.get("constraints"),
             )
     if audits:
         schema = StructType.fromJson(json.loads(s["schema"]))
-        doomed_pos = spark.read.parquet(
-            *[os.path.join(root, f) for f in s["new_files"]]
-        )
-        scan = _scan_with_pos(
-            spark, root, s["base_files"], schema, s["base_dv"]
-        )
-        doomed = scan.join(
-            doomed_pos,
-            on=(scan["__file"] == doomed_pos["file"])
-            & (scan["__pos"] == doomed_pos["pos"]),
-            how="left_semi",
-        ).select(*[f.name for f in schema.fields])
+        if is_update:
+            subject = spark.read.schema(schema).parquet(
+                *[os.path.join(root, f) for f in data_files]
+            )
+        else:
+            doomed_pos = spark.read.parquet(
+                *[os.path.join(root, f) for f in dv_files]
+            )
+            scan = _scan_with_pos(
+                spark, root, s["base_files"], schema, s["base_dv"]
+            )
+            subject = scan.join(
+                doomed_pos,
+                on=(scan["__file"] == doomed_pos["file"])
+                & (scan["__pos"] == doomed_pos["pos"]),
+                how="left_semi",
+            ).select(*[f.name for f in schema.fields])
         for audit in audits:
-            audit(doomed)
+            audit(subject)
     extra = {
         **_carry_meta(mh),
         "wap_id": wap_id,
-        "dv": (mh.get("dv") or []) + s["new_files"],
+        "dv": (mh.get("dv") or []) + dv_files,
         **({"rebased_from": s["parent"]} if head != s["parent"] else {}),
     }
     v = _commit(
-        root, "wap-publish-delete", mh["files"], mh["schema"], head, extra
+        root,
+        "wap-publish-update" if is_update else "wap-publish-delete",
+        mh["files"] + data_files,
+        mh["schema"],
+        head,
+        extra,
     )
     os.remove(_staged_path(root, wap_id))
     return v

@@ -200,6 +200,66 @@ def test_staged_delete_audit_sees_doomed_rows_and_can_veto(spark, cat):
     S.discard_staged(root, "dd")
 
 
+def test_transaction_mixed_dml_across_tables(spark, cat):
+    """Insert + update + delete in ONE transaction across two tables —
+    the full DML triangle lands as one catalog commit."""
+    from pyspark.sql import functions as F
+
+    v0 = cat.commit_snapshot()
+    with cat.transaction(spark) as tx:
+        tx.append("facts", spark.createDataFrame([(50, 5.5)], "k int, x double"))
+        tx.update_where("facts", "k = 1", {"x": "x * 100"})
+        tx.delete_where("dims", "k = 0")
+        assert _counts(spark, cat) == (10, 3)
+    v1 = cat.catalog_version()
+    assert _counts(spark, cat, v0) == (10, 3)
+    assert _counts(spark, cat, v1) == (11, 2)
+    facts = cat.read(spark, "facts", v1)
+    assert facts.where("k = 1").first().x == 100.0
+    assert facts.agg(F.sum("x")).first()[0] == pytest.approx(
+        sum(float(i) for i in range(10)) - 1.0 + 100.0 + 5.5
+    )
+
+
+def test_staged_update_audit_and_commute_rules(spark, cat):
+    root = cat.table_root("facts")
+    S.stage_update_mor(spark, root, "k >= 8", {"x": "x + 0.5"}, "u1")
+    # audit sees the UPDATED copies; veto keeps the stage
+    with pytest.raises(RuntimeError, match="nope"):
+        S.publish_staged(
+            spark, root, "u1",
+            audits=[lambda df: (_ for _ in ()).throw(RuntimeError("nope"))],
+        )
+    assert S.list_staged(root) == ["u1"]
+    # an append commutes; the update still publishes (rebased)
+    S.append(spark, root, spark.createDataFrame([(20, 0.25)], "k int, x double"))
+    seen = []
+    v = S.publish_staged(
+        spark, root, "u1",
+        audits=[lambda df: seen.extend(sorted(r.x for r in df.collect()))],
+    )
+    assert seen == [8.5, 9.5]
+    got = {r.k: r.x for r in S.read_snapshot(spark, root, v).collect()}
+    assert got[8] == 8.5 and got[9] == 9.5 and got[20] == 0.25
+    assert S.read_manifest(root, v)["action"] == "wap-publish-update"
+    # a concurrent vector refuses
+    S.stage_update_mor(spark, root, "k = 0", {"x": "0.0"}, "u2")
+    S.delete_where_mor(spark, root, "k = 3")
+    with pytest.raises(ValueError, match="vectors changed"):
+        S.publish_staged(spark, root, "u2")
+    S.discard_staged(root, "u2")
+
+
+def test_staged_update_revalidates_constraints_on_rebase(spark, cat):
+    root = cat.table_root("facts")
+    S.stage_update_mor(spark, root, "k = 2", {"x": "-5.0"}, "u3")
+    # constraint added AFTER staging: the rebased publish must re-check
+    S.add_check_constraint(spark, root, "x_nonneg", "x >= 0")
+    with pytest.raises(ValueError, match="x_nonneg"):
+        S.publish_staged(spark, root, "u3")
+    S.discard_staged(root, "u3")
+
+
 def test_table_cataloged_after_snapshot_is_absent_from_pin(spark, cat):
     v0 = cat.commit_snapshot()
     cat.create_table(
