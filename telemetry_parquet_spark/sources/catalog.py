@@ -458,21 +458,33 @@ class CatalogTransaction:
         catalog commit is the last act and did not happen."""
         if self._done:
             raise RuntimeError("transaction already committed or aborted")
-        published: dict[str, int] = {}
         for i, (name, root, wap_id) in enumerate(self._stages):
             try:
-                published[name] = S.publish_staged(
-                    self._spark, root, wap_id
+                # publish retries version-slot conflicts (it re-reads the
+                # head and rebases per attempt); commute violations and
+                # audit vetoes raise past the retry and abort the rest
+                S.commit_with_retry(
+                    lambda r=root, w=wap_id: S.publish_staged(
+                        self._spark, r, w
+                    ),
+                    retries=8,
                 )
             except Exception:
                 self._stages = self._stages[i + 1:]
                 self.abort()
                 raise
         self._stages, self._done = [], True
+        # Pins = table HEADS at catalog-commit time (re-resolved on each
+        # O_EXCL retry), which by then contain every published stage.
+        # Pinning the txn's own published versions instead would let a
+        # LATER catalog commit pin an OLDER table version when two
+        # transactions interleave publish and catalog-commit — heads keep
+        # catalog pins monotone. The documented trade: a transaction's
+        # catalog version is a snapshot of the world AT COMMIT, so it may
+        # also include concurrent committed writes (read-committed at the
+        # commit point — the table formats' snapshot-at-commit rule).
         return S.commit_with_retry(
-            lambda: self._cat.commit_snapshot(
-                action=f"txn-{self._txn_id}", pins=published
-            )
+            lambda: self._cat.commit_snapshot(action=f"txn-{self._txn_id}")
         )
 
     def __enter__(self) -> "CatalogTransaction":

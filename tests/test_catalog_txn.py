@@ -260,6 +260,48 @@ def test_staged_update_revalidates_constraints_on_rebase(spark, cat):
     S.discard_staged(root, "u3")
 
 
+def test_concurrent_transactions_both_land(spark, cat):
+    """Two append-only transactions racing the same tables: appends
+    commute (WAP publish rebases), catalog commits retry on O_EXCL
+    conflict — both transactions must land, neither lost, and the later
+    catalog version's pins must see BOTH transactions' rows."""
+    import threading
+
+    errs = []
+
+    def run(i):
+        try:
+            with cat.transaction(spark) as tx:
+                tx.append(
+                    "facts",
+                    spark.createDataFrame(
+                        [(1000 + i, float(i))], "k int, x double"
+                    ),
+                )
+                tx.append(
+                    "dims",
+                    spark.createDataFrame(
+                        [(1000 + i, f"t{i}")], "k int, name string"
+                    ),
+                )
+        except Exception as e:
+            errs.append(repr(e))
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert cat.catalog_version() >= 2  # three txn commits (0-based)
+    latest = cat.catalog_version()
+    facts = cat.read(spark, "facts", latest)
+    dims = cat.read(spark, "dims", latest)
+    for i in range(3):
+        assert facts.where(f"k = {1000 + i}").count() == 1
+        assert dims.where(f"k = {1000 + i}").count() == 1
+
+
 def test_table_cataloged_after_snapshot_is_absent_from_pin(spark, cat):
     v0 = cat.commit_snapshot()
     cat.create_table(
