@@ -302,6 +302,36 @@ def test_concurrent_transactions_both_land(spark, cat):
         assert dims.where(f"k = {1000 + i}").count() == 1
 
 
+def test_crash_between_publish_and_catalog_commit_is_safe(spark, cat):
+    """The documented trade of catalog-rooted atomicity: simulate a
+    crash AFTER one table's publish but BEFORE the catalog commit —
+    catalog readers stay on the old consistent pins (the atomicity
+    contract holds for them); the published table is ahead at table
+    level; the still-staged second table is invisible everywhere and
+    discoverable for recovery via list_staged."""
+    v0 = cat.commit_snapshot()
+    froot, droot = cat.table_root("facts"), cat.table_root("dims")
+    S.stage_append(
+        spark, froot,
+        spark.createDataFrame([(77, 7.0)], "k int, x double"), "crash-0"
+    )
+    S.stage_append(
+        spark, droot,
+        spark.createDataFrame([(77, "d77")], "k int, name string"), "crash-1"
+    )
+    S.publish_staged(spark, froot, "crash-0")
+    # -- crash here: no catalog commit, dims still staged --
+    assert cat.catalog_version() == v0
+    assert _counts(spark, cat, v0) == (10, 3)   # catalog world consistent
+    assert cat.read(spark, "facts").count() == 11  # table-level ahead
+    assert cat.read(spark, "dims").count() == 3
+    assert S.list_staged(droot) == ["crash-1"]  # recoverable
+    # recovery path A: finish the transaction by hand
+    S.publish_staged(spark, droot, "crash-1")
+    v1 = cat.commit_snapshot(action="recovered-txn")
+    assert _counts(spark, cat, v1) == (11, 4)
+
+
 def test_table_cataloged_after_snapshot_is_absent_from_pin(spark, cat):
     v0 = cat.commit_snapshot()
     cat.create_table(
