@@ -281,6 +281,52 @@ class Catalog:
             pins=pins,
         )
 
+    def catalog_version_as_of(self, ts: float) -> int:
+        """The latest catalog version committed at or before ``ts`` —
+        cross-table time travel by timestamp, the catalog analog of
+        ``snapshots.version_as_of``."""
+        best = -1
+        for v in range(self.catalog_version() + 1):
+            if self.read_catalog_commit(v)["committed_at"] <= ts:
+                best = v
+        if best < 0:
+            raise FileNotFoundError(
+                f"no catalog snapshot existed at timestamp {ts}"
+            )
+        return best
+
+    def vacuum(
+        self, keep_last_catalog: int = 1, keep_last_table: int = 1
+    ) -> dict[str, list[str]]:
+        """Catalog-aware retention — the ONLY safe way to vacuum
+        cataloged tables. Table-level ``snapshots.vacuum`` knows nothing
+        about catalog pins, so it could reclaim a table version some
+        catalog snapshot still references and silently break every
+        pinned read of that snapshot. This method first expires old
+        catalog versions (keeping the last ``keep_last_catalog``), then
+        vacuums each table with the SURVIVING catalog pins passed as
+        explicit keeps — a retained catalog version is readable forever
+        by construction. Returns removed files per table."""
+        head = self.catalog_version()
+        cutoff = head - keep_last_catalog + 1
+        for v in range(max(0, cutoff)):
+            try:
+                os.remove(self._commit_path(v))
+            except FileNotFoundError:
+                pass
+        pinned: dict[str, set[int]] = {}
+        for v in range(max(0, cutoff), head + 1):
+            for name, tv in self.read_catalog_commit(v)["pins"].items():
+                pinned.setdefault(name, set()).add(tv)
+        removed = {}
+        for name, root in self.tables().items():
+            removed[name] = S.vacuum(
+                root,
+                keep_last=keep_last_table,
+                keep_versions=pinned.get(name, set()),
+            )
+        return removed
+
     def transaction(self, spark: SparkSession) -> "CatalogTransaction":
         return CatalogTransaction(self, spark)
 

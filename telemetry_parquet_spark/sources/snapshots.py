@@ -2065,13 +2065,18 @@ def plan_snapshot_scan(
 
 
 def vacuum(
-    root: str, keep_last: int = 1, retain_since: float | None = None
+    root: str,
+    keep_last: int = 1,
+    retain_since: float | None = None,
+    keep_versions: set[int] | None = None,
 ) -> list[str]:
     """Delete data files referenced by NO retained manifest (the last
     ``keep_last`` versions plus every TAGGED version are retained; with
     ``retain_since`` every version committed at or after that epoch
     second is ALSO retained — Delta's RETAIN-hours shape, resolved
-    against the commit timestamps the manifests already carry) and drop
+    against the commit timestamps the manifests already carry;
+    ``keep_versions`` pins explicit extra versions — the hook catalog
+    snapshots use so their cross-table pins stay readable) and drop
     the expired manifests.
     Also reclaims uncommitted orphan directories from crashed writers.
     The only destructive operation in the module; everything else is
@@ -2081,6 +2086,8 @@ def vacuum(
     keep.update(  # tagged versions are pinned regardless of retention
         v for v in list_tags(root).values() if v in set(versions)
     )
+    if keep_versions:
+        keep.update(v for v in keep_versions if v in set(versions))
     if retain_since is not None:
         keep.update(
             v

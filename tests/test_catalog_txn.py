@@ -332,6 +332,53 @@ def test_crash_between_publish_and_catalog_commit_is_safe(spark, cat):
     assert _counts(spark, cat, v1) == (11, 4)
 
 
+def test_catalog_vacuum_keeps_pinned_versions_readable(spark, cat):
+    """Table-level vacuum would reclaim versions catalog snapshots still
+    pin; Catalog.vacuum passes the surviving pins as explicit keeps, so
+    every retained catalog version stays readable after retention."""
+    v0 = cat.commit_snapshot()
+    for i in range(3):  # churn facts: 3 more table versions
+        S.append(
+            spark,
+            cat.table_root("facts"),
+            spark.createDataFrame([(500 + i, 0.5)], "k int, x double"),
+        )
+    v1 = cat.commit_snapshot()
+    # keep BOTH catalog versions: every pinned table version must survive
+    removed = cat.vacuum(keep_last_catalog=2, keep_last_table=1)
+    assert _counts(spark, cat, v0) == (10, 3)
+    assert _counts(spark, cat, v1) == (13, 3)
+    # now retain only the latest catalog version: v0's pins may go
+    cat.vacuum(keep_last_catalog=1, keep_last_table=1)
+    with pytest.raises(FileNotFoundError):
+        cat.pins_at(v0)
+    assert _counts(spark, cat, v1) == (13, 3)  # the survivor still reads
+    assert isinstance(removed, dict) and set(removed) == {"facts", "dims"}
+
+
+def test_catalog_version_as_of_timestamp(spark, cat):
+    import time
+
+    v0 = cat.commit_snapshot()
+    t_mid = time.time()
+    time.sleep(0.01)
+    S.append(
+        spark,
+        cat.table_root("facts"),
+        spark.createDataFrame([(900, 9.0)], "k int, x double"),
+    )
+    v1 = cat.commit_snapshot()
+    assert cat.catalog_version_as_of(t_mid) == v0
+    assert cat.catalog_version_as_of(time.time()) == v1
+    with pytest.raises(FileNotFoundError):
+        cat.catalog_version_as_of(0.0)
+    n = cat.sql_at(
+        spark, "SELECT COUNT(*) AS n FROM facts",
+        cat.catalog_version_as_of(t_mid),
+    ).first().n
+    assert n == 10
+
+
 def test_table_cataloged_after_snapshot_is_absent_from_pin(spark, cat):
     v0 = cat.commit_snapshot()
     cat.create_table(
