@@ -191,7 +191,10 @@ class Catalog:
             return json.load(f)
 
     def commit_snapshot(
-        self, action: str = "pin", pins: dict[str, int] | None = None
+        self,
+        action: str = "pin",
+        pins: dict[str, int] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Commit a catalog version pinning EVERY cataloged table at a
         table version (``pins`` overrides per table; default = current
@@ -220,7 +223,8 @@ class Catalog:
                     "action": action,
                     "pins": resolved,
                     "committed_at": _time.time(),
-                },
+                    **(extra or {}),  # e.g. the streaming sink's
+                },                    # (stream, batch_id) stamp, atomic
                 f,
             )
         return version

@@ -1685,6 +1685,7 @@ def publish_staged(
     root: str,
     wap_id: str,
     audits: list | None = None,
+    extra: dict | None = None,
 ) -> int:
     """PUBLISH of write-audit-publish: run ``audits`` (callables taking
     the staged-new-rows DataFrame; raise to veto) and then make the
@@ -1694,7 +1695,10 @@ def publish_staged(
     other commits — Iceberg's cherry-pick rule for wap snapshots); new
     rows are re-validated against the CURRENT head's constraints, which
     may have changed since staging. The staged manifest is consumed on
-    success; a second publish of the same id raises (exactly-once)."""
+    success; a second publish of the same id raises (exactly-once).
+    ``extra`` rides application metadata into the publish commit
+    atomically (e.g. the multi-table streaming sink's (stream, batch_id)
+    stamp)."""
     s = read_staged_manifest(root, wap_id)
     if s.get("action") in ("wap-delete-mor", "wap-update-mor"):
         return _publish_staged_mor(spark, root, wap_id, s, audits)
@@ -1706,7 +1710,7 @@ def publish_staged(
         audit(new_rows)
     head = latest_version(root)
     mh = read_manifest(root, head)
-    extra = {**_carry_meta(mh), "wap_id": wap_id}
+    extra = {**_carry_meta(mh), "wap_id": wap_id, **(extra or {})}
     if head != s["parent"]:
         if mh["schema"] != s["schema"]:
             raise ValueError(

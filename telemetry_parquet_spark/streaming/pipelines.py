@@ -351,6 +351,112 @@ def stream_commit_snapshots(
     q.awaitTermination()
 
 
+def catalog_txn_batch(
+    spark: SparkSession,
+    catalog,
+    routes: dict,
+    stream_tag: str,
+    batch_df,
+    batch_id: int,
+) -> bool:
+    """One micro-batch of the multi-table exactly-once sink — factored
+    out so crash windows are testable deterministically. Fans
+    ``batch_df`` into every cataloged table in ``routes`` (name ->
+    fn(batch_df) -> rows for that table) and lands ONE catalog commit.
+
+    Two-level idempotence makes at-least-once delivery exactly-once
+    ACROSS TABLES:
+    1. catalog stamp — a (stream, batch_id) already in the catalog log
+       means the whole batch landed; skip.
+    2. per-table recovery — WAP ids are DETERMINISTIC
+       (``<tag>-b<id>-<table>``), so a replay after a partial crash
+       resumes precisely where it died: a table whose log carries the
+       stamp is reused, a table with the staged manifest left behind is
+       published (the staged files ARE the replayed rows — checkpoint
+       replay is byte-stable), an untouched table is staged fresh. The
+       final catalog commit is the only all-or-nothing point a catalog
+       reader observes.
+
+    Returns True if this call committed the batch, False if it was a
+    recognized replay."""
+    import hashlib as _hashlib
+
+    from telemetry_parquet_spark.sources import snapshots as S
+
+    for v in range(catalog.catalog_version(), -1, -1):
+        c = catalog.read_catalog_commit(v)
+        if c.get("batch_id") == batch_id and c.get("stream") == stream_tag:
+            return False  # whole batch already landed
+    stamp = {"batch_id": batch_id, "stream": stream_tag}
+    short = _hashlib.md5(stream_tag.encode()).hexdigest()[:8]
+    for name, route in routes.items():
+        root = catalog.table_root(name)
+        done = False
+        try:
+            for v in range(S.latest_version(root), -1, -1):
+                m = S.read_manifest(root, v)
+                if (
+                    m.get("batch_id") == batch_id
+                    and m.get("stream") == stream_tag
+                ):
+                    done = True  # published in a crashed earlier attempt
+                    break
+        except FileNotFoundError:
+            pass
+        if done:
+            continue
+        wap = f"ctxn-{short}-b{batch_id}-{name}"
+        if wap not in S.list_staged(root):
+            S.stage_append(spark, root, route(batch_df), wap)
+        S.commit_with_retry(
+            lambda r=root, w=wap: S.publish_staged(
+                spark, r, w, extra=stamp
+            ),
+            retries=8,
+        )
+    S.commit_with_retry(
+        lambda: catalog.commit_snapshot(
+            action=f"stream-txn-b{batch_id}", extra=stamp
+        )
+    )
+    return True
+
+
+def stream_commit_catalog_txn(
+    spark: SparkSession,
+    src_path: str,
+    catalog,
+    routes: dict,
+    checkpoint: str,
+    schema=None,
+) -> None:
+    """``availableNow`` stream fanning every micro-batch into MULTIPLE
+    cataloged snapshot tables under ONE catalog commit per batch — the
+    multi-table analog of ``stream_commit_snapshots``: catalog readers
+    see each batch appear in ALL tables at once (one consistent catalog
+    version per batch), and crash-replay at any point resumes without
+    duplicating a row (``catalog_txn_batch``'s two-level idempotence)."""
+    import os as _os
+
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    tag = _os.path.abspath(checkpoint)
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        catalog_txn_batch(spark, catalog, routes, tag, batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(src_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_commit_branch(
     spark: SparkSession,
     src_path: str,
