@@ -438,3 +438,74 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.where(F.col("user_id").isNotNull()), "event_type", "user_id"
         ),
     )
+
+
+@query(
+    "stream_catalog_txn_fanout",
+    # One availableNow micro-batch fans the events stream into TWO
+    # cataloged snapshot tables (views / purchases) under ONE catalog
+    # commit (streaming/pipelines.py::stream_commit_catalog_txn). The
+    # query reads both tables back AT THE PINNED CATALOG VERSION — a
+    # hash match proves the fan-out routed every row exactly once AND
+    # that the pinned cross-table read equals the relational recompute.
+    oracle="""
+    SELECT 'views' AS stage,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT 'purchases' AS stage,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def stream_catalog_txn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once multi-table streaming ingestion, driver-gated: the
+    catalog commit is per micro-batch, so a catalog reader sees views
+    and purchases advance together. Scale: routing is two map-only
+    filters over each Arrow batch; the all-or-nothing point is one
+    kilobyte catalog manifest per batch."""
+    from telemetry_parquet_spark.sources.catalog import Catalog
+    from telemetry_parquet_spark.sources.skipping import materialize_cached
+    from telemetry_parquet_spark.streaming.pipelines import (
+        stream_commit_catalog_txn,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = os.path.join(sf_dir, "events.parquet")
+
+    routes = {
+        "views_t": lambda df: df.where(
+            F.col("event_type") == "view"
+        ).select("user_id", "event_type"),
+        "purchases_t": lambda df: df.where(
+            F.col("event_type") == "purchase"
+        ).select("user_id", "event_type"),
+    }
+
+    def build(root: str) -> None:
+        cat = Catalog(root)
+        empty = spark.createDataFrame([], "user_id bigint, event_type string")
+        cat.create_table(spark, "views_t", empty)
+        cat.create_table(spark, "purchases_t", empty)
+        stream_commit_catalog_txn(
+            spark, src, cat, routes, os.path.join(root, "_ckpt")
+        )
+
+    root = materialize_cached(
+        spark, src,
+        "stream_txn_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    cat = Catalog(root)
+    v = cat.catalog_version()
+    out = None
+    for stage, table in (("views", "views_t"), ("purchases", "purchases_t")):
+        row = cat.read(spark, table, v).agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        ).select(F.lit(stage).alias("stage"), "n_rows", "n_users")
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -445,9 +445,15 @@ def stream_commit_catalog_txn(
     def commit_batch(batch_df, batch_id: int) -> None:
         catalog_txn_batch(spark, catalog, routes, tag, batch_df, batch_id)
 
-    stream = (
-        spark.readStream.schema(schema).format("parquet").load(src_path)
-    )
+    # the file source wants a directory; a single-file table is streamed
+    # by glob-filtering its parent (the run_available_now recipe)
+    reader = spark.readStream.schema(schema).format("parquet")
+    if _os.path.isfile(src_path):
+        reader = reader.option(
+            "pathGlobFilter", _os.path.basename(src_path)
+        )
+        src_path = _os.path.dirname(src_path)
+    stream = reader.load(src_path)
     q = (
         stream.writeStream.foreachBatch(commit_batch)
         .option("checkpointLocation", checkpoint)
