@@ -246,8 +246,10 @@ HEADLINE = [
     "snapshot_join_planned",
     "snapshot_branch_merge",
     # round 9 (late): multi-table transaction + cross-table consistent
-    # reads through the catalog commit log (pinned-resolver joins)
+    # reads through the catalog commit log (pinned-resolver joins), and
+    # the exactly-once multi-table streaming fan-out
     "catalog_txn_consistent_read",
+    "stream_catalog_txn_fanout",
 ]
 
 
