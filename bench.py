@@ -250,6 +250,8 @@ HEADLINE = [
     # the exactly-once multi-table streaming fan-out
     "catalog_txn_consistent_read",
     "stream_catalog_txn_fanout",
+    # round 9 (late): incrementally-maintained fact-join-dim rollup view
+    "jv_star_rollup",
 ]
 
 

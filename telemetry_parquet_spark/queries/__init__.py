@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "snapshot_incremental_view",
     "catalog_txn_consistent_read",
     "stream_catalog_txn_fanout",
+    "jv_star_rollup",
     # behavior CHANGED in round 9 (int64-matmul signature family + new
     # quantized oracles) — re-verify ahead of the stale cohort
     "sim_knn_graph_lsh_tables",
@@ -103,8 +104,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "stream_dedup_keys",
     "stream_session_windows",
-    "stream_sliding_halfhour",
-    # stream_static_enrich, stream_stream_view_purchase,
+    # stream_sliding_halfhour, stream_static_enrich, stream_stream_view_purchase,
     # stream_tumbling_hourly, stream_user_running_stats, token_counting,
     # u1_union_by_name, zorder_codes, u2_except_all, u3_intersect,
     # vocab_table, w3_event_gaps (r05-stale) rotated to round 10 — their

@@ -1173,3 +1173,120 @@ def catalog_txn_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "jv_star_rollup",
+    # Materialized JOIN view (star rollup) lifecycle under one oracle:
+    # create on a partial fact (stage initial), fact append (stage
+    # fact_append — refresh must be INCREMENTAL, raise-proven), fact
+    # COW delete (stage fact_delete — incremental, signed), dim delete
+    # (stage dim_delete — the refresh must declare a FULL recompute:
+    # a dim change re-weights folded fact rows and the rollup cannot
+    # express that as a delta). The oracle recomputes each stage's
+    # world relationally; a hash match proves every maintenance mode
+    # produced the exact rollup.
+    oracle="""
+    WITH f0 AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
+         f1 AS (SELECT * FROM orders),
+         f2 AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'),
+         d1 AS (SELECT * FROM customer WHERE c_custkey % 97 <> 0)
+    SELECT 'initial' AS stage, c.c_mktsegment, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
+                AS DECIMAL(25,2)) AS sum_price
+    FROM f0 f JOIN customer c ON f.o_custkey = c.c_custkey GROUP BY 2
+    UNION ALL
+    SELECT 'fact_append', c.c_mktsegment, COUNT(*),
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
+                AS DECIMAL(25,2))
+    FROM f1 f JOIN customer c ON f.o_custkey = c.c_custkey GROUP BY 2
+    UNION ALL
+    SELECT 'fact_delete', c.c_mktsegment, COUNT(*),
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
+                AS DECIMAL(25,2))
+    FROM f2 f JOIN customer c ON f.o_custkey = c.c_custkey GROUP BY 2
+    UNION ALL
+    SELECT 'dim_delete', c.c_mktsegment, COUNT(*),
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
+                AS DECIMAL(25,2))
+    FROM f2 f JOIN d1 c ON f.o_custkey = c.c_custkey GROUP BY 2
+    """,
+)
+def jv_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained fact⋈dim rollup (sources/join_views.py):
+    fact deltas refresh change-volume-sized (ΔF ⋈ pinned dim), dim
+    changes trigger ONE loud full recompute. Scale: an append to a
+    100 TB fact costs the appended rows joined to the dim — the fact is
+    never rescanned; the mode contract is raise-proven per stage."""
+    import json as _json
+
+    from telemetry_parquet_spark.sources.join_views import (
+        create_join_view,
+        refresh_join_view,
+    )
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        delete_where,
+        read_snapshot,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        fact = os.path.join(root, "fact")
+        dim = os.path.join(root, "dim")
+        view = os.path.join(root, "view")
+        orders = spark.read.parquet(src)
+        # equi-join views use USING semantics: align the dim key name
+        cust = spark.read.parquet(
+            os.path.join(sf_dir, "customer.parquet")
+        ).withColumnRenamed("c_custkey", "o_custkey")
+        append(spark, fact, orders.where(F.col("o_orderkey") % 10 < 7))
+        append(spark, dim, cust)
+        create_join_view(
+            spark, fact, dim, view,
+            on=["o_custkey"], group_cols=["c_mktsegment"],
+            sum_cols="o_totalprice",
+        )
+        modes = {"initial": "create"}
+        snaps = {"initial": read_snapshot(spark, view)}
+
+        def step(stage: str, want_mode: str) -> None:
+            _, mode = refresh_join_view(spark, view)
+            if mode != want_mode:  # the scale contract, raise-proven
+                raise AssertionError(
+                    f"{stage}: refresh mode {mode!r}, wanted {want_mode!r}"
+                )
+            modes[stage] = mode
+            snaps[stage] = read_snapshot(spark, view)
+
+        append(spark, fact, orders.where(F.col("o_orderkey") % 10 >= 7))
+        step("fact_append", "incremental")
+        delete_where(spark, fact, "o_orderpriority = '1-URGENT'")
+        step("fact_delete", "incremental")
+        delete_where(spark, dim, "o_custkey % 97 = 0")
+        step("dim_delete", "full")
+        out = None
+        for stage, df in snaps.items():
+            row = df.select(
+                F.lit(stage).alias("stage"),
+                F.col("c_mktsegment"),
+                F.col("n_rows"),
+                F.col("sum_o_totalprice")
+                .cast("decimal(25,2)")
+                .alias("sum_price"),
+            )
+            out = row if out is None else out.unionAll(row)
+        out.write.mode("overwrite").parquet(os.path.join(root, "result"))
+        with open(os.path.join(root, "modes.json"), "w") as fh:
+            _json.dump(modes, fh)
+
+    root = materialize_cached(
+        spark, src, "jv_star_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    with open(os.path.join(root, "modes.json")) as fh:
+        modes = _json.load(fh)
+    assert modes["fact_append"] == modes["fact_delete"] == "incremental"
+    assert modes["dim_delete"] == "full"
+    return spark.read.parquet(os.path.join(root, "result"))
