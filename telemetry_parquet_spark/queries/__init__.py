@@ -45,10 +45,10 @@ from telemetry_parquet_spark.queries import table_service  # noqa: F401, E402
 # driver row, 0 red, so this window is new-surface first, then the
 # staleness rotation the r8 verdict ordered):
 # 1. Queries new in round 9 — the only names with no driver row at all
-#    (incl. the late catalog_txn_consistent_read).
+#    (incl. the late catalog_txn_consistent_read,
+#    stream_catalog_txn_fanout, and jv_star_rollup).
 # 2. The r05-stale cohort fills the remaining slots (the oldest verdicts
-#    left); stream_stream_view_purchase and later names rotate to
-#    round 10.
+#    left); stream_sliding_halfhour and later names rotate to round 10.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-checked (new in round 9)
     "mv_rewrite_rollup",
