@@ -127,6 +127,10 @@ class Catalog:
             raise KeyError(f"unknown table {name!r}")
         dependents = [
             v for v, info in state["views"].items() if info["base"] == name
+        ] + [
+            v
+            for v, info in state.get("join_views", {}).items()
+            if name in (info["fact"], info["dim"])
         ]
         if dependents:
             raise ValueError(
@@ -159,14 +163,78 @@ class Catalog:
     def refresh_view(self, spark: SparkSession, name: str) -> int:
         info = self._load()["views"].get(name)
         if info is None:
+            jv = self._load().get("join_views", {}).get(name)
+            if jv is not None:
+                from telemetry_parquet_spark.sources.join_views import (
+                    refresh_join_view,
+                )
+
+                return refresh_join_view(spark, jv["root"])[0]
             raise KeyError(f"unknown materialized view {name!r}")
         return V.refresh_view(spark, info["root"])
 
+    # -- materialized JOIN views (star rollups) -------------------------
+    def create_join_view(
+        self,
+        spark: SparkSession,
+        name: str,
+        fact: str,
+        dim: str,
+        on: list[str],
+        group_cols: list[str],
+        sum_cols: list[str],
+        aliases: dict[str, str] | None = None,
+    ) -> str:
+        """Catalog a fact⋈dim rollup (sources/join_views.py) under
+        ``name``; both bases must be cataloged tables — the dependent
+        guard in ``drop_table`` covers them. ``aliases`` renames the
+        internal state columns (n_rows / sum_<col>) on every read —
+        the DDL's AS names, so SELECTs see what CREATE declared."""
+        from telemetry_parquet_spark.sources.join_views import (
+            create_join_view as _create,
+        )
+
+        state = self._load()
+        if name in state.get("join_views", {}) or name in state["views"]:
+            raise ValueError(f"view {name!r} already cataloged")
+        fact_root = self.table_root(fact)
+        dim_root = self.table_root(dim)
+        view_root = os.path.join(self.root, f"_jv_{name}")
+        _create(
+            spark, fact_root, dim_root, view_root,
+            on=on, group_cols=group_cols, sum_cols=sum_cols,
+        )
+        state = self._load()
+        state.setdefault("join_views", {})[name] = {
+            "root": view_root, "fact": fact, "dim": dim,
+            "aliases": aliases or {},
+        }
+        self._save(state)
+        return view_root
+
+    def read_join_view(
+        self, spark: SparkSession, name: str, auto_refresh: bool = True
+    ) -> DataFrame:
+        jv = self._load().get("join_views", {}).get(name)
+        if jv is None:
+            raise KeyError(f"unknown materialized join view {name!r}")
+        from telemetry_parquet_spark.sources.join_views import (
+            read_join_view as _read,
+        )
+
+        df = _read(spark, jv["root"], auto_refresh=auto_refresh)
+        for internal, public in (jv.get("aliases") or {}).items():
+            df = df.withColumnRenamed(internal, public)
+        return df
+
     def drop_view(self, name: str) -> None:
         state = self._load()
-        if name not in state["views"]:
+        if name in state["views"]:
+            del state["views"][name]
+        elif name in state.get("join_views", {}):
+            del state["join_views"][name]
+        else:
             raise KeyError(f"unknown materialized view {name!r}")
-        del state["views"][name]
         self._save(state)
 
     # -- catalog commit log (cross-table consistency) ------------------
@@ -382,6 +450,45 @@ class Catalog:
             )
 
         m = re.fullmatch(
+            r"\s*CREATE\s+MATERIALIZED\s+JOIN\s+VIEW\s+(\w+)\s+AS\s+"
+            r"SELECT\s+(.+?)\s+FROM\s+(\w+)\s+JOIN\s+(\w+)\s+"
+            r"USING\s*\(\s*([\w\s,]+?)\s*\)\s+GROUP\s+BY\s+([\w\s,]+?)"
+            r"\s*;?\s*",
+            statement, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name, select_list, fact, dim, on_sql, group_sql = m.groups()
+            group_cols = [c.strip() for c in group_sql.split(",")]
+            sum_cols: list[str] = []
+            aliases: dict[str, str] = {}  # internal state col -> AS name
+            for item in _split_assignments(select_list):
+                if item in group_cols:
+                    continue
+                am = _AGG_ITEM.fullmatch(item)
+                if not am:
+                    raise ValueError(
+                        f"CREATE MATERIALIZED JOIN VIEW: unsupported "
+                        f"select item {item!r} (group cols + COUNT/SUM/"
+                        "AVG only)"
+                    )
+                if am.group(3) and am.group(3) not in sum_cols:
+                    sum_cols.append(am.group(3))
+                internal = (
+                    f"sum_{am.group(3)}" if am.group(3) else "n_rows"
+                )
+                if am.group(4):
+                    aliases[internal] = am.group(4)
+            self.create_join_view(
+                spark, name, fact, dim,
+                on=[c.strip() for c in on_sql.split(",")],
+                group_cols=group_cols, sum_cols=sum_cols,
+                aliases=aliases,
+            )
+            return spark.createDataFrame(
+                [(name, fact, dim)], "view string, fact string, dim string"
+            )
+
+        m = re.fullmatch(
             r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*",
             statement, re.IGNORECASE,
         )
@@ -426,6 +533,13 @@ class Catalog:
                 rows, "version int, action string, pins string"
             )
 
+        # join views are readable relations: catch each referenced one up
+        # to its bases and register it (alias-renamed) for the statement
+        for name in self._load().get("join_views", {}):
+            if re.search(rf"\b{re.escape(name)}\b", statement):
+                self.read_join_view(spark, name).createOrReplaceTempView(
+                    name
+                )
         return engine_sql(
             spark, statement, self.tables(), views=self.views_for_sql()
         )

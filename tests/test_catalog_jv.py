@@ -1,0 +1,99 @@
+"""Cataloged materialized JOIN views: CREATE MATERIALIZED JOIN VIEW /
+SELECT with auto catch-up / REFRESH / drop guards through Catalog.sql."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.sources import snapshots as S
+from telemetry_parquet_spark.sources.catalog import Catalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = Catalog(str(tmp_path / "cat"))
+    c.create_table(
+        spark, "fact",
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(12)],
+            "fid int, key int, amt double",
+        ),
+    )
+    c.create_table(
+        spark, "dim",
+        spark.createDataFrame(
+            [(k, f"seg{k % 2}") for k in range(3)], "key int, seg string"
+        ),
+    )
+    c.sql(
+        spark,
+        "CREATE MATERIALIZED JOIN VIEW sales AS "
+        "SELECT seg, COUNT(*) AS n_rows, SUM(amt) AS sum_amt "
+        "FROM fact JOIN dim USING (key) GROUP BY seg",
+    )
+    return c
+
+
+def _direct(spark, c):
+    return {
+        (r.seg, r.n_rows, float(r.s))
+        for r in c.read(spark, "fact")
+        .join(c.read(spark, "dim"), "key")
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("amt").cast("decimal(15,2)")).alias("s"),
+        )
+        .collect()
+    }
+
+
+def _via_sql(spark, c):
+    return {
+        (r.seg, r.n_rows, float(r.sum_amt))
+        for r in c.sql(
+            spark, "SELECT seg, n_rows, sum_amt FROM sales"
+        ).collect()
+    }
+
+
+def test_join_view_ddl_and_select(spark, cat):
+    assert _via_sql(spark, cat) == _direct(spark, cat)
+
+
+def test_select_auto_catches_up_after_fact_append(spark, cat):
+    S.append(
+        spark, cat.table_root("fact"),
+        spark.createDataFrame([(100, 1, 40.0)], "fid int, key int, amt double"),
+    )
+    assert _via_sql(spark, cat) == _direct(spark, cat)  # caught up in SQL
+
+
+def test_ddl_aliases_name_the_read_columns(spark, cat, tmp_path):
+    cat.sql(
+        spark,
+        "CREATE MATERIALIZED JOIN VIEW sales2 AS "
+        "SELECT seg, COUNT(*) AS n, SUM(amt) AS total "
+        "FROM fact JOIN dim USING (key) GROUP BY seg",
+    )
+    df = cat.sql(spark, "SELECT seg, n, total FROM sales2")
+    assert set(df.columns) == {"seg", "n", "total"}
+    got = {(r.seg, r.n, float(r.total)) for r in df.collect()}
+    assert got == _direct(spark, cat)
+    cat.sql(spark, "DROP MATERIALIZED VIEW sales2")
+
+
+def test_refresh_statement_and_drop_guards(spark, cat):
+    S.append(
+        spark, cat.table_root("fact"),
+        spark.createDataFrame([(101, 2, 4.0)], "fid int, key int, amt double"),
+    )
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW sales")
+    assert _via_sql(spark, cat) == _direct(spark, cat)
+    with pytest.raises(ValueError, match="sales"):
+        cat.drop_table("fact")
+    with pytest.raises(ValueError, match="sales"):
+        cat.drop_table("dim")
+    cat.sql(spark, "DROP MATERIALIZED VIEW sales")
+    cat.drop_table("fact")  # guard released
