@@ -397,6 +397,17 @@ class Catalog:
                 keep_last=keep_last_table,
                 keep_versions=pinned.get(name, set()),
             )
+        # view state tables (rollup MVs and join views) are snapshot
+        # tables too: every refresh is a version, so retention applies —
+        # no catalog pins reference them, plain keep_last suffices
+        state = self._load()
+        for name, info in {
+            **state["views"],
+            **state.get("join_views", {}),
+        }.items():
+            removed[name] = S.vacuum(
+                info["root"], keep_last=keep_last_table
+            )
         return removed
 
     def transaction(self, spark: SparkSession) -> "CatalogTransaction":

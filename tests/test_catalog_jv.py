@@ -97,3 +97,22 @@ def test_refresh_statement_and_drop_guards(spark, cat):
         cat.drop_table("dim")
     cat.sql(spark, "DROP MATERIALIZED VIEW sales")
     cat.drop_table("fact")  # guard released
+
+
+def test_catalog_vacuum_covers_view_state_tables(spark, cat):
+    import os
+
+    # two refresh versions of the join view's state table
+    S.append(
+        spark, cat.table_root("fact"),
+        spark.createDataFrame([(300, 0, 2.0)], "fid int, key int, amt double"),
+    )
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW sales")
+    jv_root = os.path.join(cat.root, "_jv_sales")
+    assert S.latest_version(jv_root) >= 2
+    removed = cat.vacuum(keep_last_catalog=1, keep_last_table=1)
+    assert "sales" in removed  # view state table was retention-managed
+    # the surviving head still answers correctly after vacuum
+    assert {
+        (r.seg, r.n_rows) for r in cat.read_join_view(spark, "sales").collect()
+    } == {(s, n) for s, n, _ in _direct(spark, cat)}
