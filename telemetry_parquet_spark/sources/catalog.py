@@ -420,6 +420,50 @@ class Catalog:
         everything else delegated to the SQL front door with this
         catalog's tables AND views wired in — so a plain GROUP-BY
         aggregate automatically answers from a subsuming MV."""
+        m = re.match(r"\s*EXPLAIN\s+", statement, re.IGNORECASE)
+        if m:
+            # EXPLAIN is side-effect-free: join views referenced by the
+            # statement are REPORTED (what a read would do) but never
+            # caught up here
+            base = engine_sql(
+                spark, statement, self.tables(),
+                views=self.views_for_sql(),
+            )
+            inner = statement[m.end():]
+            rows = []
+            for name, jv in self._load().get("join_views", {}).items():
+                if not re.search(rf"\b{re.escape(name)}\b", inner):
+                    continue
+                from telemetry_parquet_spark.sources.join_views import (
+                    join_view_info,
+                )
+
+                info = join_view_info(jv["root"])
+                f_lag = (
+                    S.latest_version(info["jv_fact_root"])
+                    - info["jv_fact_version"]
+                )
+                d_lag = (
+                    S.latest_version(info["jv_dim_root"])
+                    - info["jv_dim_version"]
+                )
+                mode = (
+                    "noop" if not (f_lag or d_lag)
+                    else "full" if d_lag
+                    else "incremental"
+                )
+                rows.append(
+                    (
+                        "join_view",
+                        f"{name}: refresh-on-read mode={mode} "
+                        f"(fact lag {f_lag}, dim lag {d_lag} commits)",
+                    )
+                )
+            if rows:
+                base = base.unionAll(
+                    spark.createDataFrame(rows, base.schema)
+                )
+            return base
         m = re.fullmatch(
             r"\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\s+.+?)\s*;?\s*",
             statement, re.IGNORECASE | re.DOTALL,

@@ -99,6 +99,32 @@ def test_refresh_statement_and_drop_guards(spark, cat):
     cat.drop_table("fact")  # guard released
 
 
+def test_explain_reports_join_view_without_refreshing(spark, cat):
+    import os
+
+    from telemetry_parquet_spark.sources.join_views import join_view_info
+
+    S.append(
+        spark, cat.table_root("fact"),
+        spark.createDataFrame([(400, 1, 3.0)], "fid int, key int, amt double"),
+    )
+    jv_root = os.path.join(cat.root, "_jv_sales")
+    before = join_view_info(jv_root)["jv_fact_version"]
+    rows = {
+        r.aspect: r.detail
+        for r in cat.sql(spark, "EXPLAIN SELECT * FROM sales").collect()
+    }
+    assert "mode=incremental" in rows["join_view"]
+    assert "fact lag 1" in rows["join_view"]
+    assert join_view_info(jv_root)["jv_fact_version"] == before  # no refresh
+    S.delete_where(spark, cat.table_root("dim"), "key = 2")
+    rows = {
+        r.aspect: r.detail
+        for r in cat.sql(spark, "EXPLAIN SELECT * FROM sales").collect()
+    }
+    assert "mode=full" in rows["join_view"]
+
+
 def test_catalog_vacuum_covers_view_state_tables(spark, cat):
     import os
 
