@@ -244,15 +244,23 @@ class Catalog:
     def _commit_path(self, version: int) -> str:
         return os.path.join(self._log_dir(), f"v{version:06d}.json")
 
-    def catalog_version(self) -> int:
-        """Latest catalog version, or -1 when no snapshot was ever
-        committed (bare-registry catalogs stay fully usable)."""
+    def _list_catalog_versions(self) -> list[int]:
+        """Surviving catalog versions, ascending. NOT necessarily
+        contiguous — ``vacuum`` expires old ones, so every reader must
+        iterate this list, never ``range(head + 1)``."""
         try:
             names = os.listdir(self._log_dir())
         except FileNotFoundError:
-            return -1
-        vs = [int(n[1:-5]) for n in names if n.endswith(".json")]
-        return max(vs, default=-1)
+            return []
+        return sorted(
+            int(n[1:-5]) for n in names if n.endswith(".json")
+        )
+
+    def catalog_version(self) -> int:
+        """Latest catalog version, or -1 when no snapshot was ever
+        committed (bare-registry catalogs stay fully usable)."""
+        vs = self._list_catalog_versions()
+        return vs[-1] if vs else -1
 
     def read_catalog_commit(self, version: int) -> dict:
         with open(self._commit_path(version)) as f:
@@ -358,12 +366,13 @@ class Catalog:
         cross-table time travel by timestamp, the catalog analog of
         ``snapshots.version_as_of``."""
         best = -1
-        for v in range(self.catalog_version() + 1):
+        for v in self._list_catalog_versions():
             if self.read_catalog_commit(v)["committed_at"] <= ts:
                 best = v
         if best < 0:
             raise FileNotFoundError(
-                f"no catalog snapshot existed at timestamp {ts}"
+                f"no catalog snapshot existed at timestamp {ts} "
+                "(or it was vacuumed)"
             )
         return best
 
@@ -379,17 +388,36 @@ class Catalog:
         vacuums each table with the SURVIVING catalog pins passed as
         explicit keeps — a retained catalog version is readable forever
         by construction. Returns removed files per table."""
-        head = self.catalog_version()
-        cutoff = head - keep_last_catalog + 1
-        for v in range(max(0, cutoff)):
-            try:
+        versions = self._list_catalog_versions()
+        survivors = versions[-keep_last_catalog:] if versions else []
+        for v in versions:
+            if v not in survivors:
                 os.remove(self._commit_path(v))
-            except FileNotFoundError:
-                pass
         pinned: dict[str, set[int]] = {}
-        for v in range(max(0, cutoff), head + 1):
+        for v in survivors:
             for name, tv in self.read_catalog_commit(v)["pins"].items():
                 pinned.setdefault(name, set()).add(tv)
+        # stale views need their RECORDED base versions to survive — an
+        # incremental catch-up diffs from that version's manifest, so
+        # vacuuming it would wedge the view permanently
+        state = self._load()
+        for info in state["views"].values():
+            vm = V.view_info(info["root"])
+            pinned.setdefault(info["base"], set()).add(
+                vm["mv_base_version"]
+            )
+        for info in state.get("join_views", {}).values():
+            from telemetry_parquet_spark.sources.join_views import (
+                join_view_info,
+            )
+
+            jm = join_view_info(info["root"])
+            pinned.setdefault(info["fact"], set()).add(
+                jm["jv_fact_version"]
+            )
+            pinned.setdefault(info["dim"], set()).add(
+                jm["jv_dim_version"]
+            )
         removed = {}
         for name, root in self.tables().items():
             removed[name] = S.vacuum(
@@ -523,8 +551,18 @@ class Catalog:
                 if not am:
                     raise ValueError(
                         f"CREATE MATERIALIZED JOIN VIEW: unsupported "
-                        f"select item {item!r} (group cols + COUNT/SUM/"
-                        "AVG only)"
+                        f"select item {item!r} (group cols + COUNT/SUM "
+                        "only)"
+                    )
+                if am.group(2) and am.group(2).lower() == "avg":
+                    # the join view serves RAW state (no rewrite layer to
+                    # re-derive sum/count), so AVG would silently return
+                    # the SUM under the AVG's alias — refuse loudly
+                    raise ValueError(
+                        "CREATE MATERIALIZED JOIN VIEW: AVG is not "
+                        "derivable from the raw state a join view "
+                        "serves; materialize SUM and COUNT(*) and "
+                        "divide in the SELECT"
                     )
                 if am.group(3) and am.group(3) not in sum_cols:
                     sum_cols.append(am.group(3))
@@ -581,7 +619,7 @@ class Catalog:
                 )
                 for c in (
                     self.read_catalog_commit(v)
-                    for v in range(self.catalog_version() + 1)
+                    for v in self._list_catalog_versions()
                 )
             ]
             return spark.createDataFrame(

@@ -164,7 +164,14 @@ def refresh_join_view(
             (
                 F.coalesce(F.col(name), zero)
                 + F.coalesce(F.col(f"__d_sum_{c}"), zero)
-            ).alias(name)
+            )
+            # cast back to the STATE column's type: decimal addition
+            # widens (25,2 -> 37,2 -> 38,2 per refresh), and a schema
+            # that drifts between view versions breaks cross-version
+            # reads (table_changes reads both sides under one schema)
+            # and flips back on every full recompute
+            .cast(state.schema[name].dataType)
+            .alias(name)
         )
     new_state = (
         state.join(delta, on=groups, how="full_outer")

@@ -1363,7 +1363,11 @@ def refresh_view_incremental(
         (
             F.coalesce(F.col(sum_alias), zero_sum)
             + F.coalesce(F.col("__d_sum"), zero_sum)
-        ).alias(sum_alias),
+        )
+        # decimal addition widens per refresh; pin the state's type so
+        # successive view versions keep one cross-readable schema
+        .cast(state.schema[sum_alias].dataType)
+        .alias(sum_alias),
     )
     return merged.where(F.col(cnt_alias) > 0)
 
@@ -1701,7 +1705,9 @@ def publish_staged(
     stamp)."""
     s = read_staged_manifest(root, wap_id)
     if s.get("action") in ("wap-delete-mor", "wap-update-mor"):
-        return _publish_staged_mor(spark, root, wap_id, s, audits)
+        return _publish_staged_mor(
+            spark, root, wap_id, s, audits, caller_extra=extra
+        )
     schema = StructType.fromJson(json.loads(s["schema"]))
     new_rows = spark.read.schema(schema).parquet(
         *[os.path.join(root, f) for f in s["new_files"]]
@@ -1737,6 +1743,7 @@ def _publish_staged_mor(
     wap_id: str,
     s: dict,
     audits: list | None,
+    caller_extra: dict | None = None,
 ) -> int:
     """PUBLISH of a staged MOR delete or update: metadata-only — the
     staged deletion vector joins the head's DV list (an update also adds
@@ -1803,6 +1810,7 @@ def _publish_staged_mor(
         "wap_id": wap_id,
         "dv": (mh.get("dv") or []) + dv_files,
         **({"rebased_from": s["parent"]} if head != s["parent"] else {}),
+        **(caller_extra or {}),  # e.g. (stream, batch_id) stamps
     }
     v = _commit(
         root,

@@ -165,7 +165,12 @@ def refresh_view(spark: SparkSession, view_root: str) -> int:
             (
                 F.coalesce(F.col(name), zero)
                 + F.coalesce(F.col(f"__d_{name}"), zero)
-            ).alias(name)
+            )
+            # decimal addition widens per refresh; pin the state schema
+            # so view versions stay cross-readable (table_changes reads
+            # both sides under the to-version schema)
+            .cast(state.schema[name].dataType)
+            .alias(name)
         )
     new_state = (
         state.join(delta, on=groups, how="full_outer")

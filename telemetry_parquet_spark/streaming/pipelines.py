@@ -383,10 +383,21 @@ def catalog_txn_batch(
 
     from telemetry_parquet_spark.sources import snapshots as S
 
-    for v in range(catalog.catalog_version(), -1, -1):
+    # Both replay scans walk newest -> oldest and STOP at the first
+    # commit this stream stamped with a LOWER batch id: batch ids are
+    # monotone per stream, so a stamp for the current batch can only sit
+    # above that point. This bounds each micro-batch's scan to the
+    # commits since the stream's previous batch — O(1) amortized instead
+    # of O(batches) — and expired (vacuumed) catalog versions are simply
+    # absent from the surviving list, never an error.
+    for v in reversed(catalog._list_catalog_versions()):
         c = catalog.read_catalog_commit(v)
-        if c.get("batch_id") == batch_id and c.get("stream") == stream_tag:
+        if c.get("stream") != stream_tag:
+            continue
+        if c.get("batch_id") == batch_id:
             return False  # whole batch already landed
+        if c.get("batch_id", -1) < batch_id:
+            break
     stamp = {"batch_id": batch_id, "stream": stream_tag}
     short = _hashlib.md5(stream_tag.encode()).hexdigest()[:8]
     for name, route in routes.items():
@@ -394,13 +405,17 @@ def catalog_txn_batch(
         done = False
         try:
             for v in range(S.latest_version(root), -1, -1):
-                m = S.read_manifest(root, v)
-                if (
-                    m.get("batch_id") == batch_id
-                    and m.get("stream") == stream_tag
-                ):
+                try:
+                    m = S.read_manifest(root, v)
+                except FileNotFoundError:
+                    break  # vacuumed below this point: nothing deeper
+                if m.get("stream") != stream_tag:
+                    continue
+                if m.get("batch_id") == batch_id:
                     done = True  # published in a crashed earlier attempt
                     break
+                if m.get("batch_id", -1) < batch_id:
+                    break  # monotone stamps: not deeper
         except FileNotFoundError:
             pass
         if done:

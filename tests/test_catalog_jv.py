@@ -125,6 +125,55 @@ def test_explain_reports_join_view_without_refreshing(spark, cat):
     assert "mode=full" in rows["join_view"]
 
 
+def test_avg_is_rejected_in_join_view_ddl(spark, cat):
+    with pytest.raises(ValueError, match="AVG is not"):
+        cat.sql(
+            spark,
+            "CREATE MATERIALIZED JOIN VIEW bad AS "
+            "SELECT seg, AVG(amt) AS a FROM fact JOIN dim USING (key) "
+            "GROUP BY seg",
+        )
+
+
+def test_vacuum_keeps_stale_view_base_versions_alive(spark, cat):
+    """A join view left stale across two base appends must survive
+    catalog vacuum: its recorded base version is what the incremental
+    catch-up diffs from, so retention pins it."""
+    for i in range(2):  # fact advances to v3; view still records v1
+        S.append(
+            spark, cat.table_root("fact"),
+            spark.createDataFrame(
+                [(600 + i, 0, 1.0)], "fid int, key int, amt double"
+            ),
+        )
+    cat.vacuum(keep_last_catalog=1, keep_last_table=1)
+    # the catch-up (incremental, diffing from the pinned v1) still works
+    assert {
+        (r.seg, r.n_rows) for r in cat.read_join_view(spark, "sales").collect()
+    } == {(s, n) for s, n, _ in _direct(spark, cat)}
+
+
+def test_incremental_refresh_keeps_state_schema_stable(spark, cat):
+    import os
+
+    from telemetry_parquet_spark.sources.join_views import refresh_join_view
+
+    jv_root = os.path.join(cat.root, "_jv_sales")
+    schema0 = S.read_snapshot(spark, jv_root).schema
+    for i in range(2):
+        S.append(
+            spark, cat.table_root("fact"),
+            spark.createDataFrame(
+                [(700 + i, 1, 2.0)], "fid int, key int, amt double"
+            ),
+        )
+        _, mode = refresh_join_view(spark, jv_root)
+        assert mode == "incremental"
+        assert S.read_snapshot(spark, jv_root).schema == schema0
+    # cross-version read under one schema: the drift bug broke this
+    S.table_changes(spark, jv_root, 1, S.latest_version(jv_root)).count()
+
+
 def test_catalog_vacuum_covers_view_state_tables(spark, cat):
     import os
 

@@ -356,6 +356,26 @@ def test_catalog_vacuum_keeps_pinned_versions_readable(spark, cat):
     assert isinstance(removed, dict) and set(removed) == {"facts", "dims"}
 
 
+def test_catalog_log_readers_tolerate_vacuum_gaps(spark, cat):
+    """Vacuum makes the catalog log NON-contiguous; every reader must
+    iterate surviving versions, not range(head+1)."""
+    import time
+
+    for _ in range(3):
+        S.append(
+            spark, cat.table_root("facts"),
+            spark.createDataFrame([(1, 1.0)], "k int, x double"),
+        )
+        cat.commit_snapshot()
+    cat.vacuum(keep_last_catalog=1, keep_last_table=1)  # drops v0, v1
+    head = cat.catalog_version()
+    assert head == 2
+    assert cat.catalog_version_as_of(time.time()) == head
+    hist = cat.sql(spark, "DESCRIBE CATALOG HISTORY").collect()
+    assert [r.version for r in hist] == [head]
+    cat.vacuum(keep_last_catalog=3, keep_last_table=1)  # re-run: no crash
+
+
 def test_catalog_version_as_of_timestamp(spark, cat):
     import time
 

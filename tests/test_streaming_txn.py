@@ -78,6 +78,25 @@ def test_stream_fans_batches_into_consistent_catalog_versions(
     ) == heads
 
 
+def test_sink_survives_catalog_vacuum(spark, cat):
+    """Retention must not wedge the stream: after vacuum expires old
+    catalog versions (a non-contiguous log), the next batch's replay
+    scan skips the gaps and commits normally."""
+    tag = "vac-stream"
+    for b in range(3):
+        assert catalog_txn_batch(
+            spark, cat, ROUTES, tag, _batch(spark, 10 * b, 10 * b + 4), b
+        )
+    cat.vacuum(keep_last_catalog=1, keep_last_table=10)
+    assert catalog_txn_batch(
+        spark, cat, ROUTES, tag, _batch(spark, 100, 104), 3
+    ) is True
+    # and a replay of the surviving stamped batch is still recognized
+    assert catalog_txn_batch(
+        spark, cat, ROUTES, tag, _batch(spark, 100, 104), 3
+    ) is False
+
+
 def test_batch_replay_is_recognized_at_every_crash_window(spark, cat):
     tag = "test-stream"
     df = _batch(spark, 0, 10)
