@@ -197,7 +197,7 @@ def _file_footer_stats(path: str) -> tuple[dict, dict]:
 
 def _stats_for_commit(
     root: str, files: list[str], parent: int | None
-) -> tuple[dict, dict]:
+) -> tuple[dict, dict, dict]:
     """Per-file column stats (+ temporal-encoding types) and byte sizes
     for the manifest: carried files reuse the parent's entries, fresh
     files get ONE footer read + stat each (driver-side, file-count-sized
@@ -327,6 +327,43 @@ def _validate_constraints(df: DataFrame, constraints: dict) -> None:
             )
 
 
+def _check_column_types(
+    df: DataFrame, table_schema: StructType, op: str
+) -> None:
+    """Common columns must carry the table's exact types. A name-only
+    check would let a type-mismatched batch COMMIT its parquet files
+    under the stored schema — the commit succeeds and every later read
+    of the head fails at scan time ('Parquet column cannot be
+    converted'), which is a poisoned table, not an error the writer
+    sees. Nullability is not compared (parquet doesn't enforce it)."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    def _same(a, b) -> bool:
+        if a == b:
+            return True
+        # TIMESTAMP vs TIMESTAMP_NTZ: both encode int64 micros in
+        # parquet and the engine pins the session to UTC (session.py /
+        # load_table), where their wall-clock values coincide — the
+        # events.parquet duality the whole repo already handles
+        ts = (TimestampType(), TimestampNTZType())
+        return a in ts and b in ts
+
+    want = {f.name: f.dataType for f in table_schema.fields}
+    bad = [
+        (f.name, str(f.dataType), str(want[f.name]))
+        for f in df.schema.fields
+        if f.name in want and not _same(f.dataType, want[f.name])
+    ]
+    if bad:
+        detail = "; ".join(
+            f"{n}: batch {b} vs table {t}" for n, b, t in bad
+        )
+        raise ValueError(
+            f"{op}: column type mismatch against the table schema "
+            f"({detail}); cast the batch before committing"
+        )
+
+
 def _validate_unique(
     spark: SparkSession, root: str, m: dict, df: DataFrame
 ) -> dict:
@@ -366,6 +403,11 @@ def _validate_unique(
             *[F.min(c).alias(f"lo_{c}") for c in cols],
             *[F.max(c).alias(f"hi_{c}") for c in cols],
         ).first()
+        if all(bounds[f"lo_{c}"] is None for c in cols):
+            # empty batch (all-null keys were already rejected): nothing
+            # to collide — and None bounds must never reach the < below
+            audit[name] = [0, len(m["files"])]
+            continue
         stats = m.get("stats", {})
         # temporal stats are stored as encoded ordinals (epoch days /
         # micros) — comparing them against raw batch values would be
@@ -389,11 +431,19 @@ def _validate_unique(
         if not candidates:
             continue
         schema = StructType.fromJson(json.loads(m["schema"]))
-        existing = (
-            spark.read.schema(schema)
-            .parquet(*[os.path.join(root, f) for f in candidates])
-            .select(*cols)
-        )
+        # the probe must see the LOGICAL table: a key masked by an
+        # outstanding deletion vector is absent, and treating it as
+        # existing would falsely reject a legitimate re-insert
+        if m.get("dv"):
+            existing = _scan_with_pos(
+                spark, root, candidates, schema, m["dv"]
+            ).select(*cols)
+        else:
+            existing = (
+                spark.read.schema(schema)
+                .parquet(*[os.path.join(root, f) for f in candidates])
+                .select(*cols)
+            )
         if (
             existing.join(keys.distinct(), on=list(cols), how="left_semi")
             .limit(1).count()
@@ -406,13 +456,22 @@ def _validate_unique(
     return {"unique_scan": audit} if audit else {}
 
 
-def _rel_file_expr(root: str):
-    """Column expr turning ``_metadata.file_path`` (``file:/abs/…`` or
-    plain ``/abs/…``) into a table-relative path, matching the manifest's
+def _rel_path(root_abs: str, p: str) -> str:
+    """Driver-side twin of ``_rel_file_expr``: one place owns the
+    file-URI-to-table-relative mapping, so a future URI-scheme fix
+    cannot drift between the COW detection paths and the scan exprs."""
+    if p.startswith("file:"):  # file:///abs/path -> /abs/path
+        p = "/" + p[5:].lstrip("/")
+    return os.path.relpath(p, root_abs)
+
+
+def _rel_file_expr(root: str, col: str = "_metadata.file_path"):
+    """Column expr turning ``col`` (``file:/abs/…`` or plain
+    ``/abs/…``) into a table-relative path, matching the manifest's
     file list and the deletion-vector ``file`` column."""
     abs_prefix = os.path.abspath(root) + "/"
     uri_prefix = "file:" + abs_prefix
-    fp = F.col("_metadata.file_path")
+    fp = F.col(col)
     big = F.lit(1 << 20)
     return (
         F.when(
@@ -511,6 +570,7 @@ def append(
             meta["dv"] = m["dv"]
         table_schema = StructType.fromJson(json.loads(schema_json))
         table_cols = [f.name for f in table_schema.fields]
+        _check_column_types(df, table_schema, "append")
         if set(df.columns) != set(table_cols):
             if not allow_evolution:
                 raise ValueError(
@@ -685,6 +745,11 @@ def overwrite(
         m = read_manifest(root, parent)
         _validate_constraints(df, m.get("constraints"))
         meta = _carry_meta(m)
+        # a full-state replace leaves no old bytes: dropped-column
+        # tombstones are moot (same rule as compact_table's full
+        # rewrite) — carrying them would force a pointless compaction
+        # before a re-add
+        meta.pop("dropped_cols", None)
         # overwrite replaces the table: only INTERNAL uniqueness applies
         _validate_unique(spark, root, {**m, "files": []}, df)
     except FileNotFoundError:
@@ -727,9 +792,7 @@ def delete_where(
     root_abs = os.path.abspath(root)
 
     def _rel(p: str) -> str:
-        if p.startswith("file:"):  # file:///abs/path -> /abs/path
-            p = "/" + p[5:].lstrip("/")
-        return os.path.relpath(p, root_abs)
+        return _rel_path(root_abs, p)
 
     candidates = list(m["files"])
     if scan_predicates:
@@ -855,6 +918,7 @@ def merge_into(
     else:
         evolved = schema
     source = source.select(*[f.name for f in evolved.fields])
+    _check_column_types(source, schema, "merge_into")
     _validate_constraints(source, m.get("constraints"))
     dup = (
         source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
@@ -869,9 +933,7 @@ def merge_into(
     root_abs = os.path.abspath(root)
 
     def _rel(p: str) -> str:
-        if p.startswith("file:"):
-            p = "/" + p[5:].lstrip("/")
-        return os.path.relpath(p, root_abs)
+        return _rel_path(root_abs, p)
 
     candidates = list(m["files"])
     if prune_by_key_range:
@@ -935,10 +997,20 @@ def merge_into(
                 f_.name, F.lit(None).cast(f_.dataType)
             )
     merged = merged.select(*source.columns).unionByName(source)
+    uniq_meta: dict = {}
+    if m.get("unique_keys"):
+        # the rewritten region ∪ source must hold the UNIQUE contract
+        # internally AND against the carried files: a merge keyed on
+        # non-unique-key columns can otherwise insert colliding keys
+        # that a plain append would have rejected
+        uniq_meta = _validate_unique(
+            spark, root, {**m, "files": carried}, merged
+        )
     new = _write_commit_files(merged, root, f"c{parent + 1:06d}")
     return _commit(
         root, "merge", carried + new, schema_json_out, parent,
-        {**_carry_meta(m), "scan_candidates": len(candidates),
+        {**_carry_meta(m), **uniq_meta,
+         "scan_candidates": len(candidates),
          "scanned": len(m["files"])},
     )
 
@@ -969,8 +1041,13 @@ def compact_table(
     if not m["files"]:
         return _commit(root, "compact", [], m["schema"], parent, _carry_meta(m))
     if n_files is None:
+        sizes = m.get("sizes") or {}
+        # the manifest already carries per-file bytes — one stat round
+        # trip per file on an object store is pure waste; getsize only
+        # backfills pre-stats manifests
         total = sum(
-            os.path.getsize(os.path.join(root, f)) for f in m["files"]
+            sizes.get(f) or os.path.getsize(os.path.join(root, f))
+            for f in m["files"]
         )
         n_files = max(1, -(-total // int(target_bytes)))
     rows = read_snapshot(spark, root, parent)
@@ -1028,8 +1105,10 @@ def compact_where(
             root, "compact-where", carried, m["schema"], parent,
             {**_carry_meta(m), "region_files": 0},
         )
+    sizes = m.get("sizes") or {}
     total = sum(
-        os.path.getsize(os.path.join(root, f)) for f in region
+        sizes.get(f) or os.path.getsize(os.path.join(root, f))
+        for f in region
     )
     n_files = max(1, -(-total // int(target_bytes)))
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -1387,6 +1466,15 @@ def snapshot_files(root: str, version: int | None = None) -> list[str]:
 _TAG_DIR = "_tags"
 
 
+def _tag_path(root: str, name: str) -> str:
+    # same validation discipline as _staged_path: a name with a path
+    # separator would write/delete OUTSIDE _tags/ (and list_tags would
+    # never see it, so the pin would silently not protect anything)
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}")
+    return os.path.join(root, _TAG_DIR, f"{name}.json")
+
+
 def create_tag(root: str, name: str, version: int | None = None) -> int:
     """Named immutable ref: pin ``version`` (default head) under
     ``name``. Atomic via ``O_EXCL`` — a tag can never be silently
@@ -1398,7 +1486,7 @@ def create_tag(root: str, name: str, version: int | None = None) -> int:
     read_manifest(root, v)  # must exist
     os.makedirs(os.path.join(root, _TAG_DIR), exist_ok=True)
     fd = os.open(
-        os.path.join(root, _TAG_DIR, f"{name}.json"),
+        _tag_path(root, name),
         os.O_CREAT | os.O_EXCL | os.O_WRONLY,
     )
     import time as _time
@@ -1425,7 +1513,7 @@ def list_tags(root: str) -> dict[str, int]:
 
 def delete_tag(root: str, name: str) -> None:
     """Drop the pin; the version becomes vacuumable again."""
-    os.remove(os.path.join(root, _TAG_DIR, f"{name}.json"))
+    os.remove(_tag_path(root, name))
 
 
 def resolve_ref(root: str, ref: int | str) -> int:
@@ -1483,6 +1571,9 @@ def stage_append(
     parent = latest_version(root)
     m = read_manifest(root, parent)
     _validate_constraints(df, m.get("constraints"))
+    _check_column_types(
+        df, StructType.fromJson(json.loads(m["schema"])), "stage_append"
+    )
     table_cols = {
         f.name for f in StructType.fromJson(json.loads(m["schema"])).fields
     }
@@ -1704,6 +1795,20 @@ def publish_staged(
     atomically (e.g. the multi-table streaming sink's (stream, batch_id)
     stamp)."""
     s = read_staged_manifest(root, wap_id)
+    # Crash-replay idempotence: a crash BETWEEN the publish commit and
+    # the staged-manifest removal leaves both artifacts; a naive retry
+    # would commit the staged files a second time (each row doubled, or
+    # a DV applied twice). The publish commit carries its wap_id, so a
+    # retry recognizes it, consumes the leftover stage, and returns the
+    # already-committed version — exactly-once under any crash window.
+    for v in range(latest_version(root), s["parent"], -1):
+        try:
+            prev = read_manifest(root, v)
+        except FileNotFoundError:
+            break  # vacuumed below this point
+        if prev.get("wap_id") == wap_id:
+            os.remove(_staged_path(root, wap_id))
+            return v
     if s.get("action") in ("wap-delete-mor", "wap-update-mor"):
         return _publish_staged_mor(
             spark, root, wap_id, s, audits, caller_extra=extra
@@ -1902,18 +2007,7 @@ def update_snapshot_bloom(
         num_bits,
         num_hashes,
     )
-    abs_prefix = os.path.abspath(root) + "/"
-    uri_prefix = "file:" + abs_prefix
-    fp = F.col("file_path")
-    big = F.lit(1 << 20)
-    rel = (
-        F.when(
-            fp.startswith(uri_prefix),
-            fp.substr(F.lit(len(uri_prefix) + 1), big),
-        )
-        .when(fp.startswith(abs_prefix), fp.substr(F.lit(len(abs_prefix) + 1), big))
-        .otherwise(fp)
-    )
+    rel = _rel_file_expr(root, col="file_path")
     fresh.withColumn("file_path", rel).write.mode("append").parquet(idx_dir)
     if not os.path.exists(meta_path):
         with open(meta_path, "w") as f:
@@ -2081,6 +2175,7 @@ def vacuum(
     keep_last: int = 1,
     retain_since: float | None = None,
     keep_versions: set[int] | None = None,
+    orphan_grace_s: float = 3600.0,
 ) -> list[str]:
     """Delete data files referenced by NO retained manifest (the last
     ``keep_last`` versions plus every TAGGED version are retained; with
@@ -2090,9 +2185,16 @@ def vacuum(
     ``keep_versions`` pins explicit extra versions — the hook catalog
     snapshots use so their cross-table pins stay readable) and drop
     the expired manifests.
-    Also reclaims uncommitted orphan directories from crashed writers.
-    The only destructive operation in the module; everything else is
-    append-only."""
+
+    Files referenced by NO manifest at all (crashed or IN-FLIGHT
+    writers) are reclaimed only once older than ``orphan_grace_s``
+    (Delta's retention-hours rule for uncommitted files): with no age
+    gate, vacuum racing a writer between its data write and its manifest
+    O_EXCL would delete files the imminent commit references —
+    committing a version that can never be read. Files referenced only
+    by EXPIRED manifests were durably committed and are reclaimed
+    immediately. The only destructive operation in the module;
+    everything else is append-only."""
     versions = _list_versions(root)
     keep = set(versions[-keep_last:])
     keep.update(  # tagged versions are pinned regardless of retention
@@ -2112,19 +2214,35 @@ def vacuum(
         m = read_manifest(root, v)
         live.update(m["files"])
         live.update(m.get("dv", []))  # deletion vectors are data too
+    ever: set[str] = set()  # referenced by ANY manifest = was committed
+    for v in versions:
+        m = read_manifest(root, v)
+        ever.update(m["files"])
+        ever.update(m.get("dv", []))
     for wap_id in list_staged(root):  # staged-but-unpublished commits are
         live.update(read_staged_manifest(root, wap_id)["new_files"])  # pinned
     from telemetry_parquet_spark.sources.branches import branch_live_files
 
     live.update(branch_live_files(root))  # live branches pin their files
+    import time as _time
+
+    now = _time.time()
     removed = []
     data_root = os.path.join(root, _DATA_DIR)
     for dirpath, _, names in os.walk(data_root):
         for name in names:
-            rel = os.path.relpath(os.path.join(dirpath, name), root)
-            if rel not in live and name.endswith(".parquet"):
-                os.remove(os.path.join(root, rel))
-                removed.append(rel)
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, root)
+            if rel in live or not name.endswith(".parquet"):
+                continue
+            if rel not in ever:  # true orphan: maybe an IN-FLIGHT writer
+                try:
+                    if now - os.path.getmtime(full) < orphan_grace_s:
+                        continue
+                except OSError:
+                    continue
+            os.remove(full)
+            removed.append(rel)
     for v in versions:
         if v not in keep:
             os.remove(_manifest_path(root, v))

@@ -112,7 +112,11 @@ def test_vacuum_pins_branch_files_until_deleted(spark, table):
     assert read_branch(spark, table, "dev").count() == 150
     assert all("branch-dev" not in r for r in removed)
     delete_branch(table, "dev")
+    # a dropped branch's files are unreferenced orphans: held through
+    # the in-flight-writer grace window, reclaimed past it
     removed = S.vacuum(table, keep_last=1)
+    assert all("branch-dev" not in r for r in removed)
+    removed = S.vacuum(table, keep_last=1, orphan_grace_s=0.0)
     assert any("branch-dev" in r for r in removed)  # now reclaimed
     assert S.read_snapshot(spark, table).count() == 120
 

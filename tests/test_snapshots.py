@@ -905,9 +905,13 @@ def test_wap_staged_files_pinned_against_vacuum(spark, sf_dir, table):
     removed = vacuum(table, keep_last=1)
     assert not set(staged_files) & set(removed)
     assert all(os.path.exists(os.path.join(table, f)) for f in staged_files)
-    # after discard the same files are reclaimable orphans
+    # after discard the same files are reclaimable orphans — but only
+    # past the in-flight-writer grace window (orphan_grace_s); within it
+    # vacuum must NOT touch them (a racing writer looks identical)
     discard_staged(table, "pinned")
     removed = vacuum(table, keep_last=1)
+    assert not set(staged_files) & set(removed)  # grace holds them
+    removed = vacuum(table, keep_last=1, orphan_grace_s=0.0)
     assert set(staged_files) <= set(removed)
 
 
