@@ -65,17 +65,12 @@ def maintain_view_stream(
     dec = F.col(sum_col).cast(cast_to)
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            head = S.latest_version(view_root)
-            for v in range(head, -1, -1):
-                meta = S.read_manifest(view_root, v)
-                if (
-                    meta.get("batch_id") == batch_id
-                    and meta.get("stream") == ckpt_tag
-                ):
-                    return  # replayed batch: already committed
-        except FileNotFoundError:
-            pass
+        from telemetry_parquet_spark.streaming.pipelines import (
+            batch_stamped,
+        )
+
+        if batch_stamped(view_root, ckpt_tag, batch_id):
+            return  # replayed batch: already committed
         changes = batch_df.withColumn("__p", dec)
         try:
             state = S.read_snapshot(spark, view_root)

@@ -123,7 +123,10 @@ def windowed_histogram(
 
     src = events.withWatermark(ts_col, watermark) if streaming else events
     binned = src.where(F.col(value_col).isNotNull()).withColumn(
-        "__iv", F.floor(F.col(value_col)).cast("bigint")
+        # CAST truncation, matching the batch sketch's _SPARK_BIN prep:
+        # floor() would bin negative non-integers differently and break
+        # the promised groupBy-sum mergeability with batch partials
+        "__iv", F.col(value_col).cast("bigint")
     )
     return (
         binned.groupBy(
@@ -218,7 +221,12 @@ def run_available_now(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    # materialize off the memory sink and DROP it: a parity sweep calls
+    # this hundreds of times, and each leaked mem_<uuid> table would pin
+    # its full result in driver memory for the session's lifetime
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
 
 
 def ohlc_bars(
@@ -277,9 +285,7 @@ def stream_append_parquet(
     each call drains whatever arrived since the last one."""
     if schema is None:
         schema = spark.read.parquet(src_path).schema
-    stream = (
-        spark.readStream.schema(schema).format("parquet").load(src_path)
-    )
+    stream = _file_stream_reader(spark, src_path, schema)
     q = (
         stream.writeStream.format("parquet")
         .option("path", dest_path)
@@ -323,25 +329,14 @@ def stream_commit_snapshots(
     ckpt_tag = _os.path.abspath(checkpoint)
 
     def commit_batch(batch_df, batch_id: int) -> None:
-        try:
-            head = S.latest_version(table_root)
-            for v in range(head, -1, -1):
-                meta = S.read_manifest(table_root, v)
-                if (
-                    meta.get("batch_id") == batch_id
-                    and meta.get("stream") == ckpt_tag
-                ):
-                    return  # replayed batch: already committed
-        except FileNotFoundError:
-            pass
+        if batch_stamped(table_root, ckpt_tag, batch_id):
+            return  # replayed batch: already committed
         S.append(
             spark, table_root, batch_df,
             extra={"batch_id": batch_id, "stream": ckpt_tag},
         )
 
-    stream = (
-        spark.readStream.schema(schema).format("parquet").load(src_path)
-    )
+    stream = _file_stream_reader(spark, src_path, schema)
     q = (
         stream.writeStream.foreachBatch(commit_batch)
         .option("checkpointLocation", checkpoint)
@@ -349,6 +344,53 @@ def stream_commit_snapshots(
         .start()
     )
     q.awaitTermination()
+
+
+def batch_stamped(root: str, stream_tag: str, batch_id: int) -> bool:
+    """True iff some commit on ``root`` carries this (stream, batch_id)
+    stamp. Walks newest -> oldest and STOPS at the first commit this
+    stream stamped with a LOWER batch id — batch ids are monotone per
+    stream, so a stamp for the current batch can only sit above that
+    point. That bounds every micro-batch's replay check to the commits
+    since the stream's previous batch (O(1) amortized, instead of the
+    whole history each time) and treats vacuumed manifests as
+    absence."""
+    from telemetry_parquet_spark.sources import snapshots as S
+
+    try:
+        head = S.latest_version(root)
+    except FileNotFoundError:
+        return False
+    for v in range(head, -1, -1):
+        try:
+            m = S.read_manifest(root, v)
+        except FileNotFoundError:
+            break  # vacuumed below this point: nothing deeper
+        if m.get("stream") != stream_tag:
+            continue
+        if m.get("batch_id") == batch_id:
+            return True
+        if m.get("batch_id", -1) < batch_id:
+            break
+    return False
+
+
+def _file_stream_reader(spark: SparkSession, src_path: str, schema):
+    """A parquet ``readStream`` over a directory OR a single-file table
+    (the file source wants a directory; a file is streamed by
+    glob-filtering its parent) — the one recipe all streaming entry
+    points share."""
+    import os as _os
+
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if _os.path.isfile(src_path):
+        reader = reader.option(
+            "pathGlobFilter", _os.path.basename(src_path)
+        )
+        src_path = _os.path.dirname(src_path)
+    return reader.load(src_path)
 
 
 def catalog_txn_batch(
@@ -460,15 +502,7 @@ def stream_commit_catalog_txn(
     def commit_batch(batch_df, batch_id: int) -> None:
         catalog_txn_batch(spark, catalog, routes, tag, batch_df, batch_id)
 
-    # the file source wants a directory; a single-file table is streamed
-    # by glob-filtering its parent (the run_available_now recipe)
-    reader = spark.readStream.schema(schema).format("parquet")
-    if _os.path.isfile(src_path):
-        reader = reader.option(
-            "pathGlobFilter", _os.path.basename(src_path)
-        )
-        src_path = _os.path.dirname(src_path)
-    stream = reader.load(src_path)
+    stream = _file_stream_reader(spark, src_path, schema)
     q = (
         stream.writeStream.foreachBatch(commit_batch)
         .option("checkpointLocation", checkpoint)
@@ -513,19 +547,18 @@ def stream_commit_branch(
         if branch in heads:
             for k in range(heads[branch], 0, -1):
                 bm = B.read_branch_manifest(table_root, branch, k)
-                if (
-                    bm.get("batch_id") == batch_id
-                    and bm.get("stream") == ckpt_tag
-                ):
+                if bm.get("stream") != ckpt_tag:
+                    continue
+                if bm.get("batch_id") == batch_id:
                     return  # replayed batch: already committed
+                if bm.get("batch_id", -1) < batch_id:
+                    break  # monotone stamps: not deeper
         B.branch_append(
             spark, table_root, branch, batch_df,
             extra={"batch_id": batch_id, "stream": ckpt_tag},
         )
 
-    stream = (
-        spark.readStream.schema(schema).format("parquet").load(src_path)
-    )
+    stream = _file_stream_reader(spark, src_path, schema)
     q = (
         stream.writeStream.foreachBatch(commit_batch)
         .option("checkpointLocation", checkpoint)

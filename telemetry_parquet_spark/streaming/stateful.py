@@ -89,6 +89,7 @@ def _update_heavy_hitters(
     state: GroupState,
     k: int,
     emit_top: int,
+    idle_timeout_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     from telemetry_parquet_spark.datapipe.heavy_hitters import _mg_compress
 
@@ -106,6 +107,11 @@ def _update_heavy_hitters(
         counts, d = _mg_compress(counts, k)
         dec += d
     state.update((list(counts), [int(c) for c in counts.values()], dec))
+    if idle_timeout_ms:
+        # same idle-eviction contract as running_user_stats: a key with
+        # no arrivals for idle_timeout_ms hits the hasTimedOut branch and
+        # releases its k counters from the state store
+        state.setTimeoutDuration(idle_timeout_ms)
     top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_top]
     yield pd.DataFrame(
         {
@@ -118,7 +124,10 @@ def _update_heavy_hitters(
 
 
 def streaming_heavy_hitters(
-    events: DataFrame, k: int = 2048, emit_top: int = 16
+    events: DataFrame,
+    k: int = 2048,
+    emit_top: int = 16,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Misra-Gries heavy hitters as STREAMING STATE: per event_type, the
     state store holds at most ``k`` (user, count) counters plus one
@@ -132,7 +141,8 @@ def streaming_heavy_hitters(
     top rows ARE the exact per-type user counts — the driver's oracle
     gate."""
     update_fn = functools.partial(
-        _update_heavy_hitters, k=k, emit_top=emit_top
+        _update_heavy_hitters, k=k, emit_top=emit_top,
+        idle_timeout_ms=idle_timeout_ms,
     )
     return (
         events.select("event_type", "user_id")
@@ -142,6 +152,10 @@ def streaming_heavy_hitters(
             outputStructType=MG_OUTPUT_SCHEMA,
             stateStructType=MG_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -104,3 +104,44 @@ def test_streaming_checkpoint_resume(spark, tmp_path):
     run()
     got = sorted((r.id, r.submission_date_s3) for r in read_dataset(spark, out).collect())
     assert got == [(1, "20240101"), (2, "20240102")]
+
+
+def test_streaming_same_day_across_batches_keeps_all_rows(spark, tmp_path):
+    """The data-loss regression: two micro-batches landing rows for the
+    SAME day must both survive — a day-keyed overwrite would have
+    replaced batch 1's rows with batch 2's."""
+    import os
+
+    from telemetry_parquet_spark.sources.writers import read_dataset
+    from telemetry_parquet_spark.streaming.sinks import (
+        partitioned_foreach_batch_sink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+
+    def add_file(name, rows):
+        spark.createDataFrame(rows, ["id", "t", "value"]).select(
+            "id", F.col("t").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    def run():
+        stream = (
+            spark.readStream.schema("id bigint, ts timestamp, value double")
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(src)
+        )
+        q = partitioned_foreach_batch_sink(stream, out, checkpoint=cp)
+        q.awaitTermination()
+
+    add_file("f1", [(1, "2024-01-01 10:00:00", 1.0)])
+    run()
+    add_file("f2", [(2, "2024-01-01 11:00:00", 2.0)])  # SAME day
+    run()
+    got = sorted(
+        (r.id, r.submission_date_s3)
+        for r in read_dataset(spark, out).collect()
+    )
+    assert got == [(1, "20240101"), (2, "20240101")]
