@@ -915,7 +915,9 @@ def mv_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         append(spark, base, orders.where(F.col("o_orderkey") % 10 >= 8))
 
     root = materialize_cached(
-        spark, src, "mv_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        # v2: view layout gained per-measure non-null counts (AVG fix) —
+        # the name bump invalidates pre-change warehouse builds
+        spark, src, "mv_orders_v2_" + os.path.basename(sf_dir.rstrip("/")),
         build,
     )
     out, used = answer_aggregate(

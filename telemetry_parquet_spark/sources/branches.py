@@ -98,26 +98,7 @@ def _stats_sizes(
     """Commit-time stats/sizes for a branch manifest — carried files
     reuse the parent BRANCH manifest's entries (same discipline as
     snapshots._stats_for_commit, which walks the main chain)."""
-    pstats = parent_m.get("stats", {})
-    types = dict(parent_m.get("stats_types", {}))
-    psizes = parent_m.get("sizes", {})
-    stats, sizes = {}, {}
-    for f in files:
-        if f in pstats:
-            stats[f] = pstats[f]
-        else:
-            try:
-                stats[f], t = S._file_footer_stats(os.path.join(root, f))
-                types.update(t)
-            except Exception:
-                stats[f] = {}
-        try:
-            sizes[f] = psizes.get(f) or os.path.getsize(
-                os.path.join(root, f)
-            )
-        except OSError:
-            pass
-    return stats, types, sizes
+    return S._stats_from_parent_manifest(root, files, parent_m)
 
 
 def create_branch(
@@ -187,6 +168,9 @@ def branch_append(
     metadata (e.g. a streaming batch-id idempotence stamp) into the
     branch manifest atomically."""
     bm = read_branch_manifest(root, name)
+    S._check_column_types(
+        df, StructType.fromJson(json.loads(bm["schema"])), "branch_append"
+    )
     table_cols = {
         f.name
         for f in StructType.fromJson(json.loads(bm["schema"])).fields
@@ -254,9 +238,7 @@ def branch_delete_where(
     root_abs = os.path.abspath(root)
 
     def _rel(p: str) -> str:
-        if p.startswith("file:"):
-            p = "/" + p[5:].lstrip("/")
-        return os.path.relpath(p, root_abs)
+        return S._rel_path(root_abs, p)
 
     scan = spark.read.schema(schema).parquet(
         *[os.path.join(root, f) for f in bm["files"]]
@@ -301,6 +283,11 @@ def branch_delete_where(
             **(
                 {"constraints": bm["constraints"]}
                 if bm.get("constraints")
+                else {}
+            ),
+            **(
+                {"unique_keys": bm["unique_keys"]}
+                if bm.get("unique_keys")
                 else {}
             ),
             "append_only": False,

@@ -61,15 +61,34 @@ def cached_sql(
     statement AND the referenced tables' head versions. Returns
     (result, hit). A commit to any table re-keys automatically; no
     explicit invalidation exists or is needed."""
+    first = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
+    if first not in ("SELECT", "WITH", "DESCRIBE", "EXPLAIN"):
+        # Mutators (DML, VACUUM, tag/branch DDL) must NEVER be memoized:
+        # several of them bump no table version, so their key would stay
+        # valid and a cache hit would silently SKIP the operation (a
+        # "cached VACUUM" that never runs again). Execute uncached.
+        return engine_sql(spark, sql, tables, views=views), False
     digest, pins = _key(sql, tables)
     entry = os.path.join(cache_dir, digest)
     marker = os.path.join(entry, "_PINS.json")
     if os.path.exists(marker):
         return spark.read.parquet(os.path.join(entry, "result")), True
-    df = engine_sql(spark, sql, tables, views=views)
+    # Execute AT THE PINNED VERSIONS, not at head: a commit landing
+    # between the key computation and the scan would otherwise persist
+    # newer data under this key's pins, and every later same-pin caller
+    # would be served the wrong as-of answer. MV routing is bypassed
+    # under pins (engine_sql's rule: a view answers at base HEAD).
+    df = engine_sql(
+        spark, sql, tables, views=views,
+        pins={n: p["version"] for n, p in pins.items()},
+    )
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = entry + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    import uuid as _uuid
+
+    # writer-private staging: two processes missing on the same key must
+    # not interleave writes into one shared tmp dir (the commit-data-dir
+    # discipline); os.replace publishes exactly one winner atomically
+    tmp = f"{entry}.tmp-{_uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(os.path.join(tmp, "result"))
     with open(os.path.join(tmp, "_PINS.json"), "w") as f:
         json.dump({"sql": sql, "pins": pins}, f)

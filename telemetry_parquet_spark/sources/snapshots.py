@@ -204,15 +204,24 @@ def _stats_for_commit(
     — the same metadata pass every table format performs at commit time
     so that later planning — scan pruning AND join-strategy choice
     (join_planner.py) — needs zero data I/O)."""
-    parent_stats, types, parent_sizes = {}, {}, {}
+    pm = {}
     if parent is not None:
         try:
             pm = read_manifest(root, parent)
-            parent_stats = pm.get("stats", {})
-            types = dict(pm.get("stats_types", {}))
-            parent_sizes = pm.get("sizes", {})
         except FileNotFoundError:
             pass
+    return _stats_from_parent_manifest(root, files, pm)
+
+
+def _stats_from_parent_manifest(
+    root: str, files: list[str], pm: dict
+) -> tuple[dict, dict, dict]:
+    """The reuse loop shared with branch commits (branches.py passes the
+    parent BRANCH manifest dict) — one implementation, so a stats or
+    size-backfill fix can never drift between main and branch chains."""
+    parent_stats = pm.get("stats", {})
+    types = dict(pm.get("stats_types", {}))
+    parent_sizes = pm.get("sizes", {})
     stats, sizes = {}, {}
     for f in files:
         if f in parent_stats:

@@ -44,6 +44,7 @@ catch-up — net-new engine surface.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,6 +82,17 @@ def _sum_name(m: dict, col: str) -> str:
     return f"sum_{col}"
 
 
+def _total_type(cast_to: str) -> str:
+    """The running-total type for partial sums cast to ``cast_to``:
+    widen precision (sums grow) but KEEP the scale — hard-coding
+    decimal(25,2) silently rounded finer-scaled measures."""
+    m = re.match(r"decimal\((\d+),(\d+)\)", cast_to.replace(" ", ""))
+    if not m:
+        return cast_to  # non-decimal measures total in their own type
+    p, s = int(m.group(1)), int(m.group(2))
+    return f"decimal({min(38, p + 10)},{s})"
+
+
 def create_view(
     spark: SparkSession,
     base_root: str,
@@ -102,6 +114,9 @@ def create_view(
             F.sum(F.col(c).cast(cast_to)).alias(f"sum_{c}")
             for c in cols
         ],
+        # per-measure NON-NULL counts: SQL AVG ignores NULLs, so
+        # sum/n_rows would understate it on nullable measures
+        *[F.count(F.col(c)).alias(f"cnt_{c}") for c in cols],
     )
     return S.overwrite(
         spark,
@@ -113,6 +128,7 @@ def create_view(
             "mv_group_cols": list(group_cols),
             "mv_sum_cols": cols,
             "mv_cast_to": cast_to,
+            "mv_measure_counts": True,
         },
     )
 
@@ -146,12 +162,23 @@ def refresh_view(spark: SparkSession, view_root: str) -> int:
         F.col("_change") == F.lit("insert"), F.lit(1)
     ).otherwise(F.lit(-1))
     sums = {c: _sum_name(m, c) for c in m["mv_sum_cols"]}
+    has_counts = bool(m.get("mv_measure_counts"))
     delta = changes.groupBy(*groups).agg(
         F.sum(sign).alias("__d_cnt"),
         *[
             F.sum(F.col(c).cast(cast_to) * sign).alias(f"__d_{name}")
             for c, name in sums.items()
         ],
+        *(
+            [
+                F.sum(
+                    sign * F.col(c).isNotNull().cast("int")
+                ).alias(f"__d_cnt_{c}")
+                for c in sums
+            ]
+            if has_counts
+            else []
+        ),
     )
     merged_cols = [
         (
@@ -172,6 +199,14 @@ def refresh_view(spark: SparkSession, view_root: str) -> int:
             .cast(state.schema[name].dataType)
             .alias(name)
         )
+    if has_counts:
+        for c in sums:
+            merged_cols.append(
+                (
+                    F.coalesce(F.col(f"cnt_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"__d_cnt_{c}"), F.lit(0))
+                ).alias(f"cnt_{c}")
+            )
     new_state = (
         state.join(delta, on=groups, how="full_outer")
         .select(*groups, *merged_cols)
@@ -198,16 +233,21 @@ def refresh_view(spark: SparkSession, view_root: str) -> int:
 
 def _derive(agg: Agg, m: dict):
     """The view-side expression computing ``agg``, or RewriteMiss."""
+    total = _total_type(m.get("mv_cast_to", "decimal(15,2)"))
     if agg.func == "count" and agg.col is None:
         return F.sum("n_rows").cast("bigint").alias(agg.out)
     if agg.func == "sum" and agg.col in m["mv_sum_cols"]:
-        return (
-            F.sum(_sum_name(m, agg.col)).cast("decimal(25,2)").alias(agg.out)
-        )
+        return F.sum(_sum_name(m, agg.col)).cast(total).alias(agg.out)
     if agg.func == "avg" and agg.col in m["mv_sum_cols"]:
+        if not m.get("mv_measure_counts"):
+            raise RewriteMiss(
+                f"AVG({agg.col}) needs per-measure non-null counts "
+                "(SQL AVG ignores NULLs; n_rows would understate it) — "
+                "recreate the view to materialize them"
+            )
         return (
             F.sum(_sum_name(m, agg.col)).cast("double")
-            / F.sum("n_rows").cast("double")
+            / F.sum(f"cnt_{agg.col}").cast("double")
         ).alias(agg.out)
     raise RewriteMiss(
         f"{agg.func}({agg.col}) not derivable from COUNT/"
@@ -299,8 +339,13 @@ def answer_aggregate(
                 ),
                 root,
             )
-        except RewriteMiss as e:
-            misses.append(str(e))
+        except (RewriteMiss, FileNotFoundError, ValueError) as e:
+            # FileNotFoundError: the view's recorded base version was
+            # vacuumed mid-catch-up; ValueError: not-yet-initialized
+            # view root (the create_view overwrite race). Both mean
+            # "this view can't answer RIGHT NOW" — fall back to the
+            # scan instead of failing a query the base can serve.
+            misses.append(f"{root}: {e}")
     if require_rewrite:
         raise RuntimeError(
             "no materialized view subsumes the question: "
@@ -321,7 +366,8 @@ def answer_aggregate(
             exprs.append(
                 (
                     F.sum(F.col(a.col).cast("decimal(15,2)")).cast("double")
-                    / F.count("*").cast("double")
+                    # SQL AVG divides by the NON-NULL count, not COUNT(*)
+                    / F.count(F.col(a.col)).cast("double")
                 ).alias(a.out)
             )
         else:

@@ -233,3 +233,72 @@ def test_sql_front_door_routes_through_view(spark, base):
         spark, "SELECT a, MIN(x) AS lo FROM t GROUP BY a", tables=t, views=v
     )
     assert any(os.path.abspath(root) in f for f in mn.inputFiles())
+
+
+def test_avg_ignores_nulls_like_sql(spark, tmp_path):
+    """SQL AVG divides by the NON-NULL count; sum/n_rows would
+    understate it on nullable measures (both the rewrite and the
+    fallback were wrong before per-measure counts existed)."""
+    root = str(tmp_path / "b")
+    df = spark.createDataFrame(
+        [(0, 2.0), (0, None), (1, 4.0)], "a int, x double"
+    )
+    S.append(spark, root, df)
+    view = str(tmp_path / "v")
+    create_view(spark, root, view, ["a"], "x")
+    got = {
+        r.a: r.m
+        for r in rewrite_aggregate(
+            spark, view, ["a"], [Agg("avg", "x", "m")]
+        ).collect()
+    }
+    assert got == {0: 2.0, 1: 4.0}  # not {0: 1.0} (sum/n_rows)
+    # incremental refresh maintains the non-null counts too
+    S.append(
+        spark, root,
+        spark.createDataFrame([(0, None), (0, 6.0)], "a int, x double"),
+    )
+    got = {
+        r.a: r.m
+        for r in rewrite_aggregate(
+            spark, view, ["a"], [Agg("avg", "x", "m")]
+        ).collect()
+    }
+    assert got[0] == 4.0  # (2+6)/2 non-null values
+    # fallback path agrees with SQL semantics
+    out, used = answer_aggregate(
+        spark, root, [], ["a"], [Agg("avg", "x", "m")]
+    )
+    assert used is None
+    assert {r.a: r.m for r in out.collect()}[0] == 4.0
+
+
+def test_custom_cast_scale_is_preserved(spark, tmp_path):
+    """cast_to='decimal(20,4)' must keep 4-decimal totals — the
+    hard-coded decimal(25,2) silently rounded finer scales."""
+    root = str(tmp_path / "b")
+    S.append(
+        spark, root,
+        spark.createDataFrame(
+            [(0, 0.0001), (0, 0.0002)], "a int, x double"
+        ),
+    )
+    view = str(tmp_path / "v")
+    create_view(spark, root, view, ["a"], "x", cast_to="decimal(20,4)")
+    r = rewrite_aggregate(
+        spark, view, ["a"], [Agg("sum", "x", "s")]
+    ).first()
+    assert float(r.s) == pytest.approx(0.0003)
+
+
+def test_broken_view_falls_back_to_scan(spark, tmp_path):
+    """A view whose root is not a view (the create race shape) must not
+    fail the query — the base scan serves."""
+    root = str(tmp_path / "b")
+    S.append(spark, root, spark.createDataFrame([(0, 1.0)], "a int, x double"))
+    not_a_view = str(tmp_path / "nv")
+    S.append(spark, not_a_view, spark.createDataFrame([(1,)], "k int"))
+    out, used = answer_aggregate(
+        spark, root, [not_a_view], ["a"], [Agg("count", alias="n")]
+    )
+    assert used is None and out.first().n == 1
