@@ -109,8 +109,9 @@ def append_vectors(
     assigned = qvec_new.select(
         "vec_id", "qv", assign(F.col("qv")).alias("cluster_id")
     )
+    pinned = None
     if dedup:
-        assigned = assigned.persist()
+        pinned = assigned = assigned.persist()
         cells = [
             int(r.cluster_id)
             for r in assigned.select("cluster_id").distinct().collect()
@@ -122,11 +123,17 @@ def append_vectors(
                 .select("vec_id")
             )
             assigned = assigned.join(existing, "vec_id", "left_anti")
-    (
-        assigned.write.mode("append")
-        .partitionBy("cluster_id")
-        .parquet(os.path.join(root, _POSTINGS))
-    )
+    try:
+        (
+            assigned.write.mode("append")
+            .partitionBy("cluster_id")
+            .parquet(os.path.join(root, _POSTINGS))
+        )
+    finally:
+        if pinned is not None:
+            # each streaming micro-batch calls this once; an unreleased
+            # persist would leak one CacheManager entry per batch
+            pinned.unpersist()
 
 
 def stream_index_vectors(
@@ -190,6 +197,15 @@ def compact_index(spark: SparkSession, root: str) -> tuple[int, int]:
             if n.endswith(".parquet")
         )
 
+    # recover residue from a crashed earlier run: a leftover .old means
+    # the previous swap died between its two renames (postings may be
+    # missing entirely) — restore it; a leftover stage is garbage
+    if os.path.isdir(old_dir):
+        if not os.path.isdir(posts_dir):
+            os.rename(old_dir, posts_dir)
+        else:
+            shutil.rmtree(old_dir)
+    shutil.rmtree(staged_dir, ignore_errors=True)
     before = _count(posts_dir)
     posts = spark.read.parquet(posts_dir)
     (
@@ -197,6 +213,9 @@ def compact_index(spark: SparkSession, root: str) -> tuple[int, int]:
         .write.partitionBy("cluster_id")
         .parquet(staged_dir)
     )
+    # two renames, not one atomic swap: a crash in the window between
+    # them leaves only .old — which the recovery block above restores
+    # on the next run, so every crash converges to old-or-new layout
     os.rename(posts_dir, old_dir)
     os.rename(staged_dir, posts_dir)
     shutil.rmtree(old_dir)

@@ -90,13 +90,18 @@ class ScanPlan:
     files: list[str] = field(default_factory=list)
 
     def pruned_by(self, mechanism: str) -> int:
-        """Files removed by ``mechanism`` relative to the step before it."""
-        prev = self.total_files
+        """Files removed by ``mechanism``, summed over EVERY step it ran
+        (two predicates on one column produce two same-named steps;
+        returning only the first under-reported the mechanism)."""
+        prev, total, seen = self.total_files, 0, False
         for name, kept in self.steps:
             if name == mechanism:
-                return prev - kept
+                total += prev - kept
+                seen = True
             prev = kept
-        raise KeyError(mechanism)
+        if not seen:
+            raise KeyError(mechanism)
+        return total
 
 
 def build_minmax_file_stats(files_df: DataFrame, cols: list[str]) -> DataFrame:
@@ -198,6 +203,14 @@ def plan_scan(
                 plan.steps.append((f"minmax:{p.col}", len(kept)))
 
     for col, index in (bloom_indexes or {}).items():
+        # files the index has never seen (appended after the last
+        # update_file_bloom_index) must be KEPT unconditionally — the
+        # min/max stage applies the same stale-coverage rule; dropping
+        # them would silently lose matching rows
+        indexed = {
+            r.file_path
+            for r in index.select("file_path").distinct().collect()
+        }
         for p in predicates:
             if isinstance(p, Eq) and p.col == col:
                 cands = set(
@@ -211,7 +224,9 @@ def plan_scan(
                 )
             else:
                 continue
-            kept = [f for f in kept if f in cands]
+            kept = [
+                f for f in kept if f not in indexed or f in cands
+            ]
             plan.steps.append((f"bloom:{col}", len(kept)))
 
     plan.files = kept

@@ -83,7 +83,14 @@ def bloom_candidate_files(
         spark.range(1)
         .select(
             F.explode(
-                _positions(F.lit(str(value)), num_bits, num_hashes)
+                # hash the SPARK string form of the value — the build
+                # side hashed cast(key AS string), and Python str() can
+                # differ (True vs 'true', 1e20 vs '1.0E20'): a
+                # representation mismatch would be a Bloom FALSE
+                # NEGATIVE, i.e. silently missing rows
+                _positions(
+                    F.lit(value).cast("string"), num_bits, num_hashes
+                )
             ).alias("__pos")
         )
         .select(word.alias("word_idx"), mask.alias("__mask"))
@@ -113,7 +120,13 @@ def bloom_candidate_files_any(
     the union of per-value ``bloom_candidate_files`` results without a
     driver loop over values."""
     spark = index.sparkSession
-    vals = spark.createDataFrame([(str(v),) for v in values], ["__val"])
+    values = list(values)
+    if not values:
+        return []  # IN () matches nothing — and createDataFrame([])
+        # cannot infer a schema anyway
+    vals = spark.createDataFrame(
+        [(v,) for v in values], ["__raw"]
+    ).select(F.col("__raw").cast("string").alias("__val"))
     word, mask = _word_and_mask(F.col("__pos"))
     probe = (
         vals.select(
@@ -193,6 +206,10 @@ def update_file_bloom_index(
     with a from-scratch rebuild is pytest-gated
     (tests/test_skipping.py). Immutable files assumed (the parquet
     contract); a rewritten path must drop its index rows first."""
+    if existing is None:
+        return build_file_bloom_index(
+            spark.read.parquet(data_path), key_col, num_bits, num_hashes
+        )
     all_files = sorted(
         r.file_path
         for r in spark.read.parquet(data_path)
@@ -200,10 +217,6 @@ def update_file_bloom_index(
         .distinct()
         .collect()
     )
-    if existing is None:
-        return build_file_bloom_index(
-            spark.read.parquet(data_path), key_col, num_bits, num_hashes
-        )
     known = {
         r.file_path for r in existing.select("file_path").distinct().collect()
     }
@@ -231,15 +244,22 @@ def materialize_cached(
     if wh.startswith("file:"):
         wh = wh[len("file:"):]
     out = os.path.join(wh, name)
-    parts = (
-        [src_path]
-        if os.path.isfile(src_path)
-        else [
-            os.path.join(src_path, f)
-            for f in sorted(os.listdir(src_path))
+    if os.path.isfile(src_path):
+        parts = [src_path]
+    else:
+        # RECURSIVE walk: partitioned sources change inside subdirs
+        # whose own mtime/size may not move — a shallow listing could
+        # serve a stale cache for regenerated nested part files
+        parts = sorted(
+            os.path.join(dp, f)
+            for dp, dns, fns in os.walk(src_path)
+            for f in fns
             if not f.startswith(("_", "."))
-        ]
-    )
+        )
+    if not parts:
+        raise ValueError(
+            f"materialize_cached: no data files under {src_path!r}"
+        )
     st = [os.stat(p) for p in parts]
     fp = f"{src_path}|{sum(s.st_size for s in st)}|{max(s.st_mtime_ns for s in st)}"
     meta = os.path.join(out, "_FINGERPRINT.json")
@@ -247,6 +267,11 @@ def materialize_cached(
         with open(meta) as fh:
             if json.load(fh).get("fingerprint") == fp:
                 return out
+        shutil.rmtree(out, ignore_errors=True)
+    elif os.path.isdir(out):
+        # a build that crashed between write_fn and the fingerprint dump
+        # leaves a partial dir with no meta: without this cleanup every
+        # retry wedges on error-if-exists writes inside write_fn
         shutil.rmtree(out, ignore_errors=True)
     write_fn(out)
     with open(meta, "w") as fh:

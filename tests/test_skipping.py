@@ -146,3 +146,56 @@ def test_incremental_index_equals_full_rebuild(spark, sf_dir, tmp_path):
     got = pruned_point_lookup(spark, path, idx1, "o_custkey", probe)
     want = spark.read.parquet(path).where(F.col("o_custkey") == probe)
     assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0
+
+
+def test_bloom_probe_matches_spark_string_form(spark, tmp_path):
+    """The probe must hash the SPARK cast-to-string representation: a
+    Python str() mismatch (True vs 'true', 5 vs '5.0') is a Bloom FALSE
+    NEGATIVE — silently missing rows."""
+    from telemetry_parquet_spark.sources.skipping import (
+        bloom_candidate_files,
+        bloom_candidate_files_any,
+        build_file_bloom_index,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(True, 5.0), (False, 7.5)], "flag boolean, amt double"
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    for col, present, absent in (
+        ("flag", True, None),
+        ("amt", 5.0, 9.25),
+    ):
+        idx = build_file_bloom_index(df, col)
+        assert bloom_candidate_files(idx, present), (col, present)
+        if absent is not None:
+            assert not bloom_candidate_files(idx, absent)
+    idx = build_file_bloom_index(df, "amt")
+    assert bloom_candidate_files_any(idx, [5.0, 123.0])
+    assert bloom_candidate_files_any(idx, []) == []  # IN () = nothing
+
+
+def test_plan_scan_keeps_files_the_bloom_index_never_saw(spark, tmp_path):
+    """Stale Bloom coverage must be exactness-safe: files appended after
+    the last index update are KEPT unconditionally (the min/max rule),
+    never silently dropped."""
+    from telemetry_parquet_spark.sources.scan_planner import Eq, plan_scan
+    from telemetry_parquet_spark.sources.skipping import (
+        build_file_bloom_index,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k int, s string").coalesce(
+        1
+    ).write.parquet(path)
+    idx = build_file_bloom_index(spark.read.parquet(path), "k")
+    idx = spark.createDataFrame(idx.collect(), idx.schema)  # freeze
+    # a file the index never saw, holding the probed key
+    spark.createDataFrame([(42, "late")], "k int, s string").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    df, plan = plan_scan(
+        spark, path, [Eq("k", 42)], bloom_indexes={"k": idx}
+    )
+    assert [r.s for r in df.collect()] == ["late"]  # not silently lost
