@@ -50,12 +50,19 @@ def file_manifest(spark: SparkSession, path: str) -> DataFrame:
     ``_metadata`` groups, so empty files land with n_rows = 0."""
     listing = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .load(path)
         .select(
             F.col("path").alias("file_path"),
             F.col("length").alias("file_size"),
+        )
+        # every DATA file, whatever its extension — the data scan reads
+        # extension-less parquet files too, and a manifest filtered to
+        # *.parquet would drop their rows at the compaction join. Only
+        # marker files (_SUCCESS, .crc) are excluded.
+        .where(
+            ~F.element_at(F.split("file_path", "/"), -1).startswith("_")
+            & ~F.element_at(F.split("file_path", "/"), -1).startswith(".")
         )
     )
     counts = (
@@ -112,10 +119,16 @@ def compact(
     of ``out_path`` surfaces one extra discovered partition column
     (``group_id``) that the source schema does not have. Read through
     ``read_compacted`` to get the source schema back verbatim."""
-    plan = compaction_plan(
+    # materialize the plan ONCE: it is file-count-sized by design, and a
+    # lazy plan would re-run the listing + row-count scan for the group
+    # count AND again inside the rewrite join
+    plan_rows = compaction_plan(
         file_manifest(spark, src_path), target_bytes
+    ).collect()
+    plan = spark.createDataFrame(
+        plan_rows, "file_path string, file_size long, group_id long"
     )
-    n_groups = plan.select("group_id").distinct().count()
+    n_groups = len({r.group_id for r in plan_rows})
     data = spark.read.parquet(src_path).withColumn(
         "__file", F.col("_metadata.file_path")
     )
@@ -154,7 +167,14 @@ def maintenance_pass(
     accounting — callers schedule this per closed partition (e.g. after a
     day's ``availableNow`` relay finishes) so compaction always runs
     behind the write frontier, never against in-flight files."""
-    n_files = file_manifest(spark, landing_path).count()
+    from pyspark.errors import AnalysisException
+
+    try:
+        n_files = file_manifest(spark, landing_path).count()
+    except AnalysisException:
+        # empty/initial landing zone: nothing to manifest — the exact
+        # case a scheduled maintenance loop must survive gracefully
+        return {"compacted": False, "n_files": 0, "n_groups": 0}
     if n_files < min_files:
         return {"compacted": False, "n_files": n_files, "n_groups": 0}
     plan = compact(spark, landing_path, compacted_path, target_bytes)

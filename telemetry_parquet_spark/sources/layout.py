@@ -113,8 +113,12 @@ def rank_bucket_map(df: DataFrame, col: str, bits: int = 8) -> DataFrame:
     from pyspark.sql import Window
 
     b = 1 << bits
-    hist = df.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
-    total = df.agg(F.count("*").alias("n"))
+    nn = df.where(F.col(col).isNotNull())
+    # nulls never match the (null-unsafe) bucket join — including them
+    # in the histogram would reserve bucket range no value can use and
+    # compress every real value into the top of the curve
+    hist = nn.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
+    total = nn.agg(F.count("*").alias("n"))
     cume = hist.withColumn(
         "start", F.sum("cnt").over(Window.orderBy("v")) - F.col("cnt")
     )
@@ -171,34 +175,50 @@ def zorder_key_adaptive(
     (vocabulary-sized, near-unique) pair gets an exact map on the first
     and a windowless projection on the second. The fact table never
     shuffles in any regime."""
+    from pyspark.sql.types import NumericType
+
+    numeric = {
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, NumericType)
+    }
     if mode == "auto":
         cnt = df.agg(
             F.approx_count_distinct(x).alias("x"),
             F.approx_count_distinct(y).alias("y"),
         ).first()
         modes = {
-            x: "exact" if cnt["x"] <= exact_max_distinct else "approx",
-            y: "exact" if cnt["y"] <= exact_max_distinct else "approx",
+            # approxQuantile is numeric-only: a high-cardinality string
+            # key must stay on the exact path rather than crash — the
+            # regime flip is a performance decision, never a type error
+            c: (
+                "approx"
+                if cnt[k] > exact_max_distinct and c in numeric
+                else "exact"
+            )
+            for c, k in ((x, "x"), (y, "y"))
         }
     else:
         modes = {x: mode, y: mode}
 
     out = df
-    for colname, tag in ((x, "_bx"), (y, "_by")):
+    for colname, tag in ((x, "__zb_x"), (y, "__zb_y")):
         if modes[colname] == "exact":
-            bm = rank_bucket_map(df, colname, bits)
-            out = (
-                out.join(F.broadcast(bm), out[colname] == bm["v"], "left")
-                .drop("v")
-                .withColumnRenamed("bucket", tag)
+            # reserved internal names on the MAP side: a source column
+            # literally named 'v' or 'bucket' must survive the join
+            bm = rank_bucket_map(df, colname, bits).select(
+                F.col("v").alias("__zb_v"),
+                F.col("bucket").alias(tag),
             )
+            out = out.join(
+                F.broadcast(bm), out[colname] == bm["__zb_v"], "left"
+            ).drop("__zb_v")
         else:
             out = out.withColumn(
                 tag, quantile_bucket_expr(df, colname, bits)
             )
     return out.withColumn(
-        out_col, zorder_code(F.col("_bx"), F.col("_by"))
-    ).drop("_bx", "_by")
+        out_col, zorder_code(F.col("__zb_x"), F.col("__zb_y"))
+    ).drop("__zb_x", "__zb_y")
 
 
 def cluster_zorder_adaptive(
@@ -298,8 +318,18 @@ def zorder_key_adaptive_n(
         cnt = df.agg(
             *[F.approx_count_distinct(c).alias(c) for c in cols]
         ).first()
+        from pyspark.sql.types import NumericType
+
+        numeric = {
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, NumericType)
+        }
         modes = {
-            c: "exact" if cnt[c] <= exact_max_distinct else "approx"
+            c: (
+                "approx"
+                if cnt[c] > exact_max_distinct and c in numeric
+                else "exact"
+            )
             for c in cols
         }
     else:
@@ -307,15 +337,16 @@ def zorder_key_adaptive_n(
     out = df
     tags = []
     for idx, c in enumerate(cols):
-        tag = f"_b{idx}"
+        tag = f"__zb_{idx}"
         tags.append(tag)
         if modes[c] == "exact":
-            bm = rank_bucket_map(df, c, bits)
-            out = (
-                out.join(F.broadcast(bm), out[c] == bm["v"], "left")
-                .drop("v")
-                .withColumnRenamed("bucket", tag)
+            bm = rank_bucket_map(df, c, bits).select(
+                F.col("v").alias("__zb_v"),
+                F.col("bucket").alias(tag),
             )
+            out = out.join(
+                F.broadcast(bm), out[c] == bm["__zb_v"], "left"
+            ).drop("__zb_v")
         else:
             out = out.withColumn(tag, quantile_bucket_expr(df, c, bits))
     return out.withColumn(out_col, zorder_code_n(tags, bits)).drop(*tags)

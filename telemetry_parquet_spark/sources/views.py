@@ -227,6 +227,13 @@ def refresh_view(spark: SparkSession, view_root: str) -> int:
                 if m.get("mv_sum_col")
                 else {}
             ),
+            # the marker must survive refresh — dropping it made AVG
+            # unanswerable after the first catch-up
+            **(
+                {"mv_measure_counts": True}
+                if m.get("mv_measure_counts")
+                else {}
+            ),
         },
     )
 

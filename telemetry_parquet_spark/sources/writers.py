@@ -40,11 +40,21 @@ def write_partitioned(
     dynamic overwrite enabled (session default), only the partitions present
     in ``df`` are replaced — the reference's "replace exactly one day"."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out = df
-    if files_per_partition:
-        out = df.repartition(files_per_partition, *partition_cols)
-    out.write.mode(mode).partitionBy(*list(partition_cols)).parquet(path)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        out = df
+        if files_per_partition:
+            out = df.repartition(files_per_partition, *partition_cols)
+        out.write.mode(mode).partitionBy(*list(partition_cols)).parquet(path)
+    finally:
+        # session confs leak across callers; an unrelated later static
+        # overwrite must not silently become a dynamic one
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def overwrite_single_day(
@@ -99,11 +109,34 @@ def compact_dataset(
     import glob
     import shutil
 
-    df = read_dataset(spark, path)
     pcol = partition_cols[0]
     sizes: dict[str, int] = {}
+    # recover residue from a crash between the two swap renames: a
+    # leftover .compact-old whose live dir is GONE holds the only copy
+    # of that partition — restore it (deleting it, as before, was
+    # data loss; with the live dir present the swap completed and the
+    # old copy is garbage)
+    for old in glob.glob(os.path.join(path, f".compact-old-{pcol}=*")):
+        live = os.path.join(
+            path, os.path.basename(old)[len(".compact-old-"):]
+        )
+        if os.path.isdir(live):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, live)
+    # resolve the file index only AFTER recovery: a DataFrame created
+    # before the restore would not see the recovered partition and the
+    # row-count guard would (correctly, loudly) refuse every swap
+    df = read_dataset(spark, path)
     for pdir in glob.glob(os.path.join(path, f"{pcol}=*")):
         val = os.path.basename(pdir).split("=", 1)[1]
+        if val == "__HIVE_DEFAULT_PARTITION__" or "%" in val:
+            # null or URI-escaped partition values do not round-trip
+            # through an equality filter on the decoded column; a
+            # rewrite would match zero rows and the swap would REPLACE
+            # the partition with nothing — skip loudly instead
+            sizes[val] = -1
+            continue
         nbytes = sum(
             os.path.getsize(os.path.join(root, f))
             for root, _, files in os.walk(pdir)
@@ -118,15 +151,26 @@ def compact_dataset(
         # pcol is directory-encoded in the target layout; drop the derived
         # column so the rewritten files don't duplicate it (deeper partition
         # levels, if any, keep their directory encoding via partitionBy)
+        part = df.where(F.col(pcol) == val)
         writer = (
-            df.where(F.col(pcol) == val)
-            .drop(pcol)
-            .repartition(n_files)
-            .write.mode("overwrite")
+            part.drop(pcol).repartition(n_files).write.mode("overwrite")
         )
         if len(partition_cols) > 1:
             writer = writer.partitionBy(*list(partition_cols[1:]))
         writer.parquet(tmp)
+        # the swap deletes the original: refuse it unless the rewrite
+        # holds exactly the partition's rows (a value that fails to
+        # round-trip through the filter would otherwise silently empty
+        # the partition)
+        before = spark.read.parquet(pdir).count()
+        after = spark.read.parquet(tmp).count()
+        if before != after:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compact_dataset: rewrite of {pcol}={val} holds "
+                f"{after} rows vs {before} in the live partition; "
+                "refusing the swap"
+            )
         _swap_partition_dirs(tmp, pdir, old)
         sizes[val] = n_files
     return sizes
@@ -158,11 +202,22 @@ def read_dataset(spark: SparkSession, path: str, merge_schema: bool = False) -> 
     """S2/S3: partitioned dataset scan, optional schema merge
     (DatasetComparator.scala:92). Partition values stay strings (yyyyMMdd
     day keys must not be inferred to int — reference layout §1.4)."""
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(path)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        # partition schema resolves eagerly at DataFrame creation, so the
+        # conf only needs to hold for this call — restore it after
+        # (session confs must not leak into unrelated readers)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def footer_stats(

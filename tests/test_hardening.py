@@ -129,3 +129,49 @@ def test_overwrite_releases_drop_column_tombstone(spark, table):
     )  # full replace: no old bytes remain
     v = S.alter_add_column(table, "x", "double")  # now legal
     assert "x" in S.read_snapshot(spark, table, v).columns
+
+
+def test_compact_dataset_restores_crash_residue_and_skips_null_partitions(
+    spark, tmp_path
+):
+    """A crash between the swap renames leaves only .compact-old — the
+    next run must RESTORE it (deleting it was data loss). Null/escaped
+    partition values don't round-trip the equality filter; they are
+    skipped, never replaced with an empty rewrite."""
+    import os
+    import shutil
+
+    from telemetry_parquet_spark.sources.writers import (
+        compact_dataset,
+        read_dataset,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.createDataFrame(
+        [("20240101", 1), ("20240101", 2), (None, 3)], "d string, v int"
+    ).write.partitionBy("d").parquet(path)
+    # simulate the crash window: live dir gone, .old holds the data
+    live = os.path.join(path, "d=20240101")
+    old = os.path.join(path, ".compact-old-d=20240101")
+    os.rename(live, old)
+    sizes = compact_dataset(spark, path, ["d"])
+    assert os.path.isdir(live) and not os.path.exists(old)  # restored
+    got = sorted(r.v for r in read_dataset(spark, path).collect())
+    assert got == [1, 2, 3]  # nothing lost
+    assert sizes.get("__HIVE_DEFAULT_PARTITION__") == -1  # skipped, loud
+
+
+def test_write_partitioned_does_not_leak_session_conf(spark, tmp_path):
+    from telemetry_parquet_spark.sources.writers import write_partitioned
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    try:
+        write_partitioned(
+            spark.createDataFrame([("20240101", 1)], "d string, v int"),
+            str(tmp_path / "o"),
+            ["d"],
+        )
+        assert spark.conf.get(key) == "static"  # restored
+    finally:
+        spark.conf.unset(key)

@@ -265,6 +265,15 @@ def test_avg_ignores_nulls_like_sql(spark, tmp_path):
         ).collect()
     }
     assert got[0] == 4.0  # (2+6)/2 non-null values
+    # the counts marker must SURVIVE the refresh commit: a second
+    # rewrite after catch-up reads the refreshed manifest
+    got = {
+        r.a: r.m
+        for r in rewrite_aggregate(
+            spark, view, ["a"], [Agg("avg", "x", "m")]
+        ).collect()
+    }
+    assert got[0] == 4.0
     # fallback path agrees with SQL semantics
     out, used = answer_aggregate(
         spark, root, [], ["a"], [Agg("avg", "x", "m")]
