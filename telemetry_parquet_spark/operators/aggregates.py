@@ -32,7 +32,13 @@ def _entries(df: DataFrame, keys: list[str], map_col: str, extra: list[str]) -> 
 def agg_map_sum_entries(df: DataFrame, keys: list[str], map_col: str) -> DataFrame:
     """A4 ``AggMapSum`` (AggMapSum.scala:10-58): pointwise per-key sum of a
     map column across the group, null values skipped; exploded entry form
-    with columns (keys…, map_key, map_value)."""
+    with columns (keys…, map_key, map_value).
+
+    Semantics contract (shared by agg_map_first / agg_row_first): a group
+    whose collections are ALL empty/null contributes no entry rows and is
+    therefore ABSENT from the result — the relational UNNEST semantics
+    the driver oracles define (the reference UDAF instead emits an empty
+    per-group row; documented divergence, deliberate)."""
     return (
         _entries(df, keys, map_col, [])
         .where(F.col("__mv").isNotNull())

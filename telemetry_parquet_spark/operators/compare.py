@@ -74,11 +74,25 @@ def compare_datasets(
     common = sorted(lcols & rcols)
     keys = key_columns or common
 
-    res.left_rows = left.count()
-    res.right_rows = right.count()
-
-    lnulls = null_counts(left, common).collect()[0].asDict()
-    rnulls = null_counts(right, common).collect()[0].asDict()
+    # row counts ride in the same single pass as the null counts — a
+    # separate count() doubled each side's full scan
+    lagg = left.agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(F.col(c).isNull().cast("int")).cast("long").alias(c)
+            for c in common
+        ],
+    ).collect()[0].asDict()
+    ragg = right.agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(F.col(c).isNull().cast("int")).cast("long").alias(c)
+            for c in common
+        ],
+    ).collect()[0].asDict()
+    res.left_rows = lagg.pop("__n")
+    res.right_rows = ragg.pop("__n")
+    lnulls, rnulls = lagg, ragg
     for c in common:
         if lnulls[c] != rnulls[c]:
             res.null_count_diffs[c] = (lnulls[c], rnulls[c])

@@ -153,12 +153,21 @@ def label_propagation(
     # id bound already implies. 64-bit hashed ids would silently mis-decode;
     # fail loudly instead (the check is one tiny agg over the already
     # checkpointed node-sized relation).
-    max_id = lbl.agg(F.max("id")).first()[0]
-    if max_id is not None and int(max_id) >= M:
+    bounds = lbl.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).first()
+    if bounds["hi"] is not None and (
+        int(bounds["hi"]) >= M or int(bounds["lo"]) < 0
+    ):
+        # a negative id (e.g. a 64-bit hash) would overflow the packed
+        # term into the count field and decode to a WRONG label with an
+        # inflated vote — exactly the silent corruption this guard exists
+        # to prevent; both bounds must hold
         raise ValueError(
-            f"label_propagation's packed argmax requires node ids < 2^31; "
-            f"got max id {max_id}. Densify ids first (e.g. "
-            f"row_number/dense_rank remap) or widen the packing."
+            f"label_propagation's packed argmax requires node ids in "
+            f"[0, 2^31); got [{bounds['lo']}, {bounds['hi']}]. Densify "
+            f"ids first (e.g. row_number/dense_rank remap) or widen "
+            f"the packing."
         )
     for i in range(iters):
         votes = (

@@ -60,9 +60,9 @@ def scd2_apply(
         .withColumn(valid_from, F.col(change_ts_col))
         .withColumn(valid_to, F.col("__next_ts"))
         .withColumn(is_current, F.col("__next_ts").isNull())
-        .drop("__next_ts", *(
-            [change_ts_col] if change_ts_col not in attr_cols else []
-        ))
+        # attr_cols excludes change_ts_col by construction, so the drop
+        # is unconditional
+        .drop("__next_ts", change_ts_col)
     )
 
     changed_keys = changes.select(*keys).distinct()
@@ -81,7 +81,13 @@ def scd2_apply(
     untouched_open = dim.where(F.col(is_current)).join(
         changed_keys, on=keys, how="left_anti"
     )
-    closed_history = dim.where(~F.col(is_current))
+    # NULL is_current counts as closed history: where(col) and
+    # where(~col) BOTH exclude nulls, so such rows silently vanished
+    # from every apply — permanent data loss for dims written by jobs
+    # that left the flag unset
+    closed_history = dim.where(
+        ~F.coalesce(F.col(is_current), F.lit(False))
+    )
 
     return (
         closed_history.unionByName(untouched_open)

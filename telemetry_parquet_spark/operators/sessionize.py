@@ -23,7 +23,14 @@ def sessionize(
     order_tiebreak: str | None = None,
     session_col: str = "session_id",
 ) -> DataFrame:
-    """Append a per-key ``session_id`` column (1-based, in time order)."""
+    """Append a per-key ``session_id`` column (1-based, in time order).
+
+    Gap semantics are SECOND-BOUNDARY (``unix_timestamp`` truncation):
+    a new session starts when more than ``gap_seconds`` whole-second
+    boundaries separate consecutive events — byte-identical to the
+    driver oracle's ``date_diff('second', …)`` contract. Sub-second gap
+    remainders are not counted, by design (not an accident of
+    truncation: both engines define the gap this way)."""
     order = [F.col(ts_col).asc()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc())

@@ -25,8 +25,18 @@ def salted_agg(
     phase-1 aggregate expression), where merge_fn is 'sum'|'min'|'max'
     (how phase-2 combines phase-1 partials). COUNT is expressed as a
     phase-1 ``F.count(...)`` merged with 'sum'."""
-    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
+    # the salt must be DETERMINISTIC per row: monotonically_increasing_id
+    # changes under task retries, re-routing recomputed rows to different
+    # phase-1 partitions while other reducers keep already-fetched data —
+    # rows summed twice or dropped (pagerank.py salts on a real column for
+    # the same reason). Default: hash of the full row content.
+    if salt_on:
+        salt_cols = [F.col(salt_on)]
+    else:
+        salt_cols = [F.col(c) for c in df.columns]
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets))
+    )
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, (_, expr) in aggs.items()]
     )

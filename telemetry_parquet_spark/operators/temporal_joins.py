@@ -30,13 +30,21 @@ def as_of_join(
     right_payload: list[str] | None = None,
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
+    deterministic_ties: bool = True,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right_ts <= left_ts`` for the same ``on`` key (ties: right row at the
-    exact same timestamp wins, i.e. 'backward' semantics inclusive).
+    exact same timestamp wins, i.e. 'backward' semantics inclusive; among
+    MULTIPLE right rows sharing that timestamp the payload-struct-largest
+    one wins when ``deterministic_ties`` — repeatable across runs and
+    partitionings; set it False if the payload contains unorderable types
+    like maps).
 
     ``tolerance_seconds`` drops matches older than the window (like
-    pandas ``merge_asof(tolerance=...)``)."""
+    pandas ``merge_asof(tolerance=...)``), evaluated at SECOND-BOUNDARY
+    granularity (``unix_timestamp`` truncation — identical to the
+    oracle's ``date_diff('second', …)``; sub-second age is not
+    counted, by contract)."""
     payload_cols = right_payload or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -53,9 +61,12 @@ def as_of_join(
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
     # right rows (tag 0) sort before left rows (tag 1) at equal __ts, so an
     # exact-timestamp right row is visible to the left row — inclusive asof.
+    order = [F.col("__ts").asc(), F.col("__tag").asc()]
+    if deterministic_ties:
+        order.append(F.col("__r").asc())
     w = (
         W.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
