@@ -40,81 +40,73 @@ from telemetry_parquet_spark.queries import table_service  # noqa: F401, E402
 # (no file I/O at import time) and is refreshed by hand from the latest
 # CORRECTNESS_r{N}.json each round.
 #
-# Round-9 window (see CORRECTNESS_CUMULATIVE.md for the full ledger;
-# cumulative state after r08: every registered query green at its latest
-# driver row, 0 red, so this window is new-surface first, then the
-# staleness rotation the r8 verdict ordered):
-# 1. Queries new in round 9 — the only names with no driver row at all
-#    (incl. the late catalog_txn_consistent_read,
-#    stream_catalog_txn_fanout, and jv_star_rollup).
-# 2. The r05-stale cohort fills the remaining slots (the oldest verdicts
-#    left); stream_sliding_halfhour and later names rotate to round 10.
+# Round-10 window (see CORRECTNESS_CUMULATIVE.md for the full ledger;
+# cumulative state after r09: 198 green, 8 hash-red — all 8 reds were
+# value-identical DECIMAL outputs the driver canonicalizer renders
+# differently per engine; round 10 re-keyed them (plus 4 siblings) to
+# BIGINT cents):
+# 1. The 12 re-keyed table-format/MV/branch/join-view/catalog queries.
+# 2. The r05-stale cohort (oldest verdicts left), then the r06 cohort
+#    alphabetically; mm_decoded_features onward rotates to round 11.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (new in round 9)
-    "mv_rewrite_rollup",
-    "snapshot_join_planned",
-    "snapshot_branch_merge",
-    "split_grouped_holdout",
-    "snapshot_wap_publish",
-    "snapshot_merge_evolve",
-    "sim_ivf_persisted_topk",
-    "snapshot_bloom_planned",
-    "snapshot_mor_delete",
-    "snapshot_mor_update",
-    "snapshot_sql_cross_version",
-    "snapshot_stats_pruned_scan",
-    "ml_kmeans_k256_assignments",
-    "scan_planned_mixed_predicates",
-    "scan_planned_zorder_ranges",
-    "scan_planned_zorder3_ranges",
-    "sim_matmul_batch_topk",
+    # changed in round 10 — the 8 r09 hash-reds plus their 4 siblings, all
+    # re-keyed from DECIMAL sum_price to BIGINT sum_price_cents (the driver
+    # canonicalizer drops trailing-zero decimals; values were verified exact
+    # locally both rounds). Re-verify these first.
     "snapshot_time_travel",
     "snapshot_merge_upsert",
-    "snapshot_zorder_planned",
-    "snapshot_changes_feed",
-    "snapshot_incremental_view",
-    "catalog_txn_consistent_read",
-    "stream_catalog_txn_fanout",
+    "snapshot_mor_delete",
+    "snapshot_merge_evolve",
+    "snapshot_wap_publish",
+    "snapshot_branch_merge",
     "jv_star_rollup",
-    # behavior CHANGED in round 9 (int64-matmul signature family + new
-    # quantized oracles) — re-verify ahead of the stale cohort
-    "sim_knn_graph_lsh_tables",
-    "sim_knn_graph_lsh_probe",
-    # latest driver row r05 (complete cohort)
-    "dd_duplicate_passages",
-    "dd_repeated_spans",
-    "dd_simhash_md5_pairs",
-    "dq_constraints",
-    "embedding_quantize_int8",
-    "encode_token_ids",
-    "events_flatten",
-    "feature_hashing_counts",
-    "graph_pagerank",
-    "html_strip_normalize",
-    "j1_anti_orders_without_lineitems",
-    "j2_semi_customers_with_orders",
-    "j3_broadcast_enrich",
-    "len_quantiles_by_lang",
-    "o3_top_events_per_user",
-    "outlier_trim_by_lang",
-    "p2_dynamic_predicates",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "sessionize_events",
-    "stream_dedup_keys",
-    "stream_session_windows",
-    # stream_sliding_halfhour, stream_static_enrich, stream_stream_view_purchase,
-    # stream_tumbling_hourly, stream_user_running_stats, token_counting,
-    # u1_union_by_name, zorder_codes, u2_except_all, u3_intersect,
-    # vocab_table, w3_event_gaps (r05-stale) rotated to round 10 — their
-    # slots went
-    # to never-driver-checked queries (snapshot_stats_pruned_scan,
-    # snapshot_wap_publish, snapshot_merge_evolve,
-    # sim_ivf_persisted_topk, snapshot_bloom_planned)
-    # (the r06 cohort — asof_last_purchase_before_view on, alphabetical —
-    # rotates to round 10's window; its three slots went to the new
-    # MOR/SQL-front-door queries above)
+    "mv_rewrite_rollup",
+    "snapshot_mor_update",
+    "snapshot_incremental_view",
+    "snapshot_join_planned",
+    "catalog_txn_consistent_read",
+    # latest driver row r05 — the stalest cohort (rotation, per the ledger)
+    "stream_sliding_halfhour",
+    "stream_static_enrich",
+    "stream_stream_view_purchase",
+    "stream_tumbling_hourly",
+    "stream_user_running_stats",
+    "token_counting",
+    "u1_union_by_name",
+    "u2_except_all",
+    "u3_intersect",
+    "vocab_table",
+    "w3_event_gaps",
+    "zorder_codes",
+    # latest driver row r06 — the next-stalest cohort fills the window
+    "asof_last_purchase_before_view",
+    "basket_part_pairs",
+    "blocklist_filter",
+    "bpe_learn_merges",
+    "chunk_documents",
+    "cms_sketch_counts",
+    "cms_term_estimates",
+    "comparator_summary",
+    "corpus_e2e_curation",
+    "cube_order_volume",
+    "dd_incremental_near_dup",
+    "dd_semantic_prune",
+    "embedding_centroids",
+    "encode_bpe_ids",
+    "events_flatten_variant",
+    "f10_bucketed_histogram",
+    "f9_domain_extraction",
+    "footer_stats_lineitem",
+    "funnel_conversion",
+    "grouping_sets_volume",
+    "lm_bigram_train",
+    "lm_perplexity_score",
+    "lm_pmi_collocations",
+    "longitudinal_newest",
+    "longitudinal_unnest",
+    "merge_upsert_customers",
+    # (remaining r06 names — mm_decoded_features on, alphabetical — rotate
+    # to round 11's window)
 )
 
 

@@ -26,7 +26,24 @@ from pyspark.sql import functions as F
 from telemetry_parquet_spark.queries.registry import query
 from telemetry_parquet_spark.sources.skipping import materialize_cached
 
-_SUM = "CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))"
+# Money totals are keyed as BIGINT *cents* on BOTH engine and oracle
+# sides: the driver's canonicalizer renders trailing-zero DECIMAL cells
+# (e.g. 1251869314.00) differently per engine, so a value-identical
+# DECIMAL result can still hash-red (the r09 8-red bug class — same
+# family as the r05 HUGEINT miss). Per-row cents are exact: the 2-decimal
+# price rounds identically on both engines (proven by the former DECIMAL
+# rows matching), ×100 clears the scale, and group sums stay ≪ 2⁶³.
+_SUM = (
+    "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)) "
+    "AS BIGINT)"
+)
+
+
+def _sum_cents(col: str = "o_totalprice"):
+    """Spark twin of the ``_SUM`` oracle macro: exact BIGINT cents."""
+    return F.sum(
+        (F.col(col).cast("decimal(15,2)") * 100).cast("long")
+    ).alias("sum_price_cents")
 
 
 def _time_travel_chain(spark: SparkSession, sf_dir: str) -> str:
@@ -63,7 +80,7 @@ def _time_travel_chain(spark: SparkSession, sf_dir: str) -> str:
     WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
          v3 AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT')
     SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {_SUM} AS sum_price FROM v1
+           {_SUM} AS sum_price_cents FROM v1
     UNION ALL
     SELECT 2, CAST(COUNT(*) AS BIGINT), {_SUM} FROM orders
     UNION ALL
@@ -84,13 +101,8 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in (1, 2, 3, 4):
         parts.append(
             read_snapshot(spark, root, v)
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
-                .cast("decimal(25,2)")
-                .alias("sum_price"),
-            )
-            .select(F.lit(v).alias("version"), "n_rows", "sum_price")
+            .agg(F.count("*").alias("n_rows"), _sum_cents())
+            .select(F.lit(v).alias("version"), "n_rows", "sum_price_cents")
         )
     out = parts[0]
     for p in parts[1:]:
@@ -107,7 +119,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replays MERGE as target-minus-source-keys ∪ source — the
     # operators/merge.py::merge_upsert semantics the COW commit must
     # reproduce file-granularly.
-    oracle="""
+    oracle=f"""
     WITH target AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
     source AS (
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -123,8 +135,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN o_orderpriority = 'MERGED' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_merged,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
-               AS sum_price
+           {_SUM} AS sum_price_cents
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -162,9 +173,7 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("o_orderpriority") == "MERGED", 1).otherwise(0)
         ).alias("n_merged"),
-        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
-        .cast("decimal(25,2)")
-        .alias("sum_price"),
+        _sum_cents(),
     )
 
 
@@ -298,7 +307,7 @@ def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
          v4 AS (SELECT * FROM orders
                 WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
     SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {_SUM} AS sum_price FROM v1
+           {_SUM} AS sum_price_cents FROM v1
     UNION ALL
     SELECT 2, CAST(COUNT(*) AS BIGINT), {_SUM} FROM orders
     UNION ALL
@@ -350,13 +359,8 @@ def snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in (1, 2, 3, 4, 5):
         parts.append(
             read_snapshot(spark, root, v)
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
-                .cast("decimal(25,2)")
-                .alias("sum_price"),
-            )
-            .select(F.lit(v).alias("version"), "n_rows", "sum_price")
+            .agg(F.count("*").alias("n_rows"), _sum_cents())
+            .select(F.lit(v).alias("version"), "n_rows", "sum_price_cents")
         )
     out = parts[0]
     for p in parts[1:]:
@@ -380,7 +384,8 @@ def snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(0 AS BIGINT) AS n_updated, {_SUM} AS sum_price FROM orders
+           CAST(0 AS BIGINT) AS n_updated, {_SUM} AS sum_price_cents
+    FROM orders
     UNION ALL
     SELECT 2, CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CASE WHEN o_orderpriority = 'UPDATED' THEN 1 ELSE 0
@@ -439,12 +444,10 @@ def snapshot_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("o_orderpriority") == "UPDATED", 1
                     ).otherwise(0)
                 ).alias("n_updated"),
-                F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
-                .cast("decimal(25,2)")
-                .alias("sum_price"),
+                _sum_cents(),
             )
             .select(F.lit(v).alias("version"), "n_rows", "n_updated",
-                    "sum_price")
+                    "sum_price_cents")
         )
     out = parts[0]
     for p in parts[1:]:
@@ -664,7 +667,7 @@ def snapshot_bloom_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state = everything except the discarded 8-decile.
     oracle=f"""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {_SUM} AS sum_price
+           {_SUM} AS sum_price_cents
     FROM orders WHERE o_orderkey % 10 <> 8
     GROUP BY o_orderstatus
     """,
@@ -728,9 +731,7 @@ def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("discarded stage leaked into the log")
     return read_snapshot(spark, root).groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
-        .cast("decimal(25,2)")
-        .alias("sum_price"),
+        _sum_cents(),
     )
 
 
@@ -742,7 +743,7 @@ def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # head surfaces NULL channel for never-rewritten rows). Oracle
     # replays merge-with-evolution relationally: target minus source
     # keys gets NULL channel, source rows carry 'WEB'.
-    oracle="""
+    oracle=f"""
     WITH target AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
     source AS (
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -758,8 +759,7 @@ def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN o_channel IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_channel,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
-               AS sum_price
+           {_SUM} AS sum_price_cents
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -808,9 +808,7 @@ def snapshot_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("o_channel").isNotNull(), 1).otherwise(0)
         ).alias("n_channel"),
-        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
-        .cast("decimal(25,2)")
-        .alias("sum_price"),
+        _sum_cents(),
     )
 
 
@@ -822,10 +820,9 @@ def snapshot_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contributes nothing by cancellation). The oracle is the DIRECT
     # aggregation of the final state, so a green row is the cross-engine
     # proof that increments compose to re-computation — the IVM contract.
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
-               AS sum_price
+           {_SUM} AS sum_price_cents
     FROM orders WHERE o_orderpriority <> '1-URGENT'
     GROUP BY o_orderstatus
     """,
@@ -858,10 +855,12 @@ def snapshot_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = refresh_view_incremental(
             state, changes, ["o_orderstatus"], "__p"
         )
+    # state sums stay DECIMAL (exact, associative increments); only the
+    # OUTPUT re-keys to cents — state×100 equals the per-row cents sum
     return state.select(
         "o_orderstatus",
         "n_rows",
-        F.col("sum_val").cast("decimal(25,2)").alias("sum_price"),
+        (F.col("sum_val") * 100).cast("long").alias("sum_price_cents"),
     )
 
 
@@ -874,11 +873,10 @@ def snapshot_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fact table, so a green row proves the rewrite ENGAGED. The oracle
     # is the direct aggregation over ALL of orders (80% + 20% appends).
     # AVG divides the two exact DECIMAL totals in IEEE double on both sides.
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
-               AS sum_price,
+           {_SUM} AS sum_price_cents,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS avg_price
     FROM orders GROUP BY o_orderstatus
@@ -933,7 +931,14 @@ def mv_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         require_rewrite=True,
     )
     assert used is not None  # the rewrite path, proven
-    return out
+    # the view's DECIMAL total re-keys to exact BIGINT cents (×100 over
+    # the scale-2 total ≡ summing per-row cents)
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        (F.col("sum_price") * 100).cast("long").alias("sum_price_cents"),
+        "avg_price",
+    )
 
 
 @query(
@@ -947,11 +952,10 @@ def mv_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # proves the whole decision chain, and the answer must still equal the
     # plain relational join. The c_custkey cutoff itself comes from the
     # manifest column stats (MAX over per-file maxima), zero data I/O.
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
-               AS sum_price
+           {_SUM} AS sum_price_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE c_custkey <= (SELECT MAX(c_custkey) // 8 FROM customer)
     GROUP BY c_mktsegment
@@ -1003,9 +1007,9 @@ def snapshot_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert plan.broadcast == "left"  # the pruned dim side, proven
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
-        .cast("decimal(25,2)")
-        .alias("sum_price"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+        ).alias("sum_price_cents"),
     )
 
 
@@ -1018,26 +1022,23 @@ def snapshot_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its own commits but NOT main's concurrent append (isolation); main
     # pre-merge sees its own line only; the merge is exactly the union
     # (appends commute). Stage summaries are per-orderstatus COUNT/SUM.
-    oracle="""
+    oracle=f"""
     WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
          br   AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (7, 8)),
          mn   AS (SELECT * FROM orders WHERE o_orderkey % 10 = 9)
     SELECT 'branch_head' AS stage, o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
-               AS sum_price
+           {_SUM} AS sum_price_cents
     FROM (SELECT * FROM base UNION ALL SELECT * FROM br)
     GROUP BY o_orderstatus
     UNION ALL
     SELECT 'main_pre_merge', o_orderstatus,
-           CAST(COUNT(*) AS BIGINT),
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
+           CAST(COUNT(*) AS BIGINT), {_SUM}
     FROM (SELECT * FROM base UNION ALL SELECT * FROM mn)
     GROUP BY o_orderstatus
     UNION ALL
     SELECT 'merged', o_orderstatus,
-           CAST(COUNT(*) AS BIGINT),
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(25,2))
+           CAST(COUNT(*) AS BIGINT), {_SUM}
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -1083,10 +1084,11 @@ def snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     def summarize(df: DataFrame, stage: str) -> DataFrame:
         return df.groupBy("o_orderstatus").agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
-            .cast("decimal(25,2)")
-            .alias("sum_price"),
-        ).select(F.lit(stage).alias("stage"), "o_orderstatus", "n_rows", "sum_price")
+            _sum_cents(),
+        ).select(
+            F.lit(stage).alias("stage"), "o_orderstatus", "n_rows",
+            "sum_price_cents",
+        )
 
     out = summarize(read_branch(spark, t, "etl"), "branch_head")
     out = out.unionAll(summarize(read_snapshot(spark, t, 2), "main_pre_merge"))
@@ -1112,16 +1114,16 @@ def snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'v0' AS stage,
              (SELECT COUNT(*) FROM f0) AS n_facts,
              (SELECT COUNT(*) FROM d0) AS n_dims,
-             CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
-                  AS DECIMAL(25,2)) AS revenue
+             CAST(SUM(CAST(CAST(f.o_totalprice AS DECIMAL(15,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM f0 f JOIN d0 d ON f.o_custkey = d.c_custkey
     ),
     s1 AS (
       SELECT 'v1' AS stage,
              (SELECT COUNT(*) FROM orders) AS n_facts,
              (SELECT COUNT(*) FROM customer) AS n_dims,
-             CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
-                  AS DECIMAL(25,2)) AS revenue
+             CAST(SUM(CAST(CAST(f.o_totalprice AS DECIMAL(15,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM orders f JOIN customer d ON f.o_custkey = d.c_custkey
     )
     SELECT * FROM s0 UNION ALL SELECT * FROM s1
@@ -1164,14 +1166,15 @@ def catalog_txn_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     stmt = """
       SELECT (SELECT COUNT(*) FROM facts) AS n_facts,
              (SELECT COUNT(*) FROM dims) AS n_dims,
-             CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
-                  AS DECIMAL(25,2)) AS revenue
+             CAST(SUM(CAST(CAST(f.o_totalprice AS DECIMAL(15,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM facts f JOIN dims d ON f.o_custkey = d.c_custkey
     """
     out = None
     for stage, v in (("v0", 0), ("v1", 1)):
         row = cat.sql_at(spark, stmt, v).select(
-            F.lit(stage).alias("stage"), "n_facts", "n_dims", "revenue"
+            F.lit(stage).alias("stage"), "n_facts", "n_dims",
+            "revenue_cents",
         )
         out = row if out is None else out.unionAll(row)
     return out
@@ -1188,29 +1191,30 @@ def catalog_txn_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # express that as a delta). The oracle recomputes each stage's
     # world relationally; a hash match proves every maintenance mode
     # produced the exact rollup.
-    oracle="""
+    oracle=f"""
     WITH f0 AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
          f1 AS (SELECT * FROM orders),
          f2 AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'),
          d1 AS (SELECT * FROM customer WHERE c_custkey % 97 <> 0)
-    SELECT 'initial' AS stage, c.c_mktsegment, COUNT(*) AS n_rows,
-           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
-                AS DECIMAL(25,2)) AS sum_price
+    SELECT 'initial' AS stage, c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(f.o_totalprice AS DECIMAL(15,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_price_cents
     FROM f0 f JOIN customer c ON f.o_custkey = c.c_custkey GROUP BY 2
     UNION ALL
-    SELECT 'fact_append', c.c_mktsegment, COUNT(*),
-           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
-                AS DECIMAL(25,2))
+    SELECT 'fact_append', c.c_mktsegment, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(f.o_totalprice AS DECIMAL(15,2)) * 100
+                AS BIGINT)) AS BIGINT)
     FROM f1 f JOIN customer c ON f.o_custkey = c.c_custkey GROUP BY 2
     UNION ALL
-    SELECT 'fact_delete', c.c_mktsegment, COUNT(*),
-           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
-                AS DECIMAL(25,2))
+    SELECT 'fact_delete', c.c_mktsegment, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(f.o_totalprice AS DECIMAL(15,2)) * 100
+                AS BIGINT)) AS BIGINT)
     FROM f2 f JOIN customer c ON f.o_custkey = c.c_custkey GROUP BY 2
     UNION ALL
-    SELECT 'dim_delete', c.c_mktsegment, COUNT(*),
-           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(15,2)))
-                AS DECIMAL(25,2))
+    SELECT 'dim_delete', c.c_mktsegment, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(f.o_totalprice AS DECIMAL(15,2)) * 100
+                AS BIGINT)) AS BIGINT)
     FROM f2 f JOIN d1 c ON f.o_custkey = c.c_custkey GROUP BY 2
     """,
 )
@@ -1273,10 +1277,12 @@ def jv_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             row = df.select(
                 F.lit(stage).alias("stage"),
                 F.col("c_mktsegment"),
-                F.col("n_rows"),
-                F.col("sum_o_totalprice")
-                .cast("decimal(25,2)")
-                .alias("sum_price"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                # view state sums are exact DECIMALs; output re-keys to
+                # BIGINT cents (driver canonicalization-proof)
+                (F.col("sum_o_totalprice") * 100)
+                .cast("long")
+                .alias("sum_price_cents"),
             )
             out = row if out is None else out.unionAll(row)
         out.write.mode("overwrite").parquet(os.path.join(root, "result"))
@@ -1284,7 +1290,9 @@ def jv_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _json.dump(modes, fh)
 
     root = materialize_cached(
-        spark, src, "jv_star_" + os.path.basename(sf_dir.rstrip("/")),
+        # v2: result re-keyed to BIGINT cents — the name bump invalidates
+        # pre-change warehouse builds whose parquet baked in DECIMAL
+        spark, src, "jv_star_v2_" + os.path.basename(sf_dir.rstrip("/")),
         build,
     )
     with open(os.path.join(root, "modes.json")) as fh:

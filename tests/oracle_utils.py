@@ -94,6 +94,30 @@ def hugeint_columns(con, sql: str) -> list[str]:
     return [name for name, typ, *_ in rows if "HUGEINT" in typ.upper()]
 
 
+def trailing_zero_decimal_cells(con, sql: str) -> list[str]:
+    """Result columns holding a DECIMAL cell whose string has a trailing
+    zero after the decimal point (e.g. ``1251869314.00``, ``985204043.60``).
+
+    The driver's canonicalizer renders such cells differently on the
+    Spark and DuckDB sides (one side drops the trailing zeros), so a
+    value-identical result still records ``hash_match: false`` — the
+    CORRECTNESS_r09 8-red bug class (``snapshot_time_travel`` et al.),
+    the same family as the r05 HUGEINT miss. Running the ORACLE side
+    alone suffices: value parity is enforced separately, so the oracle's
+    cells are the Spark cells. Queries must re-key money outputs to
+    BIGINT cents (see queries/table_service.py ``_SUM``)."""
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    bad: set[str] = set()
+    for row in cur.fetchall():
+        for col, v in zip(cols, row):
+            if isinstance(v, Decimal):
+                s = str(v)
+                if "." in s and s != s.rstrip("0"):
+                    bad.add(col)
+    return sorted(bad)
+
+
 def compare(spark_df, con, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems: list[str] = []
