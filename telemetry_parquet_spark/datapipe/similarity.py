@@ -384,6 +384,131 @@ def lsh_bucket_top_k(
     )
 
 
+def lsh_probe_matmul_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    bits: int = 6,
+    k: int = 3,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_self: bool = False,
+    scale: int = SIG_SCALE,
+) -> DataFrame:
+    """Single-table multi-probe LSH top-k with a per-BUCKET integer matmul
+    rescore — the scale shape of ``lsh_bucket_top_k(multiprobe=True,
+    sig_mode='int')`` once the Hamming-1 candidate ball dominates cost.
+
+    The fold-rescore variant pays one interpreted 64-element fold per
+    candidate PAIR (≈ (bits+1)·|Q|·|C|/2^bits pairs); here each signature
+    bucket is cogrouped (query probes × corpus rows) and scored in ONE
+    (nq_b × dim) @ (dim × nc_b) int64 matmul per bucket — Arrow moves each
+    vector ONCE per bucket membership (corpus 1×, queries bits+1×), never
+    once per pair. Scores are integer micro-cosines over
+    floor(x·10⁶ + 0.5)-quantized vectors (the ``matmul_batch_top_k``
+    recipe): the dot is an exact int64 < 2⁵³ under any summation order,
+    so the score is cross-engine exact AND the per-bucket top-k trim key
+    (cos_micros desc, id asc) is the final rank key with integer ties —
+    the trim is a superset of the global top-k by construction, no
+    rounding margin needed. Within one table a (query, candidate) pair
+    arises at most once (a candidate's single signature equals exactly
+    one probe value), so no dedup stage exists. Zero-quantized-norm
+    vectors are excluded on both sides (cosine undefined; the oracle
+    filters identically).
+
+    Shuffle ledger: one hash partition of each side by signature
+    (vectors, not pairs) + ≤ k·(bits+1)·|Q| trimmed rows into the final
+    window. At 100 TB the bucket count (2^bits) bounds parallelism —
+    production raises bits with the corpus, keeping buckets cache-sized."""
+    from pyspark.sql import Window as W
+
+    planes = _hyperplanes(dim, bits, table_seed(seed, 0))
+    qp = np.array([quantize_plane(p) for p in planes], dtype=np.int64)
+    weights = np.array([1 << i for i in range(bits)], dtype=np.int64)
+
+    def _quant(pdf_vecs: pd.Series) -> np.ndarray:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_vecs])
+        return np.floor(m * float(scale) + 0.5).astype(np.int64)
+
+    sig_arr = int_sigs_udf(dim, bits, 1, seed)
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec_col),
+        sig_arr(F.col(vec_col))[0].alias("__sig"),
+    )
+    probes = F.array(
+        F.col("__sig0"),
+        *[
+            F.col("__sig0").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(bits)
+        ],
+    )
+    q = (
+        queries.select(
+            F.col(query_id), F.col(vec_col).alias("__qv"),
+            sig_arr(F.col(vec_col))[0].alias("__sig0"),
+        )
+        .select(query_id, "__qv", F.explode(probes).alias("__sig"))
+    )
+    out_schema = f"{query_id} long, {corpus_id} long, cos_micros long"
+
+    def rescore(key, q_pdf: pd.DataFrame, c_pdf: pd.DataFrame):
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame(
+                {query_id: [], corpus_id: [], "cos_micros": []}
+            )
+        qm = _quant(q_pdf["__qv"])
+        cm = _quant(c_pdf[vec_col])
+        qids = q_pdf[query_id].to_numpy(dtype=np.int64)
+        cids = c_pdf[corpus_id].to_numpy(dtype=np.int64)
+        qn2 = (qm * qm).sum(axis=1)
+        cn2 = (cm * cm).sum(axis=1)
+        qok, cok = qn2 > 0, cn2 > 0
+        qm, qids, qn2 = qm[qok], qids[qok], qn2[qok]
+        cm, cids, cn2 = cm[cok], cids[cok], cn2[cok]
+        if len(qids) == 0 or len(cids) == 0:
+            return pd.DataFrame(
+                {query_id: [], corpus_id: [], "cos_micros": []}
+            )
+        s = (qm @ cm.T) / (
+            np.sqrt(qn2.astype(np.float64))[:, None]
+            * np.sqrt(cn2.astype(np.float64))[None, :]
+        )
+        micros = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        parts = []
+        for i in range(len(qids)):
+            row, ids = micros[i], cids
+            if exclude_self:
+                m_ok = ids != qids[i]
+                row, ids = row[m_ok], ids[m_ok]
+            top = np.lexsort((ids, -row))[:k]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        query_id: qids[i],
+                        corpus_id: ids[top],
+                        "cos_micros": row[top],
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    scored = (
+        q.groupby("__sig")
+        .cogroup(c.groupby("__sig"))
+        .applyInPandas(rescore, out_schema)
+    )
+    w = W.partitionBy(query_id).orderBy(
+        F.desc("cos_micros"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def quantize_int8(vec: Column, eps: float = 1e-12):
     """Symmetric per-vector int8 quantization: scale = max|x| (floored at
     ``eps`` so zero vectors stay defined), q_i = round(x_i·127/scale).

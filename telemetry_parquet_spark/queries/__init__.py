@@ -65,6 +65,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "snapshot_incremental_view",
     "snapshot_join_planned",
     "catalog_txn_consistent_read",
+    # rescore backend changed in round 10 (per-bucket int64 matmul,
+    # output re-keyed to integer micro-cosines) — re-verify with the batch
+    "sim_knn_graph_lsh_probe",
     # latest driver row r05 — the stalest cohort (rotation, per the ledger)
     "stream_sliding_halfhour",
     "stream_static_enrich",
@@ -104,9 +107,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lm_pmi_collocations",
     "longitudinal_newest",
     "longitudinal_unnest",
-    "merge_upsert_customers",
-    # (remaining r06 names — mm_decoded_features on, alphabetical — rotate
-    # to round 11's window)
+    # (remaining r06 names — merge_upsert_customers on, alphabetical —
+    # rotate to round 11's window)
 )
 
 

@@ -236,6 +236,7 @@ def _knn_lsh_oracle(
     max_hamming: int = 0,
     tables: int = 1,
     sig_mode: str = "fold",
+    rescore: str = "float",
 ) -> str:
     """DuckDB replay of the LSH-bucketed KNN graph: the hyperplanes are
     deterministic driver constants (same ``_hyperplanes`` call as the Spark
@@ -278,11 +279,26 @@ def _knn_lsh_oracle(
         )
 
     sig_cols = ", ".join(f"{sig_terms(t)} AS s{t}" for t in range(tables))
-    cos = (
-        "round(list_inner_product(q.v, c.v) / "
-        "(sqrt(list_inner_product(q.v, q.v)) * "
-        "sqrt(list_inner_product(c.v, c.v))), 6)"
-    )
+    if rescore == "micros":
+        # integer micro-cosine over the SAME quantized lists the
+        # signatures use (lsh_probe_matmul_top_k): the int dot is exact
+        # as a double (< 2⁵³), and /, *, sqrt, floor are single
+        # correctly-rounded IEEE ops in the same order on both engines
+        cos_expr = (
+            "CAST(floor(list_inner_product(q.qv, c.qv) / "
+            "(sqrt(list_inner_product(q.qv, q.qv)) * "
+            "sqrt(list_inner_product(c.qv, c.qv))) * 1000000 + 0.5) "
+            "AS BIGINT)"
+        )
+        cos_alias = "cos_micros"
+    else:
+        cos_expr = (
+            "round(list_inner_product(q.v, c.v) / "
+            "(sqrt(list_inner_product(q.v, q.v)) * "
+            "sqrt(list_inner_product(c.v, c.v))), 6)"
+        )
+        cos_alias = "cosine_sim"
+    cos = cos_expr
 
     def match_t(t: int) -> str:
         return (
@@ -298,13 +314,17 @@ def _knn_lsh_oracle(
         if sig_mode == "int"
         else ""
     )
+    keep_qv = ", qv" if sig_mode == "int" else ""
+    zero_guard = (
+        " WHERE list_inner_product(qv, qv) > 0" if rescore == "micros" else ""
+    )
     return f"""
     WITH vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v{qv_col} FROM embeddings
     ), sig AS (
-      SELECT vec_id, v, {sig_cols} FROM vecs
+      SELECT vec_id, v{keep_qv}, {sig_cols} FROM vecs{zero_guard}
     )
-    SELECT q.vec_id AS query_id, c.vec_id, {cos} AS cosine_sim
+    SELECT q.vec_id AS query_id, c.vec_id, {cos} AS {cos_alias}
     FROM sig q JOIN sig c ON ({match}) AND q.vec_id <> c.vec_id
     QUALIFY row_number() OVER (
       PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC) <= {k}
@@ -331,7 +351,9 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_knn_graph_lsh_probe",
-    oracle=_knn_lsh_oracle(bits=6, max_hamming=1, sig_mode="int"),
+    oracle=_knn_lsh_oracle(
+        bits=6, max_hamming=1, sig_mode="int", rescore="micros"
+    ),
 )
 def sim_knn_graph_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe variant of ``sim_knn_graph_lsh``: finer buckets (6 bits
@@ -341,14 +363,19 @@ def sim_knn_graph_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits+1 probe rows (7× query shuffle; corpus side untouched) and the
     candidate set is exactly the Hamming ≤ 1 signature ball, which the
     oracle states DIRECTLY as bit_count(xor) ≤ 1 — proving the probe
-    explosion implements the ball with no dedup stage."""
-    from telemetry_parquet_spark.datapipe.similarity import lsh_bucket_top_k
+    explosion implements the ball with no dedup stage. Round 10 moved the
+    rescore from one interpreted fold per candidate PAIR to one int64
+    matmul per signature BUCKET (``lsh_probe_matmul_top_k``) — scores are
+    now exact integer micro-cosines, matching the ``matmul_batch_topk``
+    family, and the Hamming-1 ball semantics are unchanged."""
+    from telemetry_parquet_spark.datapipe.similarity import (
+        lsh_probe_matmul_top_k,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_bucket_top_k(
-        queries, emb, dim=64, bits=6, k=3, exclude_self=True,
-        multiprobe=True, sig_mode="int",
+    return lsh_probe_matmul_top_k(
+        queries, emb, dim=64, bits=6, k=3, exclude_self=True
     )
 
 

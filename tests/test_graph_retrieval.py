@@ -447,3 +447,72 @@ def test_matmul_batch_topk_partition_invariant(spark):
     for q, _, _ in a:
         per_q[q] = per_q.get(q, 0) + 1
     assert all(v == 4 for v in per_q.values())
+
+
+def test_lsh_probe_matmul_matches_numpy_oracle(spark):
+    """lsh_probe_matmul_top_k must equal a direct numpy replay of its
+    contract — quantized signatures, Hamming ≤ 1 candidate ball, integer
+    micro-cosine rescore, (cos_micros desc, id asc) top-k — and be
+    invariant to input partitioning (the per-bucket trim key IS the
+    final rank key). Zero vectors are excluded on both sides."""
+    import random as _random
+
+    import numpy as np
+
+    from telemetry_parquet_spark.datapipe.similarity import (
+        SIG_SCALE,
+        _hyperplanes,
+        lsh_probe_matmul_top_k,
+        quantize_plane,
+        table_seed,
+    )
+
+    dim, bits, k = 12, 4, 3
+    rng = _random.Random(11)
+    rows = [
+        (i, [rng.uniform(-0.9, 0.9) for _ in range(dim)]) for i in range(120)
+    ]
+    rows.append((900, [0.0] * dim))  # zero vector: excluded both sides
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    # --- numpy replay of the whole contract ---
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    qm = np.floor(m * float(SIG_SCALE) + 0.5).astype(np.int64)
+    qp = np.array(
+        [quantize_plane(p) for p in _hyperplanes(dim, bits, table_seed(42, 0))],
+        dtype=np.int64,
+    )
+    sigs = ((qm @ qp.T >= 0) @ (1 << np.arange(bits))).astype(np.int64)
+    n2 = (qm * qm).sum(axis=1)
+    ok = n2 > 0
+    ids, qm, sigs, n2 = ids[ok], qm[ok], sigs[ok], n2[ok]
+    norm = np.sqrt(n2.astype(np.float64))
+    want = set()
+    for i in range(len(ids)):
+        ham = np.array(
+            [bin(int(sigs[i] ^ s)).count("1") for s in sigs], dtype=np.int64
+        )
+        cand = (ham <= 1) & (ids != ids[i])
+        cids = ids[cand]
+        if len(cids) == 0:
+            continue
+        s = (qm[cand] @ qm[i]) / (norm[cand] * norm[i])
+        micros = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        top = np.lexsort((cids, -micros))[:k]
+        for j in top:
+            want.add((int(ids[i]), int(cids[j]), int(micros[j])))
+
+    def run(c, q):
+        return set(
+            (r.query_id, r.vec_id, r.cos_micros)
+            for r in lsh_probe_matmul_top_k(
+                q, c, dim=dim, bits=bits, k=k, exclude_self=True
+            ).collect()
+        )
+
+    got = run(corpus.repartition(7), queries.repartition(5))
+    assert got == want
+    assert run(corpus.coalesce(1), queries.coalesce(1)) == got
+    assert all(t[0] != 900 and t[1] != 900 for t in got)
