@@ -68,6 +68,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # rescore backend changed in round 10 (per-bucket int64 matmul,
     # output re-keyed to integer micro-cosines) — re-verify with the batch
     "sim_knn_graph_lsh_probe",
+    # new in round 10 — branch refs + catalog pins composed in one SQL
+    # statement (never driver-checked)
+    "catalog_sql_branch_join",
     # latest driver row r05 — the stalest cohort (rotation, per the ledger)
     "stream_sliding_halfhour",
     "stream_static_enrich",
@@ -106,8 +109,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lm_perplexity_score",
     "lm_pmi_collocations",
     "longitudinal_newest",
-    "longitudinal_unnest",
-    # (remaining r06 names — merge_upsert_customers on, alphabetical —
+    # (remaining r06 names — longitudinal_unnest on, alphabetical —
     # rotate to round 11's window)
 )
 

@@ -1181,6 +1181,84 @@ def catalog_txn_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_sql_branch_join",
+    # The LAST composition gap between branches.py, catalog.py, and
+    # sql_front.py: ONE statement through the catalog's pinned SQL door
+    # joins a BRANCH head of the fact table (VERSION AS OF 'branch:etl')
+    # to the catalog-pinned dims AND reads the bare fact name at its
+    # catalog-v0 pin in a scalar subquery — three resolution modes, one
+    # Catalyst plan. Isolation is value-proven: the branch head excludes
+    # main's post-snapshot append (%10=9), the pinned bare name excludes
+    # BOTH the branch commits and the main append (only %10<7), although
+    # the table HEAD contains the append.
+    oracle=f"""
+    WITH pinned AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
+         br AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 9)
+    SELECT d.c_mktsegment AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_branch_orders,
+           {_SUM} AS sum_price_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pinned) AS n_pinned_facts
+    FROM br f JOIN customer d ON f.o_custkey = d.c_custkey
+    GROUP BY d.c_mktsegment
+    """,
+)
+def catalog_sql_branch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch refs and catalog pins composed in one SQL statement
+    (sources/sql_front.py::engine_sql via sources/catalog.py::sql_at):
+    `facts VERSION AS OF 'branch:etl'` resolves through the branch chain
+    (sources/branches.py), bare `facts`/`dims` resolve at the catalog-v0
+    pins — all in a single spark.sql call, so pushdown and join planning
+    see the whole cross-resolver plan. Scale: every resolution is
+    manifest metadata; no data I/O happens before Catalyst plans the
+    joined read."""
+    from telemetry_parquet_spark.sources.branches import (
+        branch_append,
+        create_branch,
+    )
+    from telemetry_parquet_spark.sources.catalog import Catalog
+    from telemetry_parquet_spark.sources.snapshots import append
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        cat = Catalog(root)
+        orders = spark.read.parquet(src)
+        cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        cat.create_table(
+            spark, "facts", orders.where(F.col("o_orderkey") % 10 < 7)
+        )
+        cat.create_table(spark, "dims", cust)
+        cat.commit_snapshot()  # catalog v0 pins facts@v1, dims@v1
+        facts_root = cat.table_root("facts")
+        create_branch(facts_root, "etl")
+        branch_append(
+            spark, facts_root, "etl",
+            orders.where((F.col("o_orderkey") % 10).isin(7, 8)),
+        )
+        # move MAIN's head past the pin: bare-name reads must stay at v1
+        append(spark, facts_root, orders.where(F.col("o_orderkey") % 10 == 9))
+
+    root = materialize_cached(
+        spark, src, "cat_br_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    return Catalog(root).sql_at(
+        spark,
+        """
+        SELECT d.c_mktsegment AS c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_branch_orders,
+               CAST(SUM(CAST(CAST(f.o_totalprice AS DECIMAL(15,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               (SELECT COUNT(*) FROM facts) AS n_pinned_facts
+        FROM facts VERSION AS OF 'branch:etl' f
+        JOIN dims d ON f.o_custkey = d.c_custkey
+        GROUP BY d.c_mktsegment
+        """,
+        0,
+    )
+
+
+@query(
     "jv_star_rollup",
     # Materialized JOIN view (star rollup) lifecycle under one oracle:
     # create on a partial fact (stage initial), fact append (stage
