@@ -396,10 +396,14 @@ def lsh_probe_matmul_top_k(
     seed: int = 42,
     exclude_self: bool = False,
     scale: int = SIG_SCALE,
+    multiprobe: bool = True,
+    tables: int = 1,
 ) -> DataFrame:
-    """Single-table multi-probe LSH top-k with a per-BUCKET integer matmul
-    rescore — the scale shape of ``lsh_bucket_top_k(multiprobe=True,
-    sig_mode='int')`` once the Hamming-1 candidate ball dominates cost.
+    """LSH top-k with a per-BUCKET integer matmul rescore — the scale
+    shape of ``lsh_bucket_top_k(sig_mode='int')`` once the candidate set
+    (Hamming-1 probe ball, or the multi-table union) dominates cost.
+    ``multiprobe=True, tables=1`` is the probe config; ``multiprobe=False,
+    tables=L`` the OR-amplified multi-table config.
 
     The fold-rescore variant pays one interpreted 64-element fold per
     candidate PAIR (≈ (bits+1)·|Q|·|C|/2^bits pairs); here each signature
@@ -418,39 +422,54 @@ def lsh_probe_matmul_top_k(
     vectors are excluded on both sides (cosine undefined; the oracle
     filters identically).
 
-    Shuffle ledger: one hash partition of each side by signature
-    (vectors, not pairs) + ≤ k·(bits+1)·|Q| trimmed rows into the final
-    window. At 100 TB the bucket count (2^bits) bounds parallelism —
-    production raises bits with the corpus, keeping buckets cache-sized."""
-    from pyspark.sql import Window as W
+    With ``tables`` > 1 (the OR-amplified multi-table config) both sides
+    explode over (table, signature) composite buckets and a pair can
+    collide in several tables — always with the SAME integer score, so a
+    ``distinct`` over the trimmed (query, candidate, score) rows restores
+    set semantics. The per-bucket trim stays a superset of the global
+    top-k: within any one bucket each candidate appears once, the
+    candidates beating a global-top-k member there are a subset of its
+    global beaters, so it survives every bucket's trim.
 
-    planes = _hyperplanes(dim, bits, table_seed(seed, 0))
-    qp = np.array([quantize_plane(p) for p in planes], dtype=np.int64)
-    weights = np.array([1 << i for i in range(bits)], dtype=np.int64)
+    Shuffle ledger: one hash partition of each side by (table, signature)
+    (vectors, not pairs) + ≤ k·tables·(bits+1)·|Q| trimmed rows into the
+    dedup/final window. At 100 TB the bucket count (tables·2^bits) bounds
+    parallelism — production raises bits with the corpus, keeping buckets
+    cache-sized."""
+    from pyspark.sql import Window as W
 
     def _quant(pdf_vecs: pd.Series) -> np.ndarray:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_vecs])
         return np.floor(m * float(scale) + 0.5).astype(np.int64)
 
-    sig_arr = int_sigs_udf(dim, bits, 1, seed)
-    c = corpus.select(
-        F.col(corpus_id), F.col(vec_col),
-        sig_arr(F.col(vec_col))[0].alias("__sig"),
-    )
-    probes = F.array(
-        F.col("__sig0"),
-        *[
-            F.col("__sig0").bitwiseXOR(F.lit(1 << i).cast("long"))
-            for i in range(bits)
-        ],
-    )
-    q = (
-        queries.select(
-            F.col(query_id), F.col(vec_col).alias("__qv"),
-            sig_arr(F.col(vec_col))[0].alias("__sig0"),
+    sig_arr = int_sigs_udf(dim, bits, tables, seed)
+
+    def tagged(df: DataFrame, idc: str, vname: str, probe: bool) -> DataFrame:
+        base = df.select(
+            F.col(idc), F.col(vec_col).alias(vname),
+            sig_arr(F.col(vec_col)).alias("__sigs"),
         )
-        .select(query_id, "__qv", F.explode(probes).alias("__sig"))
-    )
+        entries = []
+        for t in range(tables):
+            s = F.col("__sigs")[t]
+            entries.append(F.struct(F.lit(t).alias("t"), s.alias("s")))
+            if probe:
+                entries.extend(
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        s.bitwiseXOR(F.lit(1 << i).cast("long")).alias("s"),
+                    )
+                    for i in range(bits)
+                )
+        return base.select(
+            idc, vname, F.explode(F.array(*entries)).alias("__p")
+        ).select(
+            idc, vname,
+            F.col("__p.t").alias("__tbl"), F.col("__p.s").alias("__sig"),
+        )
+
+    c = tagged(corpus, corpus_id, vec_col, False)
+    q = tagged(queries, query_id, "__qv", multiprobe)
     out_schema = f"{query_id} long, {corpus_id} long, cos_micros long"
 
     def rescore(key, q_pdf: pd.DataFrame, c_pdf: pd.DataFrame):
@@ -495,10 +514,13 @@ def lsh_probe_matmul_top_k(
         return pd.concat(parts, ignore_index=True)
 
     scored = (
-        q.groupby("__sig")
-        .cogroup(c.groupby("__sig"))
+        q.groupby("__tbl", "__sig")
+        .cogroup(c.groupby("__tbl", "__sig"))
         .applyInPandas(rescore, out_schema)
     )
+    if tables > 1:
+        # same pair from several tables carries the same integer score
+        scored = scored.distinct()
     w = W.partitionBy(query_id).orderBy(
         F.desc("cos_micros"), F.asc(corpus_id)
     )

@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # rescore backend changed in round 10 (per-bucket int64 matmul,
     # output re-keyed to integer micro-cosines) — re-verify with the batch
     "sim_knn_graph_lsh_probe",
+    "sim_knn_graph_lsh_tables",
     # new in round 10 — branch refs + catalog pins composed in one SQL
     # statement (never driver-checked)
     "catalog_sql_branch_join",
@@ -108,8 +109,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lm_bigram_train",
     "lm_perplexity_score",
     "lm_pmi_collocations",
-    "longitudinal_newest",
-    # (remaining r06 names — longitudinal_unnest on, alphabetical —
+    # (remaining r06 names — longitudinal_newest on, alphabetical —
     # rotate to round 11's window)
 )
 

@@ -381,7 +381,7 @@ def sim_knn_graph_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_knn_graph_lsh_tables",
-    oracle=_knn_lsh_oracle(bits=8, tables=8, sig_mode="int"),
+    oracle=_knn_lsh_oracle(bits=8, tables=8, sig_mode="int", rescore="micros"),
 )
 def sim_knn_graph_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-TABLE variant of ``sim_knn_graph_lsh`` — the round-8 default
@@ -393,19 +393,22 @@ def sim_knn_graph_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling baseline at a 3.1% candidate fraction); probe configs buy
     more absolute recall only by examining 3-10x more candidates. The
     oracle states the union DIRECTLY (match on ANY table's signature
-    equality), proving the explode + equi-join + distinct implements
+    equality), proving the explode + cogroup + distinct implements
     exactly the OR-amplified candidate set. Signatures come from the
-    int64-matmul family (``sig_mode='int'``): one Arrow pass computes all
-    64 sign bits per vector instead of 64 interpreted folds — measured
-    14.6 s → 3.0 s at sf0.1 — and the quantized integer dots make the
-    cross-engine sign agreement order-free (SCALE.md)."""
-    from telemetry_parquet_spark.datapipe.similarity import lsh_bucket_top_k
+    int64-matmul family (one Arrow pass for all 64 sign bits per vector —
+    the round-9 14.6 s → 3.0 s win), and round 10 moved the rescore from
+    one interpreted fold per candidate pair to one int64 matmul per
+    (table, signature) bucket (``lsh_probe_matmul_top_k``) with exact
+    integer micro-cosine scores, matching the probe variant's backend."""
+    from telemetry_parquet_spark.datapipe.similarity import (
+        lsh_probe_matmul_top_k,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_bucket_top_k(
-        queries, emb, dim=64, bits=8, k=3, exclude_self=True, tables=8,
-        sig_mode="int",
+    return lsh_probe_matmul_top_k(
+        queries, emb, dim=64, bits=8, k=3, exclude_self=True,
+        multiprobe=False, tables=8,
     )
 
 

@@ -516,3 +516,72 @@ def test_lsh_probe_matmul_matches_numpy_oracle(spark):
     assert got == want
     assert run(corpus.coalesce(1), queries.coalesce(1)) == got
     assert all(t[0] != 900 and t[1] != 900 for t in got)
+
+
+def test_lsh_tables_matmul_matches_numpy_oracle(spark):
+    """Multi-table mode of lsh_probe_matmul_top_k: candidates are the
+    UNION of per-table signature buckets, duplicates collapse (same pair,
+    same integer score from any table), and the result replays exactly in
+    numpy — partition-invariant."""
+    import random as _random
+
+    import numpy as np
+
+    from telemetry_parquet_spark.datapipe.similarity import (
+        SIG_SCALE,
+        _hyperplanes,
+        lsh_probe_matmul_top_k,
+        quantize_plane,
+        table_seed,
+    )
+
+    dim, bits, k, tables = 10, 3, 2, 4
+    rng = _random.Random(23)
+    rows = [
+        (i, [rng.uniform(-0.9, 0.9) for _ in range(dim)]) for i in range(90)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    qm = np.floor(m * float(SIG_SCALE) + 0.5).astype(np.int64)
+    sigs = []
+    for t in range(tables):
+        qp = np.array(
+            [
+                quantize_plane(p)
+                for p in _hyperplanes(dim, bits, table_seed(42, t))
+            ],
+            dtype=np.int64,
+        )
+        sigs.append(((qm @ qp.T >= 0) @ (1 << np.arange(bits))).astype(np.int64))
+    n2 = (qm * qm).sum(axis=1)
+    norm = np.sqrt(n2.astype(np.float64))
+    want = set()
+    for i in range(len(ids)):
+        cand = np.zeros(len(ids), dtype=bool)
+        for t in range(tables):
+            cand |= sigs[t] == sigs[t][i]
+        cand &= ids != ids[i]
+        cids = ids[cand]
+        if len(cids) == 0:
+            continue
+        s = (qm[cand] @ qm[i]) / (norm[cand] * norm[i])
+        micros = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        top = np.lexsort((cids, -micros))[:k]
+        for j in top:
+            want.add((int(ids[i]), int(cids[j]), int(micros[j])))
+
+    def run(c, q):
+        out = lsh_probe_matmul_top_k(
+            q, c, dim=dim, bits=bits, k=k, exclude_self=True,
+            multiprobe=False, tables=tables,
+        ).collect()
+        edges = [(r.query_id, r.vec_id, r.cos_micros) for r in out]
+        assert len(edges) == len(set(edges))  # cross-table dedup held
+        return set(edges)
+
+    got = run(corpus.repartition(6), queries.repartition(4))
+    assert got == want
+    assert run(corpus.coalesce(1), queries.coalesce(1)) == got
