@@ -69,6 +69,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # output re-keyed to integer micro-cosines) — re-verify with the batch
     "sim_knn_graph_lsh_probe",
     "sim_knn_graph_lsh_tables",
+    "sim_knn_graph_lsh",
     # new in round 10 — branch refs + catalog pins composed in one SQL
     # statement (never driver-checked)
     "catalog_sql_branch_join",
@@ -108,8 +109,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "grouping_sets_volume",
     "lm_bigram_train",
     "lm_perplexity_score",
-    "lm_pmi_collocations",
-    # (remaining r06 names — longitudinal_newest on, alphabetical —
+    # (remaining r06 names — lm_pmi_collocations on, alphabetical —
     # rotate to round 11's window)
 )
 

@@ -331,21 +331,32 @@ def _knn_lsh_oracle(
     """
 
 
-@query("sim_knn_graph_lsh", oracle=_knn_lsh_oracle())
+@query(
+    "sim_knn_graph_lsh",
+    oracle=_knn_lsh_oracle(sig_mode="int", rescore="micros"),
+)
 def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus KNN graph, the scale path: EVERY vector is a query, and
-    candidates come from an equi-join on the 4-bit hyperplane signature —
+    candidates come from bucketing on the 4-bit hyperplane signature —
     Σ|bucket|² comparisons instead of corpus² (the broadcast batch shape of
     ``sim_knn_graph`` stops scaling once the batch is corpus-sized). The
     blocking is deterministic, so unlike most ANN configs this one carries
     an EXACT oracle; recall vs the exact graph trades with ``bits`` and is
-    bounded in tests. Production: bits 8-16 + multi-probe bit flips."""
-    from telemetry_parquet_spark.datapipe.similarity import lsh_bucket_top_k
+    bounded in tests. Production: bits 8-16 + multi-probe bit flips.
+    Round 10 unified the whole LSH query family on the per-bucket int64
+    matmul backend (``lsh_probe_matmul_top_k``; exact integer
+    micro-cosines) — the interpreted fold/float backend
+    (``lsh_bucket_top_k``) remains pytest-covered as the no-Python
+    alternative."""
+    from telemetry_parquet_spark.datapipe.similarity import (
+        lsh_probe_matmul_top_k,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_bucket_top_k(
-        queries, emb, dim=64, bits=4, k=3, exclude_self=True
+    return lsh_probe_matmul_top_k(
+        queries, emb, dim=64, bits=4, k=3, exclude_self=True,
+        multiprobe=False, tables=1,
     )
 
 
