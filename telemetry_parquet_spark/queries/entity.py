@@ -51,6 +51,7 @@ def er_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_col="c_name",
         block=F.substring("c_name", 1, _BLK_LEN),
         max_dist=_MAX_DIST,
+        prefix_len=_BLK_LEN,  # prefix blocking: DP runs on the suffixes
     ).select(
         "id_a", "id_b", F.col("dist").cast("int").alias("dist")
     )
@@ -102,6 +103,7 @@ def er_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_col="c_name",
         block=F.substring("c_name", 1, _BLK_LEN),
         max_dist=_MAX_DIST,
+        prefix_len=_BLK_LEN,  # prefix blocking: DP runs on the suffixes
     )
     return er_match_groups(pairs, cust, id_col="c_custkey").select(
         F.col("entity_id").cast("bigint").alias("entity_id"),
