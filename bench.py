@@ -252,6 +252,9 @@ HEADLINE = [
     "stream_catalog_txn_fanout",
     # round 9 (late): incrementally-maintained fact-join-dim rollup view
     "jv_star_rollup",
+    # round 10: branch head joined to catalog-pinned tables in ONE SQL
+    # statement (branch + catalog + SQL-front resolvers, one Catalyst plan)
+    "catalog_sql_branch_join",
 ]
 
 
