@@ -235,6 +235,80 @@ def ngram_contamination(
     )
 
 
+def dsir_fixedpoint_scores(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    scale: int = 1_000_000,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance scores (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"),
+    integer fixed-point: per-document relevance to a TARGET slice,
+    computed from bucketed n-gram statistics — the published recipe for
+    steering a raw crawl toward a high-quality target distribution
+    without training a classifier.
+
+    Fixed-point variant (exactly oracle-able): each word n-gram (n ∈
+    ``ns``, WITH multiplicity) lands in one of ``buckets`` cells via the
+    engine-portable md5-nibble hash; ONE aggregation pass counts every
+    bucket's raw occurrences (cr) and target occurrences (ct, target ⊆
+    raw); the per-bucket importance ratio is the integer
+    ``((ct+1)·scale) div (cr+1)`` — Laplace-smoothed, ≤ ``scale`` since
+    target ⊆ raw — and a document's score is the integer SUM of its
+    grams' ratios. Every step is exact int64 arithmetic, so the score is
+    bit-identical on any engine and under any summation order (the
+    production log-space float variant differs only by the monotone
+    per-bucket log and a global constant; fixed-point keeps the gate
+    exact — the kmeans_det/micro-cosine discipline).
+
+    Scale shape: one explode + ONE map-side-combinable aggregation over
+    (bucket) for the stats (bucket-table-sized result, broadcast back),
+    one hash-agg per document for the score — the corpus is touched
+    twice, no self-joins, no Python. Returns (id, score)."""
+    from telemetry_parquet_spark.datapipe.dedup import md5_hash60
+
+    base = spread(
+        docs.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.col(text_col), is_target.alias("__tgt")
+        )
+    )
+    hashed = None
+    for n in ns:
+        g = base.select(
+            F.col(id_col),
+            "__tgt",
+            F.explode(_raw_word_ngrams(F.col(text_col), n)).alias("__g"),
+        ).select(
+            F.col(id_col), "__tgt",
+            (md5_hash60(F.col("__g")) % buckets).alias("__b"),
+        )
+        hashed = g if hashed is None else hashed.unionByName(g)
+    stats = hashed.groupBy("__b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+    )
+    spark = docs.sparkSession
+    grid = spark.range(buckets).select(F.col("id").cast("long").alias("__b"))
+    ilr = (
+        grid.join(stats, "__b", "left")
+        .select(
+            "__b",
+            F.expr(
+                f"(coalesce(ct, 0L) + 1L) * {scale}L div "
+                "(coalesce(cr, 0L) + 1L)"
+            ).alias("__ilr"),
+        )
+    )
+    return (
+        hashed.join(F.broadcast(ilr), "__b")
+        .groupBy(id_col)
+        .agg(F.sum("__ilr").cast("long").alias("score"))
+    )
+
+
 def blocklist_hits(
     text: Column | str, blocklist: tuple[str, ...]
 ) -> dict[str, Column]:

@@ -71,8 +71,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_knn_graph_lsh_tables",
     "sim_knn_graph_lsh",
     # new in round 10 — branch refs + catalog pins composed in one SQL
-    # statement (never driver-checked)
+    # statement; DSIR fixed-point importance selection (never
+    # driver-checked)
     "catalog_sql_branch_join",
+    "dsir_importance_select",
     # latest driver row r05 — the stalest cohort (rotation, per the ledger)
     "stream_sliding_halfhour",
     "stream_static_enrich",
@@ -108,8 +110,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "funnel_conversion",
     "grouping_sets_volume",
     "lm_bigram_train",
-    "lm_perplexity_score",
-    # (remaining r06 names — lm_pmi_collocations on, alphabetical —
+    # (remaining r06 names — lm_perplexity_score on, alphabetical —
     # rotate to round 11's window)
 )
 

@@ -1044,6 +1044,75 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_importance_select",
+    # DSIR fixed-point importance selection: every step is exact integer
+    # arithmetic (md5-nibble bucket, one-pass cr/ct stats, Laplace
+    # fixed-point ratio ≤ 10⁶ since target ⊆ raw, integer score sum), so
+    # the whole select-the-top-quarter pipeline replays bit-identically.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> length(t) > 0) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, UNNEST(w) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, w[p] || ' ' || w[p + 1] AS g
+      FROM toks, LATERAL unnest(range(1, len(w))) AS u(p)
+    ), hashed AS (
+      SELECT doc_id, doc_id % 7 = 0 AS tgt,
+             (SELECT SUM((strpos('0123456789abcdef', substr(md5(g), r.i, 1))
+                          - 1) * CAST(power(16, 15 - r.i) AS BIGINT))
+              FROM unnest(range(1, 16)) AS r(i)) % 256 AS b
+      FROM grams
+    ), stats AS (
+      SELECT b, COUNT(*) AS cr,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+      FROM hashed GROUP BY b
+    ), grid AS (
+      SELECT UNNEST(range(0, 256)) AS b
+    ), ilr AS (
+      SELECT g.b,
+             ((COALESCE(s.ct, 0) + 1) * 1000000)
+               // (COALESCE(s.cr, 0) + 1) AS v
+      FROM grid g LEFT JOIN stats s ON g.b = s.b
+    ), scores AS (
+      SELECT h.doc_id, CAST(SUM(i.v) AS BIGINT) AS score
+      FROM hashed h JOIN ilr i ON h.b = i.b GROUP BY h.doc_id
+    ), k AS (SELECT CAST(floor(COUNT(*) * 0.25) AS BIGINT) AS k FROM scores)
+    SELECT doc_id, score FROM scores, k
+    QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= k
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (datapipe/scrub.py::dsir_fixedpoint_scores,
+    Xie et al. 2023): hashed unigram+bigram statistics score every document
+    for relevance to the target slice (doc_id % 7 = 0 stands in for the
+    high-quality target corpus) and the top quarter by (score desc, id) is
+    kept — the data-selection step that steers a raw 100 TB crawl toward a
+    target distribution with two corpus passes and a 256-row broadcast,
+    no classifier training. The 25% cutoff rank is computed from a 1-value
+    count (metadata-sized driver action); at scale the cutoff would come
+    from a score-quantile sketch instead of a full rank window."""
+    from pyspark.sql import Window as W
+
+    from telemetry_parquet_spark.datapipe.scrub import dsir_fixedpoint_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_fixedpoint_scores(
+        docs, is_target=F.col("doc_id") % 7 == 0, buckets=256, ns=(1, 2)
+    )
+    k = int(scores.count() * 0.25)
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "score")
+    )
+
+
+@query(
     "dd_incremental_near_dup",
     oracle="""
     WITH toks AS (

@@ -196,3 +196,31 @@ def test_strip_html_script_bodies_with_markup(spark):
     assert got[3] == "keep going"
     assert got[4] == "a leak b"
     assert got[5] == "x mid y"
+
+
+def test_dsir_fixedpoint_scores_rank_target_like_docs(spark):
+    """DSIR fixed-point scores must rank a document sharing the TARGET
+    slice's vocabulary above one sharing only the raw-background
+    vocabulary — even when neither is in the target slice — and every
+    score is bounded by n_grams · scale (ratio ≤ scale since target ⊆
+    raw)."""
+    from telemetry_parquet_spark.datapipe.scrub import dsir_fixedpoint_scores
+
+    rows = []
+    for i in range(20):  # target slice: vocabulary A
+        rows.append((i, "alpha beta gamma alpha beta"))
+    for i in range(20, 60):  # background: vocabulary B
+        rows.append((i, "delta epsilon zeta delta epsilon"))
+    rows.append((100, "alpha beta gamma"))  # target-LIKE, not in target
+    rows.append((101, "delta epsilon zeta"))  # background-like
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.score
+        for r in dsir_fixedpoint_scores(
+            docs, is_target=F.col("doc_id") < 20, buckets=64
+        ).collect()
+    }
+    assert got[100] > got[101]
+    # 3 unigrams + 2 bigrams = 5 grams; ratio ≤ scale
+    assert got[100] <= 5 * 1_000_000
+    assert got[101] >= 5  # Laplace floor: every gram contributes ≥ 1
