@@ -287,6 +287,38 @@ def main() -> None:
 
     ensure_bm25_index(spark, sf_dir)
 
+    def _calibrate() -> dict:
+        """Fixed reference workloads, reported with every record so
+        cross-round comparisons can normalize out HOST speed changes
+        (round 10 measured a uniform ~1.24× inflation vs the round-9
+        record on untouched queries — per-core frequency / co-tenancy,
+        not code; see BENCH_full.json host_note_r10). Two constants:
+        a single-thread numpy int64 matmul (pure per-core speed) and a
+        32-partition JVM codegen sum (whole-session throughput). Both
+        are min-of-3 of workloads that never change between rounds."""
+        import numpy as _np
+
+        a = (_np.arange(512 * 512, dtype=_np.int64) % 97).reshape(512, 512)
+        t_np = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                (a @ a).sum()
+            t_np = min(t_np, time.perf_counter() - t0)
+        t_jvm = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "sum(id * 3 + 1)"
+            ).collect()
+            t_jvm = min(t_jvm, time.perf_counter() - t0)
+        return {
+            "numpy_matmul_s": round(t_np, 4),
+            "jvm_codegen_sum_s": round(t_jvm, 4),
+        }
+
+    calibration = _calibrate()
+
     def _clear_session_residue() -> None:
         """Drop blocks left behind by the previous query so every timing
         starts from the same session state. Checkpoint-heavy queries
@@ -335,7 +367,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "protocol": (f"flat min-of-{flat}" if flat is not None else
                      "adaptive min-of-3/<2s else min-of-2, re-tiered on best")
-                    + ", residue-cleared between runs",
+                    + ", residue-cleared between runs"
+                    + ", calibration = fixed host-speed reference workloads"
+                      " (normalize cross-round records by their ratio)",
+        "calibration": calibration,
     }
     # Full record: one line on stdout + a file copy (survives any tail
     # window). Compact summary LAST so a bounded tail always parses.
