@@ -255,6 +255,9 @@ HEADLINE = [
     # round 10: branch head joined to catalog-pinned tables in ONE SQL
     # statement (branch + catalog + SQL-front resolvers, one Catalyst plan)
     "catalog_sql_branch_join",
+    # round 10: DSIR fixed-point importance selection — two corpus passes
+    # (bucket stats, per-doc integer score) + a 256-row broadcast
+    "dsir_importance_select",
 ]
 
 
