@@ -258,6 +258,9 @@ HEADLINE = [
     # round 10: DSIR fixed-point importance selection — two corpus passes
     # (bucket stats, per-doc integer score) + a 256-row broadcast
     "dsir_importance_select",
+    # round 10: metadata-only COUNT(*) — manifest row counts, DV
+    # subtraction, zero data I/O (steady-state cost = manifest reads)
+    "snapshot_metadata_count",
 ]
 
 

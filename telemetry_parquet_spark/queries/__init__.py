@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # driver-checked)
     "catalog_sql_branch_join",
     "dsir_importance_select",
+    "snapshot_metadata_count",
     # latest driver row r05 — the stalest cohort (rotation, per the ledger)
     "stream_sliding_halfhour",
     "stream_static_enrich",
@@ -109,9 +110,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "footer_stats_lineitem",
     "funnel_conversion",
     "grouping_sets_volume",
-    "lm_bigram_train",
-    # (remaining r06 names — lm_perplexity_score on, alphabetical —
-    # rotate to round 11's window)
+    # (remaining r06 names — lm_bigram_train on, alphabetical — rotate
+    # to round 11's window)
 )
 
 

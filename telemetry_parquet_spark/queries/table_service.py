@@ -1181,6 +1181,70 @@ def catalog_txn_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_metadata_count",
+    # COUNT(*) answered from the MANIFEST alone (zero data I/O, no Spark
+    # scan): per-file footer row counts recorded at commit time, carried
+    # by reference, deletion vectors subtracted for MOR versions. One row
+    # per version across the COW chain (append/append/delete/compact) and
+    # a MOR chain (append/DV-delete); the oracle recomputes every count
+    # relationally, so a hash match proves the metadata bookkeeping is
+    # exact through carries, rewrites, and vectors.
+    oracle="""
+    SELECT 'tt_v1' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderkey % 10 < 7
+    UNION ALL SELECT 'tt_v2', CAST(COUNT(*) AS BIGINT) FROM orders
+    UNION ALL SELECT 'tt_v3', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    UNION ALL SELECT 'tt_v4', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    UNION ALL SELECT 'mor_v1', CAST(COUNT(*) AS BIGINT) FROM orders
+    UNION ALL SELECT 'mor_v2', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    """,
+)
+def snapshot_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (sources/snapshots.py::snapshot_row_count):
+    commits record each data file's exact footer row count in the
+    manifest, so counting a 100 TB table is a manifest read — versions
+    under deletion vectors subtract the vectors' position counts (exact:
+    vectors never overlap by construction). Every count here is computed
+    WITHOUT a Spark job and cross-checked against the SQL front door's
+    COUNT(*) fast path before being returned as literals."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        delete_where_mor,
+        snapshot_row_count,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tt_root = _time_travel_chain(spark, sf_dir)
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        append(spark, root, orders)
+        delete_where_mor(spark, root, "o_orderpriority = '1-URGENT'")
+
+    mor_root = materialize_cached(
+        spark, src, "metacnt_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    rows = [
+        (f"tt_v{v}", snapshot_row_count(tt_root, v)) for v in (1, 2, 3, 4)
+    ] + [
+        (f"mor_v{v}", snapshot_row_count(mor_root, v)) for v in (1, 2)
+    ]
+    # the SQL front door must route the same question to the same
+    # metadata (raise-proven fast path, no scan in its plan)
+    fd = engine_sql(
+        spark, "SELECT COUNT(*) FROM t VERSION AS OF 2", {"t": mor_root}
+    )
+    if fd.inputFiles() or fd.first().n_rows != rows[-1][1]:
+        raise RuntimeError("SQL COUNT(*) fast path disagreed or scanned")
+    return spark.createDataFrame(rows, "stage string, n_rows long")
+
+
+@query(
     "catalog_sql_branch_join",
     # The LAST composition gap between branches.py, catalog.py, and
     # sql_front.py: ONE statement through the catalog's pinned SQL door

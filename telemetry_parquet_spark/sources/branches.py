@@ -94,10 +94,11 @@ def _write_branch_manifest(root: str, name: str, n: int, m: dict) -> int:
 
 def _stats_sizes(
     root: str, files: list[str], parent_m: dict
-) -> tuple[dict, dict, dict]:
-    """Commit-time stats/sizes for a branch manifest — carried files
-    reuse the parent BRANCH manifest's entries (same discipline as
-    snapshots._stats_for_commit, which walks the main chain)."""
+) -> tuple[dict, dict, dict, dict]:
+    """Commit-time stats/sizes/row-counts for a branch manifest —
+    carried files reuse the parent BRANCH manifest's entries (same
+    discipline as snapshots._stats_for_commit, which walks the main
+    chain)."""
     return S._stats_from_parent_manifest(root, files, parent_m)
 
 
@@ -127,6 +128,7 @@ def create_branch(
         "committed_at": _time.time(),
         "stats": m.get("stats", {}),
         "sizes": m.get("sizes", {}),
+        "rows": m.get("rows", {}),
         **({"stats_types": m["stats_types"]} if m.get("stats_types") else {}),
         **({"dv": m["dv"]} if m.get("dv") else {}),
         **({"constraints": m["constraints"]} if m.get("constraints") else {}),
@@ -185,7 +187,7 @@ def branch_append(
     n = bm["n"] + 1
     new = S._write_commit_files(df, root, f"{_PREFIX}{name}-c{n:06d}")
     files = bm["files"] + new
-    stats, types, sizes = _stats_sizes(root, files, bm)
+    stats, types, sizes, rows = _stats_sizes(root, files, bm)
     import time as _time
 
     return _write_branch_manifest(
@@ -201,6 +203,7 @@ def branch_append(
             "committed_at": _time.time(),
             "stats": stats,
             "sizes": sizes,
+            "rows": rows,
             **({"stats_types": types} if types else {}),
             **({"dv": bm["dv"]} if bm.get("dv") else {}),
             **(
@@ -264,7 +267,7 @@ def branch_delete_where(
             kept_rows, root, f"{_PREFIX}{name}-c{n:06d}"
         )
     files = carried + new
-    stats, types, sizes = _stats_sizes(root, files, bm)
+    stats, types, sizes, rows = _stats_sizes(root, files, bm)
     import time as _time
 
     return _write_branch_manifest(
@@ -279,6 +282,7 @@ def branch_delete_where(
             "committed_at": _time.time(),
             "stats": stats,
             "sizes": sizes,
+            "rows": rows,
             **({"stats_types": types} if types else {}),
             **(
                 {"constraints": bm["constraints"]}

@@ -148,9 +148,10 @@ def _encode_temporal(v):
     return None
 
 
-def _file_footer_stats(path: str) -> tuple[dict, dict]:
-    """Per-column [min, max] from the parquet footer of ONE file —
-    row-group stats folded. Plain JSON types (int / float / str / bool)
+def _file_footer_stats(path: str) -> tuple[dict, dict, int]:
+    """Per-column [min, max] AND the exact row count from the parquet
+    footer of ONE file — row-group stats folded. Plain JSON types
+    (int / float / str / bool)
     are stored as-is; DATE/TIMESTAMP columns are stored as integer
     ordinals (epoch days / epoch micros) with their kind recorded in the
     returned types dict so the planner can encode predicate values the
@@ -192,12 +193,12 @@ def _file_footer_stats(path: str) -> tuple[dict, dict]:
     for name, (mn, mx) in out.items():
         if isinstance(mn, str):  # bound manifest size on long strings
             out[name] = [_trunc_lower(mn), _trunc_upper(mx)]
-    return out, types
+    return out, types, md.num_rows
 
 
 def _stats_for_commit(
     root: str, files: list[str], parent: int | None
-) -> tuple[dict, dict, dict]:
+) -> tuple[dict, dict, dict, dict]:
     """Per-file column stats (+ temporal-encoding types) and byte sizes
     for the manifest: carried files reuse the parent's entries, fresh
     files get ONE footer read + stat each (driver-side, file-count-sized
@@ -215,30 +216,41 @@ def _stats_for_commit(
 
 def _stats_from_parent_manifest(
     root: str, files: list[str], pm: dict
-) -> tuple[dict, dict, dict]:
+) -> tuple[dict, dict, dict, dict]:
     """The reuse loop shared with branch commits (branches.py passes the
     parent BRANCH manifest dict) — one implementation, so a stats or
-    size-backfill fix can never drift between main and branch chains."""
+    size-backfill fix can never drift between main and branch chains.
+    Returns (stats, types, sizes, rows); ``rows`` records each file's
+    exact footer row count so COUNT(*) answers from the manifest alone
+    (``snapshot_row_count``). Carried files reuse the parent's entry; a
+    parent committed before row counts existed simply lacks the entry,
+    and readers fall back to a footer read for that file."""
     parent_stats = pm.get("stats", {})
     types = dict(pm.get("stats_types", {}))
     parent_sizes = pm.get("sizes", {})
-    stats, sizes = {}, {}
+    parent_rows = pm.get("rows", {})
+    stats, sizes, rows = {}, {}, {}
     for f in files:
         if f in parent_stats:
             stats[f] = parent_stats[f]
+            if f in parent_rows:
+                rows[f] = parent_rows[f]
         else:
             try:
-                stats[f], t = _file_footer_stats(os.path.join(root, f))
+                stats[f], t, rows[f] = _file_footer_stats(
+                    os.path.join(root, f)
+                )
                 types.update(t)
             except Exception:
                 stats[f] = {}  # unreadable footer -> no stats -> keep
+                rows.pop(f, None)
         try:
             sizes[f] = parent_sizes.get(f) or os.path.getsize(
                 os.path.join(root, f)
             )
         except OSError:
             pass  # no size -> join planner falls back to getsize/skip
-    return stats, types, sizes
+    return stats, types, sizes, rows
 
 
 def _commit(root: str, action: str, files: list[str], schema_json: str,
@@ -253,7 +265,7 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
     import time as _time
 
     version = 0 if parent is None else parent + 1
-    stats, stats_types, sizes = _stats_for_commit(root, files, parent)
+    stats, stats_types, sizes, rows = _stats_for_commit(root, files, parent)
     manifest = {
         "version": version,
         "parent": parent,
@@ -263,6 +275,7 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
         "committed_at": _time.time(),
         "stats": stats,
         "sizes": sizes,
+        "rows": rows,
         **({"stats_types": stats_types} if stats_types else {}),
         **(extra or {}),
     }
@@ -548,6 +561,42 @@ def read_snapshot(
         ).select(*[f.name for f in schema.fields])
     paths = [os.path.join(root, f) for f in m["files"]]
     return spark.read.schema(schema).parquet(*paths)
+
+
+def snapshot_row_count(root: str, version: int | str | None = None) -> int:
+    """Exact COUNT(*) of a snapshot version from METADATA alone — no
+    Spark job, no data-page I/O. Commits record each data file's footer
+    row count in the manifest (``rows``, carried by reference like
+    column stats), so the count of a 100 TB table is a manifest read;
+    a file committed before row counts existed (or whose entry was
+    dropped) falls back to ONE parquet footer read — still metadata.
+
+    Merge-on-read versions subtract the deletion vectors' position
+    counts: each DV masks positions that were VISIBLE when it committed
+    (``delete_where_mor`` / ``update_where_mor`` compute matches post
+    earlier vectors, and merges refuse overlapping vectors), so vectors
+    never double-count a row. DV files' counts come from their footers
+    (vector files are tiny by design). ``version`` may be a tag name."""
+    import pyarrow.parquet as pq
+
+    if isinstance(version, str):
+        version = resolve_ref(root, version)
+    v = latest_version(root) if version is None else version
+    m = read_manifest(root, v)
+    rows = m.get("rows", {})
+
+    def _count(rel: str) -> int:
+        n = rows.get(rel)
+        if n is None:
+            n = pq.ParquetFile(os.path.join(root, rel)).metadata.num_rows
+        return int(n)
+
+    total = sum(_count(f) for f in m["files"])
+    for dvf in m.get("dv", []) or []:
+        total -= int(
+            pq.ParquetFile(os.path.join(root, dvf)).metadata.num_rows
+        )
+    return total
 
 
 def append(

@@ -727,6 +727,43 @@ def engine_sql(
 
     from telemetry_parquet_spark.sources.snapshots import resolve_ref
 
+    # Metadata-only COUNT(*): a bare whole-table count (optionally
+    # version-pinned) answers from the manifest's per-file row counts —
+    # zero data I/O, no scan in the plan (snapshots.snapshot_row_count;
+    # MOR versions subtract their deletion vectors). Branch refs fall
+    # through to the generic rewrite (branch manifests live elsewhere).
+    m = re.fullmatch(
+        r"\s*SELECT\s+COUNT\(\*\)(?:\s+AS\s+(\w+))?\s+FROM\s+(\w+)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?\s*;?\s*",
+        sql,
+        re.IGNORECASE,
+    )
+    if m and m.group(2) in tables and not (
+        m.group(3) or ""
+    ).startswith("'branch:"):
+        from telemetry_parquet_spark.sources.snapshots import (
+            snapshot_row_count,
+        )
+
+        ref = m.group(3)
+        version = (
+            None
+            if ref is None
+            else (resolve_ref(tables[m.group(2)], ref[1:-1])
+                  if ref.startswith("'") else int(ref))
+        )
+        v = (None if pins is None else pins.get(m.group(2))) \
+            if version is None else version
+        n = snapshot_row_count(tables[m.group(2)], v)
+        from pyspark.sql.types import LongType
+
+        return spark.createDataFrame(
+            [(n,)],
+            StructType(
+                [StructField(m.group(1) or "n_rows", LongType(), False)]
+            ),
+        )
+
     for name, root in tables.items():
         def _sub_version(mo: re.Match) -> str:
             g = mo.group(1)

@@ -1216,3 +1216,75 @@ def test_manifest_string_stats_truncated_and_exact(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, docs.where(F.col("text") == probe).collect())
     )
+
+
+def test_snapshot_row_count_metadata_only(spark, sf_dir, tmp_path):
+    """COUNT(*) from the manifest alone: exact per version across
+    append -> COW delete -> compaction, exact under stacked deletion
+    vectors (subtracted), and exact via the footer FALLBACK when a
+    manifest predates per-file row counts."""
+    import json as _json
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+        delete_where,
+        delete_where_mor,
+        read_snapshot,
+        snapshot_row_count,
+        _manifest_path,
+        latest_version,
+    )
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    append(spark, root, src.where(F.col("o_orderkey") % 10 < 7))
+    append(spark, root, src.where(F.col("o_orderkey") % 10 >= 7))
+    delete_where(spark, root, "o_orderpriority = '1-URGENT'")
+    compact_table(spark, root, target_bytes=1 << 30)
+    for v in (1, 2, 3, 4):
+        assert snapshot_row_count(root, v) == \
+            read_snapshot(spark, root, v).count(), f"v{v}"
+
+    # merge-on-read: stacked vectors subtract exactly
+    mor = str(tmp_path / "m")
+    append(spark, mor, src)
+    delete_where_mor(spark, mor, "o_orderpriority = '1-URGENT'")
+    delete_where_mor(spark, mor, "o_orderpriority = '2-HIGH'")
+    for v in (1, 2, 3):
+        assert snapshot_row_count(mor, v) == \
+            read_snapshot(spark, mor, v).count(), f"mor v{v}"
+
+    # legacy manifest (committed before row counts): footer fallback
+    p = _manifest_path(root, latest_version(root))
+    with open(p) as fh:
+        m = _json.load(fh)
+    m.pop("rows", None)
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+    assert snapshot_row_count(root) == read_snapshot(spark, root).count()
+
+
+def test_sql_count_star_metadata_fast_path(spark, sf_dir, tmp_path):
+    """The SQL front door's whole-table COUNT(*) answers from metadata:
+    value matches the scan, the plan reads NO files, version pins and
+    aliases are honored."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import append
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    append(spark, root, src.where(F.col("o_orderkey") % 10 < 7))
+    append(spark, root, src.where(F.col("o_orderkey") % 10 >= 7))
+
+    out = engine_sql(spark, "SELECT COUNT(*) AS n FROM t", {"t": root})
+    assert out.columns == ["n"]
+    assert out.inputFiles() == []  # no scan anywhere in the plan
+    assert out.first().n == src.count()
+    v1 = engine_sql(
+        spark, "SELECT COUNT(*) FROM t VERSION AS OF 1", {"t": root}
+    )
+    assert v1.first().n_rows == src.where(F.col("o_orderkey") % 10 < 7).count()
