@@ -261,6 +261,9 @@ HEADLINE = [
     # round 10: metadata-only COUNT(*) — manifest row counts, DV
     # subtraction, zero data I/O (steady-state cost = manifest reads)
     "snapshot_metadata_count",
+    # round 10: MIN/MAX/COUNT pushdown to manifest stats in one front-door
+    # statement (no-scan raise-proven)
+    "snapshot_metadata_minmax",
 ]
 
 

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "catalog_sql_branch_join",
     "dsir_importance_select",
     "snapshot_metadata_count",
+    "snapshot_metadata_minmax",
     # latest driver row r05 — the stalest cohort (rotation, per the ledger)
     "stream_sliding_halfhour",
     "stream_static_enrich",
@@ -109,9 +110,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "f9_domain_extraction",
     "footer_stats_lineitem",
     "funnel_conversion",
-    "grouping_sets_volume",
-    # (remaining r06 names — lm_bigram_train on, alphabetical — rotate
-    # to round 11's window)
+    # (remaining r06 names — grouping_sets_volume on, alphabetical —
+    # rotate to round 11's window)
 )
 
 

@@ -1245,6 +1245,53 @@ def snapshot_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_metadata_minmax",
+    # Aggregate pushdown to METADATA: COUNT(*)/MIN/MAX over integer
+    # columns answered by folding the manifest's per-file footer stats —
+    # zero data I/O, no scan in the plan (raise-proven via inputFiles).
+    # The oracle recomputes the same aggregates relationally.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_okey,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_okey,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_pkey,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_pkey
+    FROM lineitem
+    """,
+)
+def snapshot_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/COUNT pushdown to manifest stats
+    (sources/snapshots.py::snapshot_minmax + the SQL front door): file
+    stats are exact bounds of file contents, so their fold is the exact
+    global extreme whenever every file carries the stat and no deletion
+    vector can mask the extreme row — guards that fall back to a scan
+    otherwise. The statement here must answer WITHOUT a scan (raise)."""
+    from telemetry_parquet_spark.sources.snapshots import append
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+
+    def build(root: str) -> None:
+        li = spark.read.parquet(src)
+        append(spark, root, li.repartitionByRange(16, F.col("l_orderkey")))
+
+    root = materialize_cached(
+        spark, src, "snapst_lineitem_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    out = engine_sql(
+        spark,
+        "SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_okey, "
+        "MAX(l_orderkey) AS max_okey, MIN(l_partkey) AS min_pkey, "
+        "MAX(l_partkey) AS max_pkey FROM t",
+        {"t": root},
+    )
+    if out.inputFiles():
+        raise RuntimeError("metadata aggregate fast path did not engage")
+    return out
+
+
+@query(
     "catalog_sql_branch_join",
     # The LAST composition gap between branches.py, catalog.py, and
     # sql_front.py: ONE statement through the catalog's pinned SQL door

@@ -599,6 +599,48 @@ def snapshot_row_count(root: str, version: int | str | None = None) -> int:
     return total
 
 
+def snapshot_minmax(
+    root: str, col: str, version: int | str | None = None
+) -> tuple | None:
+    """Exact global (MIN, MAX) of an INTEGER column from manifest stats
+    alone, or ``None`` when metadata cannot answer exactly — the caller
+    falls back to a scan. Answerable iff: no outstanding deletion
+    vectors (a vector may mask the extreme row), every data file carries
+    a stat for the column (file stats are exact bounds of file
+    contents, so the fold over files is the exact global extreme), the
+    schema types the column integral (float stats are NaN-hazardous
+    across engines; string stats are TRUNCATED bounds by design), and
+    the column is not a temporal-ordinal encoding. The Iceberg-style
+    aggregate pushdown to metadata."""
+    if isinstance(version, str):
+        version = resolve_ref(root, version)
+    v = latest_version(root) if version is None else version
+    m = read_manifest(root, v)
+    if m.get("dv") or not m["files"]:
+        return None
+    if col in (m.get("stats_types") or {}):
+        return None
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    try:
+        kind = schema[col].dataType.typeName()
+    except KeyError:
+        return None
+    if kind not in ("long", "integer", "short", "byte"):
+        return None
+    stats = m.get("stats", {})
+    lo = hi = None
+    for f in m["files"]:
+        st = stats.get(f, {}).get(col)
+        if not st:
+            return None  # a file without the stat -> metadata can't answer
+        mn, mx = st
+        if not (isinstance(mn, int) and isinstance(mx, int)):
+            return None
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return lo, hi
+
+
 def append(
     spark: SparkSession,
     root: str,

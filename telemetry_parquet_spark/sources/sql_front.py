@@ -727,13 +727,21 @@ def engine_sql(
 
     from telemetry_parquet_spark.sources.snapshots import resolve_ref
 
-    # Metadata-only COUNT(*): a bare whole-table count (optionally
-    # version-pinned) answers from the manifest's per-file row counts —
-    # zero data I/O, no scan in the plan (snapshots.snapshot_row_count;
-    # MOR versions subtract their deletion vectors). Branch refs fall
-    # through to the generic rewrite (branch manifests live elsewhere).
+    # Metadata-only aggregates: a bare whole-table SELECT of COUNT(*) /
+    # MIN(col) / MAX(col) terms (optionally version-pinned) answers from
+    # the manifest alone — zero data I/O, no scan in the plan. COUNT
+    # comes from per-file footer row counts (MOR versions subtract their
+    # deletion vectors); MIN/MAX fold the per-file column stats, exact
+    # only for integer columns with full stat coverage and no vectors
+    # (snapshots.snapshot_minmax) — any unanswerable term falls through
+    # to the ordinary scan rewrite. Branch refs fall through too (branch
+    # manifests live elsewhere). Default output names: n_rows /
+    # min_<col> / max_<col>.
     m = re.fullmatch(
-        r"\s*SELECT\s+COUNT\(\*\)(?:\s+AS\s+(\w+))?\s+FROM\s+(\w+)"
+        r"\s*SELECT\s+((?:COUNT\(\*\)|MIN\(\w+\)|MAX\(\w+\))"
+        r"(?:\s+AS\s+\w+)?"
+        r"(?:\s*,\s*(?:COUNT\(\*\)|MIN\(\w+\)|MAX\(\w+\))"
+        r"(?:\s+AS\s+\w+)?)*)\s+FROM\s+(\w+)"
         r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?\s*;?\s*",
         sql,
         re.IGNORECASE,
@@ -742,27 +750,49 @@ def engine_sql(
         m.group(3) or ""
     ).startswith("'branch:"):
         from telemetry_parquet_spark.sources.snapshots import (
+            snapshot_minmax,
             snapshot_row_count,
         )
 
+        root = tables[m.group(2)]
         ref = m.group(3)
         version = (
             None
             if ref is None
-            else (resolve_ref(tables[m.group(2)], ref[1:-1])
+            else (resolve_ref(root, ref[1:-1])
                   if ref.startswith("'") else int(ref))
         )
         v = (None if pins is None else pins.get(m.group(2))) \
             if version is None else version
-        n = snapshot_row_count(tables[m.group(2)], v)
-        from pyspark.sql.types import LongType
+        names, vals = [], []
+        minmax_cache: dict[str, tuple | None] = {}
+        for term, colname, alias in re.findall(
+            r"(COUNT\(\*\)|(?:MIN|MAX)\((\w+)\))(?:\s+AS\s+(\w+))?",
+            m.group(1),
+            re.IGNORECASE,
+        ):
+            kind = term.split("(")[0].upper()
+            if kind == "COUNT":
+                names.append(alias or "n_rows")
+                vals.append(snapshot_row_count(root, v))
+                continue
+            if colname not in minmax_cache:
+                minmax_cache[colname] = snapshot_minmax(root, colname, v)
+            mm = minmax_cache[colname]
+            if mm is None:
+                names = []  # unanswerable term: whole statement scans
+                break
+            names.append(alias or f"{kind.lower()}_{colname}")
+            vals.append(mm[0] if kind == "MIN" else mm[1])
+        if names:
+            from pyspark.sql.types import LongType
 
-        return spark.createDataFrame(
-            [(n,)],
-            StructType(
-                [StructField(m.group(1) or "n_rows", LongType(), False)]
-            ),
-        )
+            return spark.createDataFrame(
+                [tuple(vals)],
+                StructType(
+                    [StructField(n_, LongType(), False) for n_ in names]
+                ),
+            )
 
     for name, root in tables.items():
         def _sub_version(mo: re.Match) -> str:

@@ -1288,3 +1288,50 @@ def test_sql_count_star_metadata_fast_path(spark, sf_dir, tmp_path):
         spark, "SELECT COUNT(*) FROM t VERSION AS OF 1", {"t": root}
     )
     assert v1.first().n_rows == src.where(F.col("o_orderkey") % 10 < 7).count()
+
+
+def test_sql_minmax_metadata_fast_path(spark, sf_dir, tmp_path):
+    """Whole-table MIN/MAX/COUNT over an integer column answers from
+    manifest stats (no scan); unanswerable shapes — deletion vectors,
+    string columns — fall through to the ordinary scan rewrite with the
+    same values."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        delete_where_mor,
+        snapshot_minmax,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    append(spark, root, src.where(F.col("o_orderkey") % 10 < 7))
+    append(spark, root, src.where(F.col("o_orderkey") % 10 >= 7))
+
+    stmt = ("SELECT COUNT(*) AS n, MIN(o_orderkey) AS lo, "
+            "MAX(o_orderkey) AS hi FROM t")
+    fast = engine_sql(spark, stmt, {"t": root})
+    assert fast.inputFiles() == []  # metadata answered the whole select
+    row = fast.first()
+    truth = src.agg(
+        F.count("*").alias("n"), F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+    ).first()
+    assert (row.n, row.lo, row.hi) == (truth.n, truth.lo, truth.hi)
+
+    # string column: metadata refuses (truncated bounds), scan answers
+    assert snapshot_minmax(root, "o_orderpriority") is None
+    s = engine_sql(
+        spark, "SELECT MIN(o_orderpriority) AS m FROM t", {"t": root}
+    )
+    assert s.inputFiles() != []  # fell through to the scan path
+    assert s.first().m == src.agg(F.min("o_orderpriority")).first()[0]
+
+    # deletion vectors: a vector may mask the extreme row -> refuse
+    delete_where_mor(spark, root, "o_orderpriority = '1-URGENT'")
+    assert snapshot_minmax(root, "o_orderkey") is None
+    dv = engine_sql(
+        spark, "SELECT MIN(o_orderkey) AS lo FROM t", {"t": root}
+    )
+    assert dv.inputFiles() != []
