@@ -264,6 +264,12 @@ HEADLINE = [
     # round 10: MIN/MAX/COUNT pushdown to manifest stats in one front-door
     # statement (no-scan raise-proven)
     "snapshot_metadata_minmax",
+    # round 10: SUM/COUNT(col) from per-file manifest sums minus
+    # deletion-vector sidecar deltas — zero data I/O through a MOR chain
+    "snapshot_metadata_sum",
+    # round 10: clustered-key GROUP BY folded from the manifest (the hive
+    # directory-layout rollup recovered from file stats, no-scan raise)
+    "snapshot_metadata_groupby",
 ]
 
 

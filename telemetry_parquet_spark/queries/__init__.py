@@ -77,6 +77,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_importance_select",
     "snapshot_metadata_count",
     "snapshot_metadata_minmax",
+    "snapshot_metadata_sum",
+    "snapshot_metadata_groupby",
     # latest driver row r05 — the stalest cohort (rotation, per the ledger)
     "stream_sliding_halfhour",
     "stream_static_enrich",
@@ -108,10 +110,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_flatten_variant",
     "f10_bucketed_histogram",
     "f9_domain_extraction",
-    "footer_stats_lineitem",
-    "funnel_conversion",
-    # (remaining r06 names — grouping_sets_volume on, alphabetical —
-    # rotate to round 11's window)
+    # (remaining r06 names — footer_stats_lineitem on, alphabetical —
+    # rotate to round 11's window; two slots went to the new metadata
+    # SUM / GROUP BY queries above)
 )
 
 

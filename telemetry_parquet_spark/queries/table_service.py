@@ -1489,3 +1489,144 @@ def jv_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert modes["fact_append"] == modes["fact_delete"] == "incremental"
     assert modes["dim_delete"] == "full"
     return spark.read.parquet(os.path.join(root, "result"))
+
+
+@query(
+    "snapshot_metadata_sum",
+    # Aggregate pushdown to metadata, extended past COUNT/MIN/MAX: commits
+    # record each fresh file's per-integer-column [sum, n_nonnull] in the
+    # manifest (carried by reference), and merge-on-read deletes/updates
+    # record the DELETED rows' aggregate as a sidecar next to their
+    # deletion vector — so whole-table SUM/COUNT(col) answer as
+    # Σ file sums − Σ vector deltas with zero data I/O, through a COW
+    # append, a MOR delete (vector subtraction), and a MOR update (vector
+    # + fresh-file sums in one commit). The oracle recomputes every stage
+    # relationally; a hash match proves the fold is exact end-to-end.
+    oracle="""
+    SELECT 'v1' AS stage,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'v2', CAST(SUM(o_custkey) AS BIGINT),
+           CAST(COUNT(o_custkey) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    UNION ALL
+    SELECT 'v3',
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN o_custkey + 1000000
+                         ELSE o_custkey END) AS BIGINT),
+           CAST(COUNT(o_custkey) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    """,
+)
+def snapshot_metadata_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only SUM/COUNT(col) (sources/snapshots.py::snapshot_sum):
+    SUM of a 100 TB table is a manifest read plus one tiny JSON per
+    outstanding deletion vector. Every stage here is computed WITHOUT a
+    Spark job over the data and the head is cross-checked against the
+    SQL front door's fast path (raise-proven: no scan in its plan)."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        delete_where_mor,
+        snapshot_row_count,
+        snapshot_sum,
+        update_where_mor,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        append(spark, root, orders.repartition(8))
+        delete_where_mor(spark, root, "o_orderpriority = '1-URGENT'")
+        update_where_mor(
+            spark, root, "o_orderstatus = 'F'",
+            {"o_custkey": "o_custkey + 1000000"},
+        )
+
+    root = materialize_cached(
+        spark, src, "metasum_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    rows = []
+    for v in (1, 2, 3):
+        sc = snapshot_sum(root, "o_custkey", v)
+        if sc is None:
+            raise RuntimeError(
+                f"snapshot_sum fell back to a scan at v{v}; metadata "
+                "sums must answer this chain"
+            )
+        rows.append((f"v{v}", sc[0], sc[1], snapshot_row_count(root, v)))
+    fd = engine_sql(
+        spark,
+        "SELECT SUM(o_custkey) AS s, COUNT(o_custkey) AS n, "
+        "COUNT(*) AS nr FROM t",
+        {"t": root},
+    )
+    first = fd.first()
+    if fd.inputFiles() or (first.s, first.n, first.nr) != rows[-1][1:]:
+        raise RuntimeError("SQL SUM fast path disagreed or scanned")
+    return spark.createDataFrame(
+        rows,
+        "stage string, sum_custkey long, n_custkey long, n_rows long",
+    )
+
+
+@query(
+    "snapshot_metadata_groupby",
+    # Metadata-only GROUP BY: when the layout CLUSTERS the group key —
+    # every data file single-valued on it (footer min == max, the
+    # property partitioned or key-sorted writes produce) — GROUP BY key
+    # with COUNT(*)/SUM(int col) folds per-file manifest entries keyed by
+    # each file's stat value: the metadata GROUP BY hive partitioning
+    # gives away from its directory layout, recovered from file stats so
+    # ANY clustered layout qualifies. Raise-proven zero-scan through the
+    # SQL front door; the oracle recomputes the rollup relationally.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def snapshot_metadata_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered-key GROUP BY from the manifest alone
+    (sources/snapshots.py::snapshot_groupby_metadata + the SQL front
+    door): one append per priority class makes every file single-valued
+    on the key, so the rollup of a 100 TB table costs a manifest fold.
+    Must answer WITHOUT a scan (raise); a straddling layout or an
+    outstanding deletion vector falls back to the ordinary scan rewrite
+    (guard behavior pinned by tests/test_snapshots.py)."""
+    from telemetry_parquet_spark.sources.snapshots import append
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        # TPC-H's fixed priority domain; one append per class = a
+        # clustered layout without any partitioning DDL
+        for p in (
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+        ):
+            append(
+                spark, root,
+                orders.where(F.col("o_orderpriority") == p).repartition(2),
+            )
+
+    root = materialize_cached(
+        spark, src, "metagb_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    out = engine_sql(
+        spark,
+        "SELECT o_orderpriority, COUNT(*) AS n_rows, "
+        "SUM(o_custkey) AS sum_custkey FROM t GROUP BY o_orderpriority",
+        {"t": root},
+    )
+    if out.inputFiles():
+        raise RuntimeError("metadata GROUP BY fast path did not engage")
+    return out

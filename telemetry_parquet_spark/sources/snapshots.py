@@ -196,9 +196,42 @@ def _file_footer_stats(path: str) -> tuple[dict, dict, int]:
     return out, types, md.num_rows
 
 
+def _file_column_sums(path: str) -> dict[str, list]:
+    """Per-column ``[sum, n_nonnull]`` for every INTEGER column of ONE
+    data file — the commit-time aggregate stat behind metadata-only
+    SUM/AVG/COUNT(col) (``snapshot_sum``). Unlike min/max, parquet
+    footers don't carry sums, so this reads the integer columns of the
+    file once; commits only ever do it for FRESH files (carried files
+    reuse the parent manifest's entry), so the cost is ∝ new data per
+    commit — the same order as having written the file. Bool, float,
+    temporal, string and nested columns are skipped: SUM over them is
+    either invalid SQL or inexact across engines, and a missing entry
+    makes readers fall back to a scan."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+
+    pf = pq.ParquetFile(path)
+    cols = [
+        f.name for f in pf.schema_arrow
+        if pa.types.is_integer(f.type)
+    ]
+    if not cols:
+        return {}
+    t = pf.read(columns=cols)
+    out = {}
+    for c in cols:
+        arr = t.column(c)
+        n = len(arr) - arr.null_count
+        s = pc.sum(arr).as_py()
+        out[c] = [int(s) if s is not None else 0, int(n)]
+    return out
+
+
 def _stats_for_commit(
     root: str, files: list[str], parent: int | None
-) -> tuple[dict, dict, dict, dict]:
+) -> tuple[dict, dict, dict, dict, dict]:
     """Per-file column stats (+ temporal-encoding types) and byte sizes
     for the manifest: carried files reuse the parent's entries, fresh
     files get ONE footer read + stat each (driver-side, file-count-sized
@@ -216,25 +249,31 @@ def _stats_for_commit(
 
 def _stats_from_parent_manifest(
     root: str, files: list[str], pm: dict
-) -> tuple[dict, dict, dict, dict]:
+) -> tuple[dict, dict, dict, dict, dict]:
     """The reuse loop shared with branch commits (branches.py passes the
     parent BRANCH manifest dict) — one implementation, so a stats or
     size-backfill fix can never drift between main and branch chains.
-    Returns (stats, types, sizes, rows); ``rows`` records each file's
-    exact footer row count so COUNT(*) answers from the manifest alone
-    (``snapshot_row_count``). Carried files reuse the parent's entry; a
-    parent committed before row counts existed simply lacks the entry,
-    and readers fall back to a footer read for that file."""
+    Returns (stats, types, sizes, rows, sums); ``rows`` records each
+    file's exact footer row count so COUNT(*) answers from the manifest
+    alone (``snapshot_row_count``); ``sums`` records each file's integer
+    column [sum, n_nonnull] so SUM/AVG/COUNT(col) do too
+    (``snapshot_sum``). Carried files reuse the parent's entry; a parent
+    committed before row counts / sums existed simply lacks the entry,
+    and readers fall back (footer read for counts, full scan for sums —
+    never a wrong answer)."""
     parent_stats = pm.get("stats", {})
     types = dict(pm.get("stats_types", {}))
     parent_sizes = pm.get("sizes", {})
     parent_rows = pm.get("rows", {})
-    stats, sizes, rows = {}, {}, {}
+    parent_sums = pm.get("sums", {})
+    stats, sizes, rows, sums = {}, {}, {}, {}
     for f in files:
         if f in parent_stats:
             stats[f] = parent_stats[f]
             if f in parent_rows:
                 rows[f] = parent_rows[f]
+            if f in parent_sums:
+                sums[f] = parent_sums[f]
         else:
             try:
                 stats[f], t, rows[f] = _file_footer_stats(
@@ -244,13 +283,18 @@ def _stats_from_parent_manifest(
             except Exception:
                 stats[f] = {}  # unreadable footer -> no stats -> keep
                 rows.pop(f, None)
+            else:
+                try:
+                    sums[f] = _file_column_sums(os.path.join(root, f))
+                except Exception:
+                    pass  # no sums entry -> snapshot_sum falls back
         try:
             sizes[f] = parent_sizes.get(f) or os.path.getsize(
                 os.path.join(root, f)
             )
         except OSError:
             pass  # no size -> join planner falls back to getsize/skip
-    return stats, types, sizes, rows
+    return stats, types, sizes, rows, sums
 
 
 def _commit(root: str, action: str, files: list[str], schema_json: str,
@@ -265,7 +309,9 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
     import time as _time
 
     version = 0 if parent is None else parent + 1
-    stats, stats_types, sizes, rows = _stats_for_commit(root, files, parent)
+    stats, stats_types, sizes, rows, sums = _stats_for_commit(
+        root, files, parent
+    )
     manifest = {
         "version": version,
         "parent": parent,
@@ -276,6 +322,7 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
         "stats": stats,
         "sizes": sizes,
         "rows": rows,
+        "sums": sums,
         **({"stats_types": stats_types} if stats_types else {}),
         **(extra or {}),
     }
@@ -641,6 +688,185 @@ def snapshot_minmax(
     return lo, hi
 
 
+_DV_AGG_SUFFIX = ".agg.json"
+
+
+def _write_dv_agg_sidecar(
+    spark: SparkSession,
+    root: str,
+    dv_files: list[str],
+    matched: DataFrame,
+    schema: StructType,
+) -> None:
+    """Record the integer-column [sum, n_nonnull] of the rows a deletion
+    vector masks, as a JSON SIDECAR next to the vector file. Keyed by
+    the DV file's own immutable path, the delta needs NO carry logic:
+    wherever a manifest references the vector, ``snapshot_sum`` finds
+    the sidecar and subtracts — so SUM/AVG/COUNT(col) stay metadata-only
+    through merge-on-read deletes and updates. Cost: one extra
+    aggregation pass over the matched rows at delete time (column-pruned
+    to the integer columns), the standard stats-maintenance trade.
+    Written only when the vector is a single file (it always is:
+    ``repartition(1)``); a missing sidecar is never wrong — readers fall
+    back to a scan."""
+    if len(dv_files) != 1:
+        return
+    cols = [
+        f.name for f in schema.fields
+        if f.dataType.typeName() in ("long", "integer", "short", "byte")
+    ]
+    if not cols:
+        agg: dict[str, list] = {}
+    else:
+        row = matched.agg(
+            *[F.sum(F.col(c).cast("long")).alias(f"s_{c}") for c in cols],
+            *[F.count(F.col(c)).alias(f"n_{c}") for c in cols],
+        ).first()
+        agg = {
+            c: [
+                int(row[f"s_{c}"]) if row[f"s_{c}"] is not None else 0,
+                int(row[f"n_{c}"]),
+            ]
+            for c in cols
+        }
+    with open(
+        os.path.join(root, dv_files[0] + _DV_AGG_SUFFIX), "w"
+    ) as f:
+        json.dump(agg, f)
+
+
+def _read_dv_agg_sidecar(root: str, dv_file: str) -> dict | None:
+    try:
+        with open(os.path.join(root, dv_file + _DV_AGG_SUFFIX)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None  # pre-feature or foreign vector -> caller falls back
+
+
+def snapshot_sum(
+    root: str, col: str, version: int | str | None = None
+) -> tuple[int, int] | None:
+    """Exact global ``(SUM(col), COUNT(col))`` of an INTEGER column from
+    METADATA alone, or ``None`` when metadata cannot answer exactly (the
+    caller falls back to a scan — never a wrong answer). Commits record
+    each fresh file's per-column [sum, n_nonnull] (``sums`` in the
+    manifest, carried by reference like min/max stats), and merge-on-read
+    deletes/updates record the DELETED rows' aggregate as a sidecar next
+    to their deletion vector — so the fold here is
+    Σ file sums − Σ vector deltas, exact because vectors never overlap by
+    construction. SUM of a 100 TB table is a manifest read plus one tiny
+    JSON per outstanding vector. Answerable iff the schema types the
+    column integral, it is not a temporal-ordinal encoding, every data
+    file carries a sums entry and every vector a sidecar. ``version``
+    may be a tag name."""
+    if isinstance(version, str):
+        version = resolve_ref(root, version)
+    v = latest_version(root) if version is None else version
+    m = read_manifest(root, v)
+    if not m["files"]:
+        return None  # SUM over zero rows is NULL; let the scan say so
+    if col in (m.get("stats_types") or {}):
+        return None
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    try:
+        kind = schema[col].dataType.typeName()
+    except KeyError:
+        return None
+    if kind not in ("long", "integer", "short", "byte"):
+        return None
+    sums = m.get("sums", {})
+    total_s = total_n = 0
+    for f in m["files"]:
+        ent = sums.get(f, {}).get(col)
+        if ent is None:
+            return None  # a file without the stat -> metadata can't answer
+        total_s += int(ent[0])
+        total_n += int(ent[1])
+    for dvf in m.get("dv", []) or []:
+        agg = _read_dv_agg_sidecar(root, dvf)
+        ent = (agg or {}).get(col)
+        if ent is None:
+            return None
+        total_s -= int(ent[0])
+        total_n -= int(ent[1])
+    if total_n == 0:
+        return None  # all-NULL column: SQL SUM is NULL; scan answers
+    return total_s, total_n
+
+
+def snapshot_groupby_metadata(
+    root: str,
+    key: str,
+    sum_cols: list[str] | None = None,
+    version: int | str | None = None,
+) -> list[tuple] | None:
+    """``GROUP BY key`` with COUNT(*) (+ optional integer SUMs) answered
+    from the manifest alone, or ``None`` when metadata cannot answer
+    exactly. Answerable iff the layout CLUSTERS the key — every non-empty
+    data file is single-valued on it (footer min == max, the property a
+    partitioned or key-sorted write produces) — there are no outstanding
+    deletion vectors (a vector can't be attributed to a key group without
+    reading it), every file carries a row count (+ sums entries for the
+    requested SUM columns), and string keys are shorter than the stat
+    truncation bound (a truncated min/max pair can't prove
+    single-valuedness; ``_file_footer_stats`` rounds the truncated MAX
+    up, so truncation always shows as min != max — conservative). The
+    metadata GROUP BY a hive-partitioned table gets from its directory
+    layout, recovered here from file stats so ANY clustered layout
+    (e.g. a z-order rewrite) qualifies. Rows come back sorted by key."""
+    if isinstance(version, str):
+        version = resolve_ref(root, version)
+    v = latest_version(root) if version is None else version
+    m = read_manifest(root, v)
+    if m.get("dv") or not m["files"]:
+        return None
+    if key in (m.get("stats_types") or {}):
+        return None
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    try:
+        key_kind = schema[key].dataType.typeName()
+    except KeyError:
+        return None
+    if key_kind not in ("string", "long", "integer", "short", "byte"):
+        return None
+    for c in sum_cols or []:
+        try:
+            kind = schema[c].dataType.typeName()
+        except KeyError:
+            return None
+        if kind not in ("long", "integer", "short", "byte"):
+            return None
+        if c in (m.get("stats_types") or {}):
+            return None
+    stats, rows, sums = m.get("stats", {}), m.get("rows", {}), \
+        m.get("sums", {})
+    groups: dict = {}
+    for f in m["files"]:
+        n = rows.get(f)
+        if n is None:
+            return None
+        if n == 0:
+            continue  # empty file: no rows to attribute
+        st = stats.get(f, {}).get(key)
+        if not st or st[0] != st[1]:
+            return None  # file straddles keys (or stats truncated/missing)
+        kv = st[0]
+        nsc = len(sum_cols or [])
+        g = groups.setdefault(kv, [0] + [0] * (2 * nsc))
+        g[0] += int(n)
+        for i, c in enumerate(sum_cols or []):
+            ent = sums.get(f, {}).get(c)
+            if ent is None:
+                return None
+            g[1 + i] += int(ent[0])
+            g[1 + nsc + i] += int(ent[1])  # n_nonnull, for the NULL edge
+    nsc = len(sum_cols or [])
+    for g in groups.values():
+        if any(g[1 + nsc + i] == 0 for i in range(nsc)):
+            return None  # an all-NULL group: SQL SUM is NULL; scan answers
+    return [(k, *groups[k][: 1 + nsc]) for k in sorted(groups)]
+
+
 def append(
     spark: SparkSession,
     root: str,
@@ -741,12 +967,11 @@ def delete_where_mor(
             root, "delete-mor", [], m["schema"], parent, meta
         )
     schema = StructType.fromJson(json.loads(m["schema"]))
-    matches = (
-        _scan_with_pos(spark, root, m["files"], schema, m.get("dv", []))
-        .where(hit)
-        .select(
-            F.col("__file").alias("file"), F.col("__pos").alias("pos")
-        )
+    matched = _scan_with_pos(
+        spark, root, m["files"], schema, m.get("dv", [])
+    ).where(hit)
+    matches = matched.select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
     )
     # repartition (not coalesce): the detection scan stays parallel and
     # only the matched POSITIONS shuffle to one writer. One DV file per
@@ -755,6 +980,7 @@ def delete_where_mor(
     new_dv = _write_commit_files(
         matches.repartition(1), root, f"dv{parent + 1:06d}"
     )
+    _write_dv_agg_sidecar(spark, root, new_dv, matched, schema)
     return _commit(
         root, "delete-mor", m["files"], m["schema"], parent,
         {**meta, "dv": meta.get("dv", []) + new_dv},
@@ -818,6 +1044,7 @@ def update_where_mor(
     _validate_constraints(updated, m.get("constraints"))
     tag = f"u{parent + 1:06d}"
     new_dv = _write_commit_files(dv_rows.repartition(1), root, tag + "dv")
+    _write_dv_agg_sidecar(spark, root, new_dv, matched, schema)
     new_files = _write_commit_files(updated, root, tag)
     meta = {**_carry_meta(m), "dv": m.get("dv", []) + new_dv}
     return _commit(
@@ -2343,6 +2570,10 @@ def vacuum(
                     continue
             os.remove(full)
             removed.append(rel)
+            try:  # a deletion vector's agg sidecar dies with its vector
+                os.remove(full + _DV_AGG_SUFFIX)
+            except OSError:
+                pass
     for v in versions:
         if v not in keep:
             os.remove(_manifest_path(root, v))

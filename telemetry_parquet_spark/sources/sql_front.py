@@ -728,19 +728,22 @@ def engine_sql(
     from telemetry_parquet_spark.sources.snapshots import resolve_ref
 
     # Metadata-only aggregates: a bare whole-table SELECT of COUNT(*) /
-    # MIN(col) / MAX(col) terms (optionally version-pinned) answers from
-    # the manifest alone — zero data I/O, no scan in the plan. COUNT
-    # comes from per-file footer row counts (MOR versions subtract their
-    # deletion vectors); MIN/MAX fold the per-file column stats, exact
-    # only for integer columns with full stat coverage and no vectors
-    # (snapshots.snapshot_minmax) — any unanswerable term falls through
-    # to the ordinary scan rewrite. Branch refs fall through too (branch
-    # manifests live elsewhere). Default output names: n_rows /
-    # min_<col> / max_<col>.
+    # COUNT(col) / MIN(col) / MAX(col) / SUM(col) terms (optionally
+    # version-pinned) answers from the manifest alone — zero data I/O,
+    # no scan in the plan. COUNT(*) comes from per-file footer row
+    # counts (MOR versions subtract their deletion vectors); MIN/MAX
+    # fold the per-file column stats; SUM/COUNT(col) fold the per-file
+    # [sum, n_nonnull] entries commits record, minus the deletion
+    # vectors' sidecar deltas — each exact only for integer columns with
+    # full coverage (snapshots.snapshot_minmax / snapshot_sum) — any
+    # unanswerable term falls through to the ordinary scan rewrite.
+    # Branch refs fall through too (branch manifests live elsewhere).
+    # Default output names: n_rows / min_<col> / max_<col> / sum_<col> /
+    # n_<col>.
     m = re.fullmatch(
-        r"\s*SELECT\s+((?:COUNT\(\*\)|MIN\(\w+\)|MAX\(\w+\))"
+        r"\s*SELECT\s+((?:COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT)\(\w+\))"
         r"(?:\s+AS\s+\w+)?"
-        r"(?:\s*,\s*(?:COUNT\(\*\)|MIN\(\w+\)|MAX\(\w+\))"
+        r"(?:\s*,\s*(?:COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT)\(\w+\))"
         r"(?:\s+AS\s+\w+)?)*)\s+FROM\s+(\w+)"
         r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?\s*;?\s*",
         sql,
@@ -752,6 +755,7 @@ def engine_sql(
         from telemetry_parquet_spark.sources.snapshots import (
             snapshot_minmax,
             snapshot_row_count,
+            snapshot_sum,
         )
 
         root = tables[m.group(2)]
@@ -766,15 +770,31 @@ def engine_sql(
             if version is None else version
         names, vals = [], []
         minmax_cache: dict[str, tuple | None] = {}
+        sum_cache: dict[str, tuple | None] = {}
         for term, colname, alias in re.findall(
-            r"(COUNT\(\*\)|(?:MIN|MAX)\((\w+)\))(?:\s+AS\s+(\w+))?",
+            r"(COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT)\((\w+)\))"
+            r"(?:\s+AS\s+(\w+))?",
             m.group(1),
             re.IGNORECASE,
         ):
             kind = term.split("(")[0].upper()
-            if kind == "COUNT":
+            if kind == "COUNT" and not colname:
                 names.append(alias or "n_rows")
                 vals.append(snapshot_row_count(root, v))
+                continue
+            if kind in ("SUM", "COUNT"):
+                if colname not in sum_cache:
+                    sum_cache[colname] = snapshot_sum(root, colname, v)
+                sc = sum_cache[colname]
+                if sc is None:
+                    names = []  # unanswerable term: whole statement scans
+                    break
+                names.append(
+                    alias
+                    or (f"sum_{colname}" if kind == "SUM"
+                        else f"n_{colname}")
+                )
+                vals.append(sc[0] if kind == "SUM" else sc[1])
                 continue
             if colname not in minmax_cache:
                 minmax_cache[colname] = snapshot_minmax(root, colname, v)
@@ -793,6 +813,74 @@ def engine_sql(
                     [StructField(n_, LongType(), False) for n_ in names]
                 ),
             )
+
+    # Metadata-only GROUP BY: ``SELECT <key>, COUNT(*)/SUM(col)… FROM t
+    # [VERSION AS OF …] GROUP BY <key>`` answers from the manifest alone
+    # when the layout clusters the key — every file single-valued on it
+    # (snapshots.snapshot_groupby_metadata; the manifest-stats recovery
+    # of the metadata GROUP BY hive partitioning gives away for free).
+    # Any unanswerable shape falls through to the ordinary scan rewrite.
+    gm = re.fullmatch(
+        r"\s*SELECT\s+(\w+)\s*,\s*((?:COUNT\(\*\)|SUM\(\w+\))"
+        r"(?:\s+AS\s+\w+)?"
+        r"(?:\s*,\s*(?:COUNT\(\*\)|SUM\(\w+\))(?:\s+AS\s+\w+)?)*)"
+        r"\s+FROM\s+(\w+)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?"
+        r"\s+GROUP\s+BY\s+(\w+)\s*(?:ORDER\s+BY\s+(\w+)\s*)?;?\s*",
+        sql,
+        re.IGNORECASE,
+    )
+    if (
+        gm
+        and gm.group(3) in tables
+        and gm.group(1).lower() == gm.group(5).lower()
+        and gm.group(6) in (None, gm.group(1))
+        and not (gm.group(4) or "").startswith("'branch:")
+    ):
+        from telemetry_parquet_spark.sources.snapshots import (
+            snapshot_groupby_metadata,
+        )
+
+        root = tables[gm.group(3)]
+        key = gm.group(1)
+        ref = gm.group(4)
+        version = (
+            None
+            if ref is None
+            else (resolve_ref(root, ref[1:-1])
+                  if ref.startswith("'") else int(ref))
+        )
+        v = (None if pins is None else pins.get(gm.group(3))) \
+            if version is None else version
+        terms = re.findall(
+            r"(COUNT\(\*\)|SUM\((\w+)\))(?:\s+AS\s+(\w+))?",
+            gm.group(2),
+            re.IGNORECASE,
+        )
+        sum_cols = list(dict.fromkeys(c for _, c, _ in terms if c))
+        folded = snapshot_groupby_metadata(root, key, sum_cols, v)
+        if folded:  # empty = zero non-empty files; let the scan say so
+            from pyspark.sql.types import LongType, StringType
+
+            # folded rows are (key, n_rows, <sums in sum_cols order>)
+            idx = {c: 2 + i for i, c in enumerate(sum_cols)}
+            key_is_str = folded and isinstance(folded[0][0], str)
+            fields = [
+                StructField(
+                    key, StringType() if key_is_str else LongType(), False
+                )
+            ]
+            rows_out = [
+                (
+                    g[0] if key_is_str else int(g[0]),
+                    *[int(g[idx[c]] if c else g[1]) for _, c, _ in terms],
+                )
+                for g in folded
+            ]
+            for _, c, alias in terms:
+                nm = alias or (f"sum_{c}" if c else "n_rows")
+                fields.append(StructField(nm, LongType(), False))
+            return spark.createDataFrame(rows_out, StructType(fields))
 
     for name, root in tables.items():
         def _sub_version(mo: re.Match) -> str:

@@ -1335,3 +1335,176 @@ def test_sql_minmax_metadata_fast_path(spark, sf_dir, tmp_path):
         spark, "SELECT MIN(o_orderkey) AS lo FROM t", {"t": root}
     )
     assert dv.inputFiles() != []
+
+
+def test_snapshot_sum_metadata_only(spark, sf_dir, tmp_path):
+    """SUM/COUNT(col) from metadata alone: exact through append, COW
+    delete, compaction, MOR delete (vector sidecar subtraction) and MOR
+    update (vector + fresh-file sums in one commit); conservative None
+    for non-integer columns, temporal encodings, missing sums entries,
+    and vectors without a sidecar."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        _DV_AGG_SUFFIX,
+        append,
+        compact_table,
+        delete_where,
+        delete_where_mor,
+        read_manifest,
+        read_snapshot,
+        snapshot_sum,
+        update_where_mor,
+    )
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    append(spark, root, src.where(F.col("o_orderkey") % 10 < 7))
+    append(spark, root, src.where(F.col("o_orderkey") % 10 >= 7))
+    delete_where(spark, root, "o_orderpriority = '1-URGENT'")
+    compact_table(spark, root, target_bytes=1 << 30)
+    delete_where_mor(spark, root, "o_orderpriority = '2-HIGH'")
+    update_where_mor(
+        spark, root, "o_orderstatus = 'F'", {"o_custkey": "o_custkey + 11"}
+    )
+    for v in (1, 2, 3, 4, 5, 6):
+        got = snapshot_sum(root, "o_custkey", v)
+        cur = read_snapshot(spark, root, v)
+        exp = cur.agg(
+            F.sum("o_custkey").alias("s"), F.count("o_custkey").alias("n")
+        ).first()
+        assert got == (exp.s, exp.n), f"v{v}: {got} != {(exp.s, exp.n)}"
+
+    # non-integer / temporal / unknown columns: metadata refuses
+    assert snapshot_sum(root, "o_orderstatus") is None
+    assert snapshot_sum(root, "o_totalprice") is None  # double
+    assert snapshot_sum(root, "o_orderdate") is None  # temporal ordinal
+    assert snapshot_sum(root, "no_such_col") is None
+
+    # a vector without its agg sidecar: refuse rather than guess
+    m = read_manifest(root, 6)
+    assert m.get("dv"), "expected outstanding vectors at v6"
+    side = _os.path.join(root, m["dv"][0] + _DV_AGG_SUFFIX)
+    _os.rename(side, side + ".bak")
+    try:
+        assert snapshot_sum(root, "o_custkey", 6) is None
+    finally:
+        _os.rename(side + ".bak", side)
+
+
+def test_snapshot_groupby_metadata_guards(spark, sf_dir, tmp_path):
+    """Clustered-key GROUP BY from the manifest: exact when every
+    non-empty file is single-valued on the key; None (scan fallback) for
+    straddling layouts, outstanding deletion vectors, non-integer sum
+    columns, and all-NULL sum groups."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        delete_where_mor,
+        snapshot_groupby_metadata,
+    )
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "g")
+    for p in (
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ):
+        append(
+            spark, root,
+            src.where(F.col("o_orderpriority") == p).repartition(2),
+        )
+    got = snapshot_groupby_metadata(root, "o_orderpriority", ["o_custkey"])
+    exp = sorted(
+        (r[0], r[1], r[2])
+        for r in src.groupBy("o_orderpriority")
+        .agg(F.count("*"), F.sum("o_custkey"))
+        .collect()
+    )
+    assert got == exp
+
+    # integer group key works too (single-valued by construction)
+    ik = str(tmp_path / "ik")
+    for k in (0, 1, 2):
+        append(
+            spark, ik,
+            src.where(F.col("o_orderkey") % 3 == k)
+            .withColumn("k3", F.lit(k).cast("long"))
+            .repartition(1),
+        )
+    gk = snapshot_groupby_metadata(ik, "k3", [])
+    assert [g[0] for g in gk] == [0, 1, 2]
+    assert sum(g[1] for g in gk) == src.count()
+
+    # straddling layout: files span keys -> None
+    flat = str(tmp_path / "f")
+    append(spark, flat, src.repartition(2))
+    assert snapshot_groupby_metadata(flat, "o_orderpriority", []) is None
+
+    # outstanding deletion vector -> None (can't attribute masked rows)
+    delete_where_mor(spark, root, "o_orderstatus = 'F'")
+    assert (
+        snapshot_groupby_metadata(root, "o_orderpriority", []) is None
+    )
+    # ...but the pre-vector version still answers
+    assert snapshot_groupby_metadata(
+        root, "o_orderpriority", [], version=5
+    ) == [(k, n) for k, n, _ in exp]
+
+    # non-integer sum column -> None
+    assert snapshot_groupby_metadata(
+        root, "o_orderpriority", ["o_totalprice"], version=5
+    ) is None
+
+
+def test_sql_sum_and_groupby_metadata_fast_path(spark, sf_dir, tmp_path):
+    """The SQL front door routes whole-table SUM/COUNT(col) and
+    clustered-key GROUP BY to the manifest (no scan in the plan), and
+    falls through to the ordinary scan rewrite — same values — for
+    unanswerable shapes."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import append
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    for p in (
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ):
+        append(
+            spark, root,
+            src.where(F.col("o_orderpriority") == p).repartition(2),
+        )
+
+    out = engine_sql(
+        spark,
+        "SELECT SUM(o_custkey) AS s, COUNT(o_custkey) AS n FROM t",
+        {"t": root},
+    )
+    assert out.inputFiles() == []
+    exp = src.agg(
+        F.sum("o_custkey").alias("s"), F.count("o_custkey").alias("n")
+    ).first()
+    assert out.first() == (exp.s, exp.n)
+
+    gb = engine_sql(
+        spark,
+        "SELECT o_orderpriority, COUNT(*) AS n, SUM(o_custkey) AS s "
+        "FROM t GROUP BY o_orderpriority",
+        {"t": root},
+    )
+    assert gb.inputFiles() == []
+    expg = {
+        r[0]: (r[1], r[2])
+        for r in src.groupBy("o_orderpriority")
+        .agg(F.count("*"), F.sum("o_custkey"))
+        .collect()
+    }
+    for r in gb.collect():
+        assert (r.n, r.s) == expg[r.o_orderpriority]
+
+    # SUM over a double column: falls through to the scan, same value
+    dbl = engine_sql(spark, "SELECT SUM(o_custkey) AS s FROM t "
+                            "GROUP BY o_orderstatus", {"t": root})
+    assert dbl.count() == 3  # scanned (shape unanswerable), still correct
