@@ -24,6 +24,9 @@ with the time-travel syntax the public table formats expose:
 - ``INSERT INTO|OVERWRITE <name> SELECT …`` — ``append`` / ``overwrite``
   (the SELECT goes through the same rewriter: INSERT … SELECT from a
   time-traveled version works)
+- ``MERGE INTO <name> USING (<select>) ON <k1>[, <k2> …] [WHEN MATCHED
+  THEN UPDATE ALL WHEN NOT MATCHED THEN INSERT ALL]`` — the COW upsert
+  commit (``merge_into``; conditional clauses are a loud error)
 - ``OPTIMIZE <name> [ZORDER BY (…)]`` — ``compact_table``
 - ``ALTER TABLE <name> ADD COLUMN <c> <type>`` — metadata-only widen
 - ``ALTER TABLE <name> ADD CONSTRAINT <c> CHECK (…) | UNIQUE (…)`` /
@@ -265,6 +268,34 @@ def _dml(
                 spark, "overwrite", S.overwrite(spark, root, rows)
             )
         return _version_df(spark, "append", S.append(spark, root, rows))
+
+    # Row-level MERGE, the restricted update-all/insert-all form the COW
+    # merge commit implements (snapshots.merge_into): ``MERGE INTO t
+    # USING (<select>) ON k1[, k2 …] [WHEN MATCHED THEN UPDATE ALL WHEN
+    # NOT MATCHED THEN INSERT ALL]``. The USING subquery goes through the
+    # same rewriter, so merging FROM a time-traveled version or another
+    # snapshot table works. Conditional WHEN clauses / DELETE actions are
+    # a loud error, not a silent misread.
+    m = re.fullmatch(
+        r"\s*MERGE\s+INTO\s+(\w+)\s+USING\s*\((.+)\)\s*"
+        r"ON\s+(\w+(?:\s*,\s*\w+)*)"
+        r"(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+ALL"
+        r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+ALL)?\s*;?\s*",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        source = engine_sql(spark, m.group(2), tables)
+        keys = [k.strip() for k in m.group(3).split(",") if k.strip()]
+        v = S.merge_into(spark, root, source, keys)
+        return _version_df(spark, "merge-into", v)
+    if re.match(r"\s*MERGE\s+INTO\b", sql, re.IGNORECASE):
+        raise ValueError(
+            "MERGE INTO: only the 'USING (<select>) ON <key list> "
+            "[WHEN MATCHED THEN UPDATE ALL WHEN NOT MATCHED THEN INSERT "
+            "ALL]' form is supported (conditional clauses and DELETE "
+            "actions are not)"
+        )
 
     m = re.fullmatch(
         r"\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*",
@@ -513,7 +544,8 @@ _MUTATOR_KIND = {
     "ALTER": "ALTER TABLE (metadata-only commit)",
     "CREATE": "CREATE (tag / branch / table DDL)",
     "DROP": "DROP (tag / branch / constraint DDL)",
-    "MERGE": "MERGE BRANCH (metadata fast-forward or rebase)",
+    "MERGE": "MERGE (BRANCH: metadata fast-forward or rebase; "
+             "INTO: copy-on-write upsert commit)",
 }
 
 

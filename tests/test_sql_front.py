@@ -247,3 +247,58 @@ def test_describe_detail(spark, sf_dir, tmp_path):
     assert row.constraints == "pos_key"
     assert row.tags == "release-1"
     assert row.staged == "pending"
+
+
+def test_merge_into_statement(spark, sf_dir, tmp_path):
+    """Row-level MERGE INTO through the front door: the restricted
+    update-all/insert-all form routes to the COW merge commit; updates
+    land, inserts land, untouched rows survive, and any conditional
+    WHEN clause is a loud error rather than a silent misread."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        read_snapshot,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    append(spark, root, src.where("o_orderkey % 10 < 7"))
+
+    cols = (
+        "o_orderkey, o_custkey + 500000 AS o_custkey, o_orderstatus, "
+        "o_totalprice, o_orderdate, o_orderpriority"
+    )
+    # source = updated copies of the %10 IN (5,6) rows, read through
+    # time travel inside the USING subquery (same rewriter)
+    out = engine_sql(
+        spark,
+        f"MERGE INTO t USING (SELECT {cols} FROM t VERSION AS OF 1 "
+        "WHERE o_orderkey % 10 IN (5, 6)) ON o_orderkey "
+        "WHEN MATCHED THEN UPDATE ALL WHEN NOT MATCHED THEN INSERT ALL",
+        {"t": root},
+    )
+    assert out.first().action == "merge-into"
+    cur = read_snapshot(spark, root)
+    n_touched = src.where("o_orderkey % 10 IN (5, 6)").count()
+    assert (
+        cur.where("o_orderkey % 10 IN (5,6) AND o_custkey >= 500000")
+        .count() == n_touched
+    )
+    assert cur.count() == src.where("o_orderkey % 10 < 7").count()
+    # untouched rows keep their values
+    exp_untouched = src.where("o_orderkey % 10 IN (0,1,2,3,4)")
+    got_untouched = cur.where("o_orderkey % 10 IN (0,1,2,3,4)")
+    assert got_untouched.exceptAll(exp_untouched).count() == 0
+
+    # conditional / DELETE forms: loud error, not a silent misparse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MERGE INTO"):
+        engine_sql(
+            spark,
+            "MERGE INTO t USING (SELECT 1) ON k "
+            "WHEN MATCHED AND x THEN DELETE",
+            {"t": root},
+        )
