@@ -27,6 +27,8 @@ with the time-travel syntax the public table formats expose:
 - ``MERGE INTO <name> USING (<select>) ON <k1>[, <k2> …] [WHEN MATCHED
   THEN UPDATE ALL WHEN NOT MATCHED THEN INSERT ALL]`` — the COW upsert
   commit (``merge_into``; conditional clauses are a loud error)
+- ``TABLE CHANGES <name> FROM <v|'tag'> TO <v|'tag'>`` — the CDC
+  changes feed between two versions (``table_changes``; file-granular)
 - ``OPTIMIZE <name> [ZORDER BY (…)]`` — ``compact_table``
 - ``ALTER TABLE <name> ADD COLUMN <c> <type>`` — metadata-only widen
 - ``ALTER TABLE <name> ADD CONSTRAINT <c> CHECK (…) | UNIQUE (…)`` /
@@ -455,6 +457,23 @@ def _dml(
         root = _resolve(tables, m.group(2))
         v = B.merge_branch(spark, root, m.group(1), delete=False)
         return _version_df(spark, f"merge-branch:{m.group(1)}", v)
+
+    # CDC as a statement: the Delta/Iceberg changes-feed surface.
+    # Versions accept ints or tag names; cost stays file-granular
+    # (table_changes diffs only non-shared + DV-touched files).
+    m = re.fullmatch(
+        r"\s*TABLE\s+CHANGES\s+(\w+)\s+FROM\s+(\d+|'[^']+')"
+        r"\s+TO\s+(\d+|'[^']+')\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+
+        def _v(g: str) -> int:
+            return S.resolve_ref(root, g[1:-1]) if g.startswith("'") \
+                else int(g)
+
+        return S.table_changes(spark, root, _v(m.group(2)), _v(m.group(3)))
     return None
 
 

@@ -302,3 +302,38 @@ def test_merge_into_statement(spark, sf_dir, tmp_path):
             "WHEN MATCHED AND x THEN DELETE",
             {"t": root},
         )
+
+
+def test_table_changes_statement(spark, sf_dir, tmp_path):
+    """TABLE CHANGES <t> FROM <v> TO <v> routes to the CDC feed:
+    an append shows as inserts only, a COW delete as deletes only, and
+    tag names resolve on both endpoints."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        create_tag,
+        delete_where,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    append(spark, root, src.where("o_orderkey % 10 < 7"))
+    append(spark, root, src.where("o_orderkey % 10 >= 7"))
+    delete_where(spark, root, "o_orderpriority = '1-URGENT'")
+    create_tag(root, "before-delete", 2)
+
+    ins = engine_sql(
+        spark, "TABLE CHANGES t FROM 1 TO 2", {"t": root}
+    )
+    n_new = src.where("o_orderkey % 10 >= 7").count()
+    assert ins.where("_change = 'insert'").count() == n_new
+    assert ins.where("_change = 'delete'").count() == 0
+
+    dels = engine_sql(
+        spark, "TABLE CHANGES t FROM 'before-delete' TO 3", {"t": root}
+    )
+    assert dels.where("_change = 'delete'").count() == \
+        src.where("o_orderpriority = '1-URGENT'").count()
+    assert dels.where("_change = 'insert'").count() == 0
