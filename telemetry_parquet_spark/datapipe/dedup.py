@@ -643,6 +643,32 @@ def simhash60_md5_fingerprints(
     return votes.select(F.col(id_col), fp.alias("fp"))
 
 
+def band_history(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The persistable history-side LSH state for ``incremental_near_dup``:
+    banded MinHash signatures as (id, band_id, band_hash). A daily
+    pipeline computes this ONCE per history snapshot (cost ∝ history),
+    persists it, and appends each day's new-document bands — so the daily
+    near-dup check pays banding only for the day, exactly the incremental
+    discipline the Bloom exact-dedup sibling (bloom.py) follows. Must be
+    built with the SAME (shingle_n, num_hashes, bands) the consumer
+    passes."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    return _banded(
+        minhash_docs(df, id_col, text_col, shingle_n, num_hashes),
+        F.col("minhash"), id_col, bands, num_hashes // bands,
+    )
+
+
 def incremental_near_dup(
     new_df: DataFrame,
     history_df: DataFrame,
@@ -652,6 +678,7 @@ def incremental_near_dup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    history_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-increment near-dup dedup: label each NEW document with the
     earliest historical document it near-duplicates (exact Jaccard ≥
@@ -680,9 +707,15 @@ def incremental_near_dup(
         minhash_docs(new_df, id_col, text_col, shingle_n, num_hashes),
         F.col("minhash"), id_col, bands, width,
     ).alias("n")
-    bh = _banded(
-        minhash_docs(history_df, id_col, text_col, shingle_n, num_hashes),
-        F.col("minhash"), id_col, bands, width,
+    # ``history_bands``: the persisted state from ``band_history`` — a
+    # daily pipeline hands it in so each day re-bands only the day, not
+    # the whole history (the caller owns parameter consistency).
+    bh = (
+        history_bands
+        if history_bands is not None
+        else band_history(
+            history_df, id_col, text_col, shingle_n, num_hashes, bands
+        )
     ).alias("h")
     cands = (
         bn.join(

