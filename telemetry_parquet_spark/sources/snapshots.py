@@ -1948,19 +1948,24 @@ def stage_delete_mor(
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
     schema = StructType.fromJson(json.loads(m["schema"]))
+    matched = None
     if m["files"]:
-        matches = (
-            _scan_with_pos(spark, root, m["files"], schema, m.get("dv", []))
-            .where(hit)
-            .select(
-                F.col("__file").alias("file"), F.col("__pos").alias("pos")
-            )
+        matched = _scan_with_pos(
+            spark, root, m["files"], schema, m.get("dv", [])
+        ).where(hit)
+        matches = matched.select(
+            F.col("__file").alias("file"), F.col("__pos").alias("pos")
         )
     else:
         matches = spark.createDataFrame([], "file string, pos long")
     new_dv = _write_commit_files(
         matches.repartition(1), root, f"{_WAP_PREFIX}{wap_id}"
     )
+    if matched is not None:
+        # the vector is frozen at stage time (publication refuses
+        # conflicting rewrites, appends commute), so its agg sidecar
+        # stays exact through publish — metadata SUM keeps answering
+        _write_dv_agg_sidecar(spark, root, new_dv, matched, schema)
     import time as _time
 
     fd = os.open(
@@ -2039,6 +2044,9 @@ def stage_update_mor(
     new_dv = _write_commit_files(
         dv_rows.repartition(1), root, f"{_WAP_PREFIX}{wap_id}dv"
     )
+    # frozen at stage time like the staged delete's vector (see
+    # stage_delete_mor) — exact through publish
+    _write_dv_agg_sidecar(spark, root, new_dv, matched, schema)
     new_files = _write_commit_files(
         updated, root, f"{_WAP_PREFIX}{wap_id}"
     )

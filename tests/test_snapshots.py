@@ -1508,3 +1508,38 @@ def test_sql_sum_and_groupby_metadata_fast_path(spark, sf_dir, tmp_path):
     dbl = engine_sql(spark, "SELECT SUM(o_custkey) AS s FROM t "
                             "GROUP BY o_orderstatus", {"t": root})
     assert dbl.count() == 3  # scanned (shape unanswerable), still correct
+
+
+def test_snapshot_sum_through_wap_publish(spark, sf_dir, tmp_path):
+    """Staged (write-audit-publish) MOR deletes/updates carry the same
+    deletion-vector agg sidecar as direct ones — the vector is frozen at
+    stage time and publication refuses conflicting rewrites, so metadata
+    SUM keeps answering exactly after publish."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources import snapshots as S
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    S.append(spark, root, src)
+    S.stage_delete_mor(spark, root, "o_orderpriority = '1-URGENT'", "w1")
+    S.publish_staged(spark, root, "w1")
+    got = S.snapshot_sum(root, "o_custkey")
+    exp = (
+        src.where("o_orderpriority <> '1-URGENT'")
+        .agg(F.sum("o_custkey").alias("s"), F.count("o_custkey").alias("n"))
+        .first()
+    )
+    assert got == (exp.s, exp.n)
+
+    S.stage_update_mor(
+        spark, root, "o_orderstatus = 'F'", {"o_custkey": "o_custkey + 3"},
+        "w2",
+    )
+    S.publish_staged(spark, root, "w2")
+    got2 = S.snapshot_sum(root, "o_custkey")
+    cur = S.read_snapshot(spark, root)
+    exp2 = cur.agg(
+        F.sum("o_custkey").alias("s"), F.count("o_custkey").alias("n")
+    ).first()
+    assert got2 == (exp2.s, exp2.n)
