@@ -263,7 +263,7 @@ def encode_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = materialize_cached(
         spark,
         _os.path.join(sf_dir, "documents.parquet"),
-        "bpe_enc_" + _os.path.basename(sf_dir.rstrip("/")),
+        f"bpe_enc_n{N_MERGES}_" + _os.path.basename(sf_dir.rstrip("/")),
         build,
     )
     enc = spark.read.parquet(_os.path.join(root, "enc"))

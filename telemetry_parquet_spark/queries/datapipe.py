@@ -1102,7 +1102,9 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scores = dsir_fixedpoint_scores(
         docs, is_target=F.col("doc_id") % 7 == 0, buckets=256, ns=(1, 2)
-    )
+    ).localCheckpoint()  # the cutoff count below and the rank both read
+    # the scored table; without the barrier the whole two-pass scoring
+    # pipeline executes twice (once for count, once for the result)
     k = int(scores.count() * 0.25)
     w = W.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -1186,7 +1188,9 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = materialize_cached(
         spark,
         _os.path.join(sf_dir, "documents.parquet"),
-        "inc_nd_bands_" + _os.path.basename(sf_dir.rstrip("/")),
+        # the name bakes in every parameter the artifact depends on
+        # (shingle_n/num_hashes/bands defaults + the %10<7 history split)
+        "inc_nd_bands_s3h64b16m7_" + _os.path.basename(sf_dir.rstrip("/")),
         build,
     )
     hist_bands = spark.read.parquet(_os.path.join(root, "bands"))

@@ -85,7 +85,7 @@ def _persisted_codes(spark, sf_dir):
     root = materialize_cached(
         spark,
         _os.path.join(sf_dir, "embeddings.parquet"),
-        "pq_codes_" + _os.path.basename(sf_dir.rstrip("/")),
+        f"pq_codes_m{M}k{K}_" + _os.path.basename(sf_dir.rstrip("/")),
         build,
     )
     return spark.read.parquet(_os.path.join(root, "codes"))

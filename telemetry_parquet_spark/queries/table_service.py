@@ -1007,9 +1007,7 @@ def snapshot_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert plan.broadcast == "left"  # the pruned dim side, proven
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
-        ).alias("sum_price_cents"),
+        _sum_cents(),
     )
 
 
@@ -1618,7 +1616,9 @@ def snapshot_metadata_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     root = materialize_cached(
-        spark, src, "metagb_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        # v2: the metadata GROUP BY now requires per-file key NULL
+        # counts in the manifest; the name bump rebuilds pre-nulls caches
+        spark, src, "metagb2_orders_" + os.path.basename(sf_dir.rstrip("/")),
         build,
     )
     out = engine_sql(

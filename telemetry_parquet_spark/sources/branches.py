@@ -94,7 +94,7 @@ def _write_branch_manifest(root: str, name: str, n: int, m: dict) -> int:
 
 def _stats_sizes(
     root: str, files: list[str], parent_m: dict
-) -> tuple[dict, dict, dict, dict, dict]:
+) -> tuple[dict, dict, dict, dict, dict, dict]:
     """Commit-time stats/sizes/row-counts for a branch manifest —
     carried files reuse the parent BRANCH manifest's entries (same
     discipline as snapshots._stats_for_commit, which walks the main
@@ -130,6 +130,7 @@ def create_branch(
         "sizes": m.get("sizes", {}),
         "rows": m.get("rows", {}),
         "sums": m.get("sums", {}),
+        "nulls": m.get("nulls", {}),
         **({"stats_types": m["stats_types"]} if m.get("stats_types") else {}),
         **({"dv": m["dv"]} if m.get("dv") else {}),
         **({"constraints": m["constraints"]} if m.get("constraints") else {}),
@@ -188,7 +189,7 @@ def branch_append(
     n = bm["n"] + 1
     new = S._write_commit_files(df, root, f"{_PREFIX}{name}-c{n:06d}")
     files = bm["files"] + new
-    stats, types, sizes, rows, sums = _stats_sizes(root, files, bm)
+    stats, types, sizes, rows, sums, nulls = _stats_sizes(root, files, bm)
     import time as _time
 
     return _write_branch_manifest(
@@ -206,6 +207,7 @@ def branch_append(
             "sizes": sizes,
             "rows": rows,
             "sums": sums,
+            "nulls": nulls,
             **({"stats_types": types} if types else {}),
             **({"dv": bm["dv"]} if bm.get("dv") else {}),
             **(
@@ -269,7 +271,7 @@ def branch_delete_where(
             kept_rows, root, f"{_PREFIX}{name}-c{n:06d}"
         )
     files = carried + new
-    stats, types, sizes, rows, sums = _stats_sizes(root, files, bm)
+    stats, types, sizes, rows, sums, nulls = _stats_sizes(root, files, bm)
     import time as _time
 
     return _write_branch_manifest(
@@ -286,6 +288,7 @@ def branch_delete_where(
             "sizes": sizes,
             "rows": rows,
             "sums": sums,
+            "nulls": nulls,
             **({"stats_types": types} if types else {}),
             **(
                 {"constraints": bm["constraints"]}

@@ -148,35 +148,49 @@ def _encode_temporal(v):
     return None
 
 
-def _file_footer_stats(path: str) -> tuple[dict, dict, int]:
-    """Per-column [min, max] AND the exact row count from the parquet
-    footer of ONE file — row-group stats folded. Plain JSON types
-    (int / float / str / bool)
+def _file_footer_stats(path: str) -> tuple[dict, dict, dict, int]:
+    """Per-column [min, max], per-column NULL counts, AND the exact row
+    count from the parquet footer of ONE file — row-group stats folded.
+    Plain JSON types (int / float / str / bool)
     are stored as-is; DATE/TIMESTAMP columns are stored as integer
     ordinals (epoch days / epoch micros) with their kind recorded in the
     returned types dict so the planner can encode predicate values the
     same way. Binary and other non-orderable columns are skipped — the
-    planner treats a missing stat as 'unknown: keep'. Long strings are
-    bounded to ``_STR_STAT_MAX`` chars the safe way (Iceberg's rule):
-    MIN truncates to a prefix (still a lower bound), MAX truncates and
-    rounds the last character UP (still an upper bound) — manifests stay
-    small on text columns, pruning stays conservative."""
+    planner treats a missing stat as 'unknown: keep'. Null counts are a
+    separate dict (a column can carry a null count without min/max and
+    vice versa; a row group without a written null_count drops the
+    column from the dict — readers treat missing as unknown). Long
+    strings are bounded to ``_STR_STAT_MAX`` chars the safe way
+    (Iceberg's rule): MIN truncates to a prefix (still a lower bound),
+    MAX truncates and rounds the last character UP (still an upper
+    bound) — manifests stay small on text columns, pruning stays
+    conservative."""
     import datetime as _dt
 
     import pyarrow.parquet as pq
 
     out: dict[str, list] = {}
     types: dict[str, str] = {}
+    nulls: dict[str, int] = {}
+    no_nullcount: set[str] = set()
     md = pq.ParquetFile(path).metadata
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
+                continue
+            name = col.path_in_schema
+            if st.null_count is not None and name not in no_nullcount:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            else:
+                # one unset row group makes the file's total unknown
+                no_nullcount.add(name)
+                nulls.pop(name, None)
+            if not st.has_min_max:
                 continue
             mn, mx = st.min, st.max
-            name = col.path_in_schema
             if isinstance(mn, _dt.date) or isinstance(mn, _dt.datetime):
                 types[name] = (
                     "timestamp" if isinstance(mn, _dt.datetime) else "date"
@@ -193,7 +207,7 @@ def _file_footer_stats(path: str) -> tuple[dict, dict, int]:
     for name, (mn, mx) in out.items():
         if isinstance(mn, str):  # bound manifest size on long strings
             out[name] = [_trunc_lower(mn), _trunc_upper(mx)]
-    return out, types, md.num_rows
+    return out, types, nulls, md.num_rows
 
 
 def _file_column_sums(path: str) -> dict[str, list]:
@@ -231,7 +245,7 @@ def _file_column_sums(path: str) -> dict[str, list]:
 
 def _stats_for_commit(
     root: str, files: list[str], parent: int | None
-) -> tuple[dict, dict, dict, dict, dict]:
+) -> tuple[dict, dict, dict, dict, dict, dict]:
     """Per-file column stats (+ temporal-encoding types) and byte sizes
     for the manifest: carried files reuse the parent's entries, fresh
     files get ONE footer read + stat each (driver-side, file-count-sized
@@ -249,11 +263,11 @@ def _stats_for_commit(
 
 def _stats_from_parent_manifest(
     root: str, files: list[str], pm: dict
-) -> tuple[dict, dict, dict, dict, dict]:
+) -> tuple[dict, dict, dict, dict, dict, dict]:
     """The reuse loop shared with branch commits (branches.py passes the
     parent BRANCH manifest dict) — one implementation, so a stats or
     size-backfill fix can never drift between main and branch chains.
-    Returns (stats, types, sizes, rows, sums); ``rows`` records each
+    Returns (stats, types, sizes, rows, sums, nulls); ``rows`` records each
     file's exact footer row count so COUNT(*) answers from the manifest
     alone (``snapshot_row_count``); ``sums`` records each file's integer
     column [sum, n_nonnull] so SUM/AVG/COUNT(col) do too
@@ -266,7 +280,34 @@ def _stats_from_parent_manifest(
     parent_sizes = pm.get("sizes", {})
     parent_rows = pm.get("rows", {})
     parent_sums = pm.get("sums", {})
-    stats, sizes, rows, sums = {}, {}, {}, {}
+    parent_nulls = pm.get("nulls", {})
+    stats, sizes, rows, sums, nulls = {}, {}, {}, {}, {}
+    fresh = [f for f in files if f not in parent_stats]
+
+    def _read_one(f: str):
+        """Footer stats + column sums of one FRESH file — runs on a
+        thread pool (pyarrow releases the GIL on reads, so a commit
+        rewriting many files scans them concurrently; the result dicts
+        are assembled on the calling thread, deterministically)."""
+        try:
+            st, t, nl, n = _file_footer_stats(os.path.join(root, f))
+        except Exception:
+            return f, {}, {}, None, None, None
+        try:
+            sm = _file_column_sums(os.path.join(root, f))
+        except Exception:
+            sm = None  # no sums entry -> snapshot_sum falls back
+        return f, st, t, nl, n, sm
+
+    if len(fresh) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(fresh))) as ex:
+            fresh_read = list(ex.map(_read_one, fresh))
+    else:
+        fresh_read = [_read_one(f) for f in fresh]
+    by_name = {r[0]: r for r in fresh_read}
+
     for f in files:
         if f in parent_stats:
             stats[f] = parent_stats[f]
@@ -274,27 +315,23 @@ def _stats_from_parent_manifest(
                 rows[f] = parent_rows[f]
             if f in parent_sums:
                 sums[f] = parent_sums[f]
+            if f in parent_nulls:
+                nulls[f] = parent_nulls[f]
         else:
-            try:
-                stats[f], t, rows[f] = _file_footer_stats(
-                    os.path.join(root, f)
-                )
-                types.update(t)
-            except Exception:
-                stats[f] = {}  # unreadable footer -> no stats -> keep
-                rows.pop(f, None)
-            else:
-                try:
-                    sums[f] = _file_column_sums(os.path.join(root, f))
-                except Exception:
-                    pass  # no sums entry -> snapshot_sum falls back
+            _, st, t, nl, n, sm = by_name[f]
+            stats[f] = st
+            types.update(t)
+            if n is not None:
+                rows[f], nulls[f] = n, nl
+            if sm is not None:
+                sums[f] = sm
         try:
             sizes[f] = parent_sizes.get(f) or os.path.getsize(
                 os.path.join(root, f)
             )
         except OSError:
             pass  # no size -> join planner falls back to getsize/skip
-    return stats, types, sizes, rows, sums
+    return stats, types, sizes, rows, sums, nulls
 
 
 def _commit(root: str, action: str, files: list[str], schema_json: str,
@@ -309,7 +346,7 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
     import time as _time
 
     version = 0 if parent is None else parent + 1
-    stats, stats_types, sizes, rows, sums = _stats_for_commit(
+    stats, stats_types, sizes, rows, sums, nulls = _stats_for_commit(
         root, files, parent
     )
     manifest = {
@@ -323,6 +360,7 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
         "sizes": sizes,
         "rows": rows,
         "sums": sums,
+        "nulls": nulls,
         **({"stats_types": stats_types} if stats_types else {}),
         **(extra or {}),
     }
@@ -840,6 +878,7 @@ def snapshot_groupby_metadata(
             return None
     stats, rows, sums = m.get("stats", {}), m.get("rows", {}), \
         m.get("sums", {})
+    nulls = m.get("nulls", {})
     groups: dict = {}
     for f in m["files"]:
         n = rows.get(f)
@@ -850,6 +889,12 @@ def snapshot_groupby_metadata(
         st = stats.get(f, {}).get(key)
         if not st or st[0] != st[1]:
             return None  # file straddles keys (or stats truncated/missing)
+        # footer min/max ignore NULLs, so min == max alone would silently
+        # attribute a file's NULL-key rows to its non-null key value —
+        # require a recorded null count of exactly 0 (unknown = refuse;
+        # SQL groups NULLs separately, which this fold cannot express)
+        if nulls.get(f, {}).get(key) != 0:
+            return None
         kv = st[0]
         nsc = len(sum_cols or [])
         g = groups.setdefault(kv, [0] + [0] * (2 * nsc))

@@ -911,7 +911,10 @@ def engine_sql(
         sum_cols = list(dict.fromkeys(c for _, c, _ in terms if c))
         folded = snapshot_groupby_metadata(root, key, sum_cols, v)
         if folded:  # empty = zero non-empty files; let the scan say so
-            from pyspark.sql.types import LongType, StringType
+            # NOTE: StringType comes from the module-level import — a
+            # local import here would shadow it for the WHOLE function
+            # and break earlier uses (UnboundLocalError)
+            from pyspark.sql.types import LongType
 
             # folded rows are (key, n_rows, <sums in sum_cols order>)
             idx = {c: 2 + i for i, c in enumerate(sum_cols)}

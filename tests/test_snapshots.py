@@ -1504,10 +1504,30 @@ def test_sql_sum_and_groupby_metadata_fast_path(spark, sf_dir, tmp_path):
     for r in gb.collect():
         assert (r.n, r.s) == expg[r.o_orderpriority]
 
-    # SUM over a double column: falls through to the scan, same value
+    # key-less GROUP BY shape: misses the fast-path regex, scans, correct
     dbl = engine_sql(spark, "SELECT SUM(o_custkey) AS s FROM t "
                             "GROUP BY o_orderstatus", {"t": root})
-    assert dbl.count() == 3  # scanned (shape unanswerable), still correct
+    assert dbl.count() == 3
+
+    # SUM over a DOUBLE column: the type guard must force a scan (sums
+    # are recorded for integer columns only) and the value must be the
+    # scan's answer, not a misread from absent entries
+    dsum = engine_sql(spark, "SELECT SUM(o_totalprice) AS s FROM t",
+                      {"t": root})
+    assert dsum.inputFiles(), "double SUM must fall through to a scan"
+    assert abs(
+        dsum.first().s - src.agg(F.sum("o_totalprice")).first()[0]
+    ) < 1e-6
+
+    # GROUP BY with a double SUM term: same guard on the grouped path
+    gdbl = engine_sql(
+        spark,
+        "SELECT o_orderpriority, SUM(o_totalprice) AS s FROM t "
+        "GROUP BY o_orderpriority",
+        {"t": root},
+    )
+    assert gdbl.inputFiles(), "grouped double SUM must scan"
+    assert gdbl.count() == 5
 
 
 def test_snapshot_sum_through_wap_publish(spark, sf_dir, tmp_path):
@@ -1543,3 +1563,52 @@ def test_snapshot_sum_through_wap_publish(spark, sf_dir, tmp_path):
         F.sum("o_custkey").alias("s"), F.count("o_custkey").alias("n")
     ).first()
     assert got2 == (exp2.s, exp2.n)
+
+
+def test_groupby_metadata_refuses_null_keys(spark, sf_dir, tmp_path):
+    """Parquet footer min/max ignore NULLs, so a file holding
+    ['A','A',NULL] looks single-valued on 'A' — attributing its full row
+    count to group 'A' would silently drop the NULL group SQL reports.
+    The manifest now records per-file footer null counts and the fold
+    refuses any file whose key null count is nonzero (or unknown)."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        snapshot_groupby_metadata,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    # one append per key, but key 'B' files carry NULL rows too
+    a = src.limit(40).select(
+        "o_orderkey", F.lit("A").alias("k")
+    )
+    b = src.limit(60).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("B"))
+        .alias("k"),
+    )
+    append(spark, root, a.repartition(1))
+    append(spark, root, b.repartition(1))
+    assert snapshot_groupby_metadata(root, "k", []) is None
+    # ...and the front door scans instead of mis-answering
+    out = engine_sql(
+        spark, "SELECT k, COUNT(*) AS n FROM t GROUP BY k", {"t": root}
+    )
+    assert out.inputFiles(), "NULL-key layout must scan"
+    got = {r.k: r.n for r in out.collect()}
+    exp = {r.k: r["count"] for r in a.unionAll(b).groupBy("k").count().collect()}
+    assert got == exp  # includes the NULL group
+
+    # a clean layout (no NULLs) still answers from metadata
+    clean = str(tmp_path / "c")
+    append(spark, clean, a.repartition(1))
+    append(
+        spark, clean,
+        src.limit(60).select("o_orderkey", F.lit("B").alias("k"))
+        .repartition(1),
+    )
+    assert snapshot_groupby_metadata(clean, "k", []) == [("A", 40), ("B", 60)]
