@@ -13,6 +13,8 @@ with the time-travel syntax the public table formats expose:
 - ``DESCRIBE DETAIL <name>``          — one-row head-state metadata
   (version, files, DVs, bytes, columns, constraints, tags, staged,
   branches)
+- ``DESCRIBE STATS <name>``           — per-column metadata-aggregate
+  coverage (min/max, sums, null counts; answerability of the fast paths)
 - ``DESCRIBE BRANCHES <name>``        — one row per live branch
 - ``CREATE BRANCH <b> ON <name> [VERSION AS OF <n|'tag'>]`` /
   ``DROP BRANCH <b> ON <name>`` /
@@ -171,6 +173,73 @@ def describe_detail(spark: SparkSession, root: str) -> DataFrame:
             )
         ],
         schema,
+    )
+
+
+def describe_stats(spark: SparkSession, root: str) -> DataFrame:
+    """``DESCRIBE STATS`` — one row per schema column of the HEAD: how
+    much of the table's metadata-aggregate machinery can answer for it.
+    Reports, per column: files carrying a min/max stat, files carrying a
+    [sum, n_nonnull] entry, files carrying a footer null count, the total
+    recorded nulls (when fully covered; -1 = unknown), and whether the
+    whole-table MIN/MAX and SUM fast paths would currently engage
+    (snapshot_minmax / snapshot_sum returning non-None). Manifest-sized,
+    zero data I/O — the observability face of the metadata-aggregate
+    layer, next to EXPLAIN and DESCRIBE DETAIL."""
+    import json as _json
+
+    from pyspark.sql.types import BooleanType, LongType
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        read_manifest,
+        snapshot_minmax,
+        snapshot_sum,
+    )
+
+    v = latest_version(root)
+    m = read_manifest(root, v)
+    files = m["files"]
+    stats, sums, nulls = m.get("stats", {}), m.get("sums", {}), \
+        m.get("nulls", {})
+    rows = []
+    for f_ in _json.loads(m["schema"])["fields"]:
+        col = f_["name"]
+        n_stat = sum(1 for f in files if stats.get(f, {}).get(col))
+        n_sum = sum(1 for f in files if col in sums.get(f, {}))
+        covered_nulls = [
+            nulls[f][col]
+            for f in files
+            if col in nulls.get(f, {})
+        ]
+        rows.append(
+            (
+                col,
+                str(f_["type"]),
+                len(files),
+                n_stat,
+                n_sum,
+                len(covered_nulls),
+                sum(covered_nulls) if len(covered_nulls) == len(files)
+                else -1,
+                snapshot_minmax(root, col, v) is not None,
+                snapshot_sum(root, col, v) is not None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("column", StringType(), False),
+                StructField("dtype", StringType(), False),
+                StructField("n_files", IntegerType(), False),
+                StructField("n_minmax", IntegerType(), False),
+                StructField("n_sums", IntegerType(), False),
+                StructField("n_nullcounts", IntegerType(), False),
+                StructField("total_nulls", LongType(), False),
+                StructField("minmax_answerable", BooleanType(), False),
+                StructField("sum_answerable", BooleanType(), False),
+            ]
+        ),
     )
 
 
@@ -743,6 +812,11 @@ def engine_sql(
     )
     if m:
         return describe_detail(spark, _resolve(tables, m.group(1)))
+    m = re.fullmatch(
+        r"\s*DESCRIBE\s+STATS\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
+    )
+    if m:
+        return describe_stats(spark, _resolve(tables, m.group(1)))
     m = re.fullmatch(
         r"\s*DESCRIBE\s+BRANCHES\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
     )

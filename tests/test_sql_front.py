@@ -337,3 +337,32 @@ def test_table_changes_statement(spark, sf_dir, tmp_path):
     assert dels.where("_change = 'delete'").count() == \
         src.where("o_orderpriority = '1-URGENT'").count()
     assert dels.where("_change = 'insert'").count() == 0
+
+
+def test_describe_stats(spark, sf_dir, tmp_path):
+    """DESCRIBE STATS: per-column coverage of the metadata-aggregate
+    layer — integer columns fully covered and answerable, doubles and
+    strings carrying min/max but no sums, temporal columns excluded
+    from both fast paths."""
+    import os as _os
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    append(spark, root, src.repartition(4))
+
+    rows = {
+        r.column: r
+        for r in engine_sql(
+            spark, "DESCRIBE STATS t", {"t": root}
+        ).collect()
+    }
+    assert set(rows) == set(src.columns)
+    ck = rows["o_custkey"]
+    assert ck.n_files == ck.n_minmax == ck.n_sums == ck.n_nullcounts == 4
+    assert ck.total_nulls == 0
+    assert ck.minmax_answerable and ck.sum_answerable
+    tp = rows["o_totalprice"]  # double: stats yes, sums no
+    assert tp.n_minmax == 4 and tp.n_sums == 0
+    assert not tp.sum_answerable and not tp.minmax_answerable  # not int
+    od = rows["o_orderdate"]  # temporal ordinal: excluded from both
+    assert not od.minmax_answerable and not od.sum_answerable
