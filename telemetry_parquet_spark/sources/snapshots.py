@@ -832,6 +832,53 @@ def snapshot_sum(
     return total_s, total_n
 
 
+def sample_rows(
+    spark: SparkSession,
+    root: str,
+    n: int,
+    version: int | str | None = None,
+) -> DataFrame:
+    """A deterministic ``n``-row sample planned from the MANIFEST: walk
+    the version's files in sorted-path order, using their recorded row
+    counts, and scan only the PREFIX whose counts cover ``n`` — sampling
+    10k rows from a 100 TB table reads a handful of files, not the
+    table. The row set is a pure function of the manifest (same version
+    ⇒ same rows), which is what a debugging or schema-inference sample
+    wants; it is NOT a uniform random sample — for statistics use the
+    engine's hash-based samplers (datapipe/scrub.py). Falls back to a
+    full logical read under outstanding deletion vectors (a masked file's
+    usable row count is below its footer count, so prefix planning could
+    under-deliver)."""
+    import pyarrow.parquet as pq
+
+    if isinstance(version, str):
+        version = resolve_ref(root, version)
+    v = latest_version(root) if version is None else version
+    m = read_manifest(root, v)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    if m.get("dv"):
+        return read_snapshot(spark, root, v).limit(n)
+    rows = m.get("rows", {})
+    picked, covered = [], 0
+    for f in sorted(m["files"]):
+        cnt = rows.get(f)
+        if cnt is None:  # pre-row-count manifest: one footer read
+            cnt = pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        if cnt == 0:
+            continue
+        picked.append(f)
+        covered += int(cnt)
+        if covered >= n:
+            break
+    return (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(root, f) for f in picked])
+        .limit(n)
+    )
+
+
 def snapshot_groupby_metadata(
     root: str,
     key: str,

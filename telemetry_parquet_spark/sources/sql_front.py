@@ -31,6 +31,11 @@ with the time-travel syntax the public table formats expose:
   commit (``merge_into``; conditional clauses are a loud error)
 - ``TABLE CHANGES <name> FROM <v|'tag'> TO <v|'tag'>`` — the CDC
   changes feed between two versions (``table_changes``; file-granular)
+- ``SELECT * FROM <name> [VERSION AS OF …] TABLESAMPLE (n ROWS)`` —
+  manifest-planned sample: scans only the file prefix covering n rows
+- whole-table ``SELECT COUNT(*)/COUNT(c)/MIN(c)/MAX(c)/SUM(c)/AVG(c)
+  FROM <name>`` and clustered-key ``GROUP BY`` — answered from manifest
+  stats/sums with NO scan when exact (see the fast-path blocks below)
 - ``OPTIMIZE <name> [ZORDER BY (…)]`` — ``compact_table``
 - ``ALTER TABLE <name> ADD COLUMN <c> <type>`` — metadata-only widen
 - ``ALTER TABLE <name> ADD CONSTRAINT <c> CHECK (…) | UNIQUE (…)`` /
@@ -853,7 +858,7 @@ def engine_sql(
     from telemetry_parquet_spark.sources.snapshots import resolve_ref
 
     # Metadata-only aggregates: a bare whole-table SELECT of COUNT(*) /
-    # COUNT(col) / MIN(col) / MAX(col) / SUM(col) terms (optionally
+    # COUNT(col) / MIN(col) / MAX(col) / SUM(col) / AVG(col) terms (optionally
     # version-pinned) answers from the manifest alone — zero data I/O,
     # no scan in the plan. COUNT(*) comes from per-file footer row
     # counts (MOR versions subtract their deletion vectors); MIN/MAX
@@ -866,9 +871,9 @@ def engine_sql(
     # Default output names: n_rows / min_<col> / max_<col> / sum_<col> /
     # n_<col>.
     m = re.fullmatch(
-        r"\s*SELECT\s+((?:COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT)\(\w+\))"
+        r"\s*SELECT\s+((?:COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT|AVG)\(\w+\))"
         r"(?:\s+AS\s+\w+)?"
-        r"(?:\s*,\s*(?:COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT)\(\w+\))"
+        r"(?:\s*,\s*(?:COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT|AVG)\(\w+\))"
         r"(?:\s+AS\s+\w+)?)*)\s+FROM\s+(\w+)"
         r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?\s*;?\s*",
         sql,
@@ -893,11 +898,11 @@ def engine_sql(
         )
         v = (None if pins is None else pins.get(m.group(2))) \
             if version is None else version
-        names, vals = [], []
+        names, vals, kinds = [], [], []
         minmax_cache: dict[str, tuple | None] = {}
         sum_cache: dict[str, tuple | None] = {}
         for term, colname, alias in re.findall(
-            r"(COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT)\((\w+)\))"
+            r"(COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT|AVG)\((\w+)\))"
             r"(?:\s+AS\s+(\w+))?",
             m.group(1),
             re.IGNORECASE,
@@ -906,8 +911,9 @@ def engine_sql(
             if kind == "COUNT" and not colname:
                 names.append(alias or "n_rows")
                 vals.append(snapshot_row_count(root, v))
+                kinds.append("long")
                 continue
-            if kind in ("SUM", "COUNT"):
+            if kind in ("SUM", "COUNT", "AVG"):
                 if colname not in sum_cache:
                     sum_cache[colname] = snapshot_sum(root, colname, v)
                 sc = sum_cache[colname]
@@ -916,10 +922,18 @@ def engine_sql(
                     break
                 names.append(
                     alias
-                    or (f"sum_{colname}" if kind == "SUM"
-                        else f"n_{colname}")
+                    or {"SUM": f"sum_{colname}", "COUNT": f"n_{colname}",
+                        "AVG": f"avg_{colname}"}[kind]
                 )
-                vals.append(sc[0] if kind == "SUM" else sc[1])
+                if kind == "AVG":
+                    # SQL AVG over BIGINT is a double; ONE division of
+                    # the two exact manifest integers — the same value
+                    # any engine computes from (SUM, COUNT)
+                    vals.append(float(sc[0]) / float(sc[1]))
+                    kinds.append("double")
+                else:
+                    vals.append(sc[0] if kind == "SUM" else sc[1])
+                    kinds.append("long")
                 continue
             if colname not in minmax_cache:
                 minmax_cache[colname] = snapshot_minmax(root, colname, v)
@@ -929,15 +943,52 @@ def engine_sql(
                 break
             names.append(alias or f"{kind.lower()}_{colname}")
             vals.append(mm[0] if kind == "MIN" else mm[1])
+            kinds.append("long")
         if names:
-            from pyspark.sql.types import LongType
+            from pyspark.sql.types import DoubleType, LongType
 
             return spark.createDataFrame(
                 [tuple(vals)],
                 StructType(
-                    [StructField(n_, LongType(), False) for n_ in names]
+                    [
+                        StructField(
+                            n_,
+                            DoubleType() if k_ == "double" else LongType(),
+                            False,
+                        )
+                        for n_, k_ in zip(names, kinds)
+                    ]
                 ),
             )
+
+    # Manifest-planned sampling: ``SELECT * FROM t [VERSION AS OF …]
+    # TABLESAMPLE (n ROWS)`` scans only the sorted-path file prefix whose
+    # recorded row counts cover n (snapshots.sample_rows) — a 10k-row
+    # sample of a 100 TB table reads a handful of files, deterministic
+    # per manifest (not a uniform random sample; see sample_rows).
+    sm = re.fullmatch(
+        r"\s*SELECT\s+\*\s+FROM\s+(\w+)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?"
+        r"\s+TABLESAMPLE\s*\(\s*(\d+)\s+ROWS\s*\)\s*;?\s*",
+        sql,
+        re.IGNORECASE,
+    )
+    if sm and sm.group(1) in tables and not (
+        sm.group(2) or ""
+    ).startswith("'branch:"):
+        from telemetry_parquet_spark.sources.snapshots import sample_rows
+
+        root = tables[sm.group(1)]
+        ref = sm.group(2)
+        version = (
+            None
+            if ref is None
+            else (resolve_ref(root, ref[1:-1])
+                  if ref.startswith("'") else int(ref))
+        )
+        v = (None if pins is None else pins.get(sm.group(1))) \
+            if version is None else version
+        return sample_rows(spark, root, int(sm.group(3)), v)
 
     # Metadata-only GROUP BY: ``SELECT <key>, COUNT(*)/SUM(col)… FROM t
     # [VERSION AS OF …] GROUP BY <key>`` answers from the manifest alone

@@ -1612,3 +1612,77 @@ def test_groupby_metadata_refuses_null_keys(spark, sf_dir, tmp_path):
         .repartition(1),
     )
     assert snapshot_groupby_metadata(clean, "k", []) == [("A", 40), ("B", 60)]
+
+
+def test_sql_avg_metadata_fast_path(spark, sf_dir, tmp_path):
+    """Whole-table AVG over an integer column answers from the manifest
+    sums (one double division of the two exact integers, no scan)."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        snapshot_sum,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    append(spark, root, src.repartition(4))
+    out = engine_sql(
+        spark, "SELECT AVG(o_custkey) AS a, COUNT(*) AS n FROM t",
+        {"t": root},
+    )
+    assert out.inputFiles() == []
+    s, c = snapshot_sum(root, "o_custkey")
+    row = out.first()
+    assert row.a == float(s) / float(c) and row.n == src.count()
+    # AVG over a non-integer column: scan fallback, not a misread
+    dbl = engine_sql(spark, "SELECT AVG(o_totalprice) AS a FROM t",
+                     {"t": root})
+    assert dbl.inputFiles()
+
+
+def test_tablesample_rows_manifest_planned(spark, sf_dir, tmp_path):
+    """TABLESAMPLE (n ROWS): exactly n rows, scanning only the
+    sorted-path file prefix whose recorded counts cover n; deterministic
+    per manifest; full-read fallback under deletion vectors."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        delete_where_mor,
+        read_manifest,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    append(spark, root, src.repartition(8))
+    m = read_manifest(root, 1)
+    per_file = min(m["rows"][f] for f in m["files"] if m["rows"][f] > 0)
+    n = max(1, per_file // 2)  # coverable by ONE file
+    out = engine_sql(
+        spark, f"SELECT * FROM t TABLESAMPLE ({n} ROWS)", {"t": root}
+    )
+    assert out.count() == n
+    assert len(out.inputFiles()) < len(m["files"])  # prefix, not the table
+    # deterministic: same manifest -> same rows
+    again = engine_sql(
+        spark, f"SELECT * FROM t TABLESAMPLE ({n} ROWS)", {"t": root}
+    )
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
+    # n beyond the table: every row, no error
+    big = engine_sql(
+        spark,
+        f"SELECT * FROM t TABLESAMPLE ({src.count() * 2} ROWS)",
+        {"t": root},
+    )
+    assert big.count() == src.count()
+    # outstanding vectors: logical read fallback, still exactly n rows
+    delete_where_mor(spark, root, "o_orderpriority = '1-URGENT'")
+    dv = engine_sql(
+        spark, f"SELECT * FROM t TABLESAMPLE ({n} ROWS)", {"t": root}
+    )
+    assert dv.count() == n
+    assert dv.where("o_orderpriority = '1-URGENT'").count() == 0
