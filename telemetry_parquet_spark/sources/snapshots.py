@@ -173,15 +173,23 @@ def _file_footer_stats(path: str) -> tuple[dict, dict, dict, int]:
     types: dict[str, str] = {}
     nulls: dict[str, int] = {}
     no_nullcount: set[str] = set()
+    no_minmax: set[str] = set()  # a rg with VALUES but no bounds poisons
+    # the whole file's fold: partial bounds are not bounds (a pruner
+    # would skip files whose unstated row group holds matching rows),
+    # and a partial null total would defeat the GROUP BY NULL-key guard
     md = pq.ParquetFile(path).metadata
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
+            name = col.path_in_schema
             st = col.statistics
             if st is None:
+                # statistics absent entirely: both totals unknown
+                no_minmax.add(name)
+                no_nullcount.add(name)
+                nulls.pop(name, None)
                 continue
-            name = col.path_in_schema
             if st.null_count is not None and name not in no_nullcount:
                 nulls[name] = nulls.get(name, 0) + int(st.null_count)
             else:
@@ -189,6 +197,11 @@ def _file_footer_stats(path: str) -> tuple[dict, dict, dict, int]:
                 no_nullcount.add(name)
                 nulls.pop(name, None)
             if not st.has_min_max:
+                # bounds-less chunk: only safe to keep the fold when the
+                # chunk provably holds NO values (all-NULL) — otherwise
+                # the file's folded min/max would not be true bounds
+                if st.null_count is None or int(st.null_count) < g.num_rows:
+                    no_minmax.add(name)
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, _dt.date) or isinstance(mn, _dt.datetime):
@@ -204,6 +217,8 @@ def _file_footer_stats(path: str) -> tuple[dict, dict, dict, int]:
                 out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
             else:
                 out[name] = [mn, mx]
+    for name in no_minmax:
+        out.pop(name, None)
     for name, (mn, mx) in out.items():
         if isinstance(mn, str):  # bound manifest size on long strings
             out[name] = [_trunc_lower(mn), _trunc_upper(mx)]
@@ -685,7 +700,8 @@ def snapshot_row_count(root: str, version: int | str | None = None) -> int:
 
 
 def snapshot_minmax(
-    root: str, col: str, version: int | str | None = None
+    root: str, col: str, version: int | str | None = None,
+    _manifest: dict | None = None,
 ) -> tuple | None:
     """Exact global (MIN, MAX) of an INTEGER column from manifest stats
     alone, or ``None`` when metadata cannot answer exactly — the caller
@@ -696,11 +712,16 @@ def snapshot_minmax(
     schema types the column integral (float stats are NaN-hazardous
     across engines; string stats are TRUNCATED bounds by design), and
     the column is not a temporal-ordinal encoding. The Iceberg-style
-    aggregate pushdown to metadata."""
-    if isinstance(version, str):
-        version = resolve_ref(root, version)
-    v = latest_version(root) if version is None else version
-    m = read_manifest(root, v)
+    aggregate pushdown to metadata. ``_manifest`` lets per-column
+    callers (DESCRIBE STATS) reuse an already-loaded manifest instead of
+    re-parsing it per column."""
+    if _manifest is not None:
+        m = _manifest
+    else:
+        if isinstance(version, str):
+            version = resolve_ref(root, version)
+        v = latest_version(root) if version is None else version
+        m = read_manifest(root, v)
     if m.get("dv") or not m["files"]:
         return None
     if col in (m.get("stats_types") or {}):
@@ -782,7 +803,8 @@ def _read_dv_agg_sidecar(root: str, dv_file: str) -> dict | None:
 
 
 def snapshot_sum(
-    root: str, col: str, version: int | str | None = None
+    root: str, col: str, version: int | str | None = None,
+    _manifest: dict | None = None,
 ) -> tuple[int, int] | None:
     """Exact global ``(SUM(col), COUNT(col))`` of an INTEGER column from
     METADATA alone, or ``None`` when metadata cannot answer exactly (the
@@ -796,11 +818,15 @@ def snapshot_sum(
     JSON per outstanding vector. Answerable iff the schema types the
     column integral, it is not a temporal-ordinal encoding, every data
     file carries a sums entry and every vector a sidecar. ``version``
-    may be a tag name."""
-    if isinstance(version, str):
-        version = resolve_ref(root, version)
-    v = latest_version(root) if version is None else version
-    m = read_manifest(root, v)
+    may be a tag name; ``_manifest`` reuses an already-loaded manifest
+    (the DESCRIBE STATS path)."""
+    if _manifest is not None:
+        m = _manifest
+    else:
+        if isinstance(version, str):
+            version = resolve_ref(root, version)
+        v = latest_version(root) if version is None else version
+        m = read_manifest(root, v)
     if not m["files"]:
         return None  # SUM over zero rows is NULL; let the scan say so
     if col in (m.get("stats_types") or {}):
@@ -2040,7 +2066,6 @@ def stage_delete_mor(
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
     schema = StructType.fromJson(json.loads(m["schema"]))
-    matched = None
     if m["files"]:
         matched = _scan_with_pos(
             spark, root, m["files"], schema, m.get("dv", [])
@@ -2049,15 +2074,18 @@ def stage_delete_mor(
             F.col("__file").alias("file"), F.col("__pos").alias("pos")
         )
     else:
+        # empty table: the staged vector masks nothing, but it still
+        # rides the manifest forward — give it a ZERO sidecar so the
+        # metadata-SUM fold keeps answering after later appends
+        matched = spark.createDataFrame([], schema)
         matches = spark.createDataFrame([], "file string, pos long")
     new_dv = _write_commit_files(
         matches.repartition(1), root, f"{_WAP_PREFIX}{wap_id}"
     )
-    if matched is not None:
-        # the vector is frozen at stage time (publication refuses
-        # conflicting rewrites, appends commute), so its agg sidecar
-        # stays exact through publish — metadata SUM keeps answering
-        _write_dv_agg_sidecar(spark, root, new_dv, matched, schema)
+    # the vector is frozen at stage time (publication refuses
+    # conflicting rewrites, appends commute), so its agg sidecar
+    # stays exact through publish — metadata SUM keeps answering
+    _write_dv_agg_sidecar(spark, root, new_dv, matched, schema)
     import time as _time
 
     fd = os.open(

@@ -226,8 +226,8 @@ def describe_stats(spark: SparkSession, root: str) -> DataFrame:
                 len(covered_nulls),
                 sum(covered_nulls) if len(covered_nulls) == len(files)
                 else -1,
-                snapshot_minmax(root, col, v) is not None,
-                snapshot_sum(root, col, v) is not None,
+                snapshot_minmax(root, col, v, _manifest=m) is not None,
+                snapshot_sum(root, col, v, _manifest=m) is not None,
             )
         )
     return spark.createDataFrame(

@@ -1686,3 +1686,81 @@ def test_tablesample_rows_manifest_planned(spark, sf_dir, tmp_path):
     )
     assert dv.count() == n
     assert dv.where("o_orderpriority = '1-URGENT'").count() == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_snapshot_sum_random_mutation_sequences(spark, sf_dir, tmp_path, seed):
+    """Property check: under a randomized mutation sequence (append /
+    COW delete / MOR delete / MOR update / compact), metadata SUM either
+    equals the scan at EVERY version or refuses — never a wrong answer.
+    Three seeded sequences; deterministic, no runtime randomness."""
+    import os as _os
+    import random as _random
+
+    from telemetry_parquet_spark.sources import snapshots as S
+
+    rng = _random.Random(seed)
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / f"t{seed}")
+    S.append(spark, root, src.where(F.col("o_orderkey") % 4 == 0))
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    for _ in range(4):
+        op = rng.choice(["append", "cow_del", "mor_del", "mor_upd", "compact"])
+        if op == "append":
+            k = rng.randrange(1, 4)
+            S.append(spark, root, src.where(F.col("o_orderkey") % 4 == k))
+        elif op == "cow_del":
+            try:
+                S.delete_where(
+                    spark, root, f"o_orderpriority = '{rng.choice(prios)}'"
+                )
+            except ValueError:
+                S.compact_table(spark, root)  # outstanding DVs: materialize
+        elif op == "mor_del":
+            S.delete_where_mor(
+                spark, root, f"o_orderpriority = '{rng.choice(prios)}'"
+            )
+        elif op == "mor_upd":
+            S.update_where_mor(
+                spark, root,
+                f"o_orderstatus = '{rng.choice(['O', 'F', 'P'])}'",
+                {"o_custkey": f"o_custkey + {rng.randrange(1, 100)}"},
+            )
+        else:
+            S.compact_table(spark, root)
+    for v in range(1, S.latest_version(root) + 1):
+        got = S.snapshot_sum(root, "o_custkey", v)
+        if got is None:
+            continue  # refusal is always allowed; wrongness never
+        exp = S.read_snapshot(spark, root, v).agg(
+            F.sum("o_custkey").alias("s"), F.count("o_custkey").alias("n")
+        ).first()
+        assert got == (exp.s, exp.n), f"seed {seed} v{v}"
+
+
+def test_stage_delete_on_empty_table_keeps_sums_answerable(
+    spark, sf_dir, tmp_path
+):
+    """A staged MOR delete on an EMPTY table writes a vector that masks
+    nothing; it must carry a zero sidecar so metadata SUM keeps
+    answering after data arrives (a sidecar-less vector would force
+    scans forever)."""
+    import os as _os
+
+    from pyspark.sql.types import StructType
+
+    from telemetry_parquet_spark.sources import snapshots as S
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    S.create_table(root, StructType.fromJson(
+        __import__("json").loads(src.schema.json())
+    ))
+    S.stage_delete_mor(spark, root, "o_orderkey > 0", "w0")
+    S.publish_staged(spark, root, "w0")
+    S.append(spark, root, src)
+    got = S.snapshot_sum(root, "o_custkey")
+    exp = src.agg(
+        F.sum("o_custkey").alias("s"), F.count("o_custkey").alias("n")
+    ).first()
+    assert got == (exp.s, exp.n), "zero sidecar must keep SUM metadata-only"
