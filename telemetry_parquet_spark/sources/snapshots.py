@@ -907,39 +907,47 @@ def sample_rows(
 
 def snapshot_groupby_metadata(
     root: str,
-    key: str,
+    key: str | list[str],
     sum_cols: list[str] | None = None,
     version: int | str | None = None,
 ) -> list[tuple] | None:
-    """``GROUP BY key`` with COUNT(*) (+ optional integer SUMs) answered
-    from the manifest alone, or ``None`` when metadata cannot answer
-    exactly. Answerable iff the layout CLUSTERS the key — every non-empty
-    data file is single-valued on it (footer min == max, the property a
-    partitioned or key-sorted write produces) — there are no outstanding
-    deletion vectors (a vector can't be attributed to a key group without
-    reading it), every file carries a row count (+ sums entries for the
-    requested SUM columns), and string keys are shorter than the stat
-    truncation bound (a truncated min/max pair can't prove
+    """``GROUP BY key(s)`` with COUNT(*) (+ optional integer SUMs)
+    answered from the manifest alone, or ``None`` when metadata cannot
+    answer exactly. ``key`` may be one column or a list (composite
+    rollup). Answerable iff the layout CLUSTERS every key — each
+    non-empty data file single-valued on each of them (footer min ==
+    max, the property a partitioned or key-sorted write produces) —
+    there are no outstanding deletion vectors (a vector can't be
+    attributed to a key group without reading it), every file carries a
+    row count, a ZERO null count per key (footer min/max ignore NULLs,
+    so min == max alone would misattribute NULL-key rows), sums entries
+    for the requested SUM columns, and string keys are shorter than the
+    stat truncation bound (a truncated min/max pair can't prove
     single-valuedness; ``_file_footer_stats`` rounds the truncated MAX
     up, so truncation always shows as min != max — conservative). The
     metadata GROUP BY a hive-partitioned table gets from its directory
     layout, recovered here from file stats so ANY clustered layout
-    (e.g. a z-order rewrite) qualifies. Rows come back sorted by key."""
+    (e.g. a z-order rewrite) qualifies. Rows come back sorted by the
+    key tuple; each row is (*keys, n_rows, *sums)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        return None
     if isinstance(version, str):
         version = resolve_ref(root, version)
     v = latest_version(root) if version is None else version
     m = read_manifest(root, v)
     if m.get("dv") or not m["files"]:
         return None
-    if key in (m.get("stats_types") or {}):
-        return None
     schema = StructType.fromJson(json.loads(m["schema"]))
-    try:
-        key_kind = schema[key].dataType.typeName()
-    except KeyError:
-        return None
-    if key_kind not in ("string", "long", "integer", "short", "byte"):
-        return None
+    for k in keys:
+        if k in (m.get("stats_types") or {}):
+            return None
+        try:
+            key_kind = schema[k].dataType.typeName()
+        except KeyError:
+            return None
+        if key_kind not in ("string", "long", "integer", "short", "byte"):
+            return None
     for c in sum_cols or []:
         try:
             kind = schema[c].dataType.typeName()
@@ -952,6 +960,7 @@ def snapshot_groupby_metadata(
     stats, rows, sums = m.get("stats", {}), m.get("rows", {}), \
         m.get("sums", {})
     nulls = m.get("nulls", {})
+    nsc = len(sum_cols or [])
     groups: dict = {}
     for f in m["files"]:
         n = rows.get(f)
@@ -959,18 +968,15 @@ def snapshot_groupby_metadata(
             return None
         if n == 0:
             continue  # empty file: no rows to attribute
-        st = stats.get(f, {}).get(key)
-        if not st or st[0] != st[1]:
-            return None  # file straddles keys (or stats truncated/missing)
-        # footer min/max ignore NULLs, so min == max alone would silently
-        # attribute a file's NULL-key rows to its non-null key value —
-        # require a recorded null count of exactly 0 (unknown = refuse;
-        # SQL groups NULLs separately, which this fold cannot express)
-        if nulls.get(f, {}).get(key) != 0:
-            return None
-        kv = st[0]
-        nsc = len(sum_cols or [])
-        g = groups.setdefault(kv, [0] + [0] * (2 * nsc))
+        kv = []
+        for k in keys:
+            st = stats.get(f, {}).get(k)
+            if not st or st[0] != st[1]:
+                return None  # straddles this key (or truncated/missing)
+            if nulls.get(f, {}).get(k) != 0:
+                return None  # NULL-key rows (or unknown): can't attribute
+            kv.append(st[0])
+        g = groups.setdefault(tuple(kv), [0] + [0] * (2 * nsc))
         g[0] += int(n)
         for i, c in enumerate(sum_cols or []):
             ent = sums.get(f, {}).get(c)
@@ -978,11 +984,10 @@ def snapshot_groupby_metadata(
                 return None
             g[1 + i] += int(ent[0])
             g[1 + nsc + i] += int(ent[1])  # n_nonnull, for the NULL edge
-    nsc = len(sum_cols or [])
     for g in groups.values():
         if any(g[1 + nsc + i] == 0 for i in range(nsc)):
             return None  # an all-NULL group: SQL SUM is NULL; scan answers
-    return [(k, *groups[k][: 1 + nsc]) for k in sorted(groups)]
+    return [(*k, *groups[k][: 1 + nsc]) for k in sorted(groups)]
 
 
 def append(

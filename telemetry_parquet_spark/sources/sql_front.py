@@ -997,20 +997,26 @@ def engine_sql(
     # of the metadata GROUP BY hive partitioning gives away for free).
     # Any unanswerable shape falls through to the ordinary scan rewrite.
     gm = re.fullmatch(
-        r"\s*SELECT\s+(\w+)\s*,\s*((?:COUNT\(\*\)|SUM\(\w+\))"
+        r"\s*SELECT\s+((?:\w+\s*,\s*)+)((?:COUNT\(\*\)|SUM\(\w+\))"
         r"(?:\s+AS\s+\w+)?"
         r"(?:\s*,\s*(?:COUNT\(\*\)|SUM\(\w+\))(?:\s+AS\s+\w+)?)*)"
         r"\s+FROM\s+(\w+)"
         r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?"
-        r"\s+GROUP\s+BY\s+(\w+)\s*(?:ORDER\s+BY\s+(\w+)\s*)?;?\s*",
+        r"\s+GROUP\s+BY\s+(\w+(?:\s*,\s*\w+)*)"
+        r"\s*(?:ORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*)\s*)?;?\s*",
         sql,
         re.IGNORECASE,
     )
+    if gm:
+        keys = [k.strip() for k in gm.group(1).split(",") if k.strip()]
+        gb_keys = [k.strip() for k in gm.group(5).split(",")]
+        ob = gm.group(6)
+        ob_keys = None if ob is None else [k.strip() for k in ob.split(",")]
     if (
         gm
         and gm.group(3) in tables
-        and gm.group(1).lower() == gm.group(5).lower()
-        and gm.group(6) in (None, gm.group(1))
+        and [k.lower() for k in keys] == [k.lower() for k in gb_keys]
+        and ob_keys in (None, keys)
         and not (gm.group(4) or "").startswith("'branch:")
     ):
         from telemetry_parquet_spark.sources.snapshots import (
@@ -1018,7 +1024,6 @@ def engine_sql(
         )
 
         root = tables[gm.group(3)]
-        key = gm.group(1)
         ref = gm.group(4)
         version = (
             None
@@ -1034,25 +1039,32 @@ def engine_sql(
             re.IGNORECASE,
         )
         sum_cols = list(dict.fromkeys(c for _, c, _ in terms if c))
-        folded = snapshot_groupby_metadata(root, key, sum_cols, v)
+        folded = snapshot_groupby_metadata(root, keys, sum_cols, v)
         if folded:  # empty = zero non-empty files; let the scan say so
             # NOTE: StringType comes from the module-level import — a
             # local import here would shadow it for the WHOLE function
             # and break earlier uses (UnboundLocalError)
             from pyspark.sql.types import LongType
 
-            # folded rows are (key, n_rows, <sums in sum_cols order>)
-            idx = {c: 2 + i for i, c in enumerate(sum_cols)}
-            key_is_str = folded and isinstance(folded[0][0], str)
+            # folded rows are (*keys, n_rows, <sums in sum_cols order>)
+            nk = len(keys)
+            idx = {c: nk + 1 + i for i, c in enumerate(sum_cols)}
             fields = [
                 StructField(
-                    key, StringType() if key_is_str else LongType(), False
+                    k,
+                    StringType() if isinstance(folded[0][j], str)
+                    else LongType(),
+                    False,
                 )
+                for j, k in enumerate(keys)
             ]
             rows_out = [
                 (
-                    g[0] if key_is_str else int(g[0]),
-                    *[int(g[idx[c]] if c else g[1]) for _, c, _ in terms],
+                    *[
+                        g[j] if isinstance(g[j], str) else int(g[j])
+                        for j in range(nk)
+                    ],
+                    *[int(g[idx[c]] if c else g[nk]) for _, c, _ in terms],
                 )
                 for g in folded
             ]

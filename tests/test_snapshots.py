@@ -1764,3 +1764,62 @@ def test_stage_delete_on_empty_table_keeps_sums_answerable(
         F.sum("o_custkey").alias("s"), F.count("o_custkey").alias("n")
     ).first()
     assert got == (exp.s, exp.n), "zero sidecar must keep SUM metadata-only"
+
+
+def test_groupby_metadata_composite_keys(spark, sf_dir, tmp_path):
+    """Composite-key metadata GROUP BY: every file single-valued on ALL
+    keys answers from the manifest; straddling any one key refuses."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        snapshot_groupby_metadata,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    combos = [
+        r
+        for r in src.select("o_orderpriority", "o_orderstatus")
+        .distinct()
+        .collect()
+    ]
+    for r in sorted(combos):
+        append(
+            spark, root,
+            src.where(
+                (F.col("o_orderpriority") == r[0])
+                & (F.col("o_orderstatus") == r[1])
+            ).repartition(1),
+        )
+    got = snapshot_groupby_metadata(
+        root, ["o_orderpriority", "o_orderstatus"], ["o_custkey"]
+    )
+    exp = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in src.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*"), F.sum("o_custkey"))
+        .collect()
+    )
+    assert got == exp
+
+    out = engine_sql(
+        spark,
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, "
+        "SUM(o_custkey) AS s FROM t "
+        "GROUP BY o_orderpriority, o_orderstatus",
+        {"t": root},
+    )
+    assert out.inputFiles() == []
+    assert sorted(map(tuple, out.collect())) == exp
+
+    # the same table straddles on a FINER key: refuse -> scan
+    assert snapshot_groupby_metadata(root, ["o_orderkey"], []) is None
+    flat = engine_sql(
+        spark,
+        "SELECT o_orderpriority, o_orderkey, COUNT(*) AS n FROM t "
+        "GROUP BY o_orderpriority, o_orderkey",
+        {"t": root},
+    )
+    assert flat.inputFiles()  # scanned
