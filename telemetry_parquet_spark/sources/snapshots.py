@@ -910,6 +910,7 @@ def snapshot_groupby_metadata(
     key: str | list[str],
     sum_cols: list[str] | None = None,
     version: int | str | None = None,
+    minmax_cols: list[str] | None = None,
 ) -> list[tuple] | None:
     """``GROUP BY key(s)`` with COUNT(*) (+ optional integer SUMs)
     answered from the manifest alone, or ``None`` when metadata cannot
@@ -927,8 +928,14 @@ def snapshot_groupby_metadata(
     up, so truncation always shows as min != max — conservative). The
     metadata GROUP BY a hive-partitioned table gets from its directory
     layout, recovered here from file stats so ANY clustered layout
-    (e.g. a z-order rewrite) qualifies. Rows come back sorted by the
-    key tuple; each row is (*keys, n_rows, *sums)."""
+    (e.g. a z-order rewrite) qualifies. ``minmax_cols`` adds per-group
+    MIN/MAX of INTEGER columns — exact because file stats are exact
+    bounds of file contents, so the per-group fold over that group's
+    files is the group extreme (a file whose column is all-NULL carries
+    no stat and the fold refuses — SQL's NULL-ignoring MIN over an
+    all-NULL group would be NULL, which the fold can't express). Rows
+    come back sorted by the key tuple; each row is
+    (*keys, n_rows, *sums, *(min_c, max_c) pairs)."""
     keys = [key] if isinstance(key, str) else list(key)
     if not keys:
         return None
@@ -948,7 +955,7 @@ def snapshot_groupby_metadata(
             return None
         if key_kind not in ("string", "long", "integer", "short", "byte"):
             return None
-    for c in sum_cols or []:
+    for c in list(sum_cols or []) + list(minmax_cols or []):
         try:
             kind = schema[c].dataType.typeName()
         except KeyError:
@@ -961,6 +968,7 @@ def snapshot_groupby_metadata(
         m.get("sums", {})
     nulls = m.get("nulls", {})
     nsc = len(sum_cols or [])
+    nmm = len(minmax_cols or [])
     groups: dict = {}
     for f in m["files"]:
         n = rows.get(f)
@@ -976,7 +984,9 @@ def snapshot_groupby_metadata(
             if nulls.get(f, {}).get(k) != 0:
                 return None  # NULL-key rows (or unknown): can't attribute
             kv.append(st[0])
-        g = groups.setdefault(tuple(kv), [0] + [0] * (2 * nsc))
+        g = groups.setdefault(
+            tuple(kv), [0] + [0] * (2 * nsc) + [None] * (2 * nmm)
+        )
         g[0] += int(n)
         for i, c in enumerate(sum_cols or []):
             ent = sums.get(f, {}).get(c)
@@ -984,10 +994,21 @@ def snapshot_groupby_metadata(
                 return None
             g[1 + i] += int(ent[0])
             g[1 + nsc + i] += int(ent[1])  # n_nonnull, for the NULL edge
+        for i, c in enumerate(minmax_cols or []):
+            st = stats.get(f, {}).get(c)
+            if not st or not all(isinstance(x, int) for x in st):
+                return None  # no stat (e.g. all-NULL chunk) -> refuse
+            lo, hi = 1 + 2 * nsc + 2 * i, 1 + 2 * nsc + 2 * i + 1
+            g[lo] = st[0] if g[lo] is None else min(g[lo], st[0])
+            g[hi] = st[1] if g[hi] is None else max(g[hi], st[1])
     for g in groups.values():
         if any(g[1 + nsc + i] == 0 for i in range(nsc)):
             return None  # an all-NULL group: SQL SUM is NULL; scan answers
-    return [(*k, *groups[k][: 1 + nsc]) for k in sorted(groups)]
+    return [
+        (*k, groups[k][0], *groups[k][1:1 + nsc],
+         *groups[k][1 + 2 * nsc: 1 + 2 * nsc + 2 * nmm])
+        for k in sorted(groups)
+    ]
 
 
 def append(

@@ -997,9 +997,11 @@ def engine_sql(
     # of the metadata GROUP BY hive partitioning gives away for free).
     # Any unanswerable shape falls through to the ordinary scan rewrite.
     gm = re.fullmatch(
-        r"\s*SELECT\s+((?:\w+\s*,\s*)+)((?:COUNT\(\*\)|SUM\(\w+\))"
+        r"\s*SELECT\s+((?:\w+\s*,\s*)+)"
+        r"((?:COUNT\(\*\)|(?:SUM|MIN|MAX)\(\w+\))"
         r"(?:\s+AS\s+\w+)?"
-        r"(?:\s*,\s*(?:COUNT\(\*\)|SUM\(\w+\))(?:\s+AS\s+\w+)?)*)"
+        r"(?:\s*,\s*(?:COUNT\(\*\)|(?:SUM|MIN|MAX)\(\w+\))"
+        r"(?:\s+AS\s+\w+)?)*)"
         r"\s+FROM\s+(\w+)"
         r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?"
         r"\s+GROUP\s+BY\s+(\w+(?:\s*,\s*\w+)*)"
@@ -1033,22 +1035,43 @@ def engine_sql(
         )
         v = (None if pins is None else pins.get(gm.group(3))) \
             if version is None else version
-        terms = re.findall(
-            r"(COUNT\(\*\)|SUM\((\w+)\))(?:\s+AS\s+(\w+))?",
-            gm.group(2),
-            re.IGNORECASE,
+        terms = [
+            (t[0].split("(")[0].upper(), t[1], t[2])
+            for t in re.findall(
+                r"(COUNT\(\*\)|(?:SUM|MIN|MAX)\((\w+)\))(?:\s+AS\s+(\w+))?",
+                gm.group(2),
+                re.IGNORECASE,
+            )
+        ]
+        sum_cols = list(dict.fromkeys(
+            c for kd, c, _ in terms if kd == "SUM"
+        ))
+        minmax_cols = list(dict.fromkeys(
+            c for kd, c, _ in terms if kd in ("MIN", "MAX")
+        ))
+        folded = snapshot_groupby_metadata(
+            root, keys, sum_cols, v, minmax_cols=minmax_cols
         )
-        sum_cols = list(dict.fromkeys(c for _, c, _ in terms if c))
-        folded = snapshot_groupby_metadata(root, keys, sum_cols, v)
         if folded:  # empty = zero non-empty files; let the scan say so
             # NOTE: StringType comes from the module-level import — a
             # local import here would shadow it for the WHOLE function
             # and break earlier uses (UnboundLocalError)
             from pyspark.sql.types import LongType
 
-            # folded rows are (*keys, n_rows, <sums in sum_cols order>)
-            nk = len(keys)
-            idx = {c: nk + 1 + i for i, c in enumerate(sum_cols)}
+            # folded rows: (*keys, n_rows, <sums>, <min/max pairs>)
+            nk, nsc = len(keys), len(sum_cols)
+            sidx = {c: nk + 1 + i for i, c in enumerate(sum_cols)}
+            midx = {
+                c: nk + 1 + nsc + 2 * j for j, c in enumerate(minmax_cols)
+            }
+
+            def _term_val(g, kd, c):
+                if kd == "COUNT":
+                    return int(g[nk])
+                if kd == "SUM":
+                    return int(g[sidx[c]])
+                return int(g[midx[c] + (1 if kd == "MAX" else 0)])
+
             fields = [
                 StructField(
                     k,
@@ -1064,12 +1087,14 @@ def engine_sql(
                         g[j] if isinstance(g[j], str) else int(g[j])
                         for j in range(nk)
                     ],
-                    *[int(g[idx[c]] if c else g[nk]) for _, c, _ in terms],
+                    *[_term_val(g, kd, c) for kd, c, _ in terms],
                 )
                 for g in folded
             ]
-            for _, c, alias in terms:
-                nm = alias or (f"sum_{c}" if c else "n_rows")
+            for kd, c, alias in terms:
+                nm = alias or (
+                    "n_rows" if kd == "COUNT" else f"{kd.lower()}_{c}"
+                )
                 fields.append(StructField(nm, LongType(), False))
             return spark.createDataFrame(rows_out, StructType(fields))
 

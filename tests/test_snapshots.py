@@ -1823,3 +1823,52 @@ def test_groupby_metadata_composite_keys(spark, sf_dir, tmp_path):
         {"t": root},
     )
     assert flat.inputFiles()  # scanned
+
+
+def test_groupby_metadata_grouped_minmax(spark, sf_dir, tmp_path):
+    """Per-group MIN/MAX of integer columns folds per-file stats within
+    each key's files — exact because file stats are exact bounds; a
+    non-integer MIN term falls back to a scan."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import append
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    for p in (
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ):
+        append(
+            spark, root,
+            src.where(F.col("o_orderpriority") == p).repartition(2),
+        )
+    out = engine_sql(
+        spark,
+        "SELECT o_orderpriority, COUNT(*) AS n, MIN(o_orderkey) AS lo, "
+        "MAX(o_orderkey) AS hi, SUM(o_custkey) AS s FROM t "
+        "GROUP BY o_orderpriority",
+        {"t": root},
+    )
+    assert out.inputFiles() == []
+    exp = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in src.groupBy("o_orderpriority")
+        .agg(
+            F.count("*"), F.min("o_orderkey"), F.max("o_orderkey"),
+            F.sum("o_custkey"),
+        )
+        .collect()
+    }
+    for r in out.collect():
+        assert (r.n, r.lo, r.hi, r.s) == exp[r.o_orderpriority]
+
+    # MIN over a string column: type guard -> scan, same values
+    smin = engine_sql(
+        spark,
+        "SELECT o_orderpriority, MIN(o_orderstatus) AS m FROM t "
+        "GROUP BY o_orderpriority",
+        {"t": root},
+    )
+    assert smin.inputFiles()
+    assert smin.count() == 5
