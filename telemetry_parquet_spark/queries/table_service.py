@@ -1235,7 +1235,8 @@ def snapshot_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SQL front door must route the same question to the same
     # metadata (raise-proven fast path, no scan in its plan)
     fd = engine_sql(
-        spark, "SELECT COUNT(*) FROM t VERSION AS OF 2", {"t": mor_root}
+        spark, "SELECT COUNT(*) AS n_rows FROM t VERSION AS OF 2",
+        {"t": mor_root},
     )
     if fd.inputFiles() or fd.first().n_rows != rows[-1][1]:
         raise RuntimeError("SQL COUNT(*) fast path disagreed or scanned")

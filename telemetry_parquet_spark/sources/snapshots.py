@@ -164,7 +164,16 @@ def _file_footer_stats(path: str) -> tuple[dict, dict, dict, int]:
     (Iceberg's rule): MIN truncates to a prefix (still a lower bound),
     MAX truncates and rounds the last character UP (still an upper
     bound) — manifests stay small on text columns, pruning stays
-    conservative."""
+    conservative.
+
+    Compatibility caveat: manifests written before the partial-row-group
+    invalidation rule carry whatever this function computed THEN, and
+    carried files reuse parent entries — a pre-rule manifest built from
+    foreign files with partially-disabled statistics could hold
+    partial bounds. Spark-written parquet always carries full chunk
+    statistics, so every manifest this engine itself produced is sound;
+    tables ingesting foreign pre-rule files should ``compact_table``
+    once (the rewrite recomputes stats under the current rule)."""
     import datetime as _dt
 
     import pyarrow.parquet as pq
@@ -199,8 +208,14 @@ def _file_footer_stats(path: str) -> tuple[dict, dict, dict, int]:
             if not st.has_min_max:
                 # bounds-less chunk: only safe to keep the fold when the
                 # chunk provably holds NO values (all-NULL) — otherwise
-                # the file's folded min/max would not be true bounds
-                if st.null_count is None or int(st.null_count) < g.num_rows:
+                # the file's folded min/max would not be true bounds.
+                # Compare against the chunk's num_values, NOT the row
+                # group's row count: for repeated (list) leaf columns
+                # num_values counts leaf slots, so null_count == num_rows
+                # could still leave real values unstated
+                if st.null_count is None or int(st.null_count) < int(
+                    col.num_values
+                ):
                     no_minmax.add(name)
                 continue
             mn, mx = st.min, st.max
@@ -976,12 +991,15 @@ def snapshot_groupby_metadata(
             return None
         if n == 0:
             continue  # empty file: no rows to attribute
+        fst = stats.get(f, {})
+        fnulls = nulls.get(f, {})
+        fsums = sums.get(f, {})
         kv = []
         for k in keys:
-            st = stats.get(f, {}).get(k)
+            st = fst.get(k)
             if not st or st[0] != st[1]:
                 return None  # straddles this key (or truncated/missing)
-            if nulls.get(f, {}).get(k) != 0:
+            if fnulls.get(k) != 0:
                 return None  # NULL-key rows (or unknown): can't attribute
             kv.append(st[0])
         g = groups.setdefault(
@@ -989,13 +1007,13 @@ def snapshot_groupby_metadata(
         )
         g[0] += int(n)
         for i, c in enumerate(sum_cols or []):
-            ent = sums.get(f, {}).get(c)
+            ent = fsums.get(c)
             if ent is None:
                 return None
             g[1 + i] += int(ent[0])
             g[1 + nsc + i] += int(ent[1])  # n_nonnull, for the NULL edge
         for i, c in enumerate(minmax_cols or []):
-            st = stats.get(f, {}).get(c)
+            st = fst.get(c)
             if not st or not all(isinstance(x, int) for x in st):
                 return None  # no stat (e.g. all-NULL chunk) -> refuse
             lo, hi = 1 + 2 * nsc + 2 * i, 1 + 2 * nsc + 2 * i + 1

@@ -868,8 +868,10 @@ def engine_sql(
     # full coverage (snapshots.snapshot_minmax / snapshot_sum) — any
     # unanswerable term falls through to the ordinary scan rewrite.
     # Branch refs fall through too (branch manifests live elsewhere).
-    # Default output names: n_rows / min_<col> / max_<col> / sum_<col> /
-    # n_<col>.
+    # Unaliased terms get SPARK'S native output names (count(1), sum(c),
+    # min(c), max(c), avg(c), count(c)) so the statement's schema is the
+    # SAME whether the fast path engages or the scan fallback runs — a
+    # layout change can never silently rename a client's columns.
     m = re.fullmatch(
         r"\s*SELECT\s+((?:COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT|AVG)\(\w+\))"
         r"(?:\s+AS\s+\w+)?"
@@ -909,7 +911,7 @@ def engine_sql(
         ):
             kind = term.split("(")[0].upper()
             if kind == "COUNT" and not colname:
-                names.append(alias or "n_rows")
+                names.append(alias or "count(1)")
                 vals.append(snapshot_row_count(root, v))
                 kinds.append("long")
                 continue
@@ -920,11 +922,7 @@ def engine_sql(
                 if sc is None:
                     names = []  # unanswerable term: whole statement scans
                     break
-                names.append(
-                    alias
-                    or {"SUM": f"sum_{colname}", "COUNT": f"n_{colname}",
-                        "AVG": f"avg_{colname}"}[kind]
-                )
+                names.append(alias or f"{kind.lower()}({colname})")
                 if kind == "AVG":
                     # SQL AVG over BIGINT is a double; ONE division of
                     # the two exact manifest integers — the same value
@@ -941,7 +939,7 @@ def engine_sql(
             if mm is None:
                 names = []  # unanswerable term: whole statement scans
                 break
-            names.append(alias or f"{kind.lower()}_{colname}")
+            names.append(alias or f"{kind.lower()}({colname})")
             vals.append(mm[0] if kind == "MIN" else mm[1])
             kinds.append("long")
         if names:
@@ -1018,7 +1016,10 @@ def engine_sql(
         gm
         and gm.group(3) in tables
         and [k.lower() for k in keys] == [k.lower() for k in gb_keys]
-        and ob_keys in (None, keys)
+        and (
+            ob_keys is None
+            or [k.lower() for k in ob_keys] == [k.lower() for k in keys]
+        )
         and not (gm.group(4) or "").startswith("'branch:")
     ):
         from telemetry_parquet_spark.sources.snapshots import (
@@ -1092,8 +1093,10 @@ def engine_sql(
                 for g in folded
             ]
             for kd, c, alias in terms:
+                # Spark-native default names: schema parity with the
+                # scan fallback (see the whole-table block's note)
                 nm = alias or (
-                    "n_rows" if kd == "COUNT" else f"{kd.lower()}_{c}"
+                    "count(1)" if kd == "COUNT" else f"{kd.lower()}({c})"
                 )
                 fields.append(StructField(nm, LongType(), False))
             return spark.createDataFrame(rows_out, StructType(fields))
