@@ -873,6 +873,115 @@ def snapshot_sum(
     return total_s, total_n
 
 
+def snapshot_filtered_agg(
+    root: str,
+    key: str,
+    value,
+    sum_cols: list[str] | None = None,
+    version: int | str | None = None,
+    minmax_cols: list[str] | None = None,
+) -> tuple | None:
+    """COUNT(*) (+ integer SUMs / MIN/MAXs) over ``WHERE key = value``
+    from the manifest alone, or ``None`` when metadata cannot answer
+    exactly — predicate pushdown all the way to metadata. Per file:
+
+    - ``value`` outside the file's [min, max] stats → contributes 0
+      (safe under string truncation: stored MIN is a lower bound and
+      stored MAX a rounded-UP upper bound, so strict exclusion holds);
+    - single-valued at ``value`` (min == max == value) with a recorded
+      ZERO key null count → fully included (equality never matches
+      NULLs, so a NULL-key row would inflate the file's row count);
+    - anything else (straddling file covering ``value``, missing stats,
+      unknown/nonzero nulls) → refuse.
+
+    On a key-clustered layout — one file set per day, say — "count
+    yesterday's rows / sum yesterday's revenue" is a manifest fold, the
+    query every 100 TB ingest pipeline runs hourly. Returns
+    (n_rows, *sums, *(min, max) pairs); refuses when a SUM/MIN/MAX term
+    is requested and NO file is included (SQL returns NULL there)."""
+    if isinstance(version, str):
+        version = resolve_ref(root, version)
+    v = latest_version(root) if version is None else version
+    m = read_manifest(root, v)
+    if m.get("dv") or not m["files"]:
+        return None
+    if key in (m.get("stats_types") or {}):
+        return None
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    try:
+        key_kind = schema[key].dataType.typeName()
+    except KeyError:
+        return None
+    if key_kind in ("long", "integer", "short", "byte"):
+        if not isinstance(value, int):
+            return None
+    elif key_kind == "string":
+        if not isinstance(value, str):
+            return None
+    else:
+        return None
+    for c in list(sum_cols or []) + list(minmax_cols or []):
+        try:
+            kind = schema[c].dataType.typeName()
+        except KeyError:
+            return None
+        if kind not in ("long", "integer", "short", "byte"):
+            return None
+        if c in (m.get("stats_types") or {}):
+            return None
+    stats, rows, sums = m.get("stats", {}), m.get("rows", {}), \
+        m.get("sums", {})
+    nulls = m.get("nulls", {})
+    nsc, nmm = len(sum_cols or []), len(minmax_cols or [])
+    total = [0] + [0] * (2 * nsc) + [None] * (2 * nmm)
+    included = 0
+    for f in m["files"]:
+        n = rows.get(f)
+        if n is None:
+            return None
+        if n == 0:
+            continue
+        fst = stats.get(f, {})
+        st = fst.get(key)
+        if not st:
+            return None  # no stat: can't even exclude
+        if value < st[0] or value > st[1]:
+            continue  # provably no matching rows
+        if st[0] != st[1] or st[0] != value:
+            return None  # file straddles the probe value
+        if nulls.get(f, {}).get(key) != 0:
+            return None  # NULL-key rows would inflate the count
+        included += 1
+        total[0] += int(n)
+        fsums = sums.get(f, {})
+        for i, c in enumerate(sum_cols or []):
+            ent = fsums.get(c)
+            if ent is None:
+                return None
+            total[1 + i] += int(ent[0])
+            total[1 + nsc + i] += int(ent[1])
+        for i, c in enumerate(minmax_cols or []):
+            cst = fst.get(c)
+            if not cst or not all(isinstance(x, int) for x in cst):
+                return None
+            lo, hi = 1 + 2 * nsc + 2 * i, 1 + 2 * nsc + 2 * i + 1
+            total[lo] = cst[0] if total[lo] is None else min(
+                total[lo], cst[0]
+            )
+            total[hi] = cst[1] if total[hi] is None else max(
+                total[hi], cst[1]
+            )
+    if (nsc or nmm) and included == 0:
+        return None  # SUM/MIN/MAX over zero rows is NULL; scan answers
+    if any(total[1 + nsc + i] == 0 for i in range(nsc)) and included:
+        return None  # an all-NULL SUM column: SQL says NULL
+    return (
+        total[0],
+        *total[1:1 + nsc],
+        *total[1 + 2 * nsc: 1 + 2 * nsc + 2 * nmm],
+    )
+
+
 def sample_rows(
     spark: SparkSession,
     root: str,

@@ -877,11 +877,92 @@ def engine_sql(
         r"(?:\s+AS\s+\w+)?"
         r"(?:\s*,\s*(?:COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT|AVG)\(\w+\))"
         r"(?:\s+AS\s+\w+)?)*)\s+FROM\s+(\w+)"
-        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?\s*;?\s*",
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?"
+        r"(?:\s+WHERE\s+(\w+)\s*=\s*('[^']*'|-?\d+))?\s*;?\s*",
         sql,
         re.IGNORECASE,
     )
-    if m and m.group(2) in tables and not (
+    if m and m.group(2) in tables and m.group(4) and not (
+        m.group(3) or ""
+    ).startswith("'branch:"):
+        # predicate pushdown to METADATA: COUNT(*)/SUM/MIN/MAX over
+        # ``WHERE key = literal`` folds only the files single-valued at
+        # the probe (snapshots.snapshot_filtered_agg) — "count
+        # yesterday's partition" with zero data I/O on a clustered
+        # layout; any unanswerable shape (straddling files, COUNT(col)/
+        # AVG terms, non-integer aggregates) falls through to the scan.
+        from telemetry_parquet_spark.sources.snapshots import (
+            snapshot_filtered_agg,
+        )
+
+        root = tables[m.group(2)]
+        ref = m.group(3)
+        version = (
+            None
+            if ref is None
+            else (resolve_ref(root, ref[1:-1])
+                  if ref.startswith("'") else int(ref))
+        )
+        v = (None if pins is None else pins.get(m.group(2))) \
+            if version is None else version
+        lit = m.group(5)
+        value = lit[1:-1] if lit.startswith("'") else int(lit)
+        terms = [
+            (t[0].split("(")[0].upper(), t[1], t[2])
+            for t in re.findall(
+                r"(COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT|AVG)\((\w+)\))"
+                r"(?:\s+AS\s+(\w+))?",
+                m.group(1),
+                re.IGNORECASE,
+            )
+        ]
+        if all(
+            kd in ("SUM", "MIN", "MAX") or (kd == "COUNT" and not c)
+            for kd, c, _ in terms
+        ):
+            sum_cols = list(dict.fromkeys(
+                c for kd, c, _ in terms if kd == "SUM"
+            ))
+            minmax_cols = list(dict.fromkeys(
+                c for kd, c, _ in terms if kd in ("MIN", "MAX")
+            ))
+            agg = snapshot_filtered_agg(
+                root, m.group(4), value, sum_cols, v,
+                minmax_cols=minmax_cols,
+            )
+            if agg is not None:
+                from pyspark.sql.types import LongType
+
+                nsc = len(sum_cols)
+                sidx = {c: 1 + i for i, c in enumerate(sum_cols)}
+                midx = {
+                    c: 1 + nsc + 2 * j for j, c in enumerate(minmax_cols)
+                }
+                names, vals = [], []
+                for kd, c, alias in terms:
+                    names.append(
+                        alias
+                        or ("count(1)" if kd == "COUNT"
+                            else f"{kd.lower()}({c})")
+                    )
+                    if kd == "COUNT":
+                        vals.append(int(agg[0]))
+                    elif kd == "SUM":
+                        vals.append(int(agg[sidx[c]]))
+                    else:
+                        vals.append(
+                            int(agg[midx[c] + (1 if kd == "MAX" else 0)])
+                        )
+                return spark.createDataFrame(
+                    [tuple(vals)],
+                    StructType(
+                        [
+                            StructField(n_, LongType(), False)
+                            for n_ in names
+                        ]
+                    ),
+                )
+    if m and m.group(2) in tables and not m.group(4) and not (
         m.group(3) or ""
     ).startswith("'branch:"):
         from telemetry_parquet_spark.sources.snapshots import (

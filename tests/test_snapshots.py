@@ -1875,3 +1875,81 @@ def test_groupby_metadata_grouped_minmax(spark, sf_dir, tmp_path):
     )
     assert smin.inputFiles()
     assert smin.count() == 5
+
+
+def test_sql_filtered_agg_metadata_fast_path(spark, sf_dir, tmp_path):
+    """WHERE key = literal with COUNT/SUM/MIN/MAX: on a clustered layout
+    the fold includes only files single-valued at the probe value and
+    excludes files whose stats rule it out — zero data I/O; straddling
+    layouts, absent values with SUM terms, and non-clustered keys fall
+    through to the scan with the same values."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        snapshot_filtered_agg,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    for p in (
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ):
+        append(
+            spark, root,
+            src.where(F.col("o_orderpriority") == p).repartition(2),
+        )
+    out = engine_sql(
+        spark,
+        "SELECT COUNT(*) AS n, SUM(o_custkey) AS s, "
+        "MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM t "
+        "WHERE o_orderpriority = '2-HIGH'",
+        {"t": root},
+    )
+    assert out.inputFiles() == []
+    exp = (
+        src.where("o_orderpriority = '2-HIGH'")
+        .agg(
+            F.count("*").alias("n"), F.sum("o_custkey").alias("s"),
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"),
+        )
+        .first()
+    )
+    assert tuple(out.first()) == tuple(exp)
+
+    # value outside every file: COUNT alone answers 0 from metadata
+    zero = engine_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM t WHERE o_orderpriority = '9-NONE'",
+        {"t": root},
+    )
+    assert zero.inputFiles() == [] and zero.first().n == 0
+    # ...but with a SUM term SQL returns NULL -> scan answers
+    assert snapshot_filtered_agg(
+        root, "o_orderpriority", "9-NONE", ["o_custkey"]
+    ) is None
+
+    # non-clustered key (files straddle): scan fallback, same value
+    flat = engine_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM t WHERE o_orderstatus = 'F'",
+        {"t": root},
+    )
+    assert flat.inputFiles()
+    assert flat.first().n == src.where("o_orderstatus = 'F'").count()
+
+    # integer probe on an integer-clustered table
+    ik = str(tmp_path / "ik")
+    for k in (0, 1, 2):
+        append(
+            spark, ik,
+            src.where(F.col("o_orderkey") % 3 == k)
+            .withColumn("k3", F.lit(k).cast("long"))
+            .repartition(1),
+        )
+    got = engine_sql(
+        spark, "SELECT COUNT(*) AS n FROM t WHERE k3 = 1", {"t": ik}
+    )
+    assert got.inputFiles() == []
+    assert got.first().n == src.where(F.col("o_orderkey") % 3 == 1).count()
