@@ -714,6 +714,18 @@ def snapshot_row_count(root: str, version: int | str | None = None) -> int:
     return total
 
 
+def _canon_col(schema: StructType, name: str) -> str | None:
+    """Resolve ``name`` against the schema the way Spark SQL does —
+    case-insensitively — returning the CANONICAL field name (stats /
+    sums / nulls dicts key by it), or None when absent. Exact match
+    wins; otherwise a unique case-insensitive match."""
+    names = [f.name for f in schema.fields]
+    if name in names:
+        return name
+    low = [n for n in names if n.lower() == name.lower()]
+    return low[0] if len(low) == 1 else None
+
+
 def snapshot_minmax(
     root: str, col: str, version: int | str | None = None,
     _manifest: dict | None = None,
@@ -739,14 +751,13 @@ def snapshot_minmax(
         m = read_manifest(root, v)
     if m.get("dv") or not m["files"]:
         return None
-    if col in (m.get("stats_types") or {}):
-        return None
     schema = StructType.fromJson(json.loads(m["schema"]))
-    try:
-        kind = schema[col].dataType.typeName()
-    except KeyError:
+    col = _canon_col(schema, col)
+    if col is None or col in (m.get("stats_types") or {}):
         return None
-    if kind not in ("long", "integer", "short", "byte"):
+    if schema[col].dataType.typeName() not in (
+        "long", "integer", "short", "byte"
+    ):
         return None
     stats = m.get("stats", {})
     lo = hi = None
@@ -844,14 +855,13 @@ def snapshot_sum(
         m = read_manifest(root, v)
     if not m["files"]:
         return None  # SUM over zero rows is NULL; let the scan say so
-    if col in (m.get("stats_types") or {}):
-        return None
     schema = StructType.fromJson(json.loads(m["schema"]))
-    try:
-        kind = schema[col].dataType.typeName()
-    except KeyError:
+    col = _canon_col(schema, col)
+    if col is None or col in (m.get("stats_types") or {}):
         return None
-    if kind not in ("long", "integer", "short", "byte"):
+    if schema[col].dataType.typeName() not in (
+        "long", "integer", "short", "byte"
+    ):
         return None
     sums = m.get("sums", {})
     total_s = total_n = 0
@@ -905,13 +915,11 @@ def snapshot_filtered_agg(
     m = read_manifest(root, v)
     if m.get("dv") or not m["files"]:
         return None
-    if key in (m.get("stats_types") or {}):
-        return None
     schema = StructType.fromJson(json.loads(m["schema"]))
-    try:
-        key_kind = schema[key].dataType.typeName()
-    except KeyError:
+    key = _canon_col(schema, key)
+    if key is None or key in (m.get("stats_types") or {}):
         return None
+    key_kind = schema[key].dataType.typeName()
     if key_kind in ("long", "integer", "short", "byte"):
         if not isinstance(value, int):
             return None
@@ -920,12 +928,18 @@ def snapshot_filtered_agg(
             return None
     else:
         return None
-    for c in list(sum_cols or []) + list(minmax_cols or []):
-        try:
-            kind = schema[c].dataType.typeName()
-        except KeyError:
+    sum_cols = [_canon_col(schema, c) for c in sum_cols or []]
+    minmax_cols = [_canon_col(schema, c) for c in minmax_cols or []]
+    # NOTE: the type guards and per-file sum/min-max accumulation below
+    # mirror snapshot_groupby_metadata's — the folds differ only in
+    # straddle handling (exclude-by-range here vs refuse there); a
+    # change to the stats/sums contract must be applied to BOTH
+    for c in list(sum_cols) + list(minmax_cols):
+        if c is None:
             return None
-        if kind not in ("long", "integer", "short", "byte"):
+        if schema[c].dataType.typeName() not in (
+            "long", "integer", "short", "byte"
+        ):
             return None
         if c in (m.get("stats_types") or {}):
             return None
@@ -944,7 +958,13 @@ def snapshot_filtered_agg(
         fst = stats.get(f, {})
         st = fst.get(key)
         if not st:
-            return None  # no stat: can't even exclude
+            # no min/max stat — but a file whose key is entirely NULL
+            # (null count == row count) provably matches NOTHING under
+            # equality: contribute 0 instead of killing the fast path
+            # (the all-NULL-ingest / ALTER TABLE evolution case)
+            if nulls.get(f, {}).get(key) == int(n):
+                continue
+            return None  # genuinely unknown: can't even exclude
         if value < st[0] or value > st[1]:
             continue  # provably no matching rows
         if st[0] != st[1] or st[0] != value:
@@ -1070,23 +1090,22 @@ def snapshot_groupby_metadata(
     if m.get("dv") or not m["files"]:
         return None
     schema = StructType.fromJson(json.loads(m["schema"]))
+    keys = [_canon_col(schema, k) for k in keys]
+    sum_cols = [_canon_col(schema, c) for c in sum_cols or []]
+    minmax_cols = [_canon_col(schema, c) for c in minmax_cols or []]
     for k in keys:
-        if k in (m.get("stats_types") or {}):
+        if k is None or k in (m.get("stats_types") or {}):
             return None
-        try:
-            key_kind = schema[k].dataType.typeName()
-        except KeyError:
+        if schema[k].dataType.typeName() not in (
+            "string", "long", "integer", "short", "byte"
+        ):
             return None
-        if key_kind not in ("string", "long", "integer", "short", "byte"):
+    for c in list(sum_cols) + list(minmax_cols):
+        if c is None or c in (m.get("stats_types") or {}):
             return None
-    for c in list(sum_cols or []) + list(minmax_cols or []):
-        try:
-            kind = schema[c].dataType.typeName()
-        except KeyError:
-            return None
-        if kind not in ("long", "integer", "short", "byte"):
-            return None
-        if c in (m.get("stats_types") or {}):
+        if schema[c].dataType.typeName() not in (
+            "long", "integer", "short", "byte"
+        ):
             return None
     stats, rows, sums = m.get("stats", {}), m.get("rows", {}), \
         m.get("sums", {})

@@ -872,6 +872,21 @@ def engine_sql(
     # min(c), max(c), avg(c), count(c)) so the statement's schema is the
     # SAME whether the fast path engages or the scan fallback runs — a
     # layout change can never silently rename a client's columns.
+    # Documented type trade: the fast paths type every integer aggregate
+    # BIGINT (the exact manifest fold), while the scan fallback carries
+    # Spark's native aggregate types (MIN of an INT column is INT,
+    # nullable) — layout-sensitive clients should pin casts as well as
+    # aliases.
+    def _pinned_version(tname: str, ref: str | None):
+        """The version a fast path must answer at: an explicit VERSION
+        AS OF (number or tag), else the catalog pin, else head — ONE
+        implementation for the three metadata fast-path blocks below."""
+        root_ = tables[tname]
+        if ref is not None:
+            return (resolve_ref(root_, ref[1:-1])
+                    if ref.startswith("'") else int(ref))
+        return None if pins is None else pins.get(tname)
+
     m = re.fullmatch(
         r"\s*SELECT\s+((?:COUNT\(\*\)|(?:MIN|MAX|SUM|COUNT|AVG)\(\w+\))"
         r"(?:\s+AS\s+\w+)?"
@@ -896,15 +911,7 @@ def engine_sql(
         )
 
         root = tables[m.group(2)]
-        ref = m.group(3)
-        version = (
-            None
-            if ref is None
-            else (resolve_ref(root, ref[1:-1])
-                  if ref.startswith("'") else int(ref))
-        )
-        v = (None if pins is None else pins.get(m.group(2))) \
-            if version is None else version
+        v = _pinned_version(m.group(2), m.group(3))
         lit = m.group(5)
         value = lit[1:-1] if lit.startswith("'") else int(lit)
         terms = [
@@ -972,15 +979,7 @@ def engine_sql(
         )
 
         root = tables[m.group(2)]
-        ref = m.group(3)
-        version = (
-            None
-            if ref is None
-            else (resolve_ref(root, ref[1:-1])
-                  if ref.startswith("'") else int(ref))
-        )
-        v = (None if pins is None else pins.get(m.group(2))) \
-            if version is None else version
+        v = _pinned_version(m.group(2), m.group(3))
         names, vals, kinds = [], [], []
         minmax_cache: dict[str, tuple | None] = {}
         sum_cache: dict[str, tuple | None] = {}
@@ -1058,15 +1057,7 @@ def engine_sql(
         from telemetry_parquet_spark.sources.snapshots import sample_rows
 
         root = tables[sm.group(1)]
-        ref = sm.group(2)
-        version = (
-            None
-            if ref is None
-            else (resolve_ref(root, ref[1:-1])
-                  if ref.startswith("'") else int(ref))
-        )
-        v = (None if pins is None else pins.get(sm.group(1))) \
-            if version is None else version
+        v = _pinned_version(sm.group(1), sm.group(2))
         return sample_rows(spark, root, int(sm.group(3)), v)
 
     # Metadata-only GROUP BY: ``SELECT <key>, COUNT(*)/SUM(col)… FROM t
@@ -1108,15 +1099,7 @@ def engine_sql(
         )
 
         root = tables[gm.group(3)]
-        ref = gm.group(4)
-        version = (
-            None
-            if ref is None
-            else (resolve_ref(root, ref[1:-1])
-                  if ref.startswith("'") else int(ref))
-        )
-        v = (None if pins is None else pins.get(gm.group(3))) \
-            if version is None else version
+        v = _pinned_version(gm.group(3), gm.group(4))
         terms = [
             (t[0].split("(")[0].upper(), t[1], t[2])
             for t in re.findall(

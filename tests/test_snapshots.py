@@ -1953,3 +1953,71 @@ def test_sql_filtered_agg_metadata_fast_path(spark, sf_dir, tmp_path):
     )
     assert got.inputFiles() == []
     assert got.first().n == src.where(F.col("o_orderkey") % 3 == 1).count()
+
+
+def test_metadata_fast_paths_case_insensitive_and_null_key_files(
+    spark, sf_dir, tmp_path
+):
+    """Spark SQL resolves identifiers case-insensitively; the metadata
+    fast paths must too (a cased spelling is a missed fast path, never a
+    wrong answer). And a file whose key is entirely NULL provably
+    matches nothing under equality — it contributes zero instead of
+    killing the WHERE fast path (the evolved-table case)."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        snapshot_filtered_agg,
+        snapshot_groupby_metadata,
+        snapshot_minmax,
+        snapshot_sum,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "t")
+    for p in ("1-URGENT", "2-HIGH"):
+        append(
+            spark, root,
+            src.where(F.col("o_orderpriority") == p).repartition(1),
+        )
+    # cased spellings resolve like Spark SQL would
+    assert snapshot_minmax(root, "O_CUSTKEY") == \
+        snapshot_minmax(root, "o_custkey")
+    assert snapshot_sum(root, "O_CUSTKEY") == \
+        snapshot_sum(root, "o_custkey")
+    assert snapshot_groupby_metadata(root, ["O_ORDERPRIORITY"], []) == \
+        snapshot_groupby_metadata(root, ["o_orderpriority"], [])
+    out = engine_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM t WHERE O_ORDERPRIORITY = '2-HIGH'",
+        {"t": root},
+    )
+    assert out.inputFiles() == []
+    assert out.first().n == src.where(
+        "o_orderpriority = '2-HIGH'"
+    ).count()
+
+    # an all-NULL-key file contributes 0 under equality, fast path lives
+    nullfile = str(tmp_path / "n")
+    append(
+        spark, nullfile,
+        src.where(F.col("o_orderpriority") == "1-URGENT").repartition(1),
+    )
+    append(
+        spark, nullfile,
+        src.where(F.col("o_orderpriority") == "2-HIGH")
+        .withColumn(
+            "o_orderpriority", F.lit(None).cast("string")
+        )
+        .repartition(1),
+    )
+    got = snapshot_filtered_agg(
+        nullfile, "o_orderpriority", "1-URGENT", ["o_custkey"]
+    )
+    exp = (
+        src.where("o_orderpriority = '1-URGENT'")
+        .agg(F.count("*").alias("n"), F.sum("o_custkey").alias("s"))
+        .first()
+    )
+    assert got == (exp.n, exp.s)
