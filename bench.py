@@ -270,6 +270,9 @@ HEADLINE = [
     # round 10: clustered-key GROUP BY folded from the manifest (the hive
     # directory-layout rollup recovered from file stats, no-scan raise)
     "snapshot_metadata_groupby",
+    # round 10: partition-spec evolution — metadata-only re-key, per-file
+    # tuples, bucket point lookup keeps 1/8 of spec files (raise-proven)
+    "snapshot_partition_evolution",
 ]
 
 

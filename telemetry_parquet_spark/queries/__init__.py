@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "snapshot_metadata_minmax",
     "snapshot_metadata_sum",
     "snapshot_metadata_groupby",
+    "snapshot_partition_evolution",
     # latest driver row r05 — the stalest cohort (rotation, per the ledger)
     "stream_sliding_halfhour",
     "stream_static_enrich",
@@ -109,10 +110,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "encode_bpe_ids",
     "events_flatten_variant",
     "f10_bucketed_histogram",
-    "f9_domain_extraction",
-    # (remaining r06 names — footer_stats_lineitem on, alphabetical —
-    # rotate to round 11's window; two slots went to the new metadata
-    # SUM / GROUP BY queries above)
+    # (remaining r06 names — f9_domain_extraction on, alphabetical —
+    # rotate to round 11's window; slots went to the new metadata
+    # SUM / GROUP BY queries and partition-spec evolution above)
 )
 
 

@@ -520,7 +520,7 @@ def snapshot_sql_cross_version(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def snapshot_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style manifest statistics
-    (sources/snapshots.py::_stats_for_commit / plan_snapshot_scan):
+    (sources/snapshots.py::_stats_from_parent_manifest / plan_snapshot_scan):
     commits record per-file column min/max from the parquet footers;
     a later range scan prunes files by manifest inspection only — the
     first data byte read is already post-prune (raise-proven)."""
@@ -1631,3 +1631,108 @@ def snapshot_metadata_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out.inputFiles():
         raise RuntimeError("metadata GROUP BY fast path did not engage")
     return out
+
+
+@query(
+    "snapshot_partition_evolution",
+    # Partition-spec EVOLUTION (sources/partition_spec.py): v1 appends
+    # 60% of orders BEFORE any spec exists (custkey-clustered), the
+    # spec bucket(8, o_custkey) lands as a METADATA-ONLY commit, v3
+    # appends the rest laid out by the spec with per-file partition
+    # tuples in the manifest. The point lookup then prunes each file
+    # under the spec that wrote it: pre-spec files by min/max stats,
+    # spec files by exact bucket membership — the shape stats cannot
+    # serve (a hash bucket's raw-key envelope spans the whole domain).
+    # Raise-proven: the spec commit rewrites nothing, every spec file
+    # carries a tuple, the planner's spec AND stats steps both pruned,
+    # and exactly 1/8 of the spec files survive. The oracle is the
+    # plain relational answer — pruning must be invisible to it.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    """,
+)
+def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style hidden partitioning + spec evolution on the commit
+    log: ``set_partition_spec`` never rewrites a byte, writers lay new
+    files out by ``bucket(8, o_custkey)`` (crc32 — bit-identical on the
+    JVM write side and the Python plan side), and ``plan_snapshot_scan``
+    prunes per file under its own spec. At 100 TB this is the difference
+    between a point lookup reading 1/8 of the new data plus whatever
+    stats can prune of the old, and reading everything: re-keying a
+    table is a metadata commit, not a rewrite."""
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+    from telemetry_parquet_spark.sources.scan_planner import Eq
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        plan_snapshot_scan,
+        read_manifest,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        append(
+            spark, root,
+            orders.where(F.col("o_orderkey") % 10 < 6)
+            .repartitionByRange(6, F.col("o_custkey")),
+        )
+        v2 = set_partition_spec(
+            root, [PartitionField("o_custkey", "bucket", 8)]
+        )
+        m1, m2 = read_manifest(root, v2 - 1), read_manifest(root, v2)
+        if m2["files"] != m1["files"] or m2["action"] != "set-spec":
+            raise RuntimeError("set-spec was not a metadata-only commit")
+        v3 = append(spark, root, orders.where(F.col("o_orderkey") % 10 >= 6))
+        m3 = read_manifest(root, v3)
+        new = set(m3["files"]) - set(m2["files"])
+        entries = m3.get("partitions") or {}
+        if set(entries) != new or not all(
+            e["spec_id"] == 1 for e in entries.values()
+        ):
+            raise RuntimeError(
+                "spec append did not record a partition tuple per file"
+            )
+
+    root = materialize_cached(
+        spark, src, "snappe_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    probe = int(
+        spark.read.parquet(src).agg(F.min("o_custkey")).first()[0]
+    )
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Eq("o_custkey", probe)], require_pruning=True
+    )
+    steps = dict(plan.steps)
+    if "spec:o_custkey" not in steps or "manifest:o_custkey" not in steps:
+        raise RuntimeError(
+            f"expected spec AND stats pruning, got {plan.steps}"
+        )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        partition_value,
+    )
+    from telemetry_parquet_spark.sources.snapshots import latest_version
+
+    entries = read_manifest(root, latest_version(root))["partitions"]
+    field = PartitionField("o_custkey", "bucket", 8)
+    want = sum(
+        1 for e in entries.values()
+        if e["values"][0] == partition_value(field, probe)
+    )
+    if plan.pruned_by("spec:o_custkey") != len(entries) - want:
+        raise RuntimeError(
+            f"bucket pruning should keep exactly the probe's bucket "
+            f"({want} of {len(entries)} spec files; {plan.steps})"
+        )
+    return pruned.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long").alias("price_cents"),
+    )

@@ -97,7 +97,7 @@ def _stats_sizes(
 ) -> tuple[dict, dict, dict, dict, dict, dict]:
     """Commit-time stats/sizes/row-counts for a branch manifest —
     carried files reuse the parent BRANCH manifest's entries (same
-    discipline as snapshots._stats_for_commit, which walks the main
+    discipline as snapshots._stats_from_parent_manifest, which walks the main
     chain)."""
     return S._stats_from_parent_manifest(root, files, parent_m)
 

@@ -5,7 +5,7 @@ zero data I/O before the decision.
 Catalyst's own broadcast decision sees static table-level sizes (or waits for
 AQE's runtime stats after a shuffle has already been planned). A table
 format can do better at plan time: commits record per-file byte sizes
-alongside column min/max (``snapshots.py::_stats_for_commit``), so after
+alongside column min/max (``snapshots.py::_stats_from_parent_manifest``), so after
 ``plan_snapshot_scan`` prunes each side's file list the planner knows the
 PHYSICAL bytes the join will actually read. A dimension table that is
 10 GB raw but 40 MB after predicate pruning broadcast-joins; the same

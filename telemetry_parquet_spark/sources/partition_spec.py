@@ -1,0 +1,318 @@
+"""Partition-spec evolution for the versioned snapshot table.
+
+The table formats' signature layout feature (Iceberg's "hidden
+partitioning" + spec evolution; the reference's era solved the same
+problem by hand with per-day directory layouts and
+``ParquetFile.scala``-style path conventions — see reference
+``views/package.scala`` day-key partitioning, whose semantics S7/F5
+already cover): a table carries a *partition spec* — a list of
+(column, transform) fields — as TABLE METADATA. Writers lay new files
+out by the transformed values; the manifest records each file's exact
+partition tuple AND the spec it was written under. Changing the spec is
+a metadata-only commit: **no existing file is rewritten**, and the
+planner prunes every file under the spec that governed its write.
+
+Why this beats min/max stats alone — and why it is the 100 TB shape:
+
+- ``bucket(n, col)``: a point lookup on a high-cardinality key keeps
+  exactly 1/n of the spec-written files. Min/max stats can NEVER serve
+  this (a hash bucket's raw-key envelope spans the whole domain), and
+  the existing Bloom file index answers it only probabilistically with
+  an index-maintenance pass per commit; the partition tuple is free at
+  write time and exact forever.
+- ``day(ts)``: time-range pruning that stays exact under append-order
+  churn, without trusting value clustering.
+- Spec EVOLUTION means yesterday's 100 TB stays valid when the keying
+  changes: old files prune by their old spec (or min/max stats), new
+  files by the new one — query semantics never change, because the
+  residual predicate is always re-applied (pruning is conservative
+  file dropping, never row selection).
+
+Transforms (kept deliberately small and bit-reproducible on BOTH the
+JVM write side and the Python plan side):
+
+- ``identity``  — the column value itself (int-family or string).
+- ``day``       — days since 1970-01-01 of a date/timestamp column.
+- ``bucket(n)`` — ``crc32(utf8(cast(col AS STRING))) % n``. Spark's
+  ``F.crc32`` and Python's ``zlib.crc32`` are the same CRC-32, so the
+  planner hashes predicate literals without a JVM round-trip
+  (functions/hashing.py already relies on this bit-compat).
+- ``truncate(n)`` — first ``n`` characters of a string column.
+
+Manifest keys (all carried across commits by ``snapshots._commit``):
+
+- ``partition_spec``: the CURRENT spec ``{"spec_id": k, "fields": […]}``.
+- ``specs``: every spec ever set, ``{str(spec_id): fields}`` — files
+  reference their spec by id, so evolution never rewrites metadata.
+- ``partitions``: ``{rel_file: {"spec_id": k, "values": [...]}}`` —
+  per-file tuples for files written by a spec-aware append. Files
+  without an entry (pre-spec files, COW/compaction rewrites) are simply
+  kept by the spec pass and pruned by min/max stats as before: absence
+  degrades pruning, never correctness.
+
+NULL tuples: a file whose partition value is NULL holds ONLY rows whose
+transformed value is NULL (hive-layout ``__HIVE_DEFAULT_PARTITION__``),
+and SQL comparison predicates never match NULL — so Eq/In/Range drop
+such files outright.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import urllib.parse
+import zlib
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from telemetry_parquet_spark.sources.scan_planner import Eq, In, Range
+
+_EPOCH = _dt.date(1970, 1, 1)
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_INT_TYPES = {"byte", "short", "integer", "long"}
+_TRANSFORMS = ("identity", "day", "bucket", "truncate")
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    """One spec field: ``transform(col)`` (``n`` for bucket/truncate)."""
+
+    col: str
+    transform: str = "identity"
+    n: int | None = None
+
+    def to_json(self) -> dict:
+        d = {"col": self.col, "transform": self.transform}
+        if self.n is not None:
+            d["n"] = self.n
+        return d
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionField":
+        return PartitionField(d["col"], d.get("transform", "identity"),
+                              d.get("n"))
+
+
+def _simple_type(schema: StructType, col: str) -> str:
+    for f in schema.fields:
+        if f.name.lower() == col.lower():
+            return f.dataType.typeName()
+    raise ValueError(f"partition spec: column {col!r} not in table schema")
+
+
+def validate_spec(schema: StructType, fields: list[PartitionField]) -> None:
+    """Loud, write-time validation — a spec that can't be pruned
+    bit-reproducibly on the plan side must never be committed."""
+    if not fields:
+        raise ValueError("partition spec: at least one field required")
+    for f in fields:
+        t = _simple_type(schema, f.col)
+        if f.transform not in _TRANSFORMS:
+            raise ValueError(f"partition spec: unknown transform "
+                             f"{f.transform!r}")
+        if f.transform in ("bucket", "truncate") and (f.n or 0) < 1:
+            raise ValueError(f"partition spec: {f.transform} needs n >= 1")
+        if f.transform == "identity" and t not in _INT_TYPES | {"string"}:
+            raise ValueError(
+                f"partition spec: identity({f.col}) needs an int-family or "
+                f"string column, got {t} (use day() for temporals)")
+        if f.transform == "day" and t not in ("date", "timestamp",
+                                              "timestamp_ntz"):
+            raise ValueError(
+                f"partition spec: day({f.col}) needs date/timestamp, got {t}")
+        if f.transform == "bucket" and t not in _INT_TYPES | {"string"}:
+            raise ValueError(
+                f"partition spec: bucket({f.col}) needs an int-family or "
+                f"string column, got {t} (float casts are not "
+                "bit-reproducible across engines)")
+        if f.transform == "truncate" and t != "string":
+            raise ValueError(
+                f"partition spec: truncate({f.col}) needs a string column, "
+                f"got {t}")
+
+
+def spark_transform(f: PartitionField) -> Column:
+    """The JVM write-side expression of one spec field."""
+    c = F.col(f.col)
+    if f.transform == "identity":
+        return c
+    if f.transform == "day":
+        return F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+    if f.transform == "bucket":
+        return F.pmod(
+            F.crc32(c.cast("string").cast("binary")), F.lit(f.n)
+        ).cast("int")
+    if f.transform == "truncate":
+        return F.substring(c, 1, f.n)
+    raise ValueError(f.transform)
+
+
+def partition_value(f: PartitionField, v):
+    """Python plan-side twin of ``spark_transform`` applied to a
+    predicate LITERAL — must agree bit-for-bit with the write side."""
+    if v is None:
+        return None
+    if f.transform == "identity":
+        return v
+    if f.transform == "day":
+        if isinstance(v, str):
+            v = (_dt.datetime.fromisoformat(v)
+                 if len(v) > 10 else _dt.date.fromisoformat(v))
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        return (v - _EPOCH).days
+    if f.transform == "bucket":
+        return zlib.crc32(str(v).encode("utf-8")) % f.n
+    if f.transform == "truncate":
+        return str(v)[: f.n]
+    raise ValueError(f.transform)
+
+
+def decode_path_value(f: PartitionField, schema: StructType, raw: str):
+    """One hive path segment value → the typed partition value recorded
+    in the manifest (Spark %-escapes special path chars; ``unquote``
+    reverses it and leaves unescaped text alone)."""
+    if raw == _HIVE_NULL:
+        return None
+    s = urllib.parse.unquote(raw)
+    if f.transform in ("day", "bucket"):
+        return int(s)
+    if f.transform == "truncate":
+        return s
+    # identity: typed by the source column (validated int-family|string)
+    return int(s) if _simple_type(schema, f.col) in _INT_TYPES else s
+
+
+def keep_file(entry: dict, specs: dict, pred) -> bool:
+    """Conservative spec-pruning verdict for ONE file under ONE
+    predicate: False only when the file's recorded tuple PROVES no row
+    can satisfy the predicate. Unknown spec ids, columns outside the
+    spec, and transform/predicate shapes we can't decide all KEEP —
+    the residual filter stays exact either way."""
+    fields = specs.get(str(entry.get("spec_id")))
+    if not fields:
+        return True
+    values = entry.get("values") or []
+    for i, fd in enumerate(fields):
+        if i >= len(values):
+            break
+        f = PartitionField.from_json(fd)
+        if f.col.lower() != pred.col.lower():
+            continue
+        pv = values[i]
+        try:
+            if isinstance(pred, Eq):
+                if pv is None:
+                    return False
+                return pv == partition_value(f, pred.value)
+            if isinstance(pred, In):
+                if pv is None:
+                    return False
+                return pv in {partition_value(f, v) for v in pred.values}
+            if isinstance(pred, Range) and f.transform in ("identity",
+                                                           "day"):
+                # monotone transforms only: bucket scrambles order and a
+                # truncate prefix-range needs care we don't attempt
+                if pv is None:
+                    return False
+                lo = (partition_value(f, pred.lo)
+                      if pred.lo is not None else None)
+                hi = (partition_value(f, pred.hi)
+                      if pred.hi is not None else None)
+                if lo is not None and pv < lo:
+                    return False
+                if hi is not None and pv > hi:
+                    return False
+                return True
+        except (TypeError, ValueError):
+            return True  # undecidable literal -> keep
+    return True
+
+
+def set_partition_spec(root: str, fields: list[PartitionField]) -> int:
+    """Metadata-only commit: the table's NEXT spec. Existing files are
+    untouched and keep pruning under the spec that wrote them."""
+    from telemetry_parquet_spark.sources import snapshots as S
+
+    parent = S.latest_version(root)
+    m = S.read_manifest(root, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    validate_spec(schema, fields)
+    specs = dict(m.get("specs") or {})
+    spec_id = 1 + max((int(k) for k in specs), default=0)
+    specs[str(spec_id)] = [f.to_json() for f in fields]
+    return S._commit(
+        root, "set-spec", m["files"], m["schema"], parent,
+        {
+            **S._carry_meta(m),
+            **({"dv": m["dv"]} if m.get("dv") else {}),
+            "partition_spec": {"spec_id": spec_id,
+                               "fields": specs[str(spec_id)]},
+            "specs": specs,
+        },
+    )
+
+
+def current_spec(root: str, version: int | None = None) -> dict | None:
+    from telemetry_parquet_spark.sources import snapshots as S
+
+    v = S.latest_version(root) if version is None else version
+    return S.read_manifest(root, v).get("partition_spec")
+
+
+def write_partitioned_files(
+    df: DataFrame, root: str, version_tag: str, spec: dict
+) -> tuple[list[str], dict]:
+    """Spec-aware twin of ``snapshots._write_commit_files``: ONE job
+    writes hive-layout files keyed by the DERIVED ``__pt_i`` columns
+    (``partitionBy`` strips only those, so data files stay
+    self-contained and every existing reader works unchanged), then the
+    walk parses each file's partition tuple from its path — zero extra
+    data I/O. Returns (rel_files, {rel_file: partitions entry}).
+
+    Same writer-private-directory race discipline as the unpartitioned
+    writer: the manifest's ``O_EXCL`` stays the only linearization
+    point, a losing racer's files are unreferenced orphans."""
+    import uuid as _uuid
+
+    from telemetry_parquet_spark.sources.snapshots import _DATA_DIR
+
+    fields = [PartitionField.from_json(d) for d in spec["fields"]]
+    validate_spec(df.schema, fields)
+    pt_cols = [f"__pt_{i}" for i in range(len(fields))]
+    out_dir = os.path.join(
+        root, _DATA_DIR, f"{version_tag}-{_uuid.uuid4().hex[:8]}"
+    )
+    (
+        df.select(
+            "*",
+            *[spark_transform(f).alias(c) for f, c in zip(fields, pt_cols)],
+        )
+        .repartition(*[F.col(c) for c in pt_cols])
+        .write.partitionBy(*pt_cols)
+        .mode("error")
+        .parquet(out_dir)
+    )
+    rel, parts = [], {}
+    for dirpath, _, names in os.walk(out_dir):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, name)
+            r = os.path.relpath(full, root)
+            seg = {}
+            for piece in os.path.relpath(dirpath, out_dir).split(os.sep):
+                if "=" in piece:
+                    k, _, raw = piece.partition("=")
+                    seg[k] = raw
+            values = [
+                decode_path_value(f, df.schema, seg[c])
+                for f, c in zip(fields, pt_cols)
+            ]
+            rel.append(r)
+            parts[r] = {"spec_id": spec["spec_id"], "values": values}
+    return rel, parts

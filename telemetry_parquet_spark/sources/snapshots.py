@@ -273,24 +273,6 @@ def _file_column_sums(path: str) -> dict[str, list]:
     return out
 
 
-def _stats_for_commit(
-    root: str, files: list[str], parent: int | None
-) -> tuple[dict, dict, dict, dict, dict, dict]:
-    """Per-file column stats (+ temporal-encoding types) and byte sizes
-    for the manifest: carried files reuse the parent's entries, fresh
-    files get ONE footer read + stat each (driver-side, file-count-sized
-    — the same metadata pass every table format performs at commit time
-    so that later planning — scan pruning AND join-strategy choice
-    (join_planner.py) — needs zero data I/O)."""
-    pm = {}
-    if parent is not None:
-        try:
-            pm = read_manifest(root, parent)
-        except FileNotFoundError:
-            pass
-    return _stats_from_parent_manifest(root, files, pm)
-
-
 def _stats_from_parent_manifest(
     root: str, files: list[str], pm: dict
 ) -> tuple[dict, dict, dict, dict, dict, dict]:
@@ -372,13 +354,37 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
     ``extra`` rides application metadata into the manifest atomically —
     e.g. the streaming sink's (stream, batch_id) idempotence stamp.
     Every commit also records per-file column min/max (``stats``) so the
-    planner can prune from the manifest alone."""
+    planner can prune from the manifest alone.
+
+    Partition-spec metadata (partition_spec.py) is TABLE-level and
+    rides every commit implicitly: the current spec + spec history are
+    copied from the parent (an ``extra`` entry — from
+    ``set_partition_spec`` — wins), and carried files keep their
+    recorded partition tuples exactly like their stats entries; files a
+    commit rewrites (COW, compaction) simply lose theirs and fall back
+    to min/max pruning."""
     import time as _time
 
     version = 0 if parent is None else parent + 1
-    stats, stats_types, sizes, rows, sums, nulls = _stats_for_commit(
-        root, files, parent
+    pm = {}
+    if parent is not None:
+        try:
+            pm = read_manifest(root, parent)
+        except FileNotFoundError:
+            pass
+    stats, stats_types, sizes, rows, sums, nulls = (
+        _stats_from_parent_manifest(root, files, pm)
     )
+    extra = dict(extra or {})
+    in_commit = set(files)
+    partitions = {
+        f: e for f, e in (pm.get("partitions") or {}).items()
+        if f in in_commit
+    }
+    partitions.update(extra.pop("partitions", None) or {})
+    spec_meta = {
+        k: pm[k] for k in ("partition_spec", "specs") if k in pm
+    }
     manifest = {
         "version": version,
         "parent": parent,
@@ -392,7 +398,9 @@ def _commit(root: str, action: str, files: list[str], schema_json: str,
         "sums": sums,
         "nulls": nulls,
         **({"stats_types": stats_types} if stats_types else {}),
-        **(extra or {}),
+        **({"partitions": partitions} if partitions else {}),
+        **spec_meta,
+        **extra,
     }
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     fd = os.open(
@@ -1174,12 +1182,19 @@ def append(
     the manifest schema, so pre-evolution files surface the new columns
     as NULL (the metadata-only ALTER TABLE ADD COLUMN of the table
     formats). Without it, a column-set mismatch is a loud error — schema
-    drift in a pipeline should never commit silently."""
+    drift in a pipeline should never commit silently.
+
+    Under a partition spec (partition_spec.py::set_partition_spec) the
+    new files are laid out by the spec's transforms and the manifest
+    records each file's exact partition tuple; appends before the spec
+    (and rewrite commits) stay as-is and prune by min/max stats."""
     meta = {}
+    spec = None
     try:
         parent = latest_version(root)
         m = read_manifest(root, parent)
         carried, schema_json = m["files"], m["schema"]
+        spec = m.get("partition_spec")
         _validate_constraints(df, m.get("constraints"))
         meta = {**_carry_meta(m), **_validate_unique(spark, root, m, df)}
         if m.get("dv"):  # outstanding deletion vectors stay in force
@@ -1206,7 +1221,17 @@ def append(
     except FileNotFoundError:
         parent = create_table(root, df.schema)
         carried, schema_json = [], df.schema.json()
-    new = _write_commit_files(df, root, f"c{parent + 1:06d}")
+    if spec:
+        from telemetry_parquet_spark.sources.partition_spec import (
+            write_partitioned_files,
+        )
+
+        new, parts = write_partitioned_files(
+            df, root, f"c{parent + 1:06d}", spec
+        )
+        meta = {**meta, "partitions": parts}
+    else:
+        new = _write_commit_files(df, root, f"c{parent + 1:06d}")
     return _commit(
         root, "append", carried + new, schema_json, parent,
         {**meta, **(extra or {})},
@@ -2663,6 +2688,12 @@ def plan_snapshot_scan(
     file index — zero data or footer I/O at planning time (the
     table-format promise: planning cost ∝ the file LIST plus the
     index-sized probe, the first data byte read is already post-prune).
+    Files written under a partition spec (partition_spec.py) are pruned
+    FIRST by their recorded partition tuple under the spec that wrote
+    them — the pass that serves shapes min/max stats cannot (a
+    ``bucket(n)`` point lookup keeps exactly 1/n of the spec-written
+    files); the step appears as ``spec:<col>`` only when it removed a
+    file, so ``require_pruning`` keeps its per-step meaning.
     Returns (DataFrame, ScanPlan). Per-predicate pruning accounting as
     in ``scan_planner.plan_scan``; with ``require_pruning`` every
     predicate must skip at least one file or this RAISES. Files the
@@ -2682,6 +2713,7 @@ def plan_snapshot_scan(
     import dataclasses
     import datetime as _dt
 
+    from telemetry_parquet_spark.sources.partition_spec import keep_file
     from telemetry_parquet_spark.sources.scan_planner import (
         Eq,
         In,
@@ -2731,7 +2763,24 @@ def plan_snapshot_scan(
             )
         return p
 
+    partitions = m.get("partitions") or {}
+    specs = m.get("specs") or {}
     for p in predicates:
+        # spec-tuple pass first; when it prunes, it ACCOUNTS for this
+        # predicate, and the stats/Bloom pass that follows only appends
+        # its step if it pruned further (require_pruning stays
+        # per-step: a bucket-pruned predicate must not fail because the
+        # one surviving bucket file's min/max can't shrink more)
+        spec_pruned = False
+        if partitions:
+            pruned_kept = [
+                f for f in kept
+                if f not in partitions or keep_file(partitions[f], specs, p)
+            ]
+            if len(pruned_kept) != len(kept):
+                kept = pruned_kept
+                plan.steps.append((f"spec:{p.col}", len(kept)))
+                spec_pruned = True
         idx_dir = _bloom_dir(root, p.col)
         if isinstance(p, (Eq, In)) and os.path.isdir(idx_dir):
             from telemetry_parquet_spark.sources.skipping import (
@@ -2751,8 +2800,10 @@ def plan_snapshot_scan(
                     index, values, bm["num_bits"], bm["num_hashes"]
                 )
             )
-            kept = [f for f in kept if f not in covered or f in cands]
-            plan.steps.append((f"bloom:{p.col}", len(kept)))
+            bloom_kept = [f for f in kept if f not in covered or f in cands]
+            if len(bloom_kept) != len(kept) or not spec_pruned:
+                plan.steps.append((f"bloom:{p.col}", len(bloom_kept)))
+            kept = bloom_kept
             continue
 
         cp = _converted(p)
@@ -2767,8 +2818,10 @@ def plan_snapshot_scan(
             }
             return _minmax_keep(row, cp)
 
-        kept = [f for f in kept if _keep(f)]
-        plan.steps.append((f"manifest:{p.col}", len(kept)))
+        stats_kept = [f for f in kept if _keep(f)]
+        if len(stats_kept) != len(kept) or not spec_pruned:
+            plan.steps.append((f"manifest:{p.col}", len(stats_kept)))
+        kept = stats_kept
     plan.files = [os.path.join(root, f) for f in kept]
     if require_pruning:
         prev = plan.total_files

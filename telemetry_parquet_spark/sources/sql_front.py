@@ -37,6 +37,10 @@ with the time-travel syntax the public table formats expose:
   FROM <name>`` and clustered-key ``GROUP BY`` — answered from manifest
   stats/sums with NO scan when exact (see the fast-path blocks below)
 - ``OPTIMIZE <name> [ZORDER BY (…)]`` — ``compact_table``
+- ``ALTER TABLE <name> SET PARTITION SPEC (bucket(8, c), day(d),
+  truncate(4, s), identity(c2) | c2)`` — partition-spec evolution
+  (sources/partition_spec.py; metadata-only, old files never rewritten)
+- ``DESCRIBE SPEC <name>``            — one row per current-spec field
 - ``ALTER TABLE <name> ADD COLUMN <c> <type>`` — metadata-only widen
 - ``ALTER TABLE <name> ADD CONSTRAINT <c> CHECK (…) | UNIQUE (…)`` /
   ``DROP CONSTRAINT <c>`` — commit-time constraint DDL
@@ -471,6 +475,42 @@ def _dml(
         return _version_df(spark, f"drop-constraint:{name}", v)
 
     m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+PARTITION\s+SPEC\s*"
+        r"\((.+)\)\s*;?\s*",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        from telemetry_parquet_spark.sources.partition_spec import (
+            PartitionField,
+            set_partition_spec,
+        )
+
+        root = _resolve(tables, m.group(1))
+        fields = []
+        for part in re.split(r",(?![^(]*\))", m.group(2)):
+            part = part.strip()
+            fm = re.fullmatch(
+                r"(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)", part
+            )
+            if fm:
+                fields.append(
+                    PartitionField(
+                        fm.group(3), fm.group(1).lower(),
+                        int(fm.group(2)) if fm.group(2) else None,
+                    )
+                )
+            elif re.fullmatch(r"\w+", part):
+                fields.append(PartitionField(part, "identity"))
+            else:
+                raise ValueError(
+                    f"SET PARTITION SPEC: cannot parse field {part!r} "
+                    "(expected col, identity(col), day(col), "
+                    "bucket(n, col) or truncate(n, col))"
+                )
+        v = set_partition_spec(root, fields)
+        return _version_df(spark, f"set-spec:{len(fields)}_fields", v)
+
+    m = re.fullmatch(
         r"\s*CREATE\s+TAG\s+([\w.-]+)\s+ON\s+(\w+)"
         r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*",
         sql, re.IGNORECASE,
@@ -822,6 +862,34 @@ def engine_sql(
     )
     if m:
         return describe_stats(spark, _resolve(tables, m.group(1)))
+    m = re.fullmatch(
+        r"\s*DESCRIBE\s+SPEC\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
+    )
+    if m:
+        from telemetry_parquet_spark.sources.snapshots import (
+            latest_version,
+            read_manifest,
+        )
+
+        root = _resolve(tables, m.group(1))
+        head = read_manifest(root, latest_version(root))
+        spec = head.get("partition_spec") or {}
+        rows = [
+            (spec["spec_id"], i, f["col"], f["transform"], f.get("n"))
+            for i, f in enumerate(spec.get("fields", []))
+        ]
+        return spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("spec_id", IntegerType(), False),
+                    StructField("position", IntegerType(), False),
+                    StructField("column", StringType(), False),
+                    StructField("transform", StringType(), False),
+                    StructField("n", IntegerType(), True),
+                ]
+            ),
+        )
     m = re.fullmatch(
         r"\s*DESCRIBE\s+BRANCHES\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
     )

@@ -1,0 +1,282 @@
+"""Partition-spec evolution (sources/partition_spec.py).
+
+The contract under test, end to end:
+
+- ``set_partition_spec`` is a metadata-only commit — zero files
+  rewritten, old files keep pruning under min/max stats.
+- spec-aware appends record each new file's EXACT partition tuple in
+  the manifest, parsed from the hive-layout path (data files stay
+  self-contained: ``partitionBy`` strips only the derived ``__pt_i``
+  columns).
+- ``plan_snapshot_scan`` prunes each file under the spec it was
+  written with: ``bucket(n)`` serves point lookups min/max stats never
+  can; ``day`` serves ranges; NULL-tuple files drop under comparison
+  predicates; undecidable shapes (Range over bucket) keep.
+- Pruning is conservative only — every planned result below is
+  asserted EQUAL to the unpruned answer.
+- Write-side (JVM) and plan-side (Python) transforms agree
+  bit-for-bit (crc32 bucket parity is the load-bearing one).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_parquet_spark.sources.partition_spec import (
+    PartitionField,
+    partition_value,
+    set_partition_spec,
+)
+from telemetry_parquet_spark.sources.scan_planner import Eq, In, Range
+from telemetry_parquet_spark.sources.snapshots import (
+    append,
+    compact_table,
+    delete_where,
+    latest_version,
+    plan_snapshot_scan,
+    read_manifest,
+    read_snapshot,
+)
+
+
+def _frame(spark, n=1000):
+    return spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("long").alias("cust"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("id") % 5).cast("int")
+        ).alias("d"),
+        F.concat(F.lit("u "), (F.col("id") % 13).cast("string")).alias("s"),
+    )
+
+
+@pytest.fixture(scope="module")
+def evolved(spark, tmp_path_factory):
+    """One shared chain: v1 pre-spec append (k-clustered), v2 set-spec
+    (bucket(8, cust), day(d)), v3 spec-partitioned append."""
+    root = str(tmp_path_factory.mktemp("pspec"))
+    df = _frame(spark)
+    append(spark, root, df.where("id < 500").repartitionByRange(4, "k"))
+    set_partition_spec(
+        root,
+        [PartitionField("cust", "bucket", 8), PartitionField("d", "day")],
+    )
+    append(spark, root, df.where("id >= 500"))
+    return root, df
+
+
+def test_set_spec_is_metadata_only(evolved, spark):
+    root, _ = evolved
+    m1 = read_manifest(root, 1)
+    m2 = read_manifest(root, 2)
+    assert m2["action"] == "set-spec"
+    assert m2["files"] == m1["files"]  # no rewrite, carried by reference
+    assert m2["partition_spec"]["spec_id"] == 1
+    assert "partitions" not in m2 or not m2["partitions"]
+
+
+def test_partitioned_append_records_tuples(evolved, spark):
+    root, df = evolved
+    m = read_manifest(root, 3)
+    old = set(read_manifest(root, 1)["files"])
+    new = [f for f in m["files"] if f not in old]
+    parts = m["partitions"]
+    assert set(parts) == set(new)  # every new file, no pre-spec file
+    assert all(e["spec_id"] == 1 and len(e["values"]) == 2
+               for e in parts.values())
+    # 8 buckets x 5 days, one file per tuple (the repartition discipline)
+    assert len(new) == 40
+    # tuples match the data: re-derive one file's bucket from its rows
+    f0, e0 = next(iter(sorted(parts.items())))
+    got = (
+        spark.read.parquet(os.path.join(root, f0))
+        .select(
+            F.pmod(F.crc32(F.col("cust").cast("string").cast("binary")),
+                   F.lit(8)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    assert [r.b for r in got] == [e0["values"][0]]
+
+
+def test_full_read_unchanged_across_evolution(evolved, spark):
+    root, df = evolved
+    assert read_snapshot(spark, root).count() == df.count()
+
+
+def test_bucket_point_lookup_prunes_and_matches(evolved, spark):
+    root, df = evolved
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Eq("cust", 42)], require_pruning=True
+    )
+    assert any(name == "spec:cust" for name, _ in plan.steps)
+    # exactly 1/8 of the 40 spec files survive, plus the 4 pre-spec ones
+    assert len(plan.files) == 4 + 5
+    assert pruned.count() == df.where("cust = 42").count()
+
+
+def test_in_list_unions_buckets(evolved, spark):
+    root, df = evolved
+    pruned, plan = plan_snapshot_scan(spark, root, [In("cust", (1, 2))])
+    assert pruned.count() == df.where("cust in (1, 2)").count()
+    assert any(name == "spec:cust" for name, _ in plan.steps)
+
+
+def test_day_range_prunes_and_matches(evolved, spark):
+    root, df = evolved
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Range("d", "2024-01-02", "2024-01-03")]
+    )
+    assert any(name == "spec:d" for name, _ in plan.steps)
+    # 2 of 5 days survive among spec files: 8*2 + 4 pre-spec
+    assert len(plan.files) == 4 + 16
+    assert (
+        pruned.count()
+        == df.where("d between '2024-01-02' and '2024-01-03'").count()
+    )
+
+
+def test_range_over_bucket_is_kept_not_wrong(evolved, spark):
+    """Bucket scrambles order: a Range on the bucketed column must not
+    spec-prune (undecidable), and the answer stays exact."""
+    root, df = evolved
+    pruned, plan = plan_snapshot_scan(spark, root, [Range("cust", 10, 20)])
+    assert not any(n.startswith("spec:") for n, _ in plan.steps)
+    assert pruned.count() == df.where("cust between 10 and 20").count()
+
+
+def test_null_tuple_files_drop_under_eq(spark, tmp_path):
+    root = str(tmp_path / "nulls")
+    df = _frame(spark, 200).withColumn(
+        "s", F.when(F.col("k") % 7 == 0, F.lit(None)).otherwise(F.col("s"))
+    )
+    append(spark, root, df.where("k < 50"))
+    set_partition_spec(root, [PartitionField("s", "identity")])
+    append(spark, root, df.where("k >= 50"))
+    m = read_manifest(root, latest_version(root))
+    null_files = [
+        f for f, e in m["partitions"].items() if e["values"][0] is None
+    ]
+    assert null_files  # the NULL partition materialized
+    pruned, plan = plan_snapshot_scan(spark, root, [Eq("s", "u 5")])
+    assert not set(null_files) & {
+        os.path.relpath(p, root) for p in plan.files
+    }
+    assert pruned.count() == df.where("s = 'u 5'").count()
+
+
+def test_identity_string_path_escaping_round_trips(spark, tmp_path):
+    """Values with spaces/equals survive the hive-path encode/decode."""
+    root = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a b=c"), (2, "plain"), (3, "a b=c")], "k int, s string"
+    )
+    append(spark, root, df.where("k = 2"))
+    set_partition_spec(root, [PartitionField("s", "identity")])
+    append(spark, root, df.where("k != 2"))
+    m = read_manifest(root, latest_version(root))
+    vals = {e["values"][0] for e in m["partitions"].values()}
+    assert vals == {"a b=c"}
+    pruned, _ = plan_snapshot_scan(spark, root, [Eq("s", "a b=c")])
+    assert pruned.count() == 2
+
+
+def test_truncate_prefix_eq(spark, tmp_path):
+    root = str(tmp_path / "trunc")
+    df = _frame(spark, 300).withColumn("s", F.concat("s", F.lit("xyz")))
+    append(spark, root, df.where("k < 100"))
+    set_partition_spec(root, [PartitionField("s", "truncate", 4)])
+    append(spark, root, df.where("k >= 100"))
+    pruned, plan = plan_snapshot_scan(spark, root, [Eq("s", "u 12xyz")])
+    assert any(n == "spec:s" for n, _ in plan.steps)
+    assert pruned.count() == df.where("s = 'u 12xyz'").count()
+
+
+def test_spec_evolution_per_file(spark, tmp_path):
+    """Two specs live side by side: files prune under the spec that
+    wrote them, and the CURRENT spec governs only new writes."""
+    root = str(tmp_path / "evolve2")
+    df = _frame(spark, 600)
+    append(spark, root, df.where("k < 200"))
+    set_partition_spec(root, [PartitionField("cust", "bucket", 4)])
+    append(spark, root, df.where("k >= 200 and k < 400"))
+    set_partition_spec(root, [PartitionField("cust", "bucket", 8)])
+    append(spark, root, df.where("k >= 400"))
+    m = read_manifest(root, latest_version(root))
+    assert m["partition_spec"]["spec_id"] == 2
+    assert {e["spec_id"] for e in m["partitions"].values()} == {1, 2}
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Eq("cust", 42)], require_pruning=True
+    )
+    # 1/4 of spec-1 files + 1/8 of spec-2 files + the pre-spec files
+    by_spec = {1: 0, 2: 0}
+    kept_rel = {os.path.relpath(p, root) for p in plan.files}
+    for f, e in m["partitions"].items():
+        if f in kept_rel:
+            by_spec[e["spec_id"]] += 1
+    assert by_spec == {1: 1, 2: 1}
+    assert pruned.count() == df.where("cust = 42").count()
+
+
+def test_cow_rewrite_degrades_to_stats_never_wrong(spark, tmp_path):
+    root = str(tmp_path / "cow")
+    df = _frame(spark, 400)
+    append(spark, root, df.where("k < 100"))
+    set_partition_spec(root, [PartitionField("cust", "bucket", 4)])
+    append(spark, root, df.where("k >= 100"))
+    delete_where(spark, root, "cust = 13")  # hits ONE bucket file
+    m = read_manifest(root, latest_version(root))
+    # the rewritten bucket file lost its entry; carried ones kept theirs
+    parts = m["partitions"]
+    assert set(parts) <= set(m["files"])
+    assert len(parts) == 3  # 4 bucket files - the rewritten one
+    pruned, _ = plan_snapshot_scan(spark, root, [Eq("cust", 42)])
+    assert pruned.count() == df.where("cust = 42 and cust <> 13").count()
+    # compaction clears all entries but answers stay exact
+    compact_table(spark, root, target_bytes=64 * 1024 * 1024)
+    pruned2, _ = plan_snapshot_scan(spark, root, [Eq("cust", 42)])
+    assert pruned2.count() == df.where("cust = 42 and cust <> 13").count()
+
+
+def test_bucket_crc32_write_plan_parity(spark):
+    """The load-bearing bit-compat: Spark's crc32(cast(x as string)) and
+    Python's zlib.crc32(str(x)) agree for ints and strings."""
+    f_int = PartitionField("cust", "bucket", 8)
+    f_str = PartitionField("s", "bucket", 8)
+    probe = spark.createDataFrame(
+        [(42, "a b=c"), (0, ""), (97, "Ünïcode"), (-5, "x" * 100)],
+        "cust long, s string",
+    )
+    rows = probe.select(
+        "cust", "s",
+        F.pmod(F.crc32(F.col("cust").cast("string").cast("binary")),
+               F.lit(8)).alias("bi"),
+        F.pmod(F.crc32(F.col("s").cast("string").cast("binary")),
+               F.lit(8)).alias("bs"),
+    ).collect()
+    for r in rows:
+        assert partition_value(f_int, r.cust) == r.bi
+        assert partition_value(f_str, r.s) == r.bs
+    assert partition_value(PartitionField("d", "day"), "2024-01-03") == (
+        19725
+    )
+
+
+def test_spec_validation_is_loud(spark, tmp_path):
+    root = str(tmp_path / "bad")
+    append(spark, root, _frame(spark, 10))
+    with pytest.raises(ValueError, match="not in table schema"):
+        set_partition_spec(root, [PartitionField("nope", "identity")])
+    with pytest.raises(ValueError, match="date/timestamp"):
+        set_partition_spec(root, [PartitionField("cust", "day")])
+    with pytest.raises(ValueError, match="n >= 1"):
+        set_partition_spec(root, [PartitionField("cust", "bucket")])
+    with pytest.raises(ValueError, match="identity"):
+        set_partition_spec(root, [PartitionField("d", "identity")])
+    with pytest.raises(ValueError, match="string column"):
+        set_partition_spec(root, [PartitionField("cust", "truncate", 3)])

@@ -366,3 +366,49 @@ def test_describe_stats(spark, sf_dir, tmp_path):
     assert not tp.sum_answerable and not tp.minmax_answerable  # not int
     od = rows["o_orderdate"]  # temporal ordinal: excluded from both
     assert not od.minmax_answerable and not od.sum_answerable
+
+
+def test_set_partition_spec_statement(spark, sf_dir, tmp_path):
+    """ALTER TABLE … SET PARTITION SPEC + DESCRIBE SPEC: the DDL is a
+    metadata-only commit, subsequent INSERTs lay files out by the spec,
+    and the recorded tuples drive the planner (correctness asserted
+    against the unpruned head)."""
+    from telemetry_parquet_spark.sources.scan_planner import Eq
+    from telemetry_parquet_spark.sources.snapshots import (
+        latest_version,
+        plan_snapshot_scan,
+    )
+
+    root = str(tmp_path / "spec_tbl")
+    orders = _orders(spark, sf_dir)
+    append(spark, root, orders.where(F.col("o_orderkey") % 2 == 0))
+    t = {"t": root}
+    out = engine_sql(
+        spark,
+        "ALTER TABLE t SET PARTITION SPEC "
+        "(bucket(8, o_custkey), day(o_orderdate))",
+        t,
+    ).first()
+    assert out.action == "set-spec:2_fields"
+    m = read_manifest(root, latest_version(root))
+    assert m["action"] == "set-spec"
+    assert [f["transform"] for f in m["partition_spec"]["fields"]] == [
+        "bucket", "day",
+    ]
+    desc = engine_sql(spark, "DESCRIBE SPEC t", t).collect()
+    assert [(r.column, r.transform, r.n) for r in desc] == [
+        ("o_custkey", "bucket", 8), ("o_orderdate", "day", None),
+    ]
+    # a post-spec append writes under the spec
+    append(spark, root, orders.where(F.col("o_orderkey") % 2 == 1))
+    m2 = read_manifest(root, latest_version(root))
+    assert m2.get("partitions"), "spec append recorded no tuples"
+    probe = orders.agg(F.min("o_custkey").alias("k")).first().k
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Eq("o_custkey", int(probe))]
+    )
+    assert any(n == "spec:o_custkey" for n, _ in plan.steps)
+    assert (
+        pruned.count()
+        == orders.where(F.col("o_custkey") == probe).count()
+    )
