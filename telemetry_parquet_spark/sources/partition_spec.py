@@ -45,10 +45,14 @@ Manifest keys (all carried across commits by ``snapshots._commit``):
 - ``specs``: every spec ever set, ``{str(spec_id): fields}`` — files
   reference their spec by id, so evolution never rewrites metadata.
 - ``partitions``: ``{rel_file: {"spec_id": k, "values": [...]}}`` —
-  per-file tuples for files written by a spec-aware append. Files
-  without an entry (pre-spec files, COW/compaction rewrites) are simply
-  kept by the spec pass and pruned by min/max stats as before: absence
-  degrades pruning, never correctness.
+  per-file tuples for files written by a spec-aware append, overwrite,
+  or compaction (``compact_table``/``compact_where`` under a spec
+  rewrite to the CURRENT spec's canonical one-file-per-tuple layout —
+  the table formats' rewrite-data-files — so tuples survive
+  maintenance and pre-spec files gain them). Files without an entry
+  (pre-spec files, COW delete rewrites) are simply kept by the spec
+  pass and pruned by min/max stats as before: absence degrades
+  pruning, never correctness.
 
 NULL tuples: a file whose partition value is NULL holds ONLY rows whose
 transformed value is NULL (hive-layout ``__HIVE_DEFAULT_PARTITION__``),
@@ -316,3 +320,22 @@ def write_partitioned_files(
             rel.append(r)
             parts[r] = {"spec_id": spec["spec_id"], "values": values}
     return rel, parts
+
+
+def drop_partition_spec(root: str) -> int:
+    """Metadata-only commit clearing the CURRENT spec: new writes go
+    back to the unpartitioned writer. The spec HISTORY stays — existing
+    files keep their tuples and keep pruning under the spec that wrote
+    them (dropping a spec must not degrade yesterday's layout)."""
+    from telemetry_parquet_spark.sources import snapshots as S
+
+    parent = S.latest_version(root)
+    m = S.read_manifest(root, parent)
+    return S._commit(
+        root, "drop-spec", m["files"], m["schema"], parent,
+        {
+            **S._carry_meta(m),
+            **({"dv": m["dv"]} if m.get("dv") else {}),
+            "partition_spec": None,
+        },
+    )

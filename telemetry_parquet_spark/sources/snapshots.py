@@ -1382,9 +1382,11 @@ def overwrite(
     streaming IVM loop (streaming/ivm.py) commits each refreshed view
     state as one atomic overwrite version. Creates the table if absent."""
     meta = {}
+    spec = None
     try:
         parent = latest_version(root)
         m = read_manifest(root, parent)
+        spec = m.get("partition_spec")
         _validate_constraints(df, m.get("constraints"))
         meta = _carry_meta(m)
         # a full-state replace leaves no old bytes: dropped-column
@@ -1396,7 +1398,29 @@ def overwrite(
         _validate_unique(spark, root, {**m, "files": []}, df)
     except FileNotFoundError:
         parent = create_table(root, df.schema)
-    new = _write_commit_files(df, root, f"c{parent + 1:06d}")
+    if spec:
+        # overwrite replaces the SCHEMA too — data missing a spec column
+        # must not silently orphan the spec
+        lowered = {c.lower() for c in df.columns}
+        missing = [
+            f["col"] for f in spec["fields"]
+            if f["col"].lower() not in lowered
+        ]
+        if missing:
+            raise ValueError(
+                f"overwrite: partition-spec columns {missing} absent from "
+                "the new data; drop_partition_spec first"
+            )
+        from telemetry_parquet_spark.sources.partition_spec import (
+            write_partitioned_files,
+        )
+
+        new, parts = write_partitioned_files(
+            df, root, f"c{parent + 1:06d}", spec
+        )
+        meta = {**meta, "partitions": parts}
+    else:
+        new = _write_commit_files(df, root, f"c{parent + 1:06d}")
     return _commit(
         root, "overwrite", new, df.schema.json(), parent,
         {**meta, **(extra or {})},
@@ -1693,6 +1717,10 @@ def compact_table(
         )
         n_files = max(1, -(-total // int(target_bytes)))
     rows = read_snapshot(spark, root, parent)
+    meta = _carry_meta(m)
+    # a full rewrite physically sheds dropped columns: clear tombstones
+    meta.pop("dropped_cols", None)
+    spec = m.get("partition_spec")
     if zorder_cols:
         from telemetry_parquet_spark.sources.layout import (
             zorder_key_adaptive_n,
@@ -1705,13 +1733,29 @@ def compact_table(
             .drop("zval")
         )
         action = "compact-zorder"
+    elif spec:
+        # under a spec, compaction = rewrite the WHOLE state to the
+        # CURRENT spec's canonical layout (one file per partition tuple)
+        # — tuples survive maintenance, pre-spec and rewrite-orphaned
+        # files get tuples for the first time, and earlier-spec files
+        # migrate. This is the table formats' rewrite-data-files;
+        # per-tuple file sizing is a spec-design choice, so
+        # target_bytes/n_files do not apply on this path.
+        from telemetry_parquet_spark.sources.partition_spec import (
+            write_partitioned_files,
+        )
+
+        new, parts = write_partitioned_files(
+            rows, root, f"c{parent + 1:06d}", spec
+        )
+        return _commit(
+            root, "compact-spec", new, m["schema"], parent,
+            {**meta, "partitions": parts},
+        )
     else:
         rows = rows.repartition(n_files)
         action = "compact"
     new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
-    meta = _carry_meta(m)
-    # a full rewrite physically sheds dropped columns: clear tombstones
-    meta.pop("dropped_cols", None)
     return _commit(root, action, new, m["schema"], parent, meta)
 
 
@@ -1768,12 +1812,28 @@ def compact_where(
             .sortWithinPartitions("zval")
             .drop("zval")
         )
+        new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
+        extra = {}
+    elif m.get("partition_spec"):
+        # region rewrite under a spec: the rewritten files come back
+        # re-tupled under the CURRENT spec (compact_table's
+        # rewrite-data-files rule, scoped to the region); carried files
+        # keep their entries through _commit
+        from telemetry_parquet_spark.sources.partition_spec import (
+            write_partitioned_files,
+        )
+
+        new, parts = write_partitioned_files(
+            rows, root, f"c{parent + 1:06d}", m["partition_spec"]
+        )
+        extra = {"partitions": parts}
     else:
         rows = rows.repartition(n_files)
-    new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
+        new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
+        extra = {}
     return _commit(
         root, "compact-where", carried + new, m["schema"], parent,
-        {**_carry_meta(m), "region_files": len(region)},
+        {**_carry_meta(m), "region_files": len(region), **extra},
     )
 
 

@@ -237,10 +237,62 @@ def test_cow_rewrite_degrades_to_stats_never_wrong(spark, tmp_path):
     assert len(parts) == 3  # 4 bucket files - the rewritten one
     pruned, _ = plan_snapshot_scan(spark, root, [Eq("cust", 42)])
     assert pruned.count() == df.where("cust = 42 and cust <> 13").count()
-    # compaction clears all entries but answers stay exact
-    compact_table(spark, root, target_bytes=64 * 1024 * 1024)
-    pruned2, _ = plan_snapshot_scan(spark, root, [Eq("cust", 42)])
-    assert pruned2.count() == df.where("cust = 42 and cust <> 13").count()
+
+
+def test_compact_under_spec_retuples_everything(spark, tmp_path):
+    """compact_table under a spec = rewrite-data-files: the whole state
+    comes back in the CURRENT spec's one-file-per-tuple layout, so
+    tuples survive maintenance, pre-spec files gain them, and bucket
+    pruning afterwards is FULL (no stats-only remainder)."""
+    root = str(tmp_path / "retuple")
+    df = _frame(spark, 400)
+    append(spark, root, df.where("k < 100"))  # pre-spec, no tuples
+    set_partition_spec(root, [PartitionField("cust", "bucket", 4)])
+    append(spark, root, df.where("k >= 100"))
+    delete_where(spark, root, "cust = 13")  # orphans one bucket file
+    v = compact_table(spark, root, target_bytes=64 * 1024 * 1024)
+    m = read_manifest(root, v)
+    assert m["action"] == "compact-spec"
+    assert set(m["partitions"]) == set(m["files"])  # EVERY file tupled
+    assert read_snapshot(spark, root).count() == df.where(
+        "cust <> 13"
+    ).count()
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Eq("cust", 42)], require_pruning=True
+    )
+    # full bucket pruning: exactly the probe's bucket survives
+    assert len(plan.files) == 1
+    assert pruned.count() == df.where("cust = 42").count()
+
+
+def test_overwrite_under_spec(spark, tmp_path):
+    from telemetry_parquet_spark.sources.partition_spec import (
+        drop_partition_spec,
+    )
+    from telemetry_parquet_spark.sources.snapshots import overwrite
+
+    root = str(tmp_path / "ow")
+    df = _frame(spark, 300)
+    append(spark, root, df.where("k < 100"))
+    set_partition_spec(root, [PartitionField("cust", "bucket", 4)])
+    v = overwrite(spark, root, df)
+    m = read_manifest(root, v)
+    assert set(m["partitions"]) == set(m["files"])
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Eq("cust", 7)], require_pruning=True
+    )
+    assert pruned.count() == df.where("cust = 7").count()
+    # replacing the table with data lacking a spec column is loud
+    with pytest.raises(ValueError, match="drop_partition_spec"):
+        overwrite(spark, root, df.drop("cust"))
+    # after dropping the spec the same overwrite commits unpartitioned,
+    # and the spec HISTORY stays for any file that still carries a tuple
+    drop_partition_spec(root)
+    v2 = overwrite(spark, root, df.drop("cust"))
+    m2 = read_manifest(root, v2)
+    assert not m2.get("partitions")
+    assert m2.get("specs")  # history preserved
+    assert read_snapshot(spark, root).count() == df.count()
 
 
 def test_bucket_crc32_write_plan_parity(spark):
