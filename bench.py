@@ -273,6 +273,9 @@ HEADLINE = [
     # round 10: partition-spec evolution — metadata-only re-key, per-file
     # tuples, bucket point lookup keeps 1/8 of spec files (raise-proven)
     "snapshot_partition_evolution",
+    # round 10: storage-partitioned join — per-bucket file pairs from the
+    # manifests, per-bucket broadcast, zero join shuffles (raise-proven)
+    "snapshot_bucket_join",
 ]
 
 

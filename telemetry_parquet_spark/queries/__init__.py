@@ -80,6 +80,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "snapshot_metadata_sum",
     "snapshot_metadata_groupby",
     "snapshot_partition_evolution",
+    "snapshot_bucket_join",
     # latest driver row r05 — the stalest cohort (rotation, per the ledger)
     "stream_sliding_halfhour",
     "stream_static_enrich",
@@ -109,10 +110,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_centroids",
     "encode_bpe_ids",
     "events_flatten_variant",
-    "f10_bucketed_histogram",
-    # (remaining r06 names — f9_domain_extraction on, alphabetical —
+    # (remaining r06 names — f10_bucketed_histogram on, alphabetical —
     # rotate to round 11's window; slots went to the new metadata
-    # SUM / GROUP BY queries and partition-spec evolution above)
+    # SUM / GROUP BY queries, partition-spec evolution, and the
+    # bucket-aligned join above)
 )
 
 

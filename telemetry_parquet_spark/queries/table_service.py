@@ -1736,3 +1736,89 @@ def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("long").alias("price_cents"),
     )
+
+
+@query(
+    "snapshot_bucket_join",
+    # Storage-partitioned join: orders and customer are BOTH
+    # bucket(8)-partitioned on custkey (orders via spec evolution — 60%
+    # of its rows predate the spec and were migrated by one
+    # compact_table rewrite), so the planner pairs each bucket's files
+    # across the two tables and unions 8 per-bucket joins in ONE
+    # Catalyst plan, broadcasting the dimension side of every pair from
+    # manifest byte sums (require_broadcast raises otherwise) — no row
+    # of either table crosses the network to be repartitioned. The
+    # oracle is the plain relational join: the physical strategy must
+    # be invisible.
+    oracle=f"""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_SUM} AS sum_price_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def snapshot_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-aligned storage-partitioned join
+    (sources/join_planner.py::plan_bucket_join): the write-time layout
+    (partition_spec.py bucket tuples) IS the join plan — per-bucket file
+    pairs, per-bucket broadcast decisions from manifest bytes, zero
+    shuffle exchanges for the join itself (plan-asserted in
+    tests/test_join_planner.py). At 100 TB this is the bucket-map-join:
+    the fact side streams its own bucket files, the dimension side's
+    matching bucket broadcasts, and the decision that neither Catalyst
+    (static sizes) nor AQE (post-shuffle stats) can make comes from the
+    manifest before any data I/O."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+        read_manifest,
+    )
+
+    osrc = os.path.join(sf_dir, "orders.parquet")
+    csrc = os.path.join(sf_dir, "customer.parquet")
+
+    def build_orders(root: str) -> None:
+        orders = spark.read.parquet(osrc)
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 < 6))
+        set_partition_spec(
+            root, [PartitionField("o_custkey", "bucket", 8)]
+        )
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 >= 6))
+        v = compact_table(spark, root, target_bytes=128 * 1024 * 1024)
+        m = read_manifest(root, v)
+        if set(m.get("partitions") or {}) != set(m["files"]):
+            raise RuntimeError("migration left untupled files")
+
+    def build_customer(root: str) -> None:
+        append(spark, root, spark.read.parquet(csrc))
+        set_partition_spec(
+            root, [PartitionField("c_custkey", "bucket", 8)]
+        )
+        compact_table(spark, root, target_bytes=128 * 1024 * 1024)
+
+    oroot = materialize_cached(
+        spark, osrc, "snapbj_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build_orders,
+    )
+    croot = materialize_cached(
+        spark, csrc,
+        "snapbj_customer_" + os.path.basename(sf_dir.rstrip("/")),
+        build_customer,
+    )
+    joined, plan = plan_bucket_join(
+        spark, oroot, croot, ("o_custkey", "c_custkey"),
+        require_broadcast=True,
+    )
+    if len(plan.pairs) < 1 or any(c is None for *_, c in plan.pairs):
+        raise RuntimeError(f"bucket join did not engage: {plan.pairs}")
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        _sum_cents(),
+    )

@@ -156,3 +156,192 @@ def plan_join(
         cond = e if cond is None else cond & e
     joined = ldf.join(rdf, cond, how)
     return joined, JoinPlan(lbytes, rbytes, choice, lplan, rplan)
+
+
+@dataclass
+class BucketJoinPlan:
+    """The bucket-aligned decision record: one row per co-located bucket
+    pair — (bucket, left_bytes, right_bytes, broadcast side or None) —
+    plus what the alignment dropped: NULL-key files (inner-join
+    semantics: NULL matches nothing) and buckets empty on one side
+    (no pair to join)."""
+
+    n_buckets: int
+    pairs: list
+    dropped_null_files: int
+    skipped_buckets: int
+
+
+def _bucket_index(m: dict, key: str) -> tuple[int, dict]:
+    """Per-file bucket values for ``key`` from the manifest's partition
+    tuples: every file must carry a tuple whose spec (the one that WROTE
+    it) has a bucket field on ``key``, all with one width. Returns
+    (n, {rel_file: bucket value or None}); raises loudly otherwise —
+    an unaligned table wants one ``compact_table`` (rewrite-data-files
+    to the current spec) first."""
+    parts = m.get("partitions") or {}
+    specs = m.get("specs") or {}
+    out: dict = {}
+    n_global = None
+    for f in m["files"]:
+        e = parts.get(f)
+        fields = specs.get(str(e["spec_id"])) if e else None
+        idx = next(
+            (
+                i
+                for i, fd in enumerate(fields or [])
+                if fd.get("transform") == "bucket"
+                and fd["col"].lower() == key.lower()
+            ),
+            None,
+        )
+        if e is None or idx is None:
+            raise ValueError(
+                f"bucket join: {f} carries no bucket({key}) partition "
+                "tuple — compact_table under a bucket spec first"
+            )
+        n = fields[idx]["n"]
+        if n_global is None:
+            n_global = n
+        elif n != n_global:
+            raise ValueError(
+                f"bucket join: mixed bucket widths ({n_global} vs {n}) — "
+                "compact_table migrates every file to the current spec"
+            )
+        out[f] = e["values"][idx]
+    return n_global or 0, out
+
+
+def plan_bucket_join(
+    spark: SparkSession,
+    left_root: str,
+    right_root: str,
+    on: tuple[str, str],
+    broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
+    require_broadcast: bool = False,
+    left_version: int | None = None,
+    right_version: int | None = None,
+) -> tuple[DataFrame, BucketJoinPlan]:
+    """Storage-partitioned INNER equi-join of two snapshot tables whose
+    files are bucket-partitioned on the join key with the SAME width
+    (partition_spec.py's crc32 bucket — write-side layout IS the join
+    plan): the join decomposes exactly by any function of the key, so
+    the planner pairs each bucket's files across the two tables and
+    unions n per-bucket joins in ONE Catalyst plan. Per-bucket byte
+    sums from the manifest drive a PER-BUCKET broadcast decision — with
+    every pair broadcast, the physical plan contains n
+    BroadcastHashJoins and ZERO shuffle exchanges for the join itself.
+
+    This is the decision neither Catalyst nor AQE can make: they see
+    one table-sized join (static sizes, or runtime stats after the
+    first shuffle is already paid); the manifest knows each co-located
+    bucket pair's exact physical bytes before any data I/O. At 100 TB
+    this is the bucket-map-join shape — the fact side streams its own
+    bucket files, the dimension side's matching bucket broadcasts, and
+    no row of either table crosses the network for repartitioning.
+
+    Correctness guardrails, all loud: INNER only (a NULL-tuple file's
+    rows can never match, so they drop — outer joins would need them
+    preserved); both sides must be FULLY tupled at one width (raise →
+    ``compact_table`` migrates); outstanding deletion vectors refuse.
+    Buckets empty on either side skip entirely (inner semantics).
+    """
+    import json as _json
+    import os
+    from functools import reduce
+
+    from pyspark.sql.types import StructType
+
+    lkey, rkey = on
+    lm = S.read_manifest(
+        left_root,
+        S.latest_version(left_root) if left_version is None else left_version,
+    )
+    rm = S.read_manifest(
+        right_root,
+        S.latest_version(right_root)
+        if right_version is None
+        else right_version,
+    )
+    S._require_no_dv(lm, "plan_bucket_join")
+    S._require_no_dv(rm, "plan_bucket_join")
+    ln, lbuckets = _bucket_index(lm, lkey)
+    rn, rbuckets = _bucket_index(rm, rkey)
+    if ln != rn:
+        raise ValueError(
+            f"bucket join: width mismatch (left {ln}, right {rn}) — "
+            "evolve one side's spec and compact_table to migrate"
+        )
+    lschema = StructType.fromJson(_json.loads(lm["schema"]))
+    rschema = StructType.fromJson(_json.loads(rm["schema"]))
+    lsizes, rsizes = lm.get("sizes", {}), rm.get("sizes", {})
+
+    by_bucket: dict[int, tuple[list, list]] = {}
+    dropped = 0
+    for f, b in lbuckets.items():
+        if b is None:
+            dropped += 1
+            continue
+        by_bucket.setdefault(b, ([], []))[0].append(f)
+    for f, b in rbuckets.items():
+        if b is None:
+            dropped += 1
+            continue
+        by_bucket.setdefault(b, ([], []))[1].append(f)
+
+    pairs, parts, skipped = [], [], 0
+    for b in sorted(by_bucket):
+        lf, rf = by_bucket[b]
+        if not lf or not rf:
+            skipped += 1
+            continue
+
+        def _bytes(files, sizes, root):
+            total = 0
+            for f in files:
+                n = sizes.get(f)
+                if n is None:  # pre-sizes manifest: same fallback class
+                    try:  # as planned_bytes — never a silent 0
+                        n = os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        n = broadcast_threshold + 1  # unknown -> no fit
+                total += n
+            return total
+
+        lb = _bytes(lf, lsizes, left_root)
+        rb = _bytes(rf, rsizes, right_root)
+        ldf = spark.read.schema(lschema).parquet(
+            *[os.path.join(left_root, f) for f in sorted(lf)]
+        )
+        rdf = spark.read.schema(rschema).parquet(
+            *[os.path.join(right_root, f) for f in sorted(rf)]
+        )
+        choice = None
+        if min(lb, rb) <= broadcast_threshold:
+            choice = "left" if lb <= rb else "right"
+            if choice == "left":
+                ldf = F.broadcast(ldf)
+            else:
+                rdf = F.broadcast(rdf)
+        elif require_broadcast:
+            raise RuntimeError(
+                f"plan_bucket_join: bucket {b} fits no broadcast "
+                f"(left={lb} B, right={rb} B, threshold="
+                f"{broadcast_threshold} B)"
+            )
+        pairs.append((b, lb, rb, choice))
+        parts.append(ldf.join(rdf, ldf[lkey] == rdf[rkey], "inner"))
+
+    if parts:
+        joined = reduce(lambda a, c: a.unionByName(c), parts)
+    else:  # no overlapping non-empty buckets: the empty inner join
+        joined = (
+            spark.createDataFrame([], lschema)
+            .alias("l")
+            .join(
+                spark.createDataFrame([], rschema).alias("r"),
+                F.col(f"l.{lkey}") == F.col(f"r.{rkey}"),
+                "inner",
+            )
+        )
+    return joined, BucketJoinPlan(ln, pairs, dropped, skipped)

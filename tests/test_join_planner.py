@@ -123,3 +123,126 @@ def test_smaller_side_wins_when_both_fit(spark, pair):
     )
     assert plan.broadcast == ("left" if plan.left_bytes <= plan.right_bytes else "right")
     assert isinstance(plan, JoinPlan)
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    """orders-like fact + cust-like dim, both bucket(8) on the join key
+    and compacted so EVERY file carries a tuple."""
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    la, rb = str(tmp_path / "fact"), str(tmp_path / "dim")
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("okey"),
+        (F.col("id") % 97).alias("cust"),
+        (F.col("id") % 13).alias("price"),
+    )
+    dim = spark.range(0, 97).select(
+        F.col("id").alias("ckey"), (F.col("id") % 5).alias("nation")
+    )
+    S.append(spark, la, fact.where("okey < 1000"))  # pre-spec files
+    set_partition_spec(la, [PartitionField("cust", "bucket", 8)])
+    S.append(spark, la, fact.where("okey >= 1000"))
+    S.compact_table(spark, la, target_bytes=1 << 26)  # migrate to spec
+    S.append(spark, rb, dim)
+    set_partition_spec(rb, [PartitionField("ckey", "bucket", 8)])
+    S.compact_table(spark, rb, target_bytes=1 << 26)
+    return la, rb, fact, dim
+
+
+def test_bucket_join_matches_plain_join_with_no_shuffle(
+    spark, bucketed_pair
+):
+    """The storage-partitioned join: per-bucket pairs, all broadcast,
+    physical plan holds n BroadcastHashJoins and ZERO shuffle exchanges
+    — and the answer equals the ordinary join's."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+
+    la, rb, fact, dim = bucketed_pair
+    joined, plan = plan_bucket_join(
+        spark, la, rb, ("cust", "ckey"), require_broadcast=True
+    )
+    assert plan.n_buckets == 8
+    assert len(plan.pairs) + plan.skipped_buckets == len(
+        {b for b, *_ in plan.pairs}
+    ) + plan.skipped_buckets
+    assert all(choice is not None for *_, choice in plan.pairs)
+    got = sorted(tuple(r) for r in joined.collect())
+    exp = sorted(
+        tuple(r)
+        for r in fact.join(dim, fact.cust == dim.ckey, "inner").collect()
+    )
+    assert got == exp
+    p = joined._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]  # AQE prints both sections
+    assert "SortMergeJoin" not in final
+    assert final.count("BroadcastHashJoin") == len(plan.pairs)
+    assert "Exchange" not in final.replace("BroadcastExchange", "")
+
+
+def test_bucket_join_refuses_untupled_and_mixed_width(spark, tmp_path):
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    la, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    S.append(spark, la, df)  # never tupled
+    S.append(spark, rb, df)
+    set_partition_spec(rb, [PartitionField("k", "bucket", 4)])
+    S.compact_table(spark, rb, target_bytes=1 << 26)
+    with pytest.raises(ValueError, match="no bucket"):
+        plan_bucket_join(spark, la, rb, ("k", "k"))
+    # width mismatch: evolve the right side to 8 and migrate
+    set_partition_spec(rb, [PartitionField("k", "bucket", 8)])
+    S.compact_table(spark, rb, target_bytes=1 << 26)
+    set_partition_spec(la, [PartitionField("k", "bucket", 4)])
+    S.compact_table(spark, la, target_bytes=1 << 26)
+    with pytest.raises(ValueError, match="width mismatch"):
+        plan_bucket_join(spark, la, rb, ("k", "k"))
+
+
+def test_bucket_join_drops_null_key_files_inner(spark, tmp_path):
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    la, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    left = spark.range(0, 60).select(
+        F.when(F.col("id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("id") % 9)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 9).select(
+        F.col("id").alias("k2"), (F.col("id") * 10).alias("w")
+    )
+    S.append(spark, la, left)
+    set_partition_spec(la, [PartitionField("k", "bucket", 4)])
+    S.compact_table(spark, la, target_bytes=1 << 26)
+    S.append(spark, rb, right)
+    set_partition_spec(rb, [PartitionField("k2", "bucket", 4)])
+    S.compact_table(spark, rb, target_bytes=1 << 26)
+    joined, plan = plan_bucket_join(spark, la, rb, ("k", "k2"))
+    assert plan.dropped_null_files >= 1
+    got = sorted(tuple(r) for r in joined.collect())
+    exp = sorted(
+        tuple(r)
+        for r in left.join(right, left.k == right.k2, "inner").collect()
+    )
+    assert got == exp
