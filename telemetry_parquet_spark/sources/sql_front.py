@@ -38,8 +38,9 @@ with the time-travel syntax the public table formats expose:
   stats/sums with NO scan when exact (see the fast-path blocks below)
 - ``OPTIMIZE <name> [ZORDER BY (…)]`` — ``compact_table``
 - ``ALTER TABLE <name> SET PARTITION SPEC (bucket(8, c), day(d),
-  truncate(4, s), identity(c2) | c2)`` — partition-spec evolution
-  (sources/partition_spec.py; metadata-only, old files never rewritten)
+  truncate(4, s), identity(c2) | c2)`` / ``DROP PARTITION SPEC`` —
+  partition-spec evolution (sources/partition_spec.py; metadata-only,
+  old files never rewritten and keep pruning under their own spec)
 - ``DESCRIBE SPEC <name>``            — one row per current-spec field
 - ``ALTER TABLE <name> ADD COLUMN <c> <type>`` — metadata-only widen
 - ``ALTER TABLE <name> ADD CONSTRAINT <c> CHECK (…) | UNIQUE (…)`` /
@@ -509,6 +510,18 @@ def _dml(
                 )
         v = set_partition_spec(root, fields)
         return _version_df(spark, f"set-spec:{len(fields)}_fields", v)
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+PARTITION\s+SPEC\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        from telemetry_parquet_spark.sources.partition_spec import (
+            drop_partition_spec,
+        )
+
+        v = drop_partition_spec(_resolve(tables, m.group(1)))
+        return _version_df(spark, "drop-spec", v)
 
     m = re.fullmatch(
         r"\s*CREATE\s+TAG\s+([\w.-]+)\s+ON\s+(\w+)"

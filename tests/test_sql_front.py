@@ -412,3 +412,11 @@ def test_set_partition_spec_statement(spark, sf_dir, tmp_path):
         pruned.count()
         == orders.where(F.col("o_custkey") == probe).count()
     )
+    # DROP PARTITION SPEC is symmetric: current spec cleared, history
+    # (and existing files' tuples) retained
+    out2 = engine_sql(spark, "ALTER TABLE t DROP PARTITION SPEC", t).first()
+    assert out2.action == "drop-spec"
+    head = read_manifest(root, latest_version(root))
+    assert not head.get("partition_spec")
+    assert head.get("specs") and head.get("partitions")
+    assert engine_sql(spark, "DESCRIBE SPEC t", t).count() == 0
