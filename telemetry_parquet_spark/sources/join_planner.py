@@ -162,14 +162,17 @@ def plan_join(
 class BucketJoinPlan:
     """The bucket-aligned decision record: one row per co-located bucket
     pair — (bucket, left_bytes, right_bytes, broadcast side or None) —
-    plus what the alignment dropped: NULL-key files (inner-join
-    semantics: NULL matches nothing) and buckets empty on one side
-    (no pair to join)."""
+    plus what the alignment routed around the join: NULL-key files that
+    can never match (dropped for inner/semi; for anti, LEFT NULL-key
+    files pass through unjoined instead), buckets empty on one side,
+    and (anti) left files whose bucket has no right files at all —
+    their rows are unmatched BY THE MANIFEST, no data read needed."""
 
     n_buckets: int
     pairs: list
     dropped_null_files: int
     skipped_buckets: int
+    passthrough_files: int = 0
 
 
 def _bucket_index(m: dict, key: str) -> tuple[int, dict]:
@@ -217,16 +220,18 @@ def plan_bucket_join(
     left_root: str,
     right_root: str,
     on: tuple[str, str],
+    how: str = "inner",
     broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
     require_broadcast: bool = False,
     left_version: int | None = None,
     right_version: int | None = None,
 ) -> tuple[DataFrame, BucketJoinPlan]:
-    """Storage-partitioned INNER equi-join of two snapshot tables whose
-    files are bucket-partitioned on the join key with the SAME width
+    """Storage-partitioned equi-join (``inner`` / ``left_semi`` /
+    ``left_anti``) of two snapshot tables whose files are
+    bucket-partitioned on the join key with the SAME width
     (partition_spec.py's crc32 bucket — write-side layout IS the join
-    plan): the join decomposes exactly by any function of the key, so
-    the planner pairs each bucket's files across the two tables and
+    plan): an equi-join decomposes exactly by any function of the key,
+    so the planner pairs each bucket's files across the two tables and
     unions n per-bucket joins in ONE Catalyst plan. Per-bucket byte
     sums from the manifest drive a PER-BUCKET broadcast decision — with
     every pair broadcast, the physical plan contains n
@@ -239,12 +244,20 @@ def plan_bucket_join(
     this is the bucket-map-join shape — the fact side streams its own
     bucket files, the dimension side's matching bucket broadcasts, and
     no row of either table crosses the network for repartitioning.
+    ``left_anti`` is the bucketed-blocklist dedup shape, and the
+    manifest does part of the anti-join for free: a left file whose
+    bucket has NO right files — or whose key is all-NULL — is unmatched
+    by construction and PASSES THROUGH without a join at all.
 
-    Correctness guardrails, all loud: INNER only (a NULL-tuple file's
-    rows can never match, so they drop — outer joins would need them
-    preserved); both sides must be FULLY tupled at one width (raise →
-    ``compact_table`` migrates); outstanding deletion vectors refuse.
-    Buckets empty on either side skip entirely (inner semantics).
+    Join-type semantics, all from "NULL matches nothing":
+    inner/left_semi drop NULL-key files on both sides and skip buckets
+    empty on either side; left_anti passes unmatched left files
+    through and still drops right NULL-key files. Outer joins are NOT
+    offered (they would need both sides' unmatched rows preserved
+    across the union — a different plan shape). Loud guardrails: both
+    sides must be FULLY tupled at one width (raise → ``compact_table``
+    migrates); outstanding deletion vectors refuse; semi/anti can only
+    broadcast the right side (Spark build-side legality).
     """
     import json as _json
     import os
@@ -252,6 +265,12 @@ def plan_bucket_join(
 
     from pyspark.sql.types import StructType
 
+    how = how.lower()
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(
+            f"plan_bucket_join: unsupported join type {how!r} "
+            "(inner / left_semi / left_anti)"
+        )
     lkey, rkey = on
     lm = S.read_manifest(
         left_root,
@@ -278,9 +297,13 @@ def plan_bucket_join(
 
     by_bucket: dict[int, tuple[list, list]] = {}
     dropped = 0
+    passthrough: list[str] = []  # anti: unmatched-by-manifest left files
     for f, b in lbuckets.items():
         if b is None:
-            dropped += 1
+            if how == "left_anti":
+                passthrough.append(f)
+            else:
+                dropped += 1
             continue
         by_bucket.setdefault(b, ([], []))[0].append(f)
     for f, b in rbuckets.items():
@@ -293,7 +316,10 @@ def plan_bucket_join(
     for b in sorted(by_bucket):
         lf, rf = by_bucket[b]
         if not lf or not rf:
-            skipped += 1
+            if lf and how == "left_anti":
+                passthrough.extend(lf)
+            else:
+                skipped += 1
             continue
 
         def _bytes(files, sizes, root):
@@ -317,8 +343,14 @@ def plan_bucket_join(
             *[os.path.join(right_root, f) for f in sorted(rf)]
         )
         choice = None
-        if min(lb, rb) <= broadcast_threshold:
-            choice = "left" if lb <= rb else "right"
+        fits = [
+            (size, side)
+            for size, side in ((lb, "left"), (rb, "right"))
+            if size <= broadcast_threshold
+            and (how == "inner" or side == "right")
+        ]
+        if fits:
+            choice = min(fits)[1]
             if choice == "left":
                 ldf = F.broadcast(ldf)
             else:
@@ -330,11 +362,17 @@ def plan_bucket_join(
                 f"{broadcast_threshold} B)"
             )
         pairs.append((b, lb, rb, choice))
-        parts.append(ldf.join(rdf, ldf[lkey] == rdf[rkey], "inner"))
+        parts.append(ldf.join(rdf, ldf[lkey] == rdf[rkey], how))
 
+    if passthrough:
+        parts.append(
+            spark.read.schema(lschema).parquet(
+                *[os.path.join(left_root, f) for f in sorted(passthrough)]
+            )
+        )
     if parts:
         joined = reduce(lambda a, c: a.unionByName(c), parts)
-    else:  # no overlapping non-empty buckets: the empty inner join
+    elif how == "inner":  # no overlapping non-empty buckets
         joined = (
             spark.createDataFrame([], lschema)
             .alias("l")
@@ -344,4 +382,7 @@ def plan_bucket_join(
                 "inner",
             )
         )
-    return joined, BucketJoinPlan(ln, pairs, dropped, skipped)
+    else:  # semi/anti output schema is the left schema
+        joined = spark.createDataFrame([], lschema)
+    return joined, BucketJoinPlan(ln, pairs, dropped, skipped,
+                                  len(passthrough))

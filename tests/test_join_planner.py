@@ -246,3 +246,56 @@ def test_bucket_join_drops_null_key_files_inner(spark, tmp_path):
         for r in left.join(right, left.k == right.k2, "inner").collect()
     )
     assert got == exp
+
+
+def test_bucket_semi_and_anti_join_match_spark(spark, tmp_path):
+    """left_semi/left_anti over bucket-aligned tables: NULL-key left
+    files drop for semi but PASS THROUGH for anti (NULL matches
+    nothing), and a left bucket with no right files is anti-unmatched
+    straight from the manifest."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    la, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    left = spark.range(0, 80).select(
+        F.when(F.col("id") % 8 == 0, F.lit(None))
+        .otherwise(F.col("id") % 11)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    # right holds only a SUBSET of keys: some left buckets go unmatched
+    right = spark.range(0, 5).select(
+        (F.col("id") * 2).alias("k2"), (F.col("id") * 10).alias("w")
+    )
+    S.append(spark, la, left)
+    set_partition_spec(la, [PartitionField("k", "bucket", 4)])
+    S.compact_table(spark, la, target_bytes=1 << 26)
+    S.append(spark, rb, right)
+    set_partition_spec(rb, [PartitionField("k2", "bucket", 4)])
+    S.compact_table(spark, rb, target_bytes=1 << 26)
+
+    semi, splan = plan_bucket_join(spark, la, rb, ("k", "k2"), "left_semi")
+    assert splan.dropped_null_files >= 1 and splan.passthrough_files == 0
+    assert sorted(tuple(r) for r in semi.collect()) == sorted(
+        tuple(r)
+        for r in left.join(right, left.k == right.k2, "left_semi").collect()
+    )
+    assert semi.columns == left.columns
+
+    anti, aplan = plan_bucket_join(spark, la, rb, ("k", "k2"), "left_anti")
+    assert aplan.passthrough_files >= 1  # NULL-key file bypassed the join
+    assert sorted(
+        (r.k if r.k is not None else -1, r.v) for r in anti.collect()
+    ) == sorted(
+        (r.k if r.k is not None else -1, r.v)
+        for r in left.join(
+            right, left.k == right.k2, "left_anti"
+        ).collect()
+    )
+    with pytest.raises(ValueError, match="unsupported join type"):
+        plan_bucket_join(spark, la, rb, ("k", "k2"), "full_outer")
