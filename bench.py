@@ -276,6 +276,9 @@ HEADLINE = [
     # round 10: storage-partitioned join — per-bucket file pairs from the
     # manifests, per-bucket broadcast, zero join shuffles (raise-proven)
     "snapshot_bucket_join",
+    # round 10: partitions-metadata daily rollup — COUNT/SUM per day
+    # tuple folded from the manifest, zero data I/O (raise-proven)
+    "snapshot_partition_rollup",
 ]
 
 

@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "snapshot_metadata_groupby",
     "snapshot_partition_evolution",
     "snapshot_bucket_join",
+    "snapshot_partition_rollup",
     # latest driver row r05 — the stalest cohort (rotation, per the ledger)
     "stream_sliding_halfhour",
     "stream_static_enrich",
@@ -109,11 +110,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dd_semantic_prune",
     "embedding_centroids",
     "encode_bpe_ids",
-    "events_flatten_variant",
-    # (remaining r06 names — f10_bucketed_histogram on, alphabetical —
+    # (remaining r06 names — events_flatten_variant on, alphabetical —
     # rotate to round 11's window; slots went to the new metadata
-    # SUM / GROUP BY queries, partition-spec evolution, and the
-    # bucket-aligned join above)
+    # SUM / GROUP BY queries and the partition-spec family —
+    # evolution, bucket-aligned join, partition rollup — above)
 )
 
 

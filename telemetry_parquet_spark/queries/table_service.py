@@ -1822,3 +1822,94 @@ def snapshot_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         _sum_cents(),
     )
+
+
+@query(
+    "snapshot_partition_rollup",
+    # The partitions metadata table: events day(ts)-partitioned (60%
+    # pre-spec, migrated by ONE compact_table), then the daily rollup —
+    # COUNT(*) and SUM(event_id) per day — folds per-file footer row
+    # counts and [sum, n_nonnull] entries from the MANIFEST, grouped by
+    # each file's day tuple. Zero data I/O is structural: the fold is
+    # pure Python over the manifest dict (raise-proven below by
+    # inputFiles() on the returned frame — it is a createDataFrame of
+    # manifest math, it CANNOT read parquet). The oracle is the plain
+    # GROUP BY: the metadata path must be invisible.
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events GROUP BY 1
+    """,
+)
+def snapshot_partition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive/Iceberg-style partitions metadata rollup
+    (sources/partition_spec.py::snapshot_groupby_partition): on a
+    day(ts)-partitioned table the daily COUNT/SUM is a manifest read —
+    at 100 TB the rollup costs ∝ file count, not bytes. Composes with
+    spec evolution: the pre-spec 60% of events gains day tuples from
+    the same compact_table migration the bucket join uses."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+        snapshot_groupby_partition,
+    )
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+    )
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(root: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        append(spark, root, ev.where(F.col("event_id") % 10 < 6))
+        set_partition_spec(root, [PartitionField("ts", "day")])
+        append(spark, root, ev.where(F.col("event_id") % 10 >= 6))
+        compact_table(spark, root, target_bytes=128 * 1024 * 1024)
+
+    root = materialize_cached(
+        spark, src, "snappr_events_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    got = snapshot_groupby_partition(root, agg_cols=("event_id",))
+    if got is None:
+        raise RuntimeError("partition rollup did not engage (scan fallback)")
+    fields, groups = got
+    if [f["transform"] for f in fields] != ["day"]:
+        raise RuntimeError(f"unexpected spec {fields}")
+    rows = [
+        (
+            (_dt.date(1970, 1, 1) + _dt.timedelta(days=key[0]))
+            if key[0] is not None
+            else None,  # an all-NULL-ts partition is SQL's NULL group
+            g["n_rows"],
+            g["sum"]["event_id"],
+        )
+        for key, g in sorted(
+            groups.items(), key=lambda kv: (kv[0][0] is None, kv[0][0])
+        )
+    ]
+    out = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("day", DateType(), True),
+                StructField("n_events", LongType(), False),
+                StructField("sum_event_id", LongType(), False),
+            ]
+        ),
+    )
+    if out.inputFiles():
+        raise RuntimeError("metadata rollup read data files")
+    return out

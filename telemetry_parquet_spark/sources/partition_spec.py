@@ -339,3 +339,78 @@ def drop_partition_spec(root: str) -> int:
             "partition_spec": None,
         },
     )
+
+
+def snapshot_groupby_partition(
+    root: str,
+    version: int | None = None,
+    agg_cols: tuple[str, ...] = (),
+) -> tuple[list[dict], dict] | None:
+    """GROUP BY the partition tuple answered from the MANIFEST alone —
+    the hive/Iceberg `partitions` metadata table, exact: per-tuple
+    ``COUNT(*)`` folds the per-file footer row counts commits already
+    record, and per-tuple ``SUM/COUNT(int col)`` folds the per-file
+    ``[sum, n_nonnull]`` entries (``snapshot_sum``'s stats, grouped). A
+    daily event count over a ``day(ts)``-partitioned 100 TB table is a
+    manifest read — zero data I/O, cost ∝ file count.
+
+    Returns ``(spec_fields, {tuple: {"n_rows", "sum": {col: int},
+    "count": {col: int}}})`` or ``None`` when metadata cannot answer
+    exactly (caller falls back to a scan — never a wrong answer):
+    any untupled file, files from MIXED specs (their tuples group
+    different things), a missing row count or sums entry, a non-integer
+    or temporal-encoded agg column, or outstanding deletion vectors
+    (their masked rows would need per-tuple sidecar attribution).
+    A group whose agg count is 0 is reported with sum 0 / count 0 —
+    SQL's per-group ``SUM`` would be NULL there; callers converting to
+    SQL results must map it (the scan fallback is always available)."""
+    from telemetry_parquet_spark.sources import snapshots as S
+
+    v = S.latest_version(root) if version is None else version
+    m = S.read_manifest(root, v)
+    if m.get("dv"):
+        return None
+    files = m["files"]
+    parts = m.get("partitions") or {}
+    if not files or set(parts) != set(files):
+        return None
+    spec_ids = {e["spec_id"] for e in parts.values()}
+    if len(spec_ids) != 1:
+        return None
+    fields = (m.get("specs") or {}).get(str(next(iter(spec_ids))))
+    if not fields:
+        return None
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    canon = []
+    for c in agg_cols:
+        cc = S._canon_col(schema, c)
+        if (
+            cc is None
+            or cc in (m.get("stats_types") or {})
+            or schema[cc].dataType.typeName()
+            not in ("long", "integer", "short", "byte")
+        ):
+            return None
+        canon.append(cc)
+    rows, sums = m.get("rows", {}), m.get("sums", {})
+    out: dict = {}
+    for f in files:
+        if f not in rows:
+            return None
+        key = tuple(parts[f]["values"])
+        g = out.setdefault(
+            key,
+            {
+                "n_rows": 0,
+                "sum": {c: 0 for c in canon},
+                "count": {c: 0 for c in canon},
+            },
+        )
+        g["n_rows"] += int(rows[f])
+        for c in canon:
+            ent = sums.get(f, {}).get(c)
+            if ent is None:
+                return None
+            g["sum"][c] += int(ent[0])
+            g["count"][c] += int(ent[1])
+    return fields, out

@@ -332,3 +332,44 @@ def test_spec_validation_is_loud(spark, tmp_path):
         set_partition_spec(root, [PartitionField("d", "identity")])
     with pytest.raises(ValueError, match="string column"):
         set_partition_spec(root, [PartitionField("cust", "truncate", 3)])
+
+
+def test_groupby_partition_rollup_exact_and_refusals(spark, tmp_path):
+    """The partitions-metadata rollup: per-tuple COUNT(*)/SUM folded
+    from the manifest matches the scan GROUP BY exactly, and every
+    not-exactly-answerable state refuses (None) instead of guessing."""
+    from telemetry_parquet_spark.sources.partition_spec import (
+        snapshot_groupby_partition,
+    )
+    from telemetry_parquet_spark.sources.snapshots import (
+        delete_where_mor,
+    )
+
+    root = str(tmp_path / "rollup")
+    df = _frame(spark, 500)
+    append(spark, root, df.where("k < 200"))
+    set_partition_spec(root, [PartitionField("d", "day")])
+    append(spark, root, df.where("k >= 200"))
+    # pre-spec files lack tuples -> refuse
+    assert snapshot_groupby_partition(root, agg_cols=("cust",)) is None
+    compact_table(spark, root, target_bytes=1 << 26)  # migrate
+    got = snapshot_groupby_partition(root, agg_cols=("cust",))
+    assert got is not None
+    fields, groups = got
+    exp = {
+        (r.day,): (r.n, r.s)
+        for r in df.groupBy(
+            F.datediff("d", F.lit("1970-01-01").cast("date")).alias("day")
+        )
+        .agg(F.count("*").alias("n"), F.sum("cust").alias("s"))
+        .collect()
+    }
+    assert {
+        k: (g["n_rows"], g["sum"]["cust"]) for k, g in groups.items()
+    } == exp
+    # non-integer agg column -> refuse; unknown column -> refuse
+    assert snapshot_groupby_partition(root, agg_cols=("s",)) is None
+    assert snapshot_groupby_partition(root, agg_cols=("nope",)) is None
+    # outstanding deletion vectors -> refuse
+    delete_where_mor(spark, root, "cust = 13")
+    assert snapshot_groupby_partition(root, agg_cols=("cust",)) is None
