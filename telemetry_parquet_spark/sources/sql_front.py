@@ -42,6 +42,8 @@ with the time-travel syntax the public table formats expose:
   partition-spec evolution (sources/partition_spec.py; metadata-only,
   old files never rewritten and keep pruning under their own spec)
 - ``DESCRIBE SPEC <name>``            — one row per current-spec field
+- ``DESCRIBE PARTITIONS <name>``      — the partitions metadata table:
+  one row per live tuple (files / rows / bytes), manifest-sized
 - ``ALTER TABLE <name> ADD COLUMN <c> <type>`` — metadata-only widen
 - ``ALTER TABLE <name> ADD CONSTRAINT <c> CHECK (…) | UNIQUE (…)`` /
   ``DROP CONSTRAINT <c>`` — commit-time constraint DDL
@@ -875,6 +877,48 @@ def engine_sql(
     )
     if m:
         return describe_stats(spark, _resolve(tables, m.group(1)))
+    m = re.fullmatch(
+        r"\s*DESCRIBE\s+PARTITIONS\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
+    )
+    if m:
+        import json as _json
+
+        from telemetry_parquet_spark.sources.snapshots import (
+            latest_version,
+            read_manifest,
+        )
+
+        root = _resolve(tables, m.group(1))
+        head = read_manifest(root, latest_version(root))
+        rows_meta = head.get("rows", {})
+        sizes = head.get("sizes", {})
+        agg: dict = {}
+        for f, e in (head.get("partitions") or {}).items():
+            key = (e["spec_id"], _json.dumps(e["values"]))
+            g = agg.setdefault(key, [0, 0, 0, True])
+            g[0] += 1
+            g[2] += sizes.get(f) or 0
+            if f in rows_meta:
+                g[1] += int(rows_meta[f])
+            else:
+                g[3] = False  # unknown rows for some file -> report -1
+        from pyspark.sql.types import LongType
+
+        return spark.createDataFrame(
+            [
+                (sid, vals, n, r if ok else -1, b)
+                for (sid, vals), (n, r, b, ok) in sorted(agg.items())
+            ],
+            StructType(
+                [
+                    StructField("spec_id", IntegerType(), False),
+                    StructField("partition", StringType(), False),
+                    StructField("n_files", IntegerType(), False),
+                    StructField("n_rows", LongType(), False),
+                    StructField("bytes", LongType(), False),
+                ]
+            ),
+        )
     m = re.fullmatch(
         r"\s*DESCRIBE\s+SPEC\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
     )
