@@ -170,9 +170,17 @@ def partition_value(f: PartitionField, v):
             v = v.date()
         return (v - _EPOCH).days
     if f.transform == "bucket":
+        # int/str literals only: bucket columns are validated int/string,
+        # and str(42.0) = "42.0" hashes differently from the rows' "42"
+        # while Spark's residual coerces 42.0 == 42 — a float literal
+        # must stay undecidable (raise -> keep), never mis-bucket
+        if not isinstance(v, (int, str)) or isinstance(v, bool):
+            raise ValueError(f"bucket: undecidable literal {v!r}")
         return zlib.crc32(str(v).encode("utf-8")) % f.n
     if f.transform == "truncate":
-        return str(v)[: f.n]
+        if not isinstance(v, str):
+            raise ValueError(f"truncate: undecidable literal {v!r}")
+        return v[: f.n]
     raise ValueError(f.transform)
 
 
@@ -191,12 +199,26 @@ def decode_path_value(f: PartitionField, schema: StructType, raw: str):
     return int(s) if _simple_type(schema, f.col) in _INT_TYPES else s
 
 
+def _same_kind(a, b) -> bool:
+    """True when Python ``==``/``<`` on (a, b) means what SQL means:
+    both strings or both non-bool numbers. A cross-kind pair (int
+    literal vs string partition value) is UNDECIDABLE here — Python
+    would say ``42 != "42"`` while Spark's residual comparison coerces
+    and may match — so callers must keep, never prune."""
+    if isinstance(a, str) and isinstance(b, str):
+        return True
+    return (
+        isinstance(a, (int, float)) and not isinstance(a, bool)
+        and isinstance(b, (int, float)) and not isinstance(b, bool)
+    )
+
+
 def keep_file(entry: dict, specs: dict, pred) -> bool:
     """Conservative spec-pruning verdict for ONE file under ONE
     predicate: False only when the file's recorded tuple PROVES no row
     can satisfy the predicate. Unknown spec ids, columns outside the
-    spec, and transform/predicate shapes we can't decide all KEEP —
-    the residual filter stays exact either way."""
+    spec, transform/predicate shapes we can't decide, and cross-typed
+    literals all KEEP — the residual filter stays exact either way."""
     fields = specs.get(str(entry.get("spec_id")))
     if not fields:
         return True
@@ -212,11 +234,15 @@ def keep_file(entry: dict, specs: dict, pred) -> bool:
             if isinstance(pred, Eq):
                 if pv is None:
                     return False
-                return pv == partition_value(f, pred.value)
+                tv = partition_value(f, pred.value)
+                return True if not _same_kind(pv, tv) else pv == tv
             if isinstance(pred, In):
                 if pv is None:
                     return False
-                return pv in {partition_value(f, v) for v in pred.values}
+                tvs = {partition_value(f, v) for v in pred.values}
+                if any(not _same_kind(pv, tv) for tv in tvs):
+                    return True  # an undecidable member might match
+                return pv in tvs
             if isinstance(pred, Range) and f.transform in ("identity",
                                                            "day"):
                 # monotone transforms only: bucket scrambles order and a
@@ -232,7 +258,7 @@ def keep_file(entry: dict, specs: dict, pred) -> bool:
                 if hi is not None and pv > hi:
                     return False
                 return True
-        except (TypeError, ValueError):
+        except (TypeError, ValueError, AttributeError):
             return True  # undecidable literal -> keep
     return True
 

@@ -122,17 +122,23 @@ def _minmax_keep(row, pred) -> bool:
     mn, mx = row[f"min_{pred.col}"], row[f"max_{pred.col}"]
     if mn is None or mx is None:  # no stats -> unknown -> keep
         return True
-    if isinstance(pred, In):
-        return any(mn <= v <= mx for v in pred.values)
-    lo, hi = (
-        (pred.lo, pred.hi)
-        if isinstance(pred, Range)
-        else (pred.value, pred.value)
-    )
-    if lo is not None and mx < lo:
-        return False
-    if hi is not None and mn > hi:
-        return False
+    try:
+        if isinstance(pred, In):
+            return any(mn <= v <= mx for v in pred.values)
+        lo, hi = (
+            (pred.lo, pred.hi)
+            if isinstance(pred, Range)
+            else (pred.value, pred.value)
+        )
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    except TypeError:
+        # cross-typed literal (e.g. Eq(int_col, "42")): Python ordering
+        # is undefined where Spark's residual comparison coerces — the
+        # envelope cannot DECIDE, so it must keep, never crash or prune
+        return True
     return True
 
 

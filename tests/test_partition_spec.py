@@ -373,3 +373,27 @@ def test_groupby_partition_rollup_exact_and_refusals(spark, tmp_path):
     # outstanding deletion vectors -> refuse
     delete_where_mor(spark, root, "cust = 13")
     assert snapshot_groupby_partition(root, agg_cols=("cust",)) is None
+
+
+def test_cross_typed_literals_keep_not_misprune(spark, tmp_path):
+    """A literal whose Python type disagrees with the stored tuple must
+    KEEP (undecidable), never prune: Spark's residual coerces
+    42.0 == 42 and '42' == 42 where Python's == says unequal."""
+    root = str(tmp_path / "xtype")
+    df = _frame(spark, 200)
+    set_partition_spec_root = root
+    append(spark, set_partition_spec_root, df.where("k < 1"))
+    set_partition_spec(root, [PartitionField("cust", "bucket", 4)])
+    append(spark, root, df.where("k >= 1"))
+    # float literal on an int bucket column: crc32('42.0') != crc32('42')
+    pruned, plan = plan_snapshot_scan(spark, root, [Eq("cust", 42.0)])
+    assert not any(n.startswith("spec:") for n, _ in plan.steps)
+    assert pruned.count() == df.where("cust = 42.0 and k >= 1").count()
+    # string literal on an int identity column: keep, residual decides
+    root2 = str(tmp_path / "xtype2")
+    append(spark, root2, df.where("k < 1"))
+    set_partition_spec(root2, [PartitionField("cust", "identity")])
+    append(spark, root2, df.where("k >= 1"))
+    pruned2, plan2 = plan_snapshot_scan(spark, root2, [Eq("cust", "42")])
+    assert not any(n.startswith("spec:") for n, _ in plan2.steps)
+    assert pruned2.count() == df.where("cust = '42' and k >= 1").count()
