@@ -21,7 +21,6 @@ The contract under test, end to end:
 from __future__ import annotations
 
 import os
-import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -381,8 +380,7 @@ def test_cross_typed_literals_keep_not_misprune(spark, tmp_path):
     42.0 == 42 and '42' == 42 where Python's == says unequal."""
     root = str(tmp_path / "xtype")
     df = _frame(spark, 200)
-    set_partition_spec_root = root
-    append(spark, set_partition_spec_root, df.where("k < 1"))
+    append(spark, root, df.where("k < 1"))
     set_partition_spec(root, [PartitionField("cust", "bucket", 4)])
     append(spark, root, df.where("k >= 1"))
     # float literal on an int bucket column: crc32('42.0') != crc32('42')
