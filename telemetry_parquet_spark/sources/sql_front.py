@@ -103,6 +103,7 @@ from pyspark.sql.types import (
 from telemetry_parquet_spark.sources.snapshots import (
     history,
     latest_version,
+    read_manifest,
     read_snapshot,
     version_as_of,
 )
@@ -881,12 +882,12 @@ def engine_sql(
         r"\s*DESCRIBE\s+PARTITIONS\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
     )
     if m:
+        # NOTE: no function-local snapshots imports here — a local
+        # `latest_version`/`read_manifest` binding would shadow the
+        # module-level names for ALL of engine_sql and break earlier
+        # paths with UnboundLocalError (the DESCRIBE BRANCHES
+        # StringType incident, same class)
         import json as _json
-
-        from telemetry_parquet_spark.sources.snapshots import (
-            latest_version,
-            read_manifest,
-        )
 
         root = _resolve(tables, m.group(1))
         head = read_manifest(root, latest_version(root))
@@ -923,11 +924,6 @@ def engine_sql(
         r"\s*DESCRIBE\s+SPEC\s+(\w+)\s*;?\s*", sql, re.IGNORECASE
     )
     if m:
-        from telemetry_parquet_spark.sources.snapshots import (
-            latest_version,
-            read_manifest,
-        )
-
         root = _resolve(tables, m.group(1))
         head = read_manifest(root, latest_version(root))
         spec = head.get("partition_spec") or {}
