@@ -155,6 +155,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print("  error-bound aggregate broadcast-crossed onto the k-row top-k —")
     print("  the same attach-a-scalar shape as the query-vector broadcast,")
     print("  never data-sized.")
+    print("- `snapshot_partition_rollup`'s all-zero row is the point: the")
+    print("  daily GROUP BY is manifest math (createDataFrame of per-tuple")
+    print("  folds) — no scan, no shuffle (inputFiles()-raise-proven).")
+    print("- `snapshot_bucket_join`'s joins are ALL broadcast (0 sort-merge):")
+    print("  per-bucket file pairs from the manifests; its one shuffle is the")
+    print("  final nationkey aggregation, not the join.")
     print("- `footer_stats_lineitem`'s all-zero row is the point: COUNT/MIN/MAX")
     print("  answered from parquet footer statistics — no scan, no shuffle, no")
     print("  row reads (plan-asserted; the query raises if pushdown disengages).")
