@@ -295,7 +295,12 @@ def current_spec(root: str, version: int | None = None) -> dict | None:
 
 
 def write_partitioned_files(
-    df: DataFrame, root: str, version_tag: str, spec: dict
+    df: DataFrame,
+    root: str,
+    version_tag: str,
+    spec: dict,
+    zorder_cols: list[str] | None = None,
+    bits: int = 8,
 ) -> tuple[list[str], dict]:
     """Spec-aware twin of ``snapshots._write_commit_files``: ONE job
     writes hive-layout files keyed by the DERIVED ``__pt_i`` columns
@@ -303,6 +308,12 @@ def write_partitioned_files(
     self-contained and every existing reader works unchanged), then the
     walk parses each file's partition tuple from its path — zero extra
     data I/O. Returns (rel_files, {rel_file: partitions entry}).
+
+    ``zorder_cols`` z-orders WITHIN each partition tuple (Delta's
+    OPTIMIZE ZORDER applied per partition): rows of one tuple's file
+    land z-sorted, so parquet ROW-GROUP stats tighten on the z-columns
+    and in-file pushdown composes with the tuple pruning — partition
+    pruning picks the files, z-order prunes inside them.
 
     Same writer-private-directory race discipline as the unpartitioned
     writer: the manifest's ``O_EXCL`` stays the only linearization
@@ -317,16 +328,27 @@ def write_partitioned_files(
     out_dir = os.path.join(
         root, _DATA_DIR, f"{version_tag}-{_uuid.uuid4().hex[:8]}"
     )
-    (
-        df.select(
-            "*",
-            *[spark_transform(f).alias(c) for f, c in zip(fields, pt_cols)],
-        )
-        .repartition(*[F.col(c) for c in pt_cols])
-        .write.partitionBy(*pt_cols)
-        .mode("error")
-        .parquet(out_dir)
+    staged = df.select(
+        "*",
+        *[spark_transform(f).alias(c) for f, c in zip(fields, pt_cols)],
     )
+    if zorder_cols:
+        from telemetry_parquet_spark.sources.layout import (
+            zorder_key_adaptive_n,
+        )
+
+        # the sort leads with the partition columns: partitionBy's
+        # writer requires task rows ordered by them and would insert
+        # its OWN sort otherwise, destroying the zval order
+        staged = (
+            zorder_key_adaptive_n(staged, zorder_cols, bits=bits)
+            .repartition(*[F.col(c) for c in pt_cols])
+            .sortWithinPartitions(*pt_cols, "zval")
+            .drop("zval")
+        )
+    else:
+        staged = staged.repartition(*[F.col(c) for c in pt_cols])
+    staged.write.partitionBy(*pt_cols).mode("error").parquet(out_dir)
     rel, parts = [], {}
     for dirpath, _, names in os.walk(out_dir):
         for name in names:

@@ -1721,6 +1721,31 @@ def compact_table(
     # a full rewrite physically sheds dropped columns: clear tombstones
     meta.pop("dropped_cols", None)
     spec = m.get("partition_spec")
+    if spec:
+        # under a spec, compaction = rewrite the WHOLE state to the
+        # CURRENT spec's canonical layout (one file per partition tuple)
+        # — tuples survive maintenance, pre-spec and rewrite-orphaned
+        # files get tuples for the first time, and earlier-spec files
+        # migrate. This is the table formats' rewrite-data-files;
+        # per-tuple file sizing is a spec-design choice, so
+        # target_bytes/n_files do not apply on this path. With
+        # ``zorder_cols`` rows are z-sorted WITHIN each tuple's file
+        # (per-partition OPTIMIZE ZORDER: tuple pruning picks files,
+        # tightened row-group stats prune inside them).
+        from telemetry_parquet_spark.sources.partition_spec import (
+            write_partitioned_files,
+        )
+
+        new, parts = write_partitioned_files(
+            rows, root, f"c{parent + 1:06d}", spec,
+            zorder_cols=zorder_cols, bits=bits,
+        )
+        return _commit(
+            root,
+            "compact-spec-zorder" if zorder_cols else "compact-spec",
+            new, m["schema"], parent,
+            {**meta, "partitions": parts},
+        )
     if zorder_cols:
         from telemetry_parquet_spark.sources.layout import (
             zorder_key_adaptive_n,
@@ -1733,25 +1758,6 @@ def compact_table(
             .drop("zval")
         )
         action = "compact-zorder"
-    elif spec:
-        # under a spec, compaction = rewrite the WHOLE state to the
-        # CURRENT spec's canonical layout (one file per partition tuple)
-        # — tuples survive maintenance, pre-spec and rewrite-orphaned
-        # files get tuples for the first time, and earlier-spec files
-        # migrate. This is the table formats' rewrite-data-files;
-        # per-tuple file sizing is a spec-design choice, so
-        # target_bytes/n_files do not apply on this path.
-        from telemetry_parquet_spark.sources.partition_spec import (
-            write_partitioned_files,
-        )
-
-        new, parts = write_partitioned_files(
-            rows, root, f"c{parent + 1:06d}", spec
-        )
-        return _commit(
-            root, "compact-spec", new, m["schema"], parent,
-            {**meta, "partitions": parts},
-        )
     else:
         rows = rows.repartition(n_files)
         action = "compact"

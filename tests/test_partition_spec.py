@@ -395,3 +395,89 @@ def test_cross_typed_literals_keep_not_misprune(spark, tmp_path):
     pruned2, plan2 = plan_snapshot_scan(spark, root2, [Eq("cust", "42")])
     assert not any(n.startswith("spec:") for n, _ in plan2.steps)
     assert pruned2.count() == df.where("cust = '42' and k >= 1").count()
+
+
+def test_streaming_ingest_under_spec_records_tuples(spark, tmp_path):
+    """The exactly-once streaming sink composes with partition specs for
+    free (it appends through the same writer): each micro-batch commits
+    day-partitioned files with tuples in the manifest, a replayed batch
+    is stamp-skipped, and the tuple pruning works on the streamed table."""
+    import shutil
+
+    from telemetry_parquet_spark.streaming.pipelines import (
+        stream_commit_snapshots,
+    )
+
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    df = _frame(spark, 400).drop("d").withColumn(
+        "ts",
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       (F.col("k") % 3).cast("int"))
+        ),
+    )
+    b1, b2 = df.where("k < 200"), df.where("k >= 200")
+
+    b1.write.mode("overwrite").parquet(src)
+    stream_commit_snapshots(spark, src, root, ckpt)
+    set_partition_spec(root, [PartitionField("ts", "day")])
+    ckpt_saved = str(tmp_path / "ckpt_saved")
+    shutil.copytree(ckpt, ckpt_saved)
+    b2.write.mode("append").parquet(src)
+    stream_commit_snapshots(spark, src, root, ckpt)
+    m = read_manifest(root, latest_version(root))
+    parts = m.get("partitions") or {}
+    assert len(parts) == 3  # batch 2 landed as one file per day
+    assert read_snapshot(spark, root).count() == 400
+    # replayed batch: stamp-skipped, no duplicate partitioned files
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_saved, ckpt)
+    stream_commit_snapshots(spark, src, root, ckpt)
+    assert read_snapshot(spark, root).count() == 400
+    # tuple pruning engages on the streamed table (pre-spec batch kept)
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Eq("ts", "2024-01-02 00:00:00")]
+    )
+    assert any(n == "spec:ts" for n, _ in plan.steps)
+    assert pruned.count() == df.where(
+        "ts = timestamp'2024-01-02 00:00:00'"
+    ).count()
+
+
+def test_compact_zorder_within_partitions(spark, tmp_path):
+    """OPTIMIZE ZORDER under a spec: tuples survive (one file per
+    tuple), and within each file rows are z-sorted on the z-columns —
+    partition pruning picks files, row-group stats prune inside them."""
+    from telemetry_parquet_spark.sources.layout import (
+        zorder_key_adaptive_n,
+    )
+
+    root = str(tmp_path / "zin")
+    df = _frame(spark, 600)
+    append(spark, root, df.where("k < 300"))
+    set_partition_spec(root, [PartitionField("d", "day")])
+    append(spark, root, df.where("k >= 300"))
+    v = compact_table(
+        spark, root, target_bytes=1 << 26, zorder_cols=["cust", "k"]
+    )
+    m = read_manifest(root, v)
+    assert m["action"] == "compact-spec-zorder"
+    assert set(m["partitions"]) == set(m["files"])  # tuples survived
+    assert read_snapshot(spark, root).count() == 600
+    # within-file z-ordering: recompute zval over the whole table, then
+    # check each file's rows are non-decreasing in it
+    keyed = zorder_key_adaptive_n(
+        read_snapshot(spark, root), ["cust", "k"], bits=8
+    ).select("k", "zval").collect()
+    zval_of = {r.k: r.zval for r in keyed}
+    for f in m["files"]:
+        ks = [
+            r.k
+            for r in spark.read.parquet(
+                os.path.join(root, f)
+            ).select("k").collect()
+        ]
+        zs = [zval_of[k] for k in ks]
+        assert zs == sorted(zs), f"file {f} not z-sorted"
