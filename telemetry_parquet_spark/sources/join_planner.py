@@ -221,6 +221,8 @@ def plan_bucket_join(
     right_root: str,
     on: tuple[str, str],
     how: str = "inner",
+    left_predicates: list | None = None,
+    right_predicates: list | None = None,
     broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
     require_broadcast: bool = False,
     left_version: int | None = None,
@@ -248,6 +250,16 @@ def plan_bucket_join(
     manifest does part of the anti-join for free: a left file whose
     bucket has NO right files — or whose key is all-NULL — is unmatched
     by construction and PASSES THROUGH without a join at all.
+
+    ``left_predicates`` / ``right_predicates`` compose the FULL scan
+    pruning stack with the co-location: each side's file list first
+    goes through ``plan_snapshot_scan`` (spec tuples, Bloom index,
+    min/max stats), bucket pairs form over the SURVIVORS (fewer pairs,
+    smaller broadcasts — a pruned-empty right bucket even turns its
+    left bucket into an anti passthrough), and each side's residual
+    filter is re-applied so the answer is EXACTLY the
+    filter-then-join. For semi/anti, ``right_predicates`` select which
+    right rows count as matches (the filtered-subquery semantics).
 
     Join-type semantics, all from "NULL matches nothing":
     inner/left_semi drop NULL-key files on both sides and skip buckets
@@ -291,6 +303,31 @@ def plan_bucket_join(
             f"bucket join: width mismatch (left {ln}, right {rn}) — "
             "evolve one side's spec and compact_table to migrate"
         )
+
+    from telemetry_parquet_spark.sources.scan_planner import (
+        _predicate_expr,
+    )
+
+    def _side_prune(preds, root, version, buckets):
+        """Run the full scan-pruning stack (spec tuples, Bloom, stats)
+        on one side; bucket pairs form over the survivors and the
+        residual re-applies for exactness."""
+        if not preds:
+            return buckets, None
+        _, sp = S.plan_snapshot_scan(spark, root, preds, version=version)
+        surv = {os.path.relpath(p, root) for p in sp.files}
+        residual = None
+        for p in preds:
+            e = _predicate_expr(p)
+            residual = e if residual is None else residual & e
+        return {f: b for f, b in buckets.items() if f in surv}, residual
+
+    lbuckets, lresidual = _side_prune(
+        left_predicates, left_root, left_version, lbuckets
+    )
+    rbuckets, rresidual = _side_prune(
+        right_predicates, right_root, right_version, rbuckets
+    )
     lschema = StructType.fromJson(_json.loads(lm["schema"]))
     rschema = StructType.fromJson(_json.loads(rm["schema"]))
     lsizes, rsizes = lm.get("sizes", {}), rm.get("sizes", {})
@@ -342,6 +379,10 @@ def plan_bucket_join(
         rdf = spark.read.schema(rschema).parquet(
             *[os.path.join(right_root, f) for f in sorted(rf)]
         )
+        if lresidual is not None:
+            ldf = ldf.where(lresidual)
+        if rresidual is not None:
+            rdf = rdf.where(rresidual)
         choice = None
         fits = [
             (size, side)
@@ -365,11 +406,10 @@ def plan_bucket_join(
         parts.append(ldf.join(rdf, ldf[lkey] == rdf[rkey], how))
 
     if passthrough:
-        parts.append(
-            spark.read.schema(lschema).parquet(
-                *[os.path.join(left_root, f) for f in sorted(passthrough)]
-            )
+        pt = spark.read.schema(lschema).parquet(
+            *[os.path.join(left_root, f) for f in sorted(passthrough)]
         )
+        parts.append(pt if lresidual is None else pt.where(lresidual))
     if parts:
         joined = reduce(lambda a, c: a.unionByName(c), parts)
     elif how == "inner":  # no overlapping non-empty buckets

@@ -299,3 +299,44 @@ def test_bucket_semi_and_anti_join_match_spark(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unsupported join type"):
         plan_bucket_join(spark, la, rb, ("k", "k2"), "full_outer")
+
+
+def test_bucket_join_composes_with_predicate_pruning(
+    spark, bucketed_pair
+):
+    """left/right predicates run the full scan-pruning stack per side
+    before bucket pairing, and the residual re-applies: the answer is
+    exactly filter-then-join, the anti variant turns a pruned-empty
+    right bucket into a manifest passthrough."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.scan_planner import Eq, Range
+
+    la, rb, fact, dim = bucketed_pair
+    joined, plan = plan_bucket_join(
+        spark, la, rb, ("cust", "ckey"),
+        left_predicates=[Range("price", 3, 5)],
+        right_predicates=[Eq("nation", 2)],
+    )
+    exp = (
+        fact.where("price between 3 and 5")
+        .join(dim.where("nation = 2"), F.col("cust") == F.col("ckey"))
+    )
+    assert sorted(tuple(r) for r in joined.collect()) == sorted(
+        tuple(r) for r in exp.collect()
+    )
+    # an Eq on the RIGHT bucket key prunes right buckets -> anti
+    # passthrough for every other left bucket, straight from manifests
+    anti, aplan = plan_bucket_join(
+        spark, la, rb, ("cust", "ckey"), "left_anti",
+        right_predicates=[Eq("ckey", 42)],
+    )
+    assert aplan.passthrough_files >= 7  # 7 of 8 left buckets bypass
+    exp_anti = fact.join(
+        dim.where("ckey = 42"), F.col("cust") == F.col("ckey"),
+        "left_anti",
+    )
+    assert sorted(tuple(r) for r in anti.collect()) == sorted(
+        tuple(r) for r in exp_anti.collect()
+    )
