@@ -481,3 +481,63 @@ def test_compact_zorder_within_partitions(spark, tmp_path):
         ]
         zs = [zval_of[k] for k in ks]
         assert zs == sorted(zs), f"file {f} not z-sorted"
+
+
+def test_randomized_pruning_invariance(spark, tmp_path):
+    """Seeded sweep: for dozens of random predicates (mixed shapes,
+    types, NULLs, cross-typed literals) over a table holding pre-spec
+    files, two live specs, and NULL partition values, the planned scan
+    must equal the unpruned filtered read EXACTLY. This is the
+    family's safety property: pruning may only ever drop files whose
+    rows provably cannot match."""
+    import random
+
+    root = str(tmp_path / "rand")
+    df = _frame(spark, 600).withColumn(
+        "s", F.when(F.col("k") % 11 == 0, F.lit(None)).otherwise(F.col("s"))
+    )
+    append(spark, root, df.where("k < 200").repartitionByRange(3, "k"))
+    set_partition_spec(root, [PartitionField("cust", "bucket", 4)])
+    append(spark, root, df.where("k >= 200 and k < 400"))
+    set_partition_spec(
+        root,
+        [PartitionField("d", "day"), PartitionField("s", "identity")],
+    )
+    append(spark, root, df.where("k >= 400"))
+
+    full = read_snapshot(spark, root)
+    rng = random.Random(20260816)
+    int_vals = [0, 1, 13, 42, 96, 500, -3]
+    str_vals = ["u 5", "u 12", "zzz", ""]
+    day_vals = ["2024-01-01", "2024-01-03", "2024-01-05", "2023-12-31"]
+    preds = []
+    for _ in range(36):
+        col = rng.choice(["cust", "d", "s", "k"])
+        shape = rng.choice(["eq", "in", "range"])
+        pool = {"cust": int_vals, "k": int_vals,
+                "d": day_vals, "s": str_vals}[col]
+        if shape == "eq":
+            # cross-typed extras only where ANSI Spark can evaluate the
+            # residual (numeric cols coerce "42"/42.0; a float literal
+            # on the string col would throw on cast for BOTH sides)
+            extras = [None, 42.0, "42"] if col in ("cust", "k") else [None]
+            v = rng.choice(pool + extras)
+            preds.append(Eq(col, v))
+        elif shape == "in":
+            preds.append(In(col, tuple(rng.sample(pool, 2))))
+        else:
+            lo, hi = sorted(rng.sample(pool, 2)) if col != "s" else (
+                rng.choice(pool), None)
+            preds.append(Range(col, lo, hi))
+    for p in preds:
+        pruned, plan = plan_snapshot_scan(spark, root, [p])
+        from telemetry_parquet_spark.sources.scan_planner import (
+            _predicate_expr,
+        )
+        exp = full.where(_predicate_expr(p))
+        got_rows = sorted(tuple(r) for r in pruned.collect())
+        exp_rows = sorted(tuple(r) for r in exp.collect())
+        assert got_rows == exp_rows, (
+            f"pruning changed the answer for {p}: "
+            f"{len(got_rows)} vs {len(exp_rows)} rows ({plan.steps})"
+        )
