@@ -298,7 +298,10 @@ def plan_bucket_join(
     S._require_no_dv(rm, "plan_bucket_join")
     ln, lbuckets = _bucket_index(lm, lkey)
     rn, rbuckets = _bucket_index(rm, rkey)
-    if ln != rn:
+    # a zero-file side reports width 0 (nothing to align): the empty
+    # inner join / full-left anti passthrough below is the right answer,
+    # not a migration error
+    if ln and rn and ln != rn:
         raise ValueError(
             f"bucket join: width mismatch (left {ln}, right {rn}) — "
             "evolve one side's spec and compact_table to migrate"
@@ -330,6 +333,17 @@ def plan_bucket_join(
     )
     lschema = StructType.fromJson(_json.loads(lm["schema"]))
     rschema = StructType.fromJson(_json.loads(rm["schema"]))
+    if how == "inner":
+        shared = {c.lower() for c in lschema.fieldNames()} & {
+            c.lower() for c in rschema.fieldNames()
+        } - ({lkey.lower()} if lkey.lower() == rkey.lower() else set())
+        if shared:
+            raise ValueError(
+                f"bucket join: both sides carry column(s) {sorted(shared)}"
+                " — the inner join's output would hold ambiguous "
+                "duplicates; rename one side first (same-named JOIN KEYS "
+                "are fine: they dedupe via the USING form)"
+            )
     lsizes, rsizes = lm.get("sizes", {}), rm.get("sizes", {})
 
     by_bucket: dict[int, tuple[list, list]] = {}
@@ -403,7 +417,12 @@ def plan_bucket_join(
                 f"{broadcast_threshold} B)"
             )
         pairs.append((b, lb, rb, choice))
-        parts.append(ldf.join(rdf, ldf[lkey] == rdf[rkey], how))
+        if how == "inner" and lkey.lower() == rkey.lower():
+            # USING form: same-named keys dedupe to one output column
+            # (the expression form would emit both and break the union)
+            parts.append(ldf.join(rdf, on=[lkey], how=how))
+        else:
+            parts.append(ldf.join(rdf, ldf[lkey] == rdf[rkey], how))
 
     if passthrough:
         pt = spark.read.schema(lschema).parquet(
@@ -413,16 +432,17 @@ def plan_bucket_join(
     if parts:
         joined = reduce(lambda a, c: a.unionByName(c), parts)
     elif how == "inner":  # no overlapping non-empty buckets
-        joined = (
-            spark.createDataFrame([], lschema)
-            .alias("l")
-            .join(
-                spark.createDataFrame([], rschema).alias("r"),
+        le = spark.createDataFrame([], lschema)
+        re_ = spark.createDataFrame([], rschema)
+        if lkey.lower() == rkey.lower():  # match the USING-form schema
+            joined = le.join(re_, on=[lkey], how="inner")
+        else:
+            joined = le.alias("l").join(
+                re_.alias("r"),
                 F.col(f"l.{lkey}") == F.col(f"r.{rkey}"),
                 "inner",
             )
-        )
     else:  # semi/anti output schema is the left schema
         joined = spark.createDataFrame([], lschema)
-    return joined, BucketJoinPlan(ln, pairs, dropped, skipped,
+    return joined, BucketJoinPlan(max(ln, rn), pairs, dropped, skipped,
                                   len(passthrough))

@@ -54,10 +54,16 @@ Manifest keys (all carried across commits by ``snapshots._commit``):
   pass and pruned by min/max stats as before: absence degrades
   pruning, never correctness.
 
-NULL tuples: a file whose partition value is NULL holds ONLY rows whose
-transformed value is NULL (hive-layout ``__HIVE_DEFAULT_PARTITION__``),
-and SQL comparison predicates never match NULL — so Eq/In/Range drop
-such files outright.
+NULL tuples: Spark's hive layout writes BOTH a NULL transformed value
+and an EMPTY-STRING one to ``__HIVE_DEFAULT_PARTITION__``, so for
+string-output transforms (string identity, truncate) a None tuple
+means "every row's value is NULL **or** ''". Pruning accounts for it:
+SQL comparisons never match NULL, so a None-tuple file drops unless
+the predicate could match ``''`` (evaluated by re-running the decision
+with pv=''); for int-output transforms (day, bucket, int identity) ''
+is impossible and None means all-NULL, which drops outright. The
+partition rollup REFUSES (scan fallback) on a None value of a
+string-output field — it cannot split the '' rows from the NULL rows.
 """
 
 from __future__ import annotations
@@ -213,12 +219,34 @@ def _same_kind(a, b) -> bool:
     )
 
 
-def keep_file(entry: dict, specs: dict, pred) -> bool:
+def _string_output(f: PartitionField, schema: StructType | None) -> bool:
+    """Whether the transform's output is a string — the transforms whose
+    '' value lands in the hive NULL directory alongside true NULLs."""
+    if f.transform == "truncate":
+        return True
+    if f.transform == "identity":
+        if schema is None:
+            return True  # unknown column type -> assume possibly-string
+        try:
+            return _simple_type(schema, f.col) not in _INT_TYPES
+        except ValueError:
+            return True
+    return False  # day, bucket -> int output; '' impossible
+
+
+def keep_file(entry: dict, specs: dict, pred,
+              schema: StructType | None = None) -> bool:
     """Conservative spec-pruning verdict for ONE file under ONE
     predicate: False only when the file's recorded tuple PROVES no row
     can satisfy the predicate. Unknown spec ids, columns outside the
     spec, transform/predicate shapes we can't decide, and cross-typed
-    literals all KEEP — the residual filter stays exact either way."""
+    literals all KEEP — the residual filter stays exact either way.
+
+    A None tuple value means all rows are NULL — or, for string-output
+    transforms, NULL-or-'' (Spark's hive layout writes both to the
+    default partition): NULL never satisfies a comparison, so the file
+    drops unless the predicate could match '' (decided by re-running
+    with pv='')."""
     fields = specs.get(str(entry.get("spec_id")))
     if not fields:
         return True
@@ -230,6 +258,10 @@ def keep_file(entry: dict, specs: dict, pred) -> bool:
         if f.col.lower() != pred.col.lower():
             continue
         pv = values[i]
+        if pv is None and _string_output(f, schema):
+            # the file may hold ''-valued rows: prune only if '' itself
+            # would be pruned under this predicate
+            pv = ""
         try:
             if isinstance(pred, Eq):
                 if pv is None:
@@ -441,11 +473,17 @@ def snapshot_groupby_partition(
             return None
         canon.append(cc)
     rows, sums = m.get("rows", {}), m.get("sums", {})
+    field_objs = [PartitionField.from_json(d) for d in fields]
     out: dict = {}
     for f in files:
         if f not in rows:
             return None
         key = tuple(parts[f]["values"])
+        for fo, v in zip(field_objs, key):
+            if v is None and _string_output(fo, schema):
+                # the hive NULL dir merges '' and NULL for string-output
+                # transforms: this group cannot be split exactly
+                return None
         g = out.setdefault(
             key,
             {

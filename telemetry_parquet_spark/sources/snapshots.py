@@ -1710,8 +1710,9 @@ def compact_table(
         sizes = m.get("sizes") or {}
         # the manifest already carries per-file bytes — one stat round
         # trip per file on an object store is pure waste; getsize only
-        # backfills pre-stats manifests
-        total = sum(
+        # backfills pre-stats manifests — skipped entirely under a spec,
+        # whose per-tuple layout ignores n_files/target_bytes
+        total = 0 if m.get("partition_spec") else sum(
             sizes.get(f) or os.path.getsize(os.path.join(root, f))
             for f in m["files"]
         )
@@ -1797,44 +1798,46 @@ def compact_where(
             root, "compact-where", carried, m["schema"], parent,
             {**_carry_meta(m), "region_files": 0},
         )
-    sizes = m.get("sizes") or {}
-    total = sum(
-        sizes.get(f) or os.path.getsize(os.path.join(root, f))
-        for f in region
-    )
-    n_files = max(1, -(-total // int(target_bytes)))
     schema = StructType.fromJson(json.loads(m["schema"]))
     rows = spark.read.schema(schema).parquet(
         *[os.path.join(root, f) for f in sorted(region)]
     )
-    if zorder_cols:
-        from telemetry_parquet_spark.sources.layout import (
-            zorder_key_adaptive_n,
-        )
-
-        rows = (
-            zorder_key_adaptive_n(rows, zorder_cols, bits=bits)
-            .repartitionByRange(n_files, F.col("zval"))
-            .sortWithinPartitions("zval")
-            .drop("zval")
-        )
-        new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
-        extra = {}
-    elif m.get("partition_spec"):
+    spec = m.get("partition_spec")
+    if spec:
         # region rewrite under a spec: the rewritten files come back
         # re-tupled under the CURRENT spec (compact_table's
-        # rewrite-data-files rule, scoped to the region); carried files
-        # keep their entries through _commit
+        # rewrite-data-files rule, scoped to the region; zorder_cols
+        # z-sort WITHIN each tuple's file); carried files keep their
+        # entries through _commit
         from telemetry_parquet_spark.sources.partition_spec import (
             write_partitioned_files,
         )
 
         new, parts = write_partitioned_files(
-            rows, root, f"c{parent + 1:06d}", m["partition_spec"]
+            rows, root, f"c{parent + 1:06d}", spec,
+            zorder_cols=zorder_cols, bits=bits,
         )
         extra = {"partitions": parts}
     else:
-        rows = rows.repartition(n_files)
+        sizes = m.get("sizes") or {}
+        total = sum(
+            sizes.get(f) or os.path.getsize(os.path.join(root, f))
+            for f in region
+        )
+        n_files = max(1, -(-total // int(target_bytes)))
+        if zorder_cols:
+            from telemetry_parquet_spark.sources.layout import (
+                zorder_key_adaptive_n,
+            )
+
+            rows = (
+                zorder_key_adaptive_n(rows, zorder_cols, bits=bits)
+                .repartitionByRange(n_files, F.col("zval"))
+                .sortWithinPartitions("zval")
+                .drop("zval")
+            )
+        else:
+            rows = rows.repartition(n_files)
         new = _write_commit_files(rows, root, f"c{parent + 1:06d}")
         extra = {}
     return _commit(
@@ -2841,7 +2844,8 @@ def plan_snapshot_scan(
         if partitions:
             pruned_kept = [
                 f for f in kept
-                if f not in partitions or keep_file(partitions[f], specs, p)
+                if f not in partitions
+                or keep_file(partitions[f], specs, p, schema)
             ]
             if len(pruned_kept) != len(kept):
                 kept = pruned_kept

@@ -893,12 +893,24 @@ def engine_sql(
         head = read_manifest(root, latest_version(root))
         rows_meta = head.get("rows", {})
         sizes = head.get("sizes", {})
+        parts_meta = head.get("partitions") or {}
         agg: dict = {}
-        for f, e in (head.get("partitions") or {}).items():
-            key = (e["spec_id"], _json.dumps(e["values"]))
-            g = agg.setdefault(key, [0, 0, 0, True])
+        for f in head["files"]:
+            e = parts_meta.get(f)
+            key = (
+                (e["spec_id"], _json.dumps(e["values"]))
+                if e is not None
+                # pre-spec / rewrite-orphaned files surface explicitly
+                # instead of silently vanishing from the rollup
+                else (-1, "(untupled)")
+            )
+            # [n_files, rows, bytes, rows_known, bytes_known]
+            g = agg.setdefault(key, [0, 0, 0, True, True])
             g[0] += 1
-            g[2] += sizes.get(f) or 0
+            if f in sizes:
+                g[2] += int(sizes[f])
+            else:
+                g[4] = False  # unknown size -> -1, never a silent 0
             if f in rows_meta:
                 g[1] += int(rows_meta[f])
             else:
@@ -907,8 +919,8 @@ def engine_sql(
 
         return spark.createDataFrame(
             [
-                (sid, vals, n, r if ok else -1, b)
-                for (sid, vals), (n, r, b, ok) in sorted(agg.items())
+                (sid, vals, n, r if rk else -1, b if bk else -1)
+                for (sid, vals), (n, r, b, rk, bk) in sorted(agg.items())
             ],
             StructType(
                 [

@@ -168,9 +168,8 @@ def test_bucket_join_matches_plain_join_with_no_shuffle(
         spark, la, rb, ("cust", "ckey"), require_broadcast=True
     )
     assert plan.n_buckets == 8
-    assert len(plan.pairs) + plan.skipped_buckets == len(
-        {b for b, *_ in plan.pairs}
-    ) + plan.skipped_buckets
+    # both sides populate every bucket: all 8 pair up, none skipped
+    assert (len(plan.pairs), plan.skipped_buckets) == (8, 0)
     assert all(choice is not None for *_, choice in plan.pairs)
     got = sorted(tuple(r) for r in joined.collect())
     exp = sorted(
@@ -340,3 +339,58 @@ def test_bucket_join_composes_with_predicate_pruning(
     assert sorted(tuple(r) for r in anti.collect()) == sorted(
         tuple(r) for r in exp_anti.collect()
     )
+
+
+def test_bucket_join_same_key_name_and_collision_guard(spark, tmp_path):
+    """Same-named join keys work via the USING form (one key column in
+    the output); a shared NON-key column raises loudly instead of
+    producing an ambiguous union; a zero-file side returns the correct
+    empty/passthrough answer instead of a width-mismatch error."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+    from telemetry_parquet_spark.sources.snapshots import create_table
+
+    la, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    left = spark.range(0, 200).select(
+        (F.col("id") % 9).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.range(0, 9).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    S.append(spark, la, left)
+    set_partition_spec(la, [PartitionField("k", "bucket", 4)])
+    S.compact_table(spark, la, target_bytes=1 << 26)
+    S.append(spark, rb, right)
+    set_partition_spec(rb, [PartitionField("k", "bucket", 4)])
+    S.compact_table(spark, rb, target_bytes=1 << 26)
+
+    joined, plan = plan_bucket_join(spark, la, rb, ("k", "k"))
+    assert joined.columns.count("k") == 1  # USING form dedupes the key
+    exp = left.join(right, on=["k"], how="inner")
+    assert sorted(tuple(r) for r in joined.collect()) == sorted(
+        tuple(r) for r in exp.collect()
+    )
+    # shared non-key column: loud refusal under inner
+    rb2 = str(tmp_path / "b2")
+    S.append(spark, rb2, right.withColumnRenamed("w", "v"))
+    set_partition_spec(rb2, [PartitionField("k", "bucket", 4)])
+    S.compact_table(spark, rb2, target_bytes=1 << 26)
+    with pytest.raises(ValueError, match="ambiguous"):
+        plan_bucket_join(spark, la, rb2, ("k", "k"))
+    # semi/anti output only left columns: the shared name is fine there
+    semi, _ = plan_bucket_join(spark, la, rb2, ("k", "k"), "left_semi")
+    assert semi.columns == left.columns
+    # zero-file right side: empty inner, full-left anti passthrough
+    empty = str(tmp_path / "empty")
+    create_table(empty, right.schema)
+    set_partition_spec(empty, [PartitionField("k", "bucket", 4)])
+    inner0, p0 = plan_bucket_join(spark, la, empty, ("k", "k"))
+    assert inner0.count() == 0
+    anti0, pa = plan_bucket_join(spark, la, empty, ("k", "k"), "left_anti")
+    assert pa.passthrough_files >= 1
+    assert anti0.count() == left.count()

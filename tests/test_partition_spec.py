@@ -541,3 +541,68 @@ def test_randomized_pruning_invariance(spark, tmp_path):
             f"pruning changed the answer for {p}: "
             f"{len(got_rows)} vs {len(exp_rows)} rows ({plan.steps})"
         )
+
+
+def test_empty_string_shares_hive_null_dir_but_never_mispruned(
+    spark, tmp_path
+):
+    """Spark's hive layout writes '' and NULL to the same default
+    partition; the None tuple therefore means NULL-or-'' for
+    string-output transforms. Eq('') must KEEP and return the '' rows;
+    a non-empty literal still drops the file; the partition rollup
+    refuses rather than merging '' into the NULL group."""
+    from telemetry_parquet_spark.sources.partition_spec import (
+        snapshot_groupby_partition,
+    )
+
+    root = str(tmp_path / "emptystr")
+    df = _frame(spark, 120).withColumn(
+        "s",
+        F.when(F.col("k") % 3 == 0, F.lit(""))
+        .when(F.col("k") % 3 == 1, F.lit(None))
+        .otherwise(F.col("s")),
+    )
+    append(spark, root, df.where("k < 1"))
+    set_partition_spec(root, [PartitionField("s", "identity")])
+    append(spark, root, df.where("k >= 1"))
+    m = read_manifest(root, latest_version(root))
+    null_tuples = [
+        f for f, e in m["partitions"].items() if e["values"][0] is None
+    ]
+    assert null_tuples  # ''+NULL landed in the default partition
+    pruned, plan = plan_snapshot_scan(spark, root, [Eq("s", "")])
+    kept = {os.path.relpath(p, root) for p in plan.files}
+    assert set(null_tuples) <= kept  # the ''-holding file was KEPT
+    assert pruned.count() == df.where("s = ''").count()
+    # a non-'' literal still prunes the default-partition file
+    pruned2, plan2 = plan_snapshot_scan(spark, root, [Eq("s", "u 5")])
+    assert not set(null_tuples) & {
+        os.path.relpath(p, root) for p in plan2.files
+    }
+    assert pruned2.count() == df.where("s = 'u 5'").count()
+    # the rollup refuses: it cannot split '' rows from NULL rows
+    assert snapshot_groupby_partition(root, agg_cols=("cust",)) is None
+
+
+def test_compact_where_retuples_region_under_spec(spark, tmp_path):
+    """Region compaction under a spec re-tuples the rewritten files
+    (with z-order within tuples) instead of silently orphaning them."""
+    from telemetry_parquet_spark.sources.snapshots import compact_where
+
+    root = str(tmp_path / "cwspec")
+    df = _frame(spark, 400)
+    append(spark, root, df.where("k < 100").repartitionByRange(3, "k"))
+    set_partition_spec(root, [PartitionField("cust", "bucket", 4)])
+    append(spark, root, df.where("k >= 100"))
+    v = compact_where(
+        spark, root, [Range("k", 0, 99)], target_bytes=1 << 26,
+        zorder_cols=["cust"],
+    )
+    m = read_manifest(root, v)
+    # every file NOT carried from the spec append got a fresh tuple
+    assert set(m["partitions"]) == set(m["files"])
+    assert read_snapshot(spark, root).count() == 400
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Eq("cust", 42)], require_pruning=True
+    )
+    assert pruned.count() == df.where("cust = 42").count()

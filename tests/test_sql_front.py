@@ -412,14 +412,18 @@ def test_set_partition_spec_statement(spark, sf_dir, tmp_path):
         pruned.count()
         == orders.where(F.col("o_custkey") == probe).count()
     )
-    # DESCRIBE PARTITIONS: one row per live tuple, rows/bytes from the
-    # manifest (8 buckets; row total = the table's)
+    # DESCRIBE PARTITIONS: one row per live tuple plus an explicit
+    # "(untupled)" row for the pre-spec files (never silently omitted);
+    # row/byte totals come from the manifest
     parts = engine_sql(spark, "DESCRIBE PARTITIONS t", t).collect()
-    assert {r.spec_id for r in parts} == {1}
-    assert sum(r.n_rows for r in parts) == sum(
+    assert {r.spec_id for r in parts} == {-1, 1}
+    tupled = [r for r in parts if r.spec_id == 1]
+    assert sum(r.n_rows for r in tupled) == sum(
         m2["rows"][f] for f in m2["partitions"]
     )
     assert all(r.n_files >= 1 and r.bytes > 0 for r in parts)
+    untupled = next(r for r in parts if r.spec_id == -1)
+    assert untupled.partition == "(untupled)" and untupled.n_rows > 0
     # DROP PARTITION SPEC is symmetric: current spec cleared, history
     # (and existing files' tuples) retained
     out2 = engine_sql(spark, "ALTER TABLE t DROP PARTITION SPEC", t).first()
