@@ -118,16 +118,23 @@ def plan_join(
     join with the strategy the surviving bytes justify. ``on`` is
     [(left_col, right_col), ...]. ``require_pruning``: 'left' / 'right' /
     'both' forwards the pruned-nothing raise to that side's scan."""
+    # resolve each side's version ONCE: the scan and the byte estimate
+    # must read the same manifest, or a concurrent commit between the
+    # two latest_version resolutions skews the broadcast decision
+    lv = S.latest_version(left_root) if left_version is None else left_version
+    rv = (
+        S.latest_version(right_root) if right_version is None else right_version
+    )
     ldf, lplan = S.plan_snapshot_scan(
-        spark, left_root, left_predicates or [], version=left_version,
+        spark, left_root, left_predicates or [], version=lv,
         require_pruning=require_pruning in ("left", "both"),
     )
     rdf, rplan = S.plan_snapshot_scan(
-        spark, right_root, right_predicates or [], version=right_version,
+        spark, right_root, right_predicates or [], version=rv,
         require_pruning=require_pruning in ("right", "both"),
     )
-    lbytes = planned_bytes(left_root, lplan, left_version)
-    rbytes = planned_bytes(right_root, rplan, right_version)
+    lbytes = planned_bytes(left_root, lplan, lv)
+    rbytes = planned_bytes(right_root, rplan, rv)
 
     allowed = _BROADCASTABLE.get(how, ())
     choice = None
@@ -284,16 +291,16 @@ def plan_bucket_join(
             "(inner / left_semi / left_anti)"
         )
     lkey, rkey = on
-    lm = S.read_manifest(
-        left_root,
-        S.latest_version(left_root) if left_version is None else left_version,
+    # resolve each side's version ONCE and use it for BOTH the bucket
+    # index and the pruning scan: re-resolving latest_version inside
+    # _side_prune would let a concurrent commit slip between the two
+    # reads and silently drop files from the join
+    lv = S.latest_version(left_root) if left_version is None else left_version
+    rv = (
+        S.latest_version(right_root) if right_version is None else right_version
     )
-    rm = S.read_manifest(
-        right_root,
-        S.latest_version(right_root)
-        if right_version is None
-        else right_version,
-    )
+    lm = S.read_manifest(left_root, lv)
+    rm = S.read_manifest(right_root, rv)
     S._require_no_dv(lm, "plan_bucket_join")
     S._require_no_dv(rm, "plan_bucket_join")
     ln, lbuckets = _bucket_index(lm, lkey)
@@ -325,11 +332,9 @@ def plan_bucket_join(
             residual = e if residual is None else residual & e
         return {f: b for f, b in buckets.items() if f in surv}, residual
 
-    lbuckets, lresidual = _side_prune(
-        left_predicates, left_root, left_version, lbuckets
-    )
+    lbuckets, lresidual = _side_prune(left_predicates, left_root, lv, lbuckets)
     rbuckets, rresidual = _side_prune(
-        right_predicates, right_root, right_version, rbuckets
+        right_predicates, right_root, rv, rbuckets
     )
     lschema = StructType.fromJson(_json.loads(lm["schema"]))
     rschema = StructType.fromJson(_json.loads(rm["schema"]))

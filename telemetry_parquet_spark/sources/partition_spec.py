@@ -33,11 +33,20 @@ JVM write side and the Python plan side):
 
 - ``identity``  — the column value itself (int-family or string).
 - ``day``       — days since 1970-01-01 of a date/timestamp column.
+- ``hour``      — hours since 1970-01-01T00:00 of a timestamp column
+  (``days_since_epoch * 24 + hour_of_day``, calendar-derived on both
+  sides so the write/plan parity never touches epoch arithmetic).
+- ``month``     — months since 1970-01 of a date/timestamp column
+  (``(year - 1970) * 12 + month - 1``).
+- ``year``      — years since 1970 of a date/timestamp column.
 - ``bucket(n)`` — ``crc32(utf8(cast(col AS STRING))) % n``. Spark's
   ``F.crc32`` and Python's ``zlib.crc32`` are the same CRC-32, so the
   planner hashes predicate literals without a JVM round-trip
   (functions/hashing.py already relies on this bit-compat).
 - ``truncate(n)`` — first ``n`` characters of a string column.
+
+All temporal transforms are MONOTONE in the column value, so Range
+predicates prune on them exactly like ``day``.
 
 Manifest keys (all carried across commits by ``snapshots._commit``):
 
@@ -53,6 +62,20 @@ Manifest keys (all carried across commits by ``snapshots._commit``):
   (pre-spec files, COW delete rewrites) are simply kept by the spec
   pass and pruned by min/max stats as before: absence degrades
   pruning, never correctness.
+
+Timezone contract (temporal transforms: ``day``/``hour``/``month``/
+``year``): the WRITE side evaluates the transform with Spark functions
+that interpret a TIMESTAMP column under ``spark.sql.session.timeZone``,
+while the PLAN side converts predicate literals with timezone-naive
+``datetime.fromisoformat``. The two agree iff the planning process runs
+under the same timezone the files were written under — the repo's
+session factory pins ``spark.sql.session.timeZone=UTC`` and naive ISO
+literals therefore mean UTC everywhere. If a deployment re-writes under
+a different session timezone, temporal pruning near period boundaries
+could drop a file containing matching rows; the residual filter does
+NOT rescue a dropped file, so DO NOT change the session timezone
+between writing and planning (DATE columns are unaffected — no
+timezone enters either side).
 
 NULL tuples: Spark's hive layout writes BOTH a NULL transformed value
 and an EMPTY-STRING one to ``__HIVE_DEFAULT_PARTITION__``, so for
@@ -84,7 +107,12 @@ from telemetry_parquet_spark.sources.scan_planner import Eq, In, Range
 _EPOCH = _dt.date(1970, 1, 1)
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _INT_TYPES = {"byte", "short", "integer", "long"}
-_TRANSFORMS = ("identity", "day", "bucket", "truncate")
+_TRANSFORMS = (
+    "identity", "day", "hour", "month", "year", "bucket", "truncate"
+)
+_TEMPORAL_TYPES = ("date", "timestamp", "timestamp_ntz")
+# temporal transforms are monotone in the column value -> Range prunes
+_MONOTONE = ("identity", "day", "hour", "month", "year")
 
 
 @dataclass(frozen=True)
@@ -126,14 +154,25 @@ def validate_spec(schema: StructType, fields: list[PartitionField]) -> None:
                              f"{f.transform!r}")
         if f.transform in ("bucket", "truncate") and (f.n or 0) < 1:
             raise ValueError(f"partition spec: {f.transform} needs n >= 1")
+        if f.transform not in ("bucket", "truncate") and f.n is not None:
+            raise ValueError(
+                f"partition spec: {f.transform} takes no n argument"
+            )
         if f.transform == "identity" and t not in _INT_TYPES | {"string"}:
             raise ValueError(
                 f"partition spec: identity({f.col}) needs an int-family or "
                 f"string column, got {t} (use day() for temporals)")
-        if f.transform == "day" and t not in ("date", "timestamp",
-                                              "timestamp_ntz"):
+        if f.transform in ("day", "month", "year") and t not in (
+            _TEMPORAL_TYPES
+        ):
             raise ValueError(
-                f"partition spec: day({f.col}) needs date/timestamp, got {t}")
+                f"partition spec: {f.transform}({f.col}) needs "
+                f"date/timestamp, got {t}")
+        if f.transform == "hour" and t not in ("timestamp",
+                                               "timestamp_ntz"):
+            raise ValueError(
+                f"partition spec: hour({f.col}) needs a timestamp column, "
+                f"got {t} (a date has no hour — use day())")
         if f.transform == "bucket" and t not in _INT_TYPES | {"string"}:
             raise ValueError(
                 f"partition spec: bucket({f.col}) needs an int-family or "
@@ -152,6 +191,18 @@ def spark_transform(f: PartitionField) -> Column:
         return c
     if f.transform == "day":
         return F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+    if f.transform == "hour":
+        return (
+            F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+            * F.lit(24)
+            + F.hour(c)
+        ).cast("int")
+    if f.transform == "month":
+        return (
+            (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+        ).cast("int")
+    if f.transform == "year":
+        return (F.year(c) - F.lit(1970)).cast("int")
     if f.transform == "bucket":
         return F.pmod(
             F.crc32(c.cast("string").cast("binary")), F.lit(f.n)
@@ -168,10 +219,19 @@ def partition_value(f: PartitionField, v):
         return None
     if f.transform == "identity":
         return v
-    if f.transform == "day":
+    if f.transform in ("day", "hour", "month", "year"):
         if isinstance(v, str):
             v = (_dt.datetime.fromisoformat(v)
                  if len(v) > 10 else _dt.date.fromisoformat(v))
+        if f.transform == "hour":
+            # a bare date literal means midnight: hour-of-day 0
+            h = v.hour if isinstance(v, _dt.datetime) else 0
+            d = v.date() if isinstance(v, _dt.datetime) else v
+            return (d - _EPOCH).days * 24 + h
+        if f.transform == "month":
+            return (v.year - 1970) * 12 + v.month - 1
+        if f.transform == "year":
+            return v.year - 1970
         if isinstance(v, _dt.datetime):
             v = v.date()
         return (v - _EPOCH).days
@@ -197,7 +257,7 @@ def decode_path_value(f: PartitionField, schema: StructType, raw: str):
     if raw == _HIVE_NULL:
         return None
     s = urllib.parse.unquote(raw)
-    if f.transform in ("day", "bucket"):
+    if f.transform in ("day", "hour", "month", "year", "bucket"):
         return int(s)
     if f.transform == "truncate":
         return s
@@ -275,8 +335,7 @@ def keep_file(entry: dict, specs: dict, pred,
                 if any(not _same_kind(pv, tv) for tv in tvs):
                     return True  # an undecidable member might match
                 return pv in tvs
-            if isinstance(pred, Range) and f.transform in ("identity",
-                                                           "day"):
+            if isinstance(pred, Range) and f.transform in _MONOTONE:
                 # monotone transforms only: bucket scrambles order and a
                 # truncate prefix-range needs care we don't attempt
                 if pv is None:

@@ -1873,6 +1873,16 @@ def alter_drop_column(root: str, name: str) -> int:
                 f"column '{name}' is part of UNIQUE key '{uname}'; drop "
                 "the constraint first"
             )
+    spec = m.get("partition_spec")
+    if spec and any(
+        fd["col"].lower() == name.lower() for fd in spec["fields"]
+    ):
+        # without this, every later append/overwrite/compact dies inside
+        # validate_spec with a generic "column not in table schema"
+        raise ValueError(
+            f"column '{name}' is referenced by the current partition "
+            "spec; DROP PARTITION SPEC first"
+        )
     narrowed = StructType(
         [f for f in schema.fields if f.name != name]
     )

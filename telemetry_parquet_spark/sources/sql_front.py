@@ -497,19 +497,26 @@ def _dml(
                 r"(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)", part
             )
             if fm:
-                fields.append(
-                    PartitionField(
-                        fm.group(3), fm.group(1).lower(),
-                        int(fm.group(2)) if fm.group(2) else None,
+                transform = fm.group(1).lower()
+                n = int(fm.group(2)) if fm.group(2) else None
+                if n is not None and transform not in (
+                    "bucket", "truncate"
+                ):
+                    # day(8, ts) would otherwise parse and silently
+                    # record a meaningless n in the committed spec
+                    raise ValueError(
+                        f"SET PARTITION SPEC: {transform} takes no n "
+                        f"argument (got {part!r})"
                     )
-                )
+                fields.append(PartitionField(fm.group(3), transform, n))
             elif re.fullmatch(r"\w+", part):
                 fields.append(PartitionField(part, "identity"))
             else:
                 raise ValueError(
                     f"SET PARTITION SPEC: cannot parse field {part!r} "
-                    "(expected col, identity(col), day(col), "
-                    "bucket(n, col) or truncate(n, col))"
+                    "(expected col, identity(col), day(col), hour(col), "
+                    "month(col), year(col), bucket(n, col) or "
+                    "truncate(n, col))"
                 )
         v = set_partition_spec(root, fields)
         return _version_df(spark, f"set-spec:{len(fields)}_fields", v)

@@ -394,3 +394,47 @@ def test_bucket_join_same_key_name_and_collision_guard(spark, tmp_path):
     anti0, pa = plan_bucket_join(spark, la, empty, ("k", "k"), "left_anti")
     assert pa.passthrough_files >= 1
     assert anti0.count() == left.count()
+
+
+def test_version_resolved_once_per_side(spark, bucketed_pair, monkeypatch):
+    """Regression: the bucket index and the pruning scan must read the
+    SAME manifest version. Before the fix, _side_prune re-resolved
+    latest_version, so a commit landing between the two reads silently
+    dropped files from the join. Pin the invariant: with version=None,
+    each side resolves latest_version exactly ONCE."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+        plan_join,
+    )
+
+    la, rb, fact, dim = bucketed_pair
+    calls: dict[str, int] = {}
+    orig = S.latest_version
+
+    def counting(root):
+        calls[root] = calls.get(root, 0) + 1
+        return orig(root)
+
+    monkeypatch.setattr(S, "latest_version", counting)
+    joined, plan = plan_bucket_join(
+        spark, la, rb, ("cust", "ckey"),
+        left_predicates=[Range("price", 0, 6)],
+        right_predicates=[Range("nation", 0, 3)],
+    )
+    assert calls == {la: 1, rb: 1}
+    exp = (
+        fact.where("price between 0 and 6")
+        .join(dim.where("nation between 0 and 3"),
+              F.col("cust") == F.col("ckey"), "inner")
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    calls.clear()
+    joined2, _ = plan_join(
+        spark, la, rb, [("cust", "ckey")],
+        left_predicates=[Range("price", 0, 6)],
+        right_predicates=[Range("nation", 0, 3)],
+    )
+    assert calls == {la: 1, rb: 1}
+    assert joined2.count() == exp.count()

@@ -606,3 +606,121 @@ def test_compact_where_retuples_region_under_spec(spark, tmp_path):
         spark, root, [Eq("cust", 42)], require_pruning=True
     )
     assert pruned.count() == df.where("cust = 42").count()
+
+
+def _ts_frame(spark, n=2000):
+    """n rows spread over ~42 hours / 4 calendar months of timestamps."""
+    return spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("long").alias("g"),
+        F.to_timestamp(
+            F.lit("2024-01-31 22:00:00")
+        ).alias("base"),
+    ).select(
+        "k", "g",
+        (F.col("base") + F.make_interval(mins=F.col("k") * 75 / 60))
+        .alias("ts"),
+    ).drop("base")
+
+
+def test_hour_transform_write_plan_parity(spark, tmp_path):
+    """hour(ts): JVM write-side tuple == Python plan-side literal value,
+    Range pruning engages, and the planned answer equals the full scan."""
+    root = str(tmp_path / "hspec")
+    df = _ts_frame(spark, 400)  # ~8.3 hours of data, 75s apart
+    from telemetry_parquet_spark.sources.snapshots import append as _append
+
+    _append(spark, root, df.limit(0))  # create with schema
+    set_partition_spec(root, [PartitionField("ts", "hour")])
+    _append(spark, root, df)
+    m = read_manifest(root, latest_version(root))
+    new = set(m["partitions"])
+    assert new  # spec append recorded tuples
+    # write/plan parity: re-derive one file's hour key from its rows
+    f0, e0 = next(iter(sorted(m["partitions"].items())))
+    got = (
+        spark.read.parquet(os.path.join(root, f0))
+        .select(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    fld = PartitionField("ts", "hour")
+    assert partition_value(fld, got.lo) == e0["values"][0]
+    assert partition_value(fld, got.hi) == e0["values"][0]
+    # Range pruning: a 2-hour window keeps a strict subset of files
+    lo, hi = "2024-01-31 23:00:00", "2024-02-01 00:59:59"
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Range("ts", lo, hi)], require_pruning=True
+    )
+    assert any(name == "spec:ts" for name, _ in plan.steps)
+    assert pruned.count() == df.where(
+        f"ts >= '{lo}' and ts <= '{hi}'"
+    ).count()
+
+
+def test_month_year_transforms_prune_and_match(spark, tmp_path):
+    root = str(tmp_path / "myspec")
+    df = _ts_frame(spark, 2000)  # ~41 hours -> 2 months; stretch below
+    df = df.select(
+        "k", "g",
+        (F.col("ts") + F.make_interval(days=F.col("k") % 90)).alias("ts"),
+    )
+    from telemetry_parquet_spark.sources.snapshots import append as _append
+
+    _append(spark, root, df.limit(0))
+    set_partition_spec(root, [PartitionField("ts", "month")])
+    _append(spark, root, df)
+    pruned, plan = plan_snapshot_scan(
+        spark, root,
+        [Range("ts", "2024-03-01 00:00:00", "2024-03-31 23:59:59")],
+        require_pruning=True,
+    )
+    assert any(name == "spec:ts" for name, _ in plan.steps)
+    assert pruned.count() == df.where(
+        "ts >= '2024-03-01' and ts < '2024-04-01'"
+    ).count()
+    # month value parity on the month boundary literal
+    assert partition_value(PartitionField("ts", "month"),
+                           "2024-03-01 00:00:00") == (2024 - 1970) * 12 + 2
+    # year spec on a second table
+    root2 = str(tmp_path / "yspec")
+    df2 = df.select(
+        "k", "g",
+        (F.col("ts") + F.make_interval(years=F.col("k") % 3)).alias("ts"),
+    )
+    _append(spark, root2, df2.limit(0))
+    set_partition_spec(root2, [PartitionField("ts", "year")])
+    _append(spark, root2, df2)
+    pruned2, plan2 = plan_snapshot_scan(
+        spark, root2, [Eq("ts", "2025-06-15 12:00:00")],
+        require_pruning=True,
+    )
+    assert any(name == "spec:ts" for name, _ in plan2.steps)
+    assert pruned2.count() == df2.where(
+        "ts = '2025-06-15 12:00:00'"
+    ).count()
+    assert partition_value(PartitionField("ts", "year"), "2025-06-15") == 55
+
+
+def test_temporal_transform_validation_is_loud(spark, tmp_path):
+    """hour() refuses date columns; temporals refuse an n argument; the
+    drop-column guard refuses to orphan the current spec."""
+    from telemetry_parquet_spark.sources.partition_spec import validate_spec
+    from telemetry_parquet_spark.sources.snapshots import (
+        alter_drop_column,
+        append as _append,
+    )
+
+    root = str(tmp_path / "vspec")
+    df = _frame(spark, 50)
+    _append(spark, root, df)
+    with pytest.raises(ValueError, match="needs a timestamp"):
+        set_partition_spec(root, [PartitionField("d", "hour")])
+    with pytest.raises(ValueError, match="takes no n"):
+        set_partition_spec(root, [PartitionField("d", "day", 8)])
+    with pytest.raises(ValueError, match="takes no n"):
+        validate_spec(df.schema, [PartitionField("k", "identity", 4)])
+    set_partition_spec(root, [PartitionField("d", "day")])
+    with pytest.raises(ValueError, match="DROP PARTITION SPEC first"):
+        alter_drop_column(root, "d")
+    # a non-spec column still drops fine under the spec
+    alter_drop_column(root, "s")

@@ -432,3 +432,22 @@ def test_set_partition_spec_statement(spark, sf_dir, tmp_path):
     assert not head.get("partition_spec")
     assert head.get("specs") and head.get("partitions")
     assert engine_sql(spark, "DESCRIBE SPEC t", t).count() == 0
+
+
+def test_set_partition_spec_rejects_spurious_n(spark, sf_dir, tmp_path):
+    """day(8, ts) / identity(8, c) must error loudly at parse time, not
+    silently record a meaningless n in the committed spec."""
+    root = str(tmp_path / "badspec")
+    append(spark, root, _orders(spark, sf_dir).limit(100))
+    t = {"t": root}
+    for stmt in (
+        "ALTER TABLE t SET PARTITION SPEC (day(8, o_orderdate))",
+        "ALTER TABLE t SET PARTITION SPEC (identity(8, o_custkey))",
+        "ALTER TABLE t SET PARTITION SPEC (hour(4, o_orderdate))",
+    ):
+        with pytest.raises(ValueError, match="takes no n"):
+            engine_sql(spark, stmt, t)
+    # nothing committed by the rejected statements
+    from telemetry_parquet_spark.sources.snapshots import latest_version
+
+    assert read_manifest(root, latest_version(root))["action"] == "append"
