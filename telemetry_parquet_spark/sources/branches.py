@@ -25,6 +25,15 @@ Merging back is metadata-only, with the same two regimes as WAP publish:
   containing a delete/rewrite does NOT commute and the merge refuses —
   callers re-fork rather than silently lose either side's rows.
 
+Partition specs: the fork copies the base version's spec + spec history
++ per-file tuples, branch appends write through the spec-aware
+partitioned writer (``partition_spec.write_partitioned_files``), and
+both merge regimes carry the branch-landed tuples into the merged main
+version — so tuple pruning, partition rollups, and bucket-aligned joins
+keep engaging after a WAP-via-branch land -> audit -> merge lifecycle.
+Branch COW deletes drop the rewritten files' tuples (min/max pruning
+takes over), exactly like main COW.
+
 Branch data files are pinned against ``vacuum`` while the branch exists
 (snapshots.py::vacuum unions branch-manifest references into the live
 set); ``delete_branch`` unpins, and the next vacuum reclaims.
@@ -102,6 +111,33 @@ def _stats_sizes(
     return S._stats_from_parent_manifest(root, files, parent_m)
 
 
+def _spec_meta(
+    parent_m: dict, files: list[str], new_parts: dict | None = None
+) -> dict:
+    """Partition-spec metadata for a branch manifest: the fork-time spec
+    and spec history ride every branch commit (same discipline as
+    snapshots._commit), carried files keep their recorded tuples, and a
+    spec-aware branch append contributes its new files' tuples. Without
+    this, a file landed on a branch of a spec'd table carries no
+    partition tuple and a later merge silently degrades tuple pruning /
+    bucket joins on main."""
+    in_commit = set(files)
+    partitions = {
+        f: e for f, e in (parent_m.get("partitions") or {}).items()
+        if f in in_commit
+    }
+    partitions.update(new_parts or {})
+    return {
+        **(
+            {"partition_spec": parent_m["partition_spec"]}
+            if parent_m.get("partition_spec")
+            else {}
+        ),
+        **({"specs": parent_m["specs"]} if parent_m.get("specs") else {}),
+        **({"partitions": partitions} if partitions else {}),
+    }
+
+
 def create_branch(
     root: str, name: str, from_version: int | str | None = None
 ) -> int:
@@ -135,6 +171,7 @@ def create_branch(
         **({"dv": m["dv"]} if m.get("dv") else {}),
         **({"constraints": m["constraints"]} if m.get("constraints") else {}),
         **({"unique_keys": m["unique_keys"]} if m.get("unique_keys") else {}),
+        **_spec_meta(m, m["files"]),
         "append_only": True,
     }
     return _write_branch_manifest(root, name, 0, fork)
@@ -187,7 +224,20 @@ def branch_append(
     S._validate_constraints(df, bm.get("constraints"))
     unique_audit = S._validate_unique(spark, root, bm, df)
     n = bm["n"] + 1
-    new = S._write_commit_files(df, root, f"{_PREFIX}{name}-c{n:06d}")
+    spec = bm.get("partition_spec")
+    if spec:
+        # the fork-time spec governs branch writes too: tuples must
+        # survive the land -> audit -> merge (WAP-via-branch) lifecycle
+        from telemetry_parquet_spark.sources.partition_spec import (
+            write_partitioned_files,
+        )
+
+        new, new_parts = write_partitioned_files(
+            df, root, f"{_PREFIX}{name}-c{n:06d}", spec
+        )
+    else:
+        new = S._write_commit_files(df, root, f"{_PREFIX}{name}-c{n:06d}")
+        new_parts = {}
     files = bm["files"] + new
     stats, types, sizes, rows, sums, nulls = _stats_sizes(root, files, bm)
     import time as _time
@@ -220,6 +270,7 @@ def branch_append(
                 if bm.get("unique_keys")
                 else {}
             ),
+            **_spec_meta(bm, files, new_parts),
             "append_only": bm.get("append_only", True),
             **unique_audit,
             **(extra or {}),
@@ -300,6 +351,9 @@ def branch_delete_where(
                 if bm.get("unique_keys")
                 else {}
             ),
+            # COW-rewritten files lose their tuples (same as main COW)
+            # and fall back to min/max pruning; carried files keep theirs
+            **_spec_meta(bm, files),
             "append_only": False,
         },
     )
@@ -320,10 +374,15 @@ def merge_branch(
     head = S.latest_version(root)
     mh = S.read_manifest(root, head)
     extra = {**S._carry_meta(mh), "branch": name, "merged_n": bm["n"]}
+    bparts = bm.get("partitions") or {}
     if head == bm["base_version"]:
         files, schema = bm["files"], bm["schema"]
         if bm.get("dv"):
             extra["dv"] = bm["dv"]
+        if bparts:  # branch-landed tuples survive the merge
+            extra["partitions"] = {
+                f: e for f, e in bparts.items() if f in set(files)
+            }
     else:
         if not bm.get("append_only", False):
             raise RuntimeError(
@@ -354,6 +413,9 @@ def merge_branch(
         extra["rebased_from"] = bm["base_version"]
         if mh.get("dv"):
             extra["dv"] = mh["dv"]
+        added_parts = {f: bparts[f] for f in added if f in bparts}
+        if added_parts:  # main-head files keep their own via _commit
+            extra["partitions"] = added_parts
     v = S._commit(root, "branch-merge", files, schema, head, extra)
     if delete:
         delete_branch(root, name)

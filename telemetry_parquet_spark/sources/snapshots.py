@@ -2303,7 +2303,21 @@ def stage_append(
             f"stage_append: schema mismatch (df={sorted(df.columns)}, "
             f"table={sorted(table_cols)})"
         )
-    new = _write_commit_files(df, root, f"{_WAP_PREFIX}{wap_id}")
+    spec = m.get("partition_spec")
+    if spec:
+        # staged files are laid out by the table's spec so their tuples
+        # survive publication (catalog transactions stage through here)
+        from telemetry_parquet_spark.sources.partition_spec import (
+            write_partitioned_files,
+        )
+
+        new, parts = write_partitioned_files(
+            df, root, f"{_WAP_PREFIX}{wap_id}", spec
+        )
+    else:
+        new, parts = _write_commit_files(
+            df, root, f"{_WAP_PREFIX}{wap_id}"
+        ), {}
     import time as _time
 
     fd = os.open(
@@ -2316,6 +2330,7 @@ def stage_append(
                 "action": "wap-append",
                 "parent": parent,
                 "new_files": sorted(new),
+                **({"partitions": parts} if parts else {}),
                 "schema": m["schema"],
                 "staged_at": _time.time(),
             },
@@ -2565,6 +2580,8 @@ def publish_staged(
     extra.update(_validate_unique(spark, root, mh, new_rows))
     if mh.get("dv"):
         extra["dv"] = mh["dv"]
+    if s.get("partitions"):  # spec-staged tuples survive publication
+        extra["partitions"] = s["partitions"]
     v = _commit(
         root, "wap-publish", mh["files"] + s["new_files"],
         mh["schema"], head, extra,

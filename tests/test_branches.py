@@ -207,3 +207,114 @@ def test_streaming_lands_on_branch_then_merges(spark, table, tmp_path):
     assert read_branch(spark, table, "ingest").where("k < 0").count() == 0
     merge_branch(spark, table, "ingest")
     assert S.read_snapshot(spark, table).count() == 140
+
+
+def _spec_table(spark, tmp_path, name="spec_t"):
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    root = str(tmp_path / name)
+    S.append(spark, root, _df(spark, 0, 100))
+    set_partition_spec(root, [PartitionField("g", "bucket", 4)])
+    S.compact_table(spark, root, target_bytes=1 << 26)  # tuple everything
+    return root
+
+
+def test_branch_append_writes_spec_tuples_fast_forward(spark, tmp_path):
+    """The WAP-via-branch lifecycle keeps the table fully tupled: fork a
+    spec'd table, land rows on the branch, audit, fast-forward merge —
+    then the spec fast paths (tuple pruning, partition rollup) still
+    engage on main instead of silently degrading to scans."""
+    from telemetry_parquet_spark.sources.partition_spec import (
+        snapshot_groupby_partition,
+    )
+    from telemetry_parquet_spark.sources.scan_planner import Eq
+
+    root = _spec_table(spark, tmp_path)
+    create_branch(root, "land")
+    branch_append(spark, root, "land", _df(spark, 100, 180))
+    # audit on the branch, then merge (main unchanged -> fast-forward)
+    assert read_branch(spark, root, "land").count() == 180
+    v = merge_branch(spark, root, "land")
+    m = S.read_manifest(root, v)
+    assert set(m["partitions"]) == set(m["files"])  # fully tupled
+    pruned, plan = S.plan_snapshot_scan(
+        spark, root, [Eq("g", 3)], require_pruning=True
+    )
+    assert any(n == "spec:g" for n, _ in plan.steps)
+    assert pruned.count() == 180 // 5  # ids 0..180, g = id % 5
+    # the manifest-only rollup still answers (refuses on untupled files)
+    fields, groups = snapshot_groupby_partition(root, agg_cols=("k",))
+    assert sum(g["n_rows"] for g in groups.values()) == 180
+
+
+def test_branch_append_tuples_survive_rebase_merge(spark, tmp_path):
+    """Main advances while the branch works: the rebase merge carries
+    the branch files' tuples alongside main's own."""
+    from telemetry_parquet_spark.sources.scan_planner import Eq
+
+    root = _spec_table(spark, tmp_path)
+    create_branch(root, "land")
+    branch_append(spark, root, "land", _df(spark, 100, 150))
+    S.append(spark, root, _df(spark, 200, 240))  # concurrent main commit
+    v = merge_branch(spark, root, "land")
+    m = S.read_manifest(root, v)
+    assert set(m["partitions"]) == set(m["files"])
+    assert S.read_snapshot(spark, root).count() == 190
+    pruned, plan = S.plan_snapshot_scan(
+        spark, root, [Eq("g", 2)], require_pruning=True
+    )
+    exp = sum(1 for i in list(range(100, 150)) + list(range(0, 100))
+              + list(range(200, 240)) if i % 5 == 2)
+    assert pruned.count() == exp
+
+
+def test_branch_bucket_join_after_merge(spark, tmp_path):
+    """End-to-end proof the storage-partitioned join survives a branch
+    merge: land rows on a branch of the bucketed fact, merge, then
+    plan_bucket_join runs with zero join shuffles."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    fact = _spec_table(spark, tmp_path, "fact")
+    create_branch(fact, "land")
+    branch_append(spark, fact, "land", _df(spark, 100, 160))
+    merge_branch(spark, fact, "land")
+    dim = str(tmp_path / "dim")
+    S.append(spark, dim, spark.range(0, 5).select(
+        F.col("id").alias("gk"), (F.col("id") * 10).alias("w")
+    ))
+    set_partition_spec(dim, [PartitionField("gk", "bucket", 4)])
+    S.compact_table(spark, dim, target_bytes=1 << 26)
+    joined, plan = plan_bucket_join(
+        spark, fact, dim, ("g", "gk"), require_broadcast=True
+    )
+    assert joined.count() == 160  # every row matches exactly one dim row
+    p = joined._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final.replace("BroadcastExchange", "")
+
+
+def test_branch_cow_delete_drops_tuples_conservatively(spark, tmp_path):
+    """A branch COW delete rewrites files WITHOUT tuples (same as main):
+    the merged table keeps correct answers, fast paths degrade loudly
+    (rollup returns None) instead of answering wrong."""
+    from telemetry_parquet_spark.sources.partition_spec import (
+        snapshot_groupby_partition,
+    )
+
+    root = _spec_table(spark, tmp_path)
+    create_branch(root, "dev")
+    branch_delete_where(spark, root, "dev", "g = 0")
+    v = merge_branch(spark, root, "dev")
+    m = S.read_manifest(root, v)
+    assert set(m["partitions"]) < set(m["files"])  # rewrites untupled
+    assert S.read_snapshot(spark, root).count() == 80
+    assert snapshot_groupby_partition(root, agg_cols=("k",)) is None

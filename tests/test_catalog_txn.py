@@ -408,3 +408,61 @@ def test_table_cataloged_after_snapshot_is_absent_from_pin(spark, cat):
         cat.read(spark, "late", v0)
     v1 = cat.commit_snapshot()
     assert cat.read(spark, "late", v1).count() == 1
+
+
+def test_transaction_append_writes_spec_tuples(spark, cat):
+    """A transactional multi-table commit into spec'd tables stages
+    through the spec-aware writer: after commit, every file carries a
+    partition tuple and point-lookup pruning engages."""
+    from telemetry_parquet_spark.sources import snapshots as S
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+    from telemetry_parquet_spark.sources.scan_planner import Eq
+
+    froot = cat.table_root("facts")
+    droot = cat.table_root("dims")
+    for root, col in ((froot, "k"), (droot, "k")):
+        set_partition_spec(root, [PartitionField(col, "bucket", 4)])
+        S.compact_table(spark, root, target_bytes=1 << 26)
+    with cat.transaction(spark) as txn:
+        txn.append("facts", spark.createDataFrame(
+            [(i, float(i)) for i in range(100, 140)], "k int, x double"
+        ))
+        txn.append("dims", spark.createDataFrame(
+            [(7, "d7")], "k int, name string"
+        ))
+    for root, n in ((froot, 50), (droot, 4)):
+        m = S.read_manifest(root, S.latest_version(root))
+        assert set(m["partitions"]) == set(m["files"]), root
+        assert S.read_snapshot(spark, root).count() == n
+    pruned, plan = S.plan_snapshot_scan(
+        spark, froot, [Eq("k", 120)], require_pruning=True
+    )
+    assert any(name == "spec:k" for name, _ in plan.steps)
+    assert pruned.count() == 1
+
+
+def test_staged_append_tuples_survive_rebased_publish(spark, cat):
+    """stage -> concurrent head move -> publish: the rebased publish
+    still lands the stage-time tuples."""
+    from telemetry_parquet_spark.sources import snapshots as S
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    root = cat.table_root("facts")
+    set_partition_spec(root, [PartitionField("k", "bucket", 4)])
+    S.compact_table(spark, root, target_bytes=1 << 26)
+    S.stage_append(spark, root, spark.createDataFrame(
+        [(200, 1.0)], "k int, x double"
+    ), "w1")
+    S.append(spark, root, spark.createDataFrame(  # head moves
+        [(300, 2.0)], "k int, x double"
+    ))
+    v = S.publish_staged(spark, root, "w1")
+    m = S.read_manifest(root, v)
+    assert set(m["partitions"]) == set(m["files"])
+    assert S.read_snapshot(spark, root).count() == 12
