@@ -1913,3 +1913,153 @@ def snapshot_partition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out.inputFiles():
         raise RuntimeError("metadata rollup read data files")
     return out
+
+
+@query(
+    "snapshot_rollup_mor",
+    # per-day COUNT/SUM over the SURVIVING rows of a MOR-deleted table:
+    # the engine answers from the manifest + per-vector sidecar deltas,
+    # the oracle from the plain filtered GROUP BY — the metadata path
+    # must be invisible.
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events WHERE NOT (event_id % 10 = 3) GROUP BY 1
+    """,
+)
+def snapshot_rollup_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-aware partitions-metadata rollup: on a day(ts)-partitioned
+    events table with an outstanding merge-on-read delete, the per-day
+    COUNT/SUM still comes from the MANIFEST alone — each deletion
+    vector's agg sidecar carries a per-source-file breakdown
+    (snapshots._write_dv_agg_sidecar) that the rollup subtracts from
+    the file's partition tuple. At 100 TB: per-partition aggregates of
+    a MOR-deleted table with zero data I/O, cost ∝ file count + one
+    tiny JSON per vector (inputFiles() raise asserts no scan)."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+        snapshot_groupby_partition,
+    )
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        create_table,
+        delete_where_mor,
+    )
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(root: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        create_table(root, ev.schema)
+        set_partition_spec(root, [PartitionField("ts", "day")])
+        append(spark, root, ev)
+        delete_where_mor(spark, root, "event_id % 10 = 3")
+
+    root = materialize_cached(
+        spark, src,
+        "snapmor_events_" + os.path.basename(sf_dir.rstrip("/")), build,
+    )
+    got = snapshot_groupby_partition(root, agg_cols=("event_id",))
+    if got is None:
+        raise RuntimeError(
+            "DV-aware rollup did not engage (scan fallback)"
+        )
+    fields, groups = got
+    if [f["transform"] for f in fields] != ["day"]:
+        raise RuntimeError(f"unexpected spec {fields}")
+    rows = [
+        (
+            (_dt.date(1970, 1, 1) + _dt.timedelta(days=key[0]))
+            if key[0] is not None
+            else None,
+            g["n_rows"],
+            g["sum"]["event_id"],
+        )
+        for key, g in sorted(
+            groups.items(), key=lambda kv: (kv[0][0] is None, kv[0][0])
+        )
+    ]
+    out = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("day", DateType(), True),
+                StructField("n_events", LongType(), False),
+                StructField("sum_event_id", LongType(), False),
+            ]
+        ),
+    )
+    if out.inputFiles():
+        raise RuntimeError("metadata rollup read data files")
+    return out
+
+
+@query(
+    "snapshot_hour_prune",
+    # a 6-hour window over a 720-hour table: the engine prunes by the
+    # hour(ts) partition tuples (require_pruning raises if the spec
+    # pass kept everything), the oracle filters plainly.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 06:00:00'
+      AND ts <= TIMESTAMP '2024-01-05 11:59:59'
+    GROUP BY event_type
+    """,
+)
+def snapshot_hour_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-partitioning on hour(ts) (partition_spec.py): an
+    hour-partitioned events table serves a 6-hour window by reading
+    ~6/720ths of its files — the tuple decides from the manifest, the
+    residual filter keeps the answer exact. The 100 TB shape for
+    event-time dashboards: file pruning ∝ window width, no directory
+    convention in user queries (vs the reference's hand-built per-day
+    layouts, views/package.scala day-key lineage)."""
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+    from telemetry_parquet_spark.sources.scan_planner import Range
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        create_table,
+        plan_snapshot_scan,
+    )
+    from telemetry_parquet_spark.sources.tables import load_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(root: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        create_table(root, ev.schema)
+        set_partition_spec(root, [PartitionField("ts", "hour")])
+        append(spark, root, ev)
+
+    root = materialize_cached(
+        spark, src,
+        "snaphour_events_" + os.path.basename(sf_dir.rstrip("/")), build,
+    )
+    lo, hi = "2024-01-05 06:00:00", "2024-01-05 11:59:59"
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Range("ts", lo, hi)], require_pruning=True
+    )
+    if not any(name == "spec:ts" for name, _ in plan.steps):
+        raise RuntimeError("hour(ts) spec pruning did not engage")
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+    )

@@ -497,9 +497,20 @@ def snapshot_groupby_partition(
     "count": {col: int}}})`` or ``None`` when metadata cannot answer
     exactly (caller falls back to a scan — never a wrong answer):
     any untupled file, files from MIXED specs (their tuples group
-    different things), a missing row count or sums entry, a non-integer
-    or temporal-encoded agg column, or outstanding deletion vectors
-    (their masked rows would need per-tuple sidecar attribution).
+    different things), a missing row count or sums entry, or a
+    non-integer / temporal-encoded agg column.
+
+    Outstanding deletion vectors stay metadata-only: each vector's agg
+    sidecar records a PER-SOURCE-FILE breakdown of the rows it masks
+    (``snapshots._write_dv_agg_sidecar``), and since every source file
+    carries a partition tuple, the per-tuple rollup subtracts each
+    delta from its file's group — per-tuple COUNT/SUM through MOR
+    deletes/updates without reading a data file. Refuses (scan
+    fallback) on a pre-format-2 sidecar (no breakdown), a missing
+    sidecar, or a delta for an untupled/unknown file. A group fully
+    emptied by deletes is dropped — SQL's GROUP BY over the surviving
+    rows would not emit it.
+
     A group whose agg count is 0 is reported with sum 0 / count 0 —
     SQL's per-group ``SUM`` would be NULL there; callers converting to
     SQL results must map it (the scan fallback is always available)."""
@@ -507,8 +518,6 @@ def snapshot_groupby_partition(
 
     v = S.latest_version(root) if version is None else version
     m = S.read_manifest(root, v)
-    if m.get("dv"):
-        return None
     files = m["files"]
     parts = m.get("partitions") or {}
     if not files or set(parts) != set(files):
@@ -558,4 +567,23 @@ def snapshot_groupby_partition(
                 return None
             g["sum"][c] += int(ent[0])
             g["count"][c] += int(ent[1])
+    for dvf in m.get("dv") or []:
+        agg = S._read_dv_agg_sidecar(root, dvf)
+        if agg is None or agg.get("per_file") is None:
+            return None  # no per-file breakdown -> scan fallback
+        for f, delta in agg["per_file"].items():
+            # parts covers exactly the live files (checked above), so a
+            # delta for any other file is unattributable
+            if f not in parts:
+                return None  # -> scan fallback
+            g = out[tuple(parts[f]["values"])]
+            g["n_rows"] -= int(delta["n"])
+            for c in canon:
+                ent = (delta.get("sums") or {}).get(c)
+                if ent is None:
+                    return None
+                g["sum"][c] -= int(ent[0])
+                g["count"][c] -= int(ent[1])
+    # a group fully emptied by deletes is not a group at all in SQL
+    out = {k: g for k, g in out.items() if g["n_rows"] > 0}
     return fields, out

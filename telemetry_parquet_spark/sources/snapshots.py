@@ -791,14 +791,24 @@ def _write_dv_agg_sidecar(
     matched: DataFrame,
     schema: StructType,
 ) -> None:
-    """Record the integer-column [sum, n_nonnull] of the rows a deletion
-    vector masks, as a JSON SIDECAR next to the vector file. Keyed by
-    the DV file's own immutable path, the delta needs NO carry logic:
-    wherever a manifest references the vector, ``snapshot_sum`` finds
-    the sidecar and subtracts — so SUM/AVG/COUNT(col) stay metadata-only
-    through merge-on-read deletes and updates. Cost: one extra
-    aggregation pass over the matched rows at delete time (column-pruned
-    to the integer columns), the standard stats-maintenance trade.
+    """Record the aggregate of the rows a deletion vector masks, as a
+    JSON SIDECAR next to the vector file — BOTH the table total and a
+    PER-SOURCE-FILE breakdown:
+
+    - ``total``: {col: [sum, n_nonnull]} per integer column — what
+      ``snapshot_sum`` subtracts for whole-table SUM/AVG/COUNT(col).
+    - ``per_file``: {rel_file: {"n": deleted_rows,
+      "sums": {col: [sum, n_nonnull]}}} — what
+      ``snapshot_groupby_partition`` uses to attribute each vector's
+      deleted rows to their file's PARTITION TUPLE, keeping the
+      per-tuple rollup a manifest read through MOR deletes/updates.
+
+    Keyed by the DV file's own immutable path, the delta needs NO carry
+    logic: wherever a manifest references the vector, readers find the
+    sidecar and subtract. Cost: one extra groupBy(__file) pass over the
+    matched rows at delete time (column-pruned to the integer columns),
+    the standard stats-maintenance trade; the total is folded from the
+    per-file rows driver-side (group count = file count, driver-sized).
     Written only when the vector is a single file (it always is:
     ``repartition(1)``); a missing sidecar is never wrong — readers fall
     back to a scan."""
@@ -808,32 +818,53 @@ def _write_dv_agg_sidecar(
         f.name for f in schema.fields
         if f.dataType.typeName() in ("long", "integer", "short", "byte")
     ]
-    if not cols:
-        agg: dict[str, list] = {}
+    if "__file" not in matched.columns:  # empty-table staged vector:
+        per_rows = []                    # masks nothing, zero sidecar
     else:
-        row = matched.agg(
+        per_rows = matched.groupBy("__file").agg(
+            F.count(F.lit(1)).alias("__n"),
             *[F.sum(F.col(c).cast("long")).alias(f"s_{c}") for c in cols],
             *[F.count(F.col(c)).alias(f"n_{c}") for c in cols],
-        ).first()
-        agg = {
-            c: [
-                int(row[f"s_{c}"]) if row[f"s_{c}"] is not None else 0,
-                int(row[f"n_{c}"]),
-            ]
-            for c in cols
+        ).collect()
+    per_file = {
+        r["__file"]: {
+            "n": int(r["__n"]),
+            "sums": {
+                c: [
+                    int(r[f"s_{c}"]) if r[f"s_{c}"] is not None else 0,
+                    int(r[f"n_{c}"]),
+                ]
+                for c in cols
+            },
         }
+        for r in per_rows
+    }
+    total = {
+        c: [
+            sum(e["sums"][c][0] for e in per_file.values()),
+            sum(e["sums"][c][1] for e in per_file.values()),
+        ]
+        for c in cols
+    }
     with open(
         os.path.join(root, dv_files[0] + _DV_AGG_SUFFIX), "w"
     ) as f:
-        json.dump(agg, f)
+        json.dump({"_fmt": 2, "total": total, "per_file": per_file}, f)
 
 
 def _read_dv_agg_sidecar(root: str, dv_file: str) -> dict | None:
+    """Normalized sidecar: {"total": {col: [s, n]}, "per_file": ... or
+    None}. Pre-format-2 sidecars (flat {col: [s, n]}) normalize with
+    per_file=None — the per-tuple rollup falls back to a scan for them,
+    the global sum keeps working."""
     try:
         with open(os.path.join(root, dv_file + _DV_AGG_SUFFIX)) as f:
-            return json.load(f)
+            d = json.load(f)
     except (OSError, ValueError):
         return None  # pre-feature or foreign vector -> caller falls back
+    if isinstance(d.get("_fmt"), int):
+        return {"total": d["total"], "per_file": d.get("per_file")}
+    return {"total": d, "per_file": None}
 
 
 def snapshot_sum(
@@ -881,7 +912,7 @@ def snapshot_sum(
         total_n += int(ent[1])
     for dvf in m.get("dv", []) or []:
         agg = _read_dv_agg_sidecar(root, dvf)
-        ent = (agg or {}).get(col)
+        ent = (agg or {}).get("total", {}).get(col)
         if ent is None:
             return None
         total_s -= int(ent[0])

@@ -369,9 +369,24 @@ def test_groupby_partition_rollup_exact_and_refusals(spark, tmp_path):
     # non-integer agg column -> refuse; unknown column -> refuse
     assert snapshot_groupby_partition(root, agg_cols=("s",)) is None
     assert snapshot_groupby_partition(root, agg_cols=("nope",)) is None
-    # outstanding deletion vectors -> refuse
+    # outstanding deletion vectors: answered EXACTLY via the vectors'
+    # per-file sidecar deltas (test_rollup_stays_metadata_only_through_
+    # mor_deletes covers the full matrix)
     delete_where_mor(spark, root, "cust = 13")
-    assert snapshot_groupby_partition(root, agg_cols=("cust",)) is None
+    got2 = snapshot_groupby_partition(root, agg_cols=("cust",))
+    assert got2 is not None
+    live = df.where("cust <> 13")
+    exp2 = {
+        (r.day,): (r.n, r.s)
+        for r in live.groupBy(
+            F.datediff("d", F.lit("1970-01-01").cast("date")).alias("day")
+        )
+        .agg(F.count("*").alias("n"), F.sum("cust").alias("s"))
+        .collect()
+    }
+    assert {
+        k: (g["n_rows"], g["sum"]["cust"]) for k, g in got2[1].items()
+    } == exp2
 
 
 def test_cross_typed_literals_keep_not_misprune(spark, tmp_path):
@@ -724,3 +739,90 @@ def test_temporal_transform_validation_is_loud(spark, tmp_path):
         alter_drop_column(root, "d")
     # a non-spec column still drops fine under the spec
     alter_drop_column(root, "s")
+
+
+def test_rollup_stays_metadata_only_through_mor_deletes(spark, tmp_path):
+    """DV-aware partition rollup: each vector's per-file sidecar delta
+    is attributed to its file's tuple, so per-tuple COUNT/SUM stays a
+    manifest read through MOR deletes; the MOR update's untupled fresh
+    copies refuse; a pre-format-2 sidecar (no breakdown) refuses to
+    scan fallback; an emptied group disappears like SQL's GROUP BY
+    would."""
+    import json as _json
+
+    from telemetry_parquet_spark.sources.partition_spec import (
+        snapshot_groupby_partition,
+    )
+    from telemetry_parquet_spark.sources.snapshots import (
+        _DV_AGG_SUFFIX,
+        create_table,
+        delete_where_mor,
+        snapshot_sum,
+        update_where_mor,
+    )
+
+    root = str(tmp_path / "mor_rollup")
+    df = _frame(spark, 600)
+    create_table(root, df.schema)
+    set_partition_spec(root, [PartitionField("d", "day")])
+    append(spark, root, df)
+
+    def _expected():
+        cur = read_snapshot(spark, root)
+        return {
+            (r.dd,): (r.n, r.s, r.c)
+            for r in cur.groupBy(
+                F.datediff("d", F.lit("1970-01-01").cast("date")).alias("dd")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cust").alias("s"),
+                F.count("cust").alias("c"),
+            ).collect()
+        }
+
+    def _got():
+        got = snapshot_groupby_partition(root, agg_cols=("cust",))
+        assert got is not None, "rollup fell back under MOR deletes"
+        _, groups = got
+        return {
+            k: (g["n_rows"], g["sum"]["cust"], g["count"]["cust"])
+            for k, g in groups.items()
+        }
+
+    delete_where_mor(spark, root, "cust % 7 = 3")
+    assert _got() == _expected()
+    delete_where_mor(spark, root, "cust % 11 = 5")  # stacked vectors
+    assert _got() == _expected()
+    update_where_mor(spark, root, "cust % 5 = 0", {"cust": "cust + 1"})
+    # the update's fresh copies are untupled (plain MOR data files), so
+    # the rollup refuses -- conservative, never wrong
+    assert snapshot_groupby_partition(root, agg_cols=("cust",)) is None
+
+    # fresh table: delete EVERY row of one day -> that group vanishes
+    root2 = str(tmp_path / "mor_empty_group")
+    create_table(root2, df.schema)
+    set_partition_spec(root2, [PartitionField("d", "day")])
+    append(spark, root2, df)
+    delete_where_mor(spark, root2, "d = '2024-01-03'")
+    got = snapshot_groupby_partition(root2, agg_cols=("cust",))
+    assert got is not None
+    keys = {k[0] for k in got[1]}
+    day_20240103 = partition_value(PartitionField("d", "day"), "2024-01-03")
+    assert day_20240103 not in keys and len(keys) == 4
+    assert df.where("d <> '2024-01-03'").count() == sum(
+        g["n_rows"] for g in got[1].values()
+    )
+
+    # pre-format-2 sidecar (flat {col: [s, n]}): global sum still works,
+    # the per-tuple rollup refuses
+    m = read_manifest(root2, latest_version(root2))
+    side = os.path.join(root2, m["dv"][0] + _DV_AGG_SUFFIX)
+    with open(side) as f:
+        v2 = _json.load(f)
+    with open(side, "w") as f:
+        _json.dump(v2["total"], f)  # rewrite in the legacy flat shape
+    assert snapshot_groupby_partition(root2, agg_cols=("cust",)) is None
+    exp = read_snapshot(spark, root2).agg(
+        F.sum("cust"), F.count("cust")
+    ).first()
+    assert snapshot_sum(root2, "cust") == (exp[0], exp[1])
