@@ -2063,3 +2063,94 @@ def snapshot_hour_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("event_id").cast("long").alias("sum_event_id"),
     )
+
+
+@query(
+    "snapshot_bucket_join_oneside",
+    # One-side storage-partitioned join: orders is bucket(8) on
+    # o_custkey, customer is a PLAIN unbucketed table -- the planner
+    # shuffles ONLY customer into the bucket layout (one exchange, on
+    # the dim; plan-string-asserted) and the fact's files never move.
+    # LEFT OUTER keeps every order: custs with nationkey >= 20 are
+    # filtered out of the dim BEFORE its shuffle, so their orders
+    # surface with NULL customer columns (folded to nation -1). The
+    # oracle is the plain filtered outer join + aggregate.
+    oracle=f"""
+    SELECT COALESCE(c_nationkey, -1) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_SUM} AS sum_price_cents
+    FROM (SELECT * FROM orders WHERE o_orderkey % 3 = 0) o
+    LEFT JOIN (SELECT * FROM customer WHERE c_nationkey BETWEEN 0 AND 19)
+      ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def snapshot_bucket_join_oneside(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-side-bucketed storage-partitioned LEFT OUTER join
+    (join_planner.py::plan_bucket_join + _stage_into_buckets): the
+    bucketed fact streams its own bucket files; the unbucketed dim is
+    scan-pruned, shuffled ONCE into the fact's crc32-bucket layout, and
+    each staged bucket broadcasts into its fact bucket -- at 100 TB the
+    dominant join shape (fact bucketed at write time, dim too large to
+    broadcast whole, outer semantics for coverage reporting). The left
+    predicate (okey3 = 0, a derived modulus column) prunes the fact via
+    min/max stats; the right predicate filters the dim BEFORE its
+    single shuffle. Unmatched orders pass through with typed-NULL
+    customer columns."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+    from telemetry_parquet_spark.sources.scan_planner import Eq, Range
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+    )
+
+    osrc = os.path.join(sf_dir, "orders.parquet")
+    csrc = os.path.join(sf_dir, "customer.parquet")
+
+    def build_orders(root: str) -> None:
+        orders = spark.read.parquet(osrc).withColumn(
+            "okey3", (F.col("o_orderkey") % 3).cast("long")
+        )
+        append(spark, root, orders)
+        set_partition_spec(
+            root, [PartitionField("o_custkey", "bucket", 8)]
+        )
+        compact_table(spark, root, target_bytes=128 * 1024 * 1024)
+
+    def build_customer(root: str) -> None:
+        append(spark, root, spark.read.parquet(csrc))  # never tupled
+
+    oroot = materialize_cached(
+        spark, osrc,
+        "snapbj1_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build_orders,
+    )
+    croot = materialize_cached(
+        spark, csrc,
+        "snapbj1_customer_" + os.path.basename(sf_dir.rstrip("/")),
+        build_customer,
+    )
+    joined, plan = plan_bucket_join(
+        spark, oroot, croot, ("o_custkey", "c_custkey"),
+        how="left_outer",
+        left_predicates=[Eq("okey3", 0)],
+        right_predicates=[Range("c_nationkey", 0, 19)],
+    )
+    if plan.staged_side != "right":
+        raise RuntimeError(f"staging did not engage: {plan.staged_side}")
+    stage = (plan.staging_plan or "").split("== Initial Plan ==")[0]
+    if stage.replace("BroadcastExchange", "").count("Exchange") != 1:
+        raise RuntimeError("staging paid more than one exchange")
+    return joined.groupBy(
+        F.coalesce(F.col("c_nationkey"), F.lit(-1))
+        .cast("long")
+        .alias("nation")
+    ).agg(F.count("*").cast("long").alias("n_orders"), _sum_cents())

@@ -170,16 +170,24 @@ class BucketJoinPlan:
     """The bucket-aligned decision record: one row per co-located bucket
     pair — (bucket, left_bytes, right_bytes, broadcast side or None) —
     plus what the alignment routed around the join: NULL-key files that
-    can never match (dropped for inner/semi; for anti, LEFT NULL-key
-    files pass through unjoined instead), buckets empty on one side,
-    and (anti) left files whose bucket has no right files at all —
-    their rows are unmatched BY THE MANIFEST, no data read needed."""
+    can never match (dropped for inner/semi; for anti/outer, LEFT
+    NULL-key files pass through unjoined instead), buckets empty on one
+    side, and (anti/outer) left files whose bucket has no right files at
+    all — their rows are unmatched BY THE MANIFEST, no data read needed.
+
+    ``staged_side``/``staging_plan``: set when one side carried no
+    bucket spec and was shuffled into the bucket layout (the one-side
+    storage-partitioned join) — the staging frame's physical plan is
+    recorded so callers can assert the promise 'exactly one exchange,
+    on the unbucketed side'."""
 
     n_buckets: int
     pairs: list
     dropped_null_files: int
     skipped_buckets: int
     passthrough_files: int = 0
+    staged_side: str | None = None
+    staging_plan: str | None = None
 
 
 def _bucket_index(m: dict, key: str) -> tuple[int, dict]:
@@ -222,6 +230,66 @@ def _bucket_index(m: dict, key: str) -> tuple[int, dict]:
     return n_global or 0, out
 
 
+def _stage_into_buckets(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    key: str,
+    n: int,
+    predicates: list | None,
+    version: int,
+) -> tuple[dict, str, str]:
+    """Shuffle an UNBUCKETED side into the bucket layout — the missing
+    half of the storage-partitioned join. ONE job: scan-prune the side
+    through ``plan_snapshot_scan`` (predicates filter BEFORE the
+    shuffle), derive ``__b = crc32(utf8(key)) % n`` (bit-identical to
+    partition_spec's write-side bucket), repartition BY ``__b`` (the
+    single exchange this plan pays, on this side only), and write
+    per-bucket files to a scratch directory. NULL keys land in the hive
+    default dir -> bucket None, same semantics as a None-tuple file.
+    Returns ({rel_file: bucket}, scratch_root, staging physical plan).
+
+    At 100 TB this is the bucketed-fact ⋈ mid-size-dim shape: the fact
+    side streams its own bucket files untouched, only the dim's
+    (pruned) bytes cross the network once, and the staged layout is a
+    reusable artifact for the query's lifetime."""
+    import json as _json
+    import os
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    df, _ = S.plan_snapshot_scan(
+        spark, root, predicates or [], version=version
+    )
+    schema = StructType.fromJson(_json.loads(m["schema"]))
+    if key.lower() not in {c.lower() for c in schema.fieldNames()}:
+        raise ValueError(f"bucket join: no column {key!r} to stage on")
+    staged = df.select(
+        "*",
+        F.pmod(
+            F.crc32(F.col(key).cast("string").cast("binary")), F.lit(n)
+        ).cast("int").alias("__b"),
+    ).repartition(F.col("__b"))
+    plan_str = staged._jdf.queryExecution().executedPlan().toString()
+    scratch = os.path.join(
+        tempfile.mkdtemp(prefix="bucket_stage_"), "staged"
+    )
+    staged.write.partitionBy("__b").mode("error").parquet(scratch)
+    buckets: dict = {}
+    for dirpath, _dirs, names in os.walk(scratch):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, name), scratch)
+            seg = next(
+                (p for p in rel.split(os.sep) if p.startswith("__b=")), ""
+            )
+            raw = seg[len("__b="):]
+            buckets[rel] = int(raw) if raw.isdigit() else None
+    return buckets, scratch, plan_str
+
+
 def plan_bucket_join(
     spark: SparkSession,
     left_root: str,
@@ -236,8 +304,8 @@ def plan_bucket_join(
     right_version: int | None = None,
 ) -> tuple[DataFrame, BucketJoinPlan]:
     """Storage-partitioned equi-join (``inner`` / ``left_semi`` /
-    ``left_anti``) of two snapshot tables whose files are
-    bucket-partitioned on the join key with the SAME width
+    ``left_anti`` / ``left_outer``) of two snapshot tables whose files
+    are bucket-partitioned on the join key with the SAME width
     (partition_spec.py's crc32 bucket — write-side layout IS the join
     plan): an equi-join decomposes exactly by any function of the key,
     so the planner pairs each bucket's files across the two tables and
@@ -268,15 +336,29 @@ def plan_bucket_join(
     filter-then-join. For semi/anti, ``right_predicates`` select which
     right rows count as matches (the filtered-subquery semantics).
 
+    ONE-SIDE-BUCKETED regime (the dominant 100 TB shape: bucketed fact
+    ⋈ dim too large to broadcast): when exactly one side carries no
+    bucket tuple on its key, that side is SHUFFLED INTO the other's
+    bucket layout first (``_stage_into_buckets``: scan-prune, derive
+    the same crc32 bucket, repartition by it, write per-bucket files)
+    — exactly one exchange, paid by the unbucketed side only; the
+    bucketed side's files never move. The per-bucket broadcast plan
+    then runs unchanged over the staged layout, and the plan record
+    carries ``staged_side`` + the staging frame's physical plan so
+    callers can assert the single-exchange promise. Both sides
+    unbucketed still raises (migrate one with ``compact_table``).
+
     Join-type semantics, all from "NULL matches nothing":
     inner/left_semi drop NULL-key files on both sides and skip buckets
-    empty on either side; left_anti passes unmatched left files
-    through and still drops right NULL-key files. Outer joins are NOT
-    offered (they would need both sides' unmatched rows preserved
-    across the union — a different plan shape). Loud guardrails: both
-    sides must be FULLY tupled at one width (raise → ``compact_table``
-    migrates); outstanding deletion vectors refuse; semi/anti can only
-    broadcast the right side (Spark build-side legality).
+    empty on either side; left_anti and left_outer pass unmatched left
+    files through (outer pads them with typed-NULL right columns) and
+    still drop right NULL-key files. Full/right outer joins are NOT
+    offered (they would need the RIGHT side's unmatched rows preserved
+    across the union — a different plan shape). Loud guardrails: each
+    bucketed side must be FULLY tupled at one width (raise →
+    ``compact_table`` migrates); outstanding deletion vectors refuse;
+    semi/anti/left_outer can only broadcast the right side (Spark
+    build-side legality).
     """
     import json as _json
     import os
@@ -284,11 +366,11 @@ def plan_bucket_join(
 
     from pyspark.sql.types import StructType
 
-    how = how.lower()
-    if how not in ("inner", "left_semi", "left_anti"):
+    how = {"left": "left_outer"}.get(how.lower(), how.lower())
+    if how not in ("inner", "left_semi", "left_anti", "left_outer"):
         raise ValueError(
             f"plan_bucket_join: unsupported join type {how!r} "
-            "(inner / left_semi / left_anti)"
+            "(inner / left_semi / left_anti / left_outer)"
         )
     lkey, rkey = on
     # resolve each side's version ONCE and use it for BOTH the bucket
@@ -303,8 +385,33 @@ def plan_bucket_join(
     rm = S.read_manifest(right_root, rv)
     S._require_no_dv(lm, "plan_bucket_join")
     S._require_no_dv(rm, "plan_bucket_join")
-    ln, lbuckets = _bucket_index(lm, lkey)
-    rn, rbuckets = _bucket_index(rm, rkey)
+    lerr = rerr = None
+    try:
+        ln, lbuckets = _bucket_index(lm, lkey)
+    except ValueError as e:
+        ln, lbuckets, lerr = 0, {}, e
+    try:
+        rn, rbuckets = _bucket_index(rm, rkey)
+    except ValueError as e:
+        rn, rbuckets, rerr = 0, {}, e
+    if lerr and rerr:
+        raise lerr  # neither side aligned: migration is the answer
+    # exactly one side unbucketed: shuffle ONLY that side into the
+    # other's bucket layout (the storage-partitioned-join completion —
+    # the bucketed fact never moves, the dim pays one exchange). width
+    # `or 1` covers an empty tupled side: alignment is vacuous then.
+    staged_side = staging_plan = None
+    lbase, rbase = left_root, right_root
+    if lerr:
+        lbuckets, lbase, staging_plan = _stage_into_buckets(
+            spark, left_root, lm, lkey, rn or 1, left_predicates, lv
+        )
+        ln, staged_side, left_predicates = rn or 1, "left", None
+    elif rerr:
+        rbuckets, rbase, staging_plan = _stage_into_buckets(
+            spark, right_root, rm, rkey, ln or 1, right_predicates, rv
+        )
+        rn, staged_side, right_predicates = ln or 1, "right", None
     # a zero-file side reports width 0 (nothing to align): the empty
     # inner join / full-left anti passthrough below is the right answer,
     # not a migration error
@@ -338,25 +445,28 @@ def plan_bucket_join(
     )
     lschema = StructType.fromJson(_json.loads(lm["schema"]))
     rschema = StructType.fromJson(_json.loads(rm["schema"]))
-    if how == "inner":
+    using = lkey.lower() == rkey.lower()
+    if how in ("inner", "left_outer"):
         shared = {c.lower() for c in lschema.fieldNames()} & {
             c.lower() for c in rschema.fieldNames()
-        } - ({lkey.lower()} if lkey.lower() == rkey.lower() else set())
+        } - ({lkey.lower()} if using else set())
         if shared:
             raise ValueError(
                 f"bucket join: both sides carry column(s) {sorted(shared)}"
-                " — the inner join's output would hold ambiguous "
+                f" — the {how} join's output would hold ambiguous "
                 "duplicates; rename one side first (same-named JOIN KEYS "
                 "are fine: they dedupe via the USING form)"
             )
-    lsizes, rsizes = lm.get("sizes", {}), rm.get("sizes", {})
+    lsizes = {} if staged_side == "left" else lm.get("sizes", {})
+    rsizes = {} if staged_side == "right" else rm.get("sizes", {})
 
     by_bucket: dict[int, tuple[list, list]] = {}
     dropped = 0
-    passthrough: list[str] = []  # anti: unmatched-by-manifest left files
+    # anti/outer: unmatched-by-manifest left files pass through unjoined
+    passthrough: list[str] = []
     for f, b in lbuckets.items():
         if b is None:
-            if how == "left_anti":
+            if how in ("left_anti", "left_outer"):
                 passthrough.append(f)
             else:
                 dropped += 1
@@ -372,7 +482,7 @@ def plan_bucket_join(
     for b in sorted(by_bucket):
         lf, rf = by_bucket[b]
         if not lf or not rf:
-            if lf and how == "left_anti":
+            if lf and how in ("left_anti", "left_outer"):
                 passthrough.extend(lf)
             else:
                 skipped += 1
@@ -390,13 +500,13 @@ def plan_bucket_join(
                 total += n
             return total
 
-        lb = _bytes(lf, lsizes, left_root)
-        rb = _bytes(rf, rsizes, right_root)
+        lb = _bytes(lf, lsizes, lbase)
+        rb = _bytes(rf, rsizes, rbase)
         ldf = spark.read.schema(lschema).parquet(
-            *[os.path.join(left_root, f) for f in sorted(lf)]
+            *[os.path.join(lbase, f) for f in sorted(lf)]
         )
         rdf = spark.read.schema(rschema).parquet(
-            *[os.path.join(right_root, f) for f in sorted(rf)]
+            *[os.path.join(rbase, f) for f in sorted(rf)]
         )
         if lresidual is not None:
             ldf = ldf.where(lresidual)
@@ -407,6 +517,8 @@ def plan_bucket_join(
             (size, side)
             for size, side in ((lb, "left"), (rb, "right"))
             if size <= broadcast_threshold
+            # Spark cannot broadcast the row-preserved side of an
+            # outer join nor the left side of a semi/anti
             and (how == "inner" or side == "right")
         ]
         if fits:
@@ -422,7 +534,7 @@ def plan_bucket_join(
                 f"{broadcast_threshold} B)"
             )
         pairs.append((b, lb, rb, choice))
-        if how == "inner" and lkey.lower() == rkey.lower():
+        if how in ("inner", "left_outer") and using:
             # USING form: same-named keys dedupe to one output column
             # (the expression form would emit both and break the union)
             parts.append(ldf.join(rdf, on=[lkey], how=how))
@@ -431,23 +543,42 @@ def plan_bucket_join(
 
     if passthrough:
         pt = spark.read.schema(lschema).parquet(
-            *[os.path.join(left_root, f) for f in sorted(passthrough)]
+            *[os.path.join(lbase, f) for f in sorted(passthrough)]
         )
-        parts.append(pt if lresidual is None else pt.where(lresidual))
+        if lresidual is not None:
+            pt = pt.where(lresidual)
+        if how == "left_outer":
+            # unmatched-by-manifest rows still carry the join's output
+            # schema: right columns (minus a USING-deduped key) as
+            # typed NULLs
+            add = [
+                f for f in rschema.fields
+                if not (using and f.name.lower() == rkey.lower())
+            ]
+            pt = pt.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in add
+                ],
+            )
+        parts.append(pt)
     if parts:
         joined = reduce(lambda a, c: a.unionByName(c), parts)
-    elif how == "inner":  # no overlapping non-empty buckets
+    elif how in ("inner", "left_outer"):  # no rows to emit at all
         le = spark.createDataFrame([], lschema)
         re_ = spark.createDataFrame([], rschema)
-        if lkey.lower() == rkey.lower():  # match the USING-form schema
-            joined = le.join(re_, on=[lkey], how="inner")
+        if using:  # match the USING-form schema
+            joined = le.join(re_, on=[lkey], how=how)
         else:
             joined = le.alias("l").join(
                 re_.alias("r"),
                 F.col(f"l.{lkey}") == F.col(f"r.{rkey}"),
-                "inner",
+                how,
             )
     else:  # semi/anti output schema is the left schema
         joined = spark.createDataFrame([], lschema)
-    return joined, BucketJoinPlan(max(ln, rn), pairs, dropped, skipped,
-                                  len(passthrough))
+    return joined, BucketJoinPlan(
+        max(ln, rn), pairs, dropped, skipped, len(passthrough),
+        staged_side, staging_plan,
+    )

@@ -199,11 +199,10 @@ def test_bucket_join_refuses_untupled_and_mixed_width(spark, tmp_path):
     )
     S.append(spark, la, df)  # never tupled
     S.append(spark, rb, df)
-    set_partition_spec(rb, [PartitionField("k", "bucket", 4)])
-    S.compact_table(spark, rb, target_bytes=1 << 26)
+    # BOTH sides untupled: migration is the answer, raise
     with pytest.raises(ValueError, match="no bucket"):
         plan_bucket_join(spark, la, rb, ("k", "k"))
-    # width mismatch: evolve the right side to 8 and migrate
+    # width mismatch between two FULLY tupled sides still raises
     set_partition_spec(rb, [PartitionField("k", "bucket", 8)])
     S.compact_table(spark, rb, target_bytes=1 << 26)
     set_partition_spec(la, [PartitionField("k", "bucket", 4)])
@@ -438,3 +437,149 @@ def test_version_resolved_once_per_side(spark, bucketed_pair, monkeypatch):
     )
     assert calls == {la: 1, rb: 1}
     assert joined2.count() == exp.count()
+
+
+def test_one_side_bucketed_join_stages_unbucketed_side(
+    spark, bucketed_pair, tmp_path
+):
+    """The dominant 100 TB regime: bucketed fact joins an UNBUCKETED
+    dim too big to broadcast whole. The planner shuffles ONLY the dim
+    into the fact's bucket layout (exactly one exchange, on the staged
+    side) and runs the per-bucket broadcast plan — the final join plan
+    carries zero non-broadcast exchanges."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+
+    la, _, fact, dim = bucketed_pair
+    rb = str(tmp_path / "plain_dim")
+    S.append(spark, rb, dim)  # never tupled
+    joined, plan = plan_bucket_join(
+        spark, la, rb, ("cust", "ckey"), require_broadcast=True
+    )
+    assert plan.staged_side == "right"
+    assert plan.n_buckets == 8 and len(plan.pairs) == 8
+    # the staging frame paid exactly ONE exchange (the repartition)
+    stage = plan.staging_plan.split("== Initial Plan ==")[0]
+    assert stage.replace("BroadcastExchange", "").count("Exchange") == 1
+    got = sorted(tuple(r) for r in joined.collect())
+    exp = sorted(
+        tuple(r)
+        for r in fact.join(dim, fact.cust == dim.ckey, "inner").collect()
+    )
+    assert got == exp
+    final = joined._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "Exchange" not in final.replace("BroadcastExchange", "")
+
+
+def test_one_side_staging_prunes_before_shuffle(spark, bucketed_pair,
+                                                tmp_path):
+    """Predicates on the staged side filter BEFORE the shuffle, and the
+    result equals filter-then-join exactly."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+
+    la, _, fact, dim = bucketed_pair
+    rb = str(tmp_path / "plain_dim2")
+    S.append(spark, rb, dim)
+    joined, plan = plan_bucket_join(
+        spark, la, rb, ("cust", "ckey"),
+        left_predicates=[Range("price", 0, 5)],
+        right_predicates=[Range("nation", 1, 3)],
+    )
+    assert plan.staged_side == "right"
+    exp = (
+        fact.where("price between 0 and 5")
+        .join(dim.where("nation between 1 and 3"),
+              F.col("cust") == F.col("ckey"), "inner")
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+
+
+def test_left_outer_bucket_join_two_side_and_staged(spark, tmp_path):
+    """left_outer legality: unmatched left rows (empty right buckets,
+    NULL keys) pass through with typed-NULL right columns, matching
+    Spark's own left_outer — in both the two-side-bucketed and the
+    staged regimes."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    la, rb, rb2 = (str(tmp_path / x) for x in ("f", "d", "d2"))
+    fact = spark.range(0, 400).select(
+        F.col("id").alias("okey"),
+        F.when(F.col("id") % 19 == 0, None)
+        .otherwise(F.col("id") % 37).alias("cust"),
+        (F.col("id") % 11).alias("price"),
+    )
+    dim = spark.range(0, 12).select(  # covers only cust 0..11
+        F.col("id").alias("ckey"), (F.col("id") * 2).alias("w")
+    )
+    S.append(spark, la, fact)
+    set_partition_spec(la, [PartitionField("cust", "bucket", 4)])
+    S.compact_table(spark, la, target_bytes=1 << 26)
+    S.append(spark, rb, dim)
+    set_partition_spec(rb, [PartitionField("ckey", "bucket", 4)])
+    S.compact_table(spark, rb, target_bytes=1 << 26)
+    S.append(spark, rb2, dim)  # unbucketed twin
+
+    exp = sorted(
+        map(tuple, fact.join(
+            dim, fact.cust == dim.ckey, "left_outer"
+        ).collect())
+    )
+    for right, expect_staged in ((rb, None), (rb2, "right")):
+        joined, plan = plan_bucket_join(
+            spark, la, right, ("cust", "ckey"), how="left_outer"
+        )
+        assert plan.staged_side == expect_staged
+        assert sorted(map(tuple, joined.collect())) == exp
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        final = final.split("== Initial Plan ==")[0]
+        assert "Exchange" not in final.replace("BroadcastExchange", "")
+    # NULL-key left files passed through, not dropped
+    assert plan.passthrough_files > 0
+
+
+def test_staged_left_side_semi_anti(spark, tmp_path):
+    """Staging works on the LEFT side too, and semi/anti semantics
+    survive it (right side stays the bucketed blocklist)."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    la, rb = str(tmp_path / "events"), str(tmp_path / "block")
+    ev = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 23).alias("u")
+    )
+    block = spark.range(0, 23).where("id % 3 = 0").select(
+        F.col("id").alias("bu")
+    )
+    S.append(spark, la, ev)  # unbucketed left
+    S.append(spark, rb, block)
+    set_partition_spec(rb, [PartitionField("bu", "bucket", 4)])
+    S.compact_table(spark, rb, target_bytes=1 << 26)
+    for how, sql_how in (("left_semi", "left_semi"),
+                         ("left_anti", "left_anti")):
+        joined, plan = plan_bucket_join(
+            spark, la, rb, ("u", "bu"), how=how
+        )
+        assert plan.staged_side == "left"
+        exp = sorted(
+            map(tuple, ev.join(block, ev.u == block.bu, sql_how)
+                .collect())
+        )
+        assert sorted(map(tuple, joined.collect())) == exp
