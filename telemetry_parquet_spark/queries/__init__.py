@@ -40,80 +40,72 @@ from telemetry_parquet_spark.queries import table_service  # noqa: F401, E402
 # (no file I/O at import time) and is refreshed by hand from the latest
 # CORRECTNESS_r{N}.json each round.
 #
-# Round-10 window (see CORRECTNESS_CUMULATIVE.md for the full ledger;
-# cumulative state after r09: 198 green, 8 hash-red — all 8 reds were
-# value-identical DECIMAL outputs the driver canonicalizer renders
-# differently per engine; round 10 re-keyed them (plus 4 siblings) to
-# BIGINT cents):
-# 1. The 12 re-keyed table-format/MV/branch/join-view/catalog queries.
-# 2. The r05-stale cohort (oldest verdicts left), then the r06 cohort
-#    alphabetically; mm_decoded_features onward rotates to round 11.
+# Round-11 window (CORRECTNESS_r10 was 50/50 green; every registered
+# query now has a driver row and every oracled one's latest verdict is
+# green — see CORRECTNESS_CUMULATIVE.md). Per the r10 verdict, this
+# round is a STALENESS re-certification: after the r11 code churn
+# (spec-aware branch/WAP writes, per-file DV sidecars, one-side bucket
+# join), the window is (1) the 3 never-checked r11 queries, (2) 5
+# green-but-infrastructure-touched re-checks, (3) ALL 36 queries whose
+# latest row is r06, (4) the 6 alphabetically-first r07 names. The
+# remaining 42 r07 names rotate to round 12.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # changed in round 10 — the 8 r09 hash-reds plus their 4 siblings, all
-    # re-keyed from DECIMAL sum_price to BIGINT sum_price_cents (the driver
-    # canonicalizer drops trailing-zero decimals; values were verified exact
-    # locally both rounds). Re-verify these first.
-    "snapshot_time_travel",
-    "snapshot_merge_upsert",
-    "snapshot_mor_delete",
-    "snapshot_merge_evolve",
-    "snapshot_wap_publish",
+    # new in round 11 — never driver-checked
+    "snapshot_rollup_mor",
+    "snapshot_hour_prune",
+    "snapshot_bucket_join_oneside",
+    # green r10 but their write/fold paths changed this round:
+    # branch + staged appends are now partition-spec-aware, and the DV
+    # agg sidecar gained the per-file breakdown these folds consume
     "snapshot_branch_merge",
-    "jv_star_rollup",
-    "mv_rewrite_rollup",
-    "snapshot_mor_update",
-    "snapshot_incremental_view",
-    "snapshot_join_planned",
+    "snapshot_wap_publish",
     "catalog_txn_consistent_read",
-    # rescore backend changed in round 10 (per-bucket int64 matmul,
-    # output re-keyed to integer micro-cosines) — re-verify with the batch
-    "sim_knn_graph_lsh_probe",
-    "sim_knn_graph_lsh_tables",
-    "sim_knn_graph_lsh",
-    # new in round 10 — branch refs + catalog pins composed in one SQL
-    # statement; DSIR fixed-point importance selection (never
-    # driver-checked)
-    "catalog_sql_branch_join",
-    "dsir_importance_select",
-    "snapshot_metadata_count",
-    "snapshot_metadata_minmax",
-    "snapshot_metadata_sum",
-    "snapshot_metadata_groupby",
-    "snapshot_partition_evolution",
-    "snapshot_bucket_join",
     "snapshot_partition_rollup",
-    # latest driver row r05 — the stalest cohort (rotation, per the ledger)
-    "stream_sliding_halfhour",
-    "stream_static_enrich",
-    "stream_stream_view_purchase",
-    "stream_tumbling_hourly",
-    "stream_user_running_stats",
-    "token_counting",
-    "u1_union_by_name",
-    "u2_except_all",
-    "u3_intersect",
-    "vocab_table",
-    "w3_event_gaps",
-    "zorder_codes",
-    # latest driver row r06 — the next-stalest cohort fills the window
-    "asof_last_purchase_before_view",
-    "basket_part_pairs",
-    "blocklist_filter",
-    "bpe_learn_merges",
-    "chunk_documents",
-    "cms_sketch_counts",
-    "cms_term_estimates",
-    "comparator_summary",
-    "corpus_e2e_curation",
-    "cube_order_volume",
-    "dd_incremental_near_dup",
-    "dd_semantic_prune",
-    "embedding_centroids",
-    "encode_bpe_ids",
-    # (remaining r06 names — events_flatten_variant on, alphabetical —
-    # rotate to round 11's window; slots went to the new metadata
-    # SUM / GROUP BY queries and the partition-spec family —
-    # evolution, bucket-aligned join, partition rollup — above)
+    "snapshot_metadata_sum",
+    # latest driver row r06 — the stalest cohort, complete (36)
+    "events_flatten_variant",
+    "f10_bucketed_histogram",
+    "f9_domain_extraction",
+    "footer_stats_lineitem",
+    "funnel_conversion",
+    "grouping_sets_volume",
+    "lm_bigram_train",
+    "lm_perplexity_score",
+    "lm_pmi_collocations",
+    "longitudinal_newest",
+    "longitudinal_unnest",
+    "merge_upsert_customers",
+    "ml_als_recommendations",
+    "mm_decoded_features",
+    "mm_frame_samples",
+    "o2_top_customers",
+    "percentile_stats",
+    "ping_events_roundtrip",
+    "ping_flat_sync_roundtrip",
+    "ping_ingestion_roundtrip",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "qsketch_histograms",
+    "qsketch_quantiles",
+    "quality_linear_score",
+    "range_clicks_after_purchase",
+    "retention_cohorts",
+    "rolling_weekly_active",
+    "rollup_order_volume",
+    "sim_adc_recall_eval",
+    "sim_pq_adc_topk",
+    "sim_pq_codes",
+    "skew_report",
+    "stream_qsketch_histogram",
+    "vocab_heavy_hitters",
+    # latest driver row r07 — alphabetically first 6 fill the window
+    "ab_test_zscores",
+    "bm25_topk_docs",
+    "bpe_learn_merges_batched",
+    "contamination_ngram_overlap",
+    "dd_duplicate_components",
+    "dd_embedding_cosine_pairs",
 )
 
 
