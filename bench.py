@@ -279,6 +279,17 @@ HEADLINE = [
     # round 10: partitions-metadata daily rollup — COUNT/SUM per day
     # tuple folded from the manifest, zero data I/O (raise-proven)
     "snapshot_partition_rollup",
+    # round 11: per-tuple rollup THROUGH outstanding MOR deletes — each
+    # vector's per-file sidecar delta attributed to its tuple (no-scan
+    # raise-proven)
+    "snapshot_rollup_mor",
+    # round 11: hour(ts) hidden partitioning — 6-hour window reads
+    # ~6/720ths of the files (require_pruning raise-proven)
+    "snapshot_hour_prune",
+    # round 11: one-side storage-partitioned LEFT OUTER join — the
+    # unbucketed dim shuffles ONCE into the fact's bucket layout
+    # (single-exchange staging plan asserted in-query)
+    "snapshot_bucket_join_oneside",
 ]
 
 

@@ -1391,8 +1391,23 @@ def update_where_mor(
     tag = f"u{parent + 1:06d}"
     new_dv = _write_commit_files(dv_rows.repartition(1), root, tag + "dv")
     _write_dv_agg_sidecar(spark, root, new_dv, matched, schema)
-    new_files = _write_commit_files(updated, root, tag)
     meta = {**_carry_meta(m), "dv": m.get("dv", []) + new_dv}
+    spec = m.get("partition_spec")
+    if spec:
+        # the updated copies carry tuples too (derived from their NEW
+        # values), so the DV-aware partition rollup and the bucket join
+        # stay engaged through MOR updates instead of refusing on the
+        # first untupled fresh file
+        from telemetry_parquet_spark.sources.partition_spec import (
+            write_partitioned_files,
+        )
+
+        new_files, upd_parts = write_partitioned_files(
+            updated, root, tag, spec
+        )
+        meta["partitions"] = upd_parts
+    else:
+        new_files = _write_commit_files(updated, root, tag)
     return _commit(
         root, "update-mor", m["files"] + new_files, m["schema"], parent,
         meta,
@@ -2489,9 +2504,20 @@ def stage_update_mor(
     # frozen at stage time like the staged delete's vector (see
     # stage_delete_mor) — exact through publish
     _write_dv_agg_sidecar(spark, root, new_dv, matched, schema)
-    new_files = _write_commit_files(
-        updated, root, f"{_WAP_PREFIX}{wap_id}"
-    )
+    spec = m.get("partition_spec")
+    if spec:  # spec-aware updated copies, same as update_where_mor
+        from telemetry_parquet_spark.sources.partition_spec import (
+            write_partitioned_files,
+        )
+
+        new_files, upd_parts = write_partitioned_files(
+            updated, root, f"{_WAP_PREFIX}{wap_id}", spec
+        )
+    else:
+        new_files = _write_commit_files(
+            updated, root, f"{_WAP_PREFIX}{wap_id}"
+        )
+        upd_parts = {}
     import time as _time
 
     fd = os.open(
@@ -2508,6 +2534,7 @@ def stage_update_mor(
                 "new_files": sorted(new_files) + sorted(new_dv),
                 "data_files": sorted(new_files),
                 "dv_files": sorted(new_dv),
+                **({"partitions": upd_parts} if upd_parts else {}),
                 "base_files": m["files"],
                 "base_dv": m.get("dv", []),
                 "schema": m["schema"],
@@ -2694,6 +2721,8 @@ def _publish_staged_mor(
         "wap_id": wap_id,
         "dv": (mh.get("dv") or []) + dv_files,
         **({"rebased_from": s["parent"]} if head != s["parent"] else {}),
+        # spec-staged updated copies land with their stage-time tuples
+        **({"partitions": s["partitions"]} if s.get("partitions") else {}),
         **(caller_extra or {}),  # e.g. (stream, batch_id) stamps
     }
     v = _commit(

@@ -901,18 +901,21 @@ def engine_sql(
         rows_meta = head.get("rows", {})
         sizes = head.get("sizes", {})
         parts_meta = head.get("partitions") or {}
-        agg: dict = {}
-        for f in head["files"]:
+
+        def _pkey(f: str) -> tuple:
             e = parts_meta.get(f)
-            key = (
+            return (
                 (e["spec_id"], _json.dumps(e["values"]))
                 if e is not None
                 # pre-spec / rewrite-orphaned files surface explicitly
                 # instead of silently vanishing from the rollup
                 else (-1, "(untupled)")
             )
+
+        agg: dict = {}
+        for f in head["files"]:
             # [n_files, rows, bytes, rows_known, bytes_known]
-            g = agg.setdefault(key, [0, 0, 0, True, True])
+            g = agg.setdefault(_pkey(f), [0, 0, 0, True, True])
             g[0] += 1
             if f in sizes:
                 g[2] += int(sizes[f])
@@ -922,6 +925,23 @@ def engine_sql(
                 g[1] += int(rows_meta[f])
             else:
                 g[3] = False  # unknown rows for some file -> report -1
+        # outstanding deletion vectors: subtract each vector's per-file
+        # sidecar delta from its file's group so LIVE row counts are
+        # reported; a vector without the breakdown (pre-format sidecar)
+        # marks every group's rows unknown (-1) rather than overstating
+        from telemetry_parquet_spark.sources import snapshots as _S
+
+        live_files = set(head["files"])
+        for dvf in head.get("dv") or []:
+            side = _S._read_dv_agg_sidecar(root, dvf)
+            per_file = (side or {}).get("per_file")
+            if per_file is None:
+                for g in agg.values():
+                    g[3] = False
+                break
+            for f, delta in per_file.items():
+                if f in live_files:
+                    agg[_pkey(f)][1] -= int(delta["n"])
         from pyspark.sql.types import LongType
 
         return spark.createDataFrame(

@@ -793,10 +793,11 @@ def test_rollup_stays_metadata_only_through_mor_deletes(spark, tmp_path):
     assert _got() == _expected()
     delete_where_mor(spark, root, "cust % 11 = 5")  # stacked vectors
     assert _got() == _expected()
+    # MOR update: the masked originals subtract via the vector's
+    # per-file sidecar AND the updated copies land with their own
+    # tuples (spec-aware update writer) — the rollup stays engaged
     update_where_mor(spark, root, "cust % 5 = 0", {"cust": "cust + 1"})
-    # the update's fresh copies are untupled (plain MOR data files), so
-    # the rollup refuses -- conservative, never wrong
-    assert snapshot_groupby_partition(root, agg_cols=("cust",)) is None
+    assert _got() == _expected()
 
     # fresh table: delete EVERY row of one day -> that group vanishes
     root2 = str(tmp_path / "mor_empty_group")
@@ -826,3 +827,87 @@ def test_rollup_stays_metadata_only_through_mor_deletes(spark, tmp_path):
         F.sum("cust"), F.count("cust")
     ).first()
     assert snapshot_sum(root2, "cust") == (exp[0], exp[1])
+
+
+def test_describe_partitions_reports_live_rows_under_dvs(spark, tmp_path):
+    """DESCRIBE PARTITIONS subtracts each vector's per-file sidecar
+    delta: row counts are LIVE rows, not raw footer counts; a legacy
+    flat sidecar flips rows to -1 (unknown) instead of overstating."""
+    import json as _json
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        _DV_AGG_SUFFIX,
+        create_table,
+        delete_where_mor,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    root = str(tmp_path / "descdv")
+    df = _frame(spark, 400)
+    create_table(root, df.schema)
+    set_partition_spec(root, [PartitionField("d", "day")])
+    append(spark, root, df)
+    delete_where_mor(spark, root, "cust % 4 = 1")
+    t = {"t": root}
+    parts = engine_sql(spark, "DESCRIBE PARTITIONS t", t).collect()
+    live = read_snapshot(spark, root)
+    assert sum(r.n_rows for r in parts) == live.count()
+    by_day = {
+        r.day: r.n
+        for r in live.groupBy(
+            F.datediff("d", F.lit("1970-01-01").cast("date")).alias("day")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    import json as _j
+
+    got = {_j.loads(r.partition)[0]: r.n_rows for r in parts}
+    assert got == by_day
+    # legacy flat sidecar -> unknown rows, never an overstated count
+    m = read_manifest(root, latest_version(root))
+    side = os.path.join(root, m["dv"][0] + _DV_AGG_SUFFIX)
+    with open(side) as f:
+        v2 = _json.load(f)
+    with open(side, "w") as f:
+        _json.dump(v2["total"], f)
+    parts2 = engine_sql(spark, "DESCRIBE PARTITIONS t", t).collect()
+    assert all(r.n_rows == -1 for r in parts2)
+
+
+def test_staged_update_keeps_tuples_through_publish(spark, tmp_path):
+    """stage_update_mor writes spec-aware updated copies whose tuples
+    land at publish — the full transactional-update lifecycle keeps the
+    table fully tupled and the DV-aware rollup engaged."""
+    from telemetry_parquet_spark.sources.partition_spec import (
+        snapshot_groupby_partition,
+    )
+    from telemetry_parquet_spark.sources.snapshots import (
+        create_table,
+        publish_staged,
+        stage_update_mor,
+    )
+
+    root = str(tmp_path / "stupd")
+    df = _frame(spark, 300)
+    create_table(root, df.schema)
+    set_partition_spec(root, [PartitionField("d", "day")])
+    append(spark, root, df)
+    stage_update_mor(
+        spark, root, "cust % 6 = 2", {"cust": "cust + 100"}, "w1"
+    )
+    v = publish_staged(spark, root, "w1")
+    m = read_manifest(root, v)
+    assert set(m["partitions"]) == set(m["files"])
+    got = snapshot_groupby_partition(root, agg_cols=("cust",))
+    assert got is not None
+    live = read_snapshot(spark, root)
+    exp = {
+        (r.dd,): (r.n, r.s)
+        for r in live.groupBy(
+            F.datediff("d", F.lit("1970-01-01").cast("date")).alias("dd")
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cust").alias("s")
+        ).collect()
+    }
+    assert {
+        k: (g["n_rows"], g["sum"]["cust"]) for k, g in got[1].items()
+    } == exp
