@@ -290,6 +290,10 @@ HEADLINE = [
     # unbucketed dim shuffles ONCE into the fact's bucket layout
     # (single-exchange staging plan asserted in-query)
     "snapshot_bucket_join_oneside",
+    # round 11: manifest-side dynamic partition pruning — the filtered
+    # dim's <= n distinct key buckets select the fact files; stats
+    # cannot serve this (bucket layout scrambles the key envelope)
+    "snapshot_dpp_join",
 ]
 
 

@@ -51,6 +51,7 @@ from telemetry_parquet_spark.queries import table_service  # noqa: F401, E402
 # remaining 42 r07 names rotate to round 12.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 11 — never driver-checked
+    "snapshot_dpp_join",
     "snapshot_rollup_mor",
     "snapshot_hour_prune",
     "snapshot_bucket_join_oneside",
@@ -105,7 +106,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_learn_merges_batched",
     "contamination_ngram_overlap",
     "dd_duplicate_components",
-    "dd_embedding_cosine_pairs",
+    # (dd_embedding_cosine_pairs displaced to round 12 by the late-round
+    # snapshot_dpp_join addition)
 )
 
 

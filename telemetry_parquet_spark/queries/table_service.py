@@ -2154,3 +2154,82 @@ def snapshot_bucket_join_oneside(
         .cast("long")
         .alias("nation")
     ).agg(F.count("*").cast("long").alias("n_orders"), _sum_cents())
+
+
+@query(
+    "snapshot_dpp_join",
+    # Manifest-side dynamic partition pruning: the dim filter keeps 3
+    # customer keys; their crc32 buckets (<= 3 of 8 ints on the driver,
+    # never the keys) select the fact files. Min/max stats CANNOT serve
+    # this — the bucket layout scrambles o_custkey, so every fact
+    # file's custkey envelope spans the whole domain; the tuple set is
+    # the only pruning mechanism, and the oracle is the plain join.
+    oracle=f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_SUM} AS sum_price_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey BETWEEN 55 AND 57
+    GROUP BY o_orderpriority
+    """,
+)
+def snapshot_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join with manifest-side dynamic partition pruning
+    (join_planner.py::plan_dpp_join): the FILTERED dim's distinct key
+    buckets — at most n integers driver-side regardless of dim
+    cardinality — decide which fact bucket files can hold matches,
+    before any fact I/O. Spark's own DPP needs a hive/DSv2-partitioned
+    fact and a runtime subquery; on plain parquet + crc32 bucket tuples
+    it cannot engage at all. Reuses snapshot_bucket_join's cached
+    bucket(8, o_custkey) orders table; require_pruning raises if the
+    bucket set drops nothing."""
+    from telemetry_parquet_spark.sources.join_planner import plan_dpp_join
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+    from telemetry_parquet_spark.sources.scan_planner import Range
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+        read_manifest,
+    )
+
+    osrc = os.path.join(sf_dir, "orders.parquet")
+    csrc = os.path.join(sf_dir, "customer.parquet")
+
+    def build_orders(root: str) -> None:  # identical to snapshot_bucket_join
+        orders = spark.read.parquet(osrc)
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 < 6))
+        set_partition_spec(
+            root, [PartitionField("o_custkey", "bucket", 8)]
+        )
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 >= 6))
+        v = compact_table(spark, root, target_bytes=128 * 1024 * 1024)
+        m = read_manifest(root, v)
+        if set(m.get("partitions") or {}) != set(m["files"]):
+            raise RuntimeError("migration left untupled files")
+
+    def build_customer(root: str) -> None:
+        append(spark, root, spark.read.parquet(csrc))
+
+    oroot = materialize_cached(
+        spark, osrc, "snapbj_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build_orders,
+    )
+    croot = materialize_cached(
+        spark, csrc,
+        "snapbj1_customer_" + os.path.basename(sf_dir.rstrip("/")),
+        build_customer,
+    )
+    joined, plan = plan_dpp_join(
+        spark, oroot, croot, ("o_custkey", "c_custkey"),
+        dim_predicates=[Range("c_custkey", 55, 57)],
+        require_pruning=True,
+    )
+    if not (0 < plan.live_buckets < plan.n_buckets):
+        raise RuntimeError(f"DPP did not engage: {plan}")
+    if plan.fact_files_kept >= plan.fact_files_total:
+        raise RuntimeError("DPP kept every fact file")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"), _sum_cents()
+    )

@@ -582,3 +582,164 @@ def plan_bucket_join(
         max(ln, rn), pairs, dropped, skipped, len(passthrough),
         staged_side, staging_plan,
     )
+
+
+@dataclass
+class DppJoinPlan:
+    """Manifest-side dynamic-partition-pruning record: how many of the
+    fact's bucket values the FILTERED dim actually touches, and the
+    fact file counts before/after the bucket-set prune."""
+
+    n_buckets: int
+    live_buckets: int
+    fact_files_total: int
+    fact_files_kept: int
+    dim_bytes: int
+    broadcast_dim: bool
+
+
+def plan_dpp_join(
+    spark: SparkSession,
+    fact_root: str,
+    dim_root: str,
+    on: tuple[str, str],
+    dim_predicates: list | None = None,
+    fact_predicates: list | None = None,
+    broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
+    require_pruning: bool = False,
+    fact_version: int | None = None,
+    dim_version: int | None = None,
+) -> tuple[DataFrame, DppJoinPlan]:
+    """Star-schema inner join with MANIFEST-SIDE dynamic partition
+    pruning: the filtered dimension decides which of the fact's bucket
+    partitions can possibly hold matches, BEFORE the fact scan is
+    planned.
+
+    Spark's own DPP needs a hive/DSv2 partitioned fact and inserts a
+    runtime subquery filter; on plain parquet + our crc32 bucket tuples
+    it cannot engage at all. Here the decision is exact and cheap at
+    any scale: after the dim side is scan-pruned and residual-filtered,
+    ONE dim-sized job computes ``DISTINCT crc32(utf8(key)) % n`` over
+    its join keys — at most n integers cross to the driver REGARDLESS
+    of dim cardinality (never the keys themselves, so a 10^8-row dim
+    works the same as a 10^2-row one). Fact files whose bucket tuple is
+    outside that set are dropped from the plan; untupled fact files are
+    conservatively kept. An equi-join only matches rows whose key
+    buckets agree (same function both sides), so dropping a
+    non-live-bucket file can never drop a matching row — the residual
+    join condition stays exact either way.
+
+    At 100 TB: a dim filter hitting 3 of 32 buckets turns the fact scan
+    into 3/32 of its files with zero data I/O spent deciding —
+    composing with the fact's own predicates (``fact_predicates`` prune
+    via stats/Bloom/tuples first, the bucket set intersects after).
+    The dim broadcasts when its post-prune bytes fit (the usual star
+    shape); otherwise Catalyst/AQE picks the join strategy.
+
+    Guardrails: the fact must carry a bucket spec on its key in the
+    CURRENT spec (raise otherwise — this planner is for the bucketed
+    star layout; use plan_join for stats-only pruning);
+    ``require_pruning`` raises when the bucket set dropped nothing.
+    Inner join only: outer semantics would preserve rows the prune
+    removed."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    fkey, dkey = on
+    fv = (
+        S.latest_version(fact_root)
+        if fact_version is None
+        else fact_version
+    )
+    dv_ = (
+        S.latest_version(dim_root) if dim_version is None else dim_version
+    )
+    fm = S.read_manifest(fact_root, fv)
+    S._require_no_dv(fm, "plan_dpp_join")
+    spec = fm.get("partition_spec") or {}
+    bucket_field = next(
+        (
+            f
+            for f in spec.get("fields", [])
+            if f.get("transform") == "bucket"
+            and f["col"].lower() == fkey.lower()
+        ),
+        None,
+    )
+    if bucket_field is None:
+        raise ValueError(
+            f"plan_dpp_join: fact carries no bucket({fkey}) in its "
+            "current partition spec — bucket the fact or use plan_join"
+        )
+    n = bucket_field["n"]
+
+    ddf, dplan = S.plan_snapshot_scan(
+        spark, dim_root, dim_predicates or [], version=dv_
+    )
+    # ONE dim-sized job; result bounded by n, never by dim cardinality
+    live = {
+        r.b
+        for r in ddf.select(
+            F.pmod(
+                F.crc32(F.col(dkey).cast("string").cast("binary")),
+                F.lit(n),
+            ).cast("int").alias("b")
+        )
+        .where(F.col("b").isNotNull())
+        .distinct()
+        .collect()
+    }
+
+    fdf, fplan = S.plan_snapshot_scan(
+        spark, fact_root, fact_predicates or [], version=fv
+    )
+    parts = fm.get("partitions") or {}
+    specs = fm.get("specs") or {}
+    fact_total = len(fplan.files)
+
+    def _keep(path: str) -> bool:
+        rel = os.path.relpath(path, fact_root)
+        e = parts.get(rel)
+        fields = specs.get(str(e["spec_id"])) if e else None
+        if not fields:
+            return True  # untupled -> conservative keep
+        for i, fd in enumerate(fields):
+            if (
+                fd.get("transform") == "bucket"
+                and fd["col"].lower() == fkey.lower()
+                and fd.get("n") == n
+            ):
+                b = e["values"][i]
+                # NULL-key file: an inner equi-join can never match it
+                return b in live
+        return True  # written under a spec without this bucket -> keep
+
+    kept = [p for p in fplan.files if _keep(p)]
+    if require_pruning and 0 < len(kept) == fact_total and live:
+        raise ValueError(
+            f"plan_dpp_join: dim touched all {len(live)}/{n} buckets — "
+            "no fact file pruned"
+        )
+    fschema = StructType.fromJson(_json.loads(fm["schema"]))
+    if kept:
+        pruned_fact = spark.read.schema(fschema).parquet(*sorted(kept))
+        from telemetry_parquet_spark.sources.scan_planner import (
+            _predicate_expr,
+        )
+
+        for p in fact_predicates or []:
+            pruned_fact = pruned_fact.where(_predicate_expr(p))
+    else:
+        pruned_fact = spark.createDataFrame([], fschema)
+    dbytes = planned_bytes(dim_root, dplan, dv_)
+    bcast = dbytes <= broadcast_threshold
+    if bcast:
+        ddf = F.broadcast(ddf)
+    joined = pruned_fact.join(
+        ddf, pruned_fact[fkey] == ddf[dkey], "inner"
+    )
+    return joined, DppJoinPlan(
+        n, len(live), fact_total, len(kept), dbytes, bcast
+    )

@@ -583,3 +583,84 @@ def test_staged_left_side_semi_anti(spark, tmp_path):
                 .collect())
         )
         assert sorted(map(tuple, joined.collect())) == exp
+
+
+def test_dpp_join_prunes_fact_by_dim_bucket_set(spark, tmp_path):
+    """Manifest-side dynamic partition pruning: the filtered dim's
+    DISTINCT key buckets (≤ n ints on the driver, never the keys)
+    select the fact files; the answer equals plain filter-then-join."""
+    from telemetry_parquet_spark.sources.join_planner import plan_dpp_join
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    fa, di = str(tmp_path / "fact"), str(tmp_path / "dim")
+    fact = spark.range(0, 3000).select(
+        F.col("id").alias("okey"),
+        (F.col("id") % 200).alias("cust"),
+        (F.col("id") % 17).alias("price"),
+    )
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("ckey"), (F.col("id") % 25).alias("nation")
+    )
+    S.append(spark, fa, fact)
+    set_partition_spec(fa, [PartitionField("cust", "bucket", 8)])
+    S.compact_table(spark, fa, target_bytes=1 << 26)
+    S.append(spark, di, dim)
+
+    joined, plan = plan_dpp_join(
+        spark, fa, di, ("cust", "ckey"),
+        dim_predicates=[Range("nation", 3, 3)],  # 8 of 200 dim keys
+        require_pruning=True,
+    )
+    assert plan.n_buckets == 8 and 0 < plan.live_buckets < 8
+    assert plan.fact_files_kept < plan.fact_files_total
+    assert plan.broadcast_dim
+    exp = fact.join(
+        dim.where("nation = 3"), fact.cust == dim.ckey, "inner"
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    # fact-side predicates compose (stats prune + residual re-applied)
+    joined2, plan2 = plan_dpp_join(
+        spark, fa, di, ("cust", "ckey"),
+        dim_predicates=[Range("nation", 3, 3)],
+        fact_predicates=[Range("price", 0, 4)],
+    )
+    exp2 = fact.where("price between 0 and 4").join(
+        dim.where("nation = 3"), fact.cust == dim.ckey, "inner"
+    )
+    assert sorted(map(tuple, joined2.collect())) == sorted(
+        map(tuple, exp2.collect())
+    )
+
+
+def test_dpp_join_guards(spark, tmp_path):
+    from telemetry_parquet_spark.sources.join_planner import plan_dpp_join
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    fa, di = str(tmp_path / "f2"), str(tmp_path / "d2")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    S.append(spark, fa, df)
+    S.append(spark, di, df.select(F.col("k").alias("dk"), "v"))
+    # unbucketed fact: loud error, not a silent full scan
+    with pytest.raises(ValueError, match="no bucket"):
+        plan_dpp_join(spark, fa, di, ("k", "dk"))
+    set_partition_spec(fa, [PartitionField("k", "bucket", 4)])
+    S.compact_table(spark, fa, target_bytes=1 << 26)
+    # unfiltered dim touches every bucket -> require_pruning raises
+    with pytest.raises(ValueError, match="all 4"):
+        plan_dpp_join(
+            spark, fa, di, ("k", "dk"), require_pruning=True
+        )
+    # but without the flag the join is still exact
+    joined, plan = plan_dpp_join(spark, fa, di, ("k", "dk"))
+    assert plan.live_buckets == 4
+    assert joined.count() == 100
