@@ -692,7 +692,9 @@ def plan_dpp_join(
         .collect()
     }
 
-    fdf, fplan = S.plan_snapshot_scan(
+    # only the PLAN is consumed: the pruned fact frame is rebuilt below
+    # from the bucket-set survivors (with the residual re-applied)
+    _, fplan = S.plan_snapshot_scan(
         spark, fact_root, fact_predicates or [], version=fv
     )
     parts = fm.get("partitions") or {}
@@ -723,6 +725,17 @@ def plan_dpp_join(
             "no fact file pruned"
         )
     fschema = StructType.fromJson(_json.loads(fm["schema"]))
+    dm = S.read_manifest(dim_root, dv_)
+    dschema = StructType.fromJson(_json.loads(dm["schema"]))
+    shared = {c.lower() for c in fschema.fieldNames()} & {
+        c.lower() for c in dschema.fieldNames()
+    }
+    if shared:
+        raise ValueError(
+            f"plan_dpp_join: both sides carry column(s) {sorted(shared)}"
+            " — the join output would hold ambiguous duplicates; rename "
+            "one side first"
+        )
     if kept:
         pruned_fact = spark.read.schema(fschema).parquet(*sorted(kept))
         from telemetry_parquet_spark.sources.scan_planner import (

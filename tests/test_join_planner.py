@@ -649,7 +649,8 @@ def test_dpp_join_guards(spark, tmp_path):
         F.col("id").alias("k"), (F.col("id") % 9).alias("v")
     )
     S.append(spark, fa, df)
-    S.append(spark, di, df.select(F.col("k").alias("dk"), "v"))
+    S.append(spark, di, df.select(F.col("k").alias("dk"),
+                                  F.col("v").alias("w")))
     # unbucketed fact: loud error, not a silent full scan
     with pytest.raises(ValueError, match="no bucket"):
         plan_dpp_join(spark, fa, di, ("k", "dk"))
