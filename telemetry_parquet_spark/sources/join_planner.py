@@ -587,8 +587,11 @@ def plan_bucket_join(
 @dataclass
 class DppJoinPlan:
     """Manifest-side dynamic-partition-pruning record: how many of the
-    fact's bucket values the FILTERED dim actually touches, and the
-    fact file counts before/after the bucket-set prune."""
+    fact's partition values the FILTERED dim actually touches, and the
+    fact file counts before/after the live-set prune. ``n_buckets`` is
+    0 for non-bucket transforms (their domain is unbounded);
+    ``live_buckets`` is -1 when the live set overflowed the driver cap
+    and the prune was disabled."""
 
     n_buckets: int
     live_buckets: int
@@ -611,41 +614,52 @@ def plan_dpp_join(
     dim_version: int | None = None,
 ) -> tuple[DataFrame, DppJoinPlan]:
     """Star-schema inner join with MANIFEST-SIDE dynamic partition
-    pruning: the filtered dimension decides which of the fact's bucket
+    pruning: the filtered dimension decides which of the fact's
     partitions can possibly hold matches, BEFORE the fact scan is
     planned.
 
     Spark's own DPP needs a hive/DSv2 partitioned fact and inserts a
-    runtime subquery filter; on plain parquet + our crc32 bucket tuples
-    it cannot engage at all. Here the decision is exact and cheap at
-    any scale: after the dim side is scan-pruned and residual-filtered,
-    ONE dim-sized job computes ``DISTINCT crc32(utf8(key)) % n`` over
-    its join keys — at most n integers cross to the driver REGARDLESS
-    of dim cardinality (never the keys themselves, so a 10^8-row dim
-    works the same as a 10^2-row one). Fact files whose bucket tuple is
-    outside that set are dropped from the plan; untupled fact files are
-    conservatively kept. An equi-join only matches rows whose key
-    buckets agree (same function both sides), so dropping a
-    non-live-bucket file can never drop a matching row — the residual
-    join condition stays exact either way.
+    runtime subquery filter; on plain parquet + our partition tuples it
+    cannot engage at all. Here the decision is exact and cheap at any
+    scale: after the dim side is scan-pruned and residual-filtered, ONE
+    dim-sized job computes the DISTINCT TRANSFORMED values of its join
+    keys — the fact's own spec transform (``crc32(key) % n`` for
+    bucket, days/hours/months/years-since-epoch for temporals, the
+    value itself for identity, the prefix for truncate) applied to the
+    DIM's key column, bit-identically to the write side. For bucket at
+    most n integers cross to the driver REGARDLESS of dim cardinality
+    (never the keys themselves); for the other transforms the set is
+    bounded by the dim's distinct transformed values and CAPPED at
+    100k — overflow disables the prune (keep everything) rather than
+    ship an unbounded driver payload. Fact files whose tuple value is
+    outside the set are dropped; untupled fact files are conservatively
+    kept, and a None-valued file under a string-output transform (the
+    hive dir merging ''+NULL) is kept iff '' is live. An equi-join only
+    matches rows whose transformed keys agree (same function both
+    sides), so dropping a non-live file can never drop a matching row.
 
     At 100 TB: a dim filter hitting 3 of 32 buckets turns the fact scan
     into 3/32 of its files with zero data I/O spent deciding —
     composing with the fact's own predicates (``fact_predicates`` prune
-    via stats/Bloom/tuples first, the bucket set intersects after).
-    The dim broadcasts when its post-prune bytes fit (the usual star
+    via stats/Bloom/tuples first, the live set intersects after). The
+    dim broadcasts when its post-prune bytes fit (the usual star
     shape); otherwise Catalyst/AQE picks the join strategy.
 
-    Guardrails: the fact must carry a bucket spec on its key in the
-    CURRENT spec (raise otherwise — this planner is for the bucketed
-    star layout; use plan_join for stats-only pruning);
-    ``require_pruning`` raises when the bucket set dropped nothing.
+    Guardrails: the fact's CURRENT spec must carry a field on the join
+    key (raise otherwise — use plan_join for stats-only pruning);
+    ``require_pruning`` raises when the live set dropped nothing.
     Inner join only: outer semantics would preserve rows the prune
     removed."""
     import json as _json
     import os
 
     from pyspark.sql.types import StructType
+
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        _string_output,
+        spark_transform,
+    )
 
     fkey, dkey = on
     fv = (
@@ -659,38 +673,46 @@ def plan_dpp_join(
     fm = S.read_manifest(fact_root, fv)
     S._require_no_dv(fm, "plan_dpp_join")
     spec = fm.get("partition_spec") or {}
-    bucket_field = next(
-        (
-            f
-            for f in spec.get("fields", [])
-            if f.get("transform") == "bucket"
-            and f["col"].lower() == fkey.lower()
-        ),
-        None,
-    )
-    if bucket_field is None:
+    on_key = [
+        f for f in spec.get("fields", [])
+        if f["col"].lower() == fkey.lower()
+    ]
+    if not on_key:
         raise ValueError(
-            f"plan_dpp_join: fact carries no bucket({fkey}) in its "
-            "current partition spec — bucket the fact or use plan_join"
+            f"plan_dpp_join: fact's current partition spec carries no "
+            f"field on {fkey!r} — partition the fact on its join key or "
+            "use plan_join"
         )
-    n = bucket_field["n"]
+    # prefer bucket (driver payload provably <= n); else the first field
+    fld = next(
+        (f for f in on_key if f.get("transform") == "bucket"), on_key[0]
+    )
+    n = fld.get("n") or 0
+    dim_field = PartitionField(dkey, fld.get("transform", "identity"), fld.get("n"))
+    fschema_probe = StructType.fromJson(
+        _json.loads(S.read_manifest(dim_root, dv_)["schema"])
+    )
+    string_out = _string_output(
+        PartitionField(dkey, dim_field.transform, dim_field.n),
+        fschema_probe,
+    )
 
     ddf, dplan = S.plan_snapshot_scan(
         spark, dim_root, dim_predicates or [], version=dv_
     )
-    # ONE dim-sized job; result bounded by n, never by dim cardinality
-    live = {
-        r.b
-        for r in ddf.select(
-            F.pmod(
-                F.crc32(F.col(dkey).cast("string").cast("binary")),
-                F.lit(n),
-            ).cast("int").alias("b")
-        )
+    # ONE dim-sized job; bucket output is bounded by n, the others by
+    # the dim's distinct transformed values (capped below)
+    _CAP = 100_000
+    live_rows = (
+        ddf.select(spark_transform(dim_field).alias("b"))
         .where(F.col("b").isNotNull())
         .distinct()
+        .limit(_CAP + 1)
         .collect()
-    }
+    )
+    live: set | None = {r.b for r in live_rows}
+    if len(live) > _CAP:
+        live = None  # unbounded payload -> disable the prune, keep all
 
     # only the PLAN is consumed: the pruned fact frame is rebuilt below
     # from the bucket-set survivors (with the residual re-applied)
@@ -702,6 +724,8 @@ def plan_dpp_join(
     fact_total = len(fplan.files)
 
     def _keep(path: str) -> bool:
+        if live is None:
+            return True  # prune disabled (cap overflow)
         rel = os.path.relpath(path, fact_root)
         e = parts.get(rel)
         fields = specs.get(str(e["spec_id"])) if e else None
@@ -709,19 +733,26 @@ def plan_dpp_join(
             return True  # untupled -> conservative keep
         for i, fd in enumerate(fields):
             if (
-                fd.get("transform") == "bucket"
+                fd.get("transform") == fld.get("transform", "identity")
                 and fd["col"].lower() == fkey.lower()
-                and fd.get("n") == n
+                and fd.get("n") == fld.get("n")
             ):
                 b = e["values"][i]
-                # NULL-key file: an inner equi-join can never match it
+                if b is None:
+                    # int-output: all-NULL keys, inner join never
+                    # matches; string-output: the hive dir merges ''
+                    # with NULL, so keep iff '' itself is live
+                    return string_out and "" in live
                 return b in live
-        return True  # written under a spec without this bucket -> keep
+        return True  # written under a spec without this field -> keep
 
     kept = [p for p in fplan.files if _keep(p)]
-    if require_pruning and 0 < len(kept) == fact_total and live:
+    if require_pruning and live is not None and live and (
+        0 < len(kept) == fact_total
+    ):
         raise ValueError(
-            f"plan_dpp_join: dim touched all {len(live)}/{n} buckets — "
+            f"plan_dpp_join: dim touched every live partition "
+            f"({len(live)} values{f' of {n} buckets' if n else ''}) — "
             "no fact file pruned"
         )
     fschema = StructType.fromJson(_json.loads(fm["schema"]))
@@ -754,5 +785,6 @@ def plan_dpp_join(
         ddf, pruned_fact[fkey] == ddf[dkey], "inner"
     )
     return joined, DppJoinPlan(
-        n, len(live), fact_total, len(kept), dbytes, bcast
+        n, -1 if live is None else len(live), fact_total, len(kept),
+        dbytes, bcast,
     )

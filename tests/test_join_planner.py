@@ -651,13 +651,13 @@ def test_dpp_join_guards(spark, tmp_path):
     S.append(spark, fa, df)
     S.append(spark, di, df.select(F.col("k").alias("dk"),
                                   F.col("v").alias("w")))
-    # unbucketed fact: loud error, not a silent full scan
-    with pytest.raises(ValueError, match="no bucket"):
+    # unpartitioned fact: loud error, not a silent full scan
+    with pytest.raises(ValueError, match="no\\s+field on"):
         plan_dpp_join(spark, fa, di, ("k", "dk"))
     set_partition_spec(fa, [PartitionField("k", "bucket", 4)])
     S.compact_table(spark, fa, target_bytes=1 << 26)
     # unfiltered dim touches every bucket -> require_pruning raises
-    with pytest.raises(ValueError, match="all 4"):
+    with pytest.raises(ValueError, match="every live partition"):
         plan_dpp_join(
             spark, fa, di, ("k", "dk"), require_pruning=True
         )
@@ -665,3 +665,41 @@ def test_dpp_join_guards(spark, tmp_path):
     joined, plan = plan_dpp_join(spark, fa, di, ("k", "dk"))
     assert plan.live_buckets == 4
     assert joined.count() == 100
+
+
+def test_dpp_join_on_day_transform(spark, tmp_path):
+    """Temporal DPP: a dim of DATES decides which day(ts) fact
+    partitions can match — the live set is the dim's distinct epoch
+    days, never its rows."""
+    from telemetry_parquet_spark.sources.join_planner import plan_dpp_join
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+    from telemetry_parquet_spark.sources.snapshots import create_table
+
+    fa, di = str(tmp_path / "fday"), str(tmp_path / "dday")
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.date_add(
+            F.lit("2024-03-01").cast("date"), (F.col("id") % 20).cast("int")
+        ).alias("d"),
+        (F.col("id") % 7).alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [("2024-03-05", 1), ("2024-03-11", 2), ("2024-03-11", 3)],
+        "ds string, tag int",
+    ).select(F.col("ds").cast("date").alias("dd"), "tag")
+    create_table(fa, fact.schema)
+    set_partition_spec(fa, [PartitionField("d", "day")])
+    S.append(spark, fa, fact)
+    S.append(spark, di, dim)
+    joined, plan = plan_dpp_join(
+        spark, fa, di, ("d", "dd"), require_pruning=True
+    )
+    assert plan.n_buckets == 0 and plan.live_buckets == 2
+    assert plan.fact_files_kept == 2  # one file per day tuple
+    exp = fact.join(dim, fact.d == dim.dd, "inner")
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
