@@ -249,13 +249,24 @@ def _stage_into_buckets(
     default dir -> bucket None, same semantics as a None-tuple file.
     Returns ({rel_file: bucket}, scratch_root, staging physical plan).
 
+    The staged layout lands under the SESSION WAREHOUSE keyed by
+    (table root, resolved version, key, width, predicates) — manifests
+    are immutable at a version, so a later call with the same key
+    REUSES the layout and skips the shuffle entirely (the
+    materialize_cached discipline; repeated joins against one dim
+    version pay the exchange once, and nothing accumulates in /tmp).
+    The write is crash-safe: a private tmp dir renamed into place; a
+    lost rename race discards its copy and reuses the winner's.
+
     At 100 TB this is the bucketed-fact ⋈ mid-size-dim shape: the fact
     side streams its own bucket files untouched, only the dim's
     (pruned) bytes cross the network once, and the staged layout is a
-    reusable artifact for the query's lifetime."""
+    reusable artifact across queries of this dim version."""
+    import hashlib
     import json as _json
     import os
-    import tempfile
+    import shutil
+    import uuid as _uuid
 
     from pyspark.sql.types import StructType
 
@@ -272,10 +283,23 @@ def _stage_into_buckets(
         ).cast("int").alias("__b"),
     ).repartition(F.col("__b"))
     plan_str = staged._jdf.queryExecution().executedPlan().toString()
-    scratch = os.path.join(
-        tempfile.mkdtemp(prefix="bucket_stage_"), "staged"
-    )
-    staged.write.partitionBy("__b").mode("error").parquet(scratch)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    fp = hashlib.md5(
+        (
+            f"{os.path.abspath(root)}|v{version}|{key.lower()}|{n}|"
+            f"{sorted(repr(p) for p in predicates or [])}"
+        ).encode()
+    ).hexdigest()[:16]
+    scratch = os.path.join(wh, f"bucket_stage_{fp}")
+    if not os.path.isdir(scratch):
+        tmp = f"{scratch}.tmp-{_uuid.uuid4().hex[:8]}"
+        staged.write.partitionBy("__b").mode("error").parquet(tmp)
+        try:
+            os.rename(tmp, scratch)
+        except OSError:  # lost the race: the winner's copy is identical
+            shutil.rmtree(tmp, ignore_errors=True)
     buckets: dict = {}
     for dirpath, _dirs, names in os.walk(scratch):
         for name in names:
@@ -385,14 +409,30 @@ def plan_bucket_join(
     rm = S.read_manifest(right_root, rv)
     S._require_no_dv(lm, "plan_bucket_join")
     S._require_no_dv(rm, "plan_bucket_join")
+
+    def _spec_has_bucket(m: dict, key: str) -> bool:
+        return any(
+            f.get("transform") == "bucket"
+            and f["col"].lower() == key.lower()
+            for f in (m.get("partition_spec") or {}).get("fields", [])
+        )
+
     lerr = rerr = None
     try:
         ln, lbuckets = _bucket_index(lm, lkey)
     except ValueError as e:
+        if _spec_has_bucket(lm, lkey):
+            # the side INTENDS bucketing but is partially tupled /
+            # mixed-width: one metadata-guided compact_table away from
+            # the zero-shuffle join — raise the migration guidance
+            # rather than silently rewriting the whole side to scratch
+            raise
         ln, lbuckets, lerr = 0, {}, e
     try:
         rn, rbuckets = _bucket_index(rm, rkey)
     except ValueError as e:
+        if _spec_has_bucket(rm, rkey):
+            raise
         rn, rbuckets, rerr = 0, {}, e
     if lerr and rerr:
         raise lerr  # neither side aligned: migration is the answer
@@ -688,14 +728,45 @@ def plan_dpp_join(
         (f for f in on_key if f.get("transform") == "bucket"), on_key[0]
     )
     n = fld.get("n") or 0
-    dim_field = PartitionField(dkey, fld.get("transform", "identity"), fld.get("n"))
-    fschema_probe = StructType.fromJson(
-        _json.loads(S.read_manifest(dim_root, dv_)["schema"])
+    dim_field = PartitionField(
+        dkey, fld.get("transform", "identity"), fld.get("n")
     )
-    string_out = _string_output(
-        PartitionField(dkey, dim_field.transform, dim_field.n),
-        fschema_probe,
-    )
+    fschema = StructType.fromJson(_json.loads(fm["schema"]))
+    dm = S.read_manifest(dim_root, dv_)
+    dschema = StructType.fromJson(_json.loads(dm["schema"]))
+    # every guaranteed error fires BEFORE any Spark job runs
+    shared = {c.lower() for c in fschema.fieldNames()} & {
+        c.lower() for c in dschema.fieldNames()
+    }
+    if shared:
+        raise ValueError(
+            f"plan_dpp_join: both sides carry column(s) {sorted(shared)}"
+            " — the join output would hold ambiguous duplicates; rename "
+            "one side first"
+        )
+
+    def _kind(schema: StructType, col: str) -> str:
+        for f in schema.fields:
+            if f.name.lower() == col.lower():
+                t = f.dataType.typeName()
+                if t in ("byte", "short", "integer", "long"):
+                    return "int"
+                return t
+        raise ValueError(f"plan_dpp_join: no column {col!r}")
+
+    # the live set is computed from DIM-typed values and compared to
+    # FACT-typed tuples: cross-kind keys (int fact vs string dim, say)
+    # would silently mis-prune — Spark's join coerces 55 == '55' while
+    # both 55 in {'55'} and crc32('55.0') vs crc32('55') disagree. A
+    # cross-kind star join is a schema bug; fail loudly.
+    fkind, dkind = _kind(fschema, fkey), _kind(dschema, dkey)
+    if fkind != dkind:
+        raise ValueError(
+            f"plan_dpp_join: join-key types disagree (fact {fkey}: "
+            f"{fkind}, dim {dkey}: {dkind}) — the transformed live set "
+            "would mis-prune under Spark's join coercion; cast one side"
+        )
+    string_out = _string_output(dim_field, dschema)
 
     ddf, dplan = S.plan_snapshot_scan(
         spark, dim_root, dim_predicates or [], version=dv_
@@ -747,26 +818,19 @@ def plan_dpp_join(
         return True  # written under a spec without this field -> keep
 
     kept = [p for p in fplan.files if _keep(p)]
-    if require_pruning and live is not None and live and (
-        0 < len(kept) == fact_total
-    ):
-        raise ValueError(
-            f"plan_dpp_join: dim touched every live partition "
-            f"({len(live)} values{f' of {n} buckets' if n else ''}) — "
-            "no fact file pruned"
-        )
-    fschema = StructType.fromJson(_json.loads(fm["schema"]))
-    dm = S.read_manifest(dim_root, dv_)
-    dschema = StructType.fromJson(_json.loads(dm["schema"]))
-    shared = {c.lower() for c in fschema.fieldNames()} & {
-        c.lower() for c in dschema.fieldNames()
-    }
-    if shared:
-        raise ValueError(
-            f"plan_dpp_join: both sides carry column(s) {sorted(shared)}"
-            " — the join output would hold ambiguous duplicates; rename "
-            "one side first"
-        )
+    if require_pruning:
+        if live is None:
+            raise ValueError(
+                "plan_dpp_join: the dim's distinct transformed values "
+                f"overflowed the {_CAP} driver cap — the prune was "
+                "disabled, so the require_pruning proof cannot hold"
+            )
+        if live and 0 < len(kept) == fact_total:
+            raise ValueError(
+                f"plan_dpp_join: dim touched every live partition "
+                f"({len(live)} values{f' of {n} buckets' if n else ''})"
+                " — no fact file pruned"
+            )
     if kept:
         pruned_fact = spark.read.schema(fschema).parquet(*sorted(kept))
         from telemetry_parquet_spark.sources.scan_planner import (

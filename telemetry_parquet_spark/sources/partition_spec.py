@@ -223,6 +223,13 @@ def partition_value(f: PartitionField, v):
         if isinstance(v, str):
             v = (_dt.datetime.fromisoformat(v)
                  if len(v) > 10 else _dt.date.fromisoformat(v))
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            # an offset-bearing literal ('…+02:00'): Spark's cast honors
+            # the offset, so reading the AWARE wall-clock fields here
+            # would mis-prune near period boundaries. Convert to the
+            # session timezone (the factory pins UTC — the module's
+            # documented contract) and compare wall clocks there.
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         if f.transform == "hour":
             # a bare date literal means midnight: hour-of-day 0
             h = v.hour if isinstance(v, _dt.datetime) else 0

@@ -703,3 +703,123 @@ def test_dpp_join_on_day_transform(spark, tmp_path):
     assert sorted(map(tuple, joined.collect())) == sorted(
         map(tuple, exp.collect())
     )
+
+
+def test_dpp_rejects_cross_typed_keys_and_identity_transform(
+    spark, tmp_path
+):
+    """Review regressions: cross-kind join keys raise instead of
+    silently mis-pruning via a dim-typed live set; the identity
+    transform prunes exactly (live set = the dim's filtered keys)."""
+    import telemetry_parquet_spark.sources.join_planner as JP
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    fa, di = str(tmp_path / "fx"), str(tmp_path / "dx")
+    fact = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    )
+    S.append(spark, fa, fact)
+    set_partition_spec(fa, [PartitionField("k", "bucket", 4)])
+    S.compact_table(spark, fa, target_bytes=1 << 26)
+    # string-typed dim key vs bigint fact key: loud error
+    S.append(spark, di, spark.range(0, 50).select(
+        F.col("id").cast("string").alias("dk")
+    ))
+    with pytest.raises(ValueError, match="types disagree"):
+        JP.plan_dpp_join(spark, fa, di, ("k", "dk"))
+    # identity-transform DPP with a compatible int dim: exact + engaged
+    di2 = str(tmp_path / "dy")
+    S.append(spark, di2, spark.range(0, 50).select(F.col("id").alias("dk")))
+    fa2 = str(tmp_path / "fid")
+    S.append(spark, fa2, fact.select(F.col("k"), F.col("v")))
+    set_partition_spec(fa2, [PartitionField("k", "identity")])
+    S.compact_table(spark, fa2, target_bytes=1 << 26)
+    joined, plan = JP.plan_dpp_join(
+        spark, fa2, di2, ("k", "dk"),
+        dim_predicates=[Range("dk", 0, 9)], require_pruning=True,
+    )
+    assert plan.live_buckets == 10 and plan.n_buckets == 0
+    exp = fact.join(
+        spark.range(0, 50).select(F.col("id").alias("dk"))
+        .where("dk between 0 and 9"),
+        F.col("k") == F.col("dk"), "inner",
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+
+
+def test_partial_tupling_raises_instead_of_staging(spark, tmp_path):
+    """A side whose CURRENT spec intends bucketing but has untupled
+    files gets the loud compact_table guidance, never a silent
+    whole-side staging rewrite."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    la, rb = str(tmp_path / "pa"), str(tmp_path / "pb")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    S.append(spark, la, df.where("k < 50"))  # pre-spec, untupled
+    set_partition_spec(la, [PartitionField("k", "bucket", 4)])
+    S.append(spark, la, df.where("k >= 50"))  # tupled; NO compact
+    S.append(spark, rb, df.select(F.col("k").alias("rk"),
+                                  F.col("v").alias("w")))
+    set_partition_spec(rb, [PartitionField("rk", "bucket", 4)])
+    S.compact_table(spark, rb, target_bytes=1 << 26)
+    with pytest.raises(ValueError, match="compact_table"):
+        plan_bucket_join(spark, la, rb, ("k", "rk"))
+
+
+def test_staging_layout_is_reused_across_calls(spark, tmp_path):
+    """The staged bucket layout lands under the session warehouse keyed
+    by (root, version, key, n, predicates): a second identical join
+    reuses it (no second scratch dir), and a version bump re-stages."""
+    import glob as _glob
+    import os as _os
+
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    la, rb = str(tmp_path / "ra"), str(tmp_path / "rrb")
+    fact = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    dim = spark.range(0, 5).select(F.col("id").alias("dk"),
+                                   (F.col("id") * 2).alias("w"))
+    S.append(spark, la, fact)
+    set_partition_spec(la, [PartitionField("v", "bucket", 4)])
+    S.compact_table(spark, la, target_bytes=1 << 26)
+    S.append(spark, rb, dim)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+
+    def stage_dirs():
+        return set(_glob.glob(_os.path.join(wh, "bucket_stage_*")))
+
+    before = stage_dirs()
+    j1, p1 = plan_bucket_join(spark, la, rb, ("v", "dk"))
+    after1 = stage_dirs()
+    assert len(after1 - before) == 1  # one fresh staged layout
+    n1 = j1.count()
+    j2, p2 = plan_bucket_join(spark, la, rb, ("v", "dk"))
+    assert stage_dirs() == after1  # REUSED, not re-staged
+    assert j2.count() == n1 == 300
+    S.append(spark, rb, spark.createDataFrame([(99, 0)], "dk long, w long"))
+    j3, _ = plan_bucket_join(spark, la, rb, ("v", "dk"))
+    assert len(stage_dirs() - after1) == 1  # new version -> new layout
+    assert j3.count() == 300  # dk=99 matches no v in 0..4

@@ -911,3 +911,34 @@ def test_staged_update_keeps_tuples_through_publish(spark, tmp_path):
     assert {
         k: (g["n_rows"], g["sum"]["cust"]) for k, g in got[1].items()
     } == exp
+
+
+def test_offset_bearing_literals_prune_exactly(spark, tmp_path):
+    """Review regression: an offset-bearing ISO literal ('…+02:00')
+    must convert to the session timezone (UTC) before wall-clock
+    comparison — reading the aware fields directly would drop files
+    whose rows Spark's offset-honoring cast keeps."""
+    fld = PartitionField("ts", "hour")
+    # 06:00+02:00 == 04:00 UTC -> hour key must be the UTC hour
+    assert partition_value(fld, "2024-01-05 06:00:00+02:00") == (
+        partition_value(fld, "2024-01-05 04:00:00")
+    )
+    assert partition_value(PartitionField("ts", "day"),
+                           "2024-01-06 01:00:00+03:00") == (
+        partition_value(PartitionField("ts", "day"), "2024-01-05")
+    )
+    # end-to-end: the pruned answer equals the full scan's
+    from telemetry_parquet_spark.sources.snapshots import create_table
+
+    root = str(tmp_path / "tzspec")
+    df = _ts_frame(spark, 300)
+    create_table(root, df.schema)
+    set_partition_spec(root, [PartitionField("ts", "hour")])
+    append(spark, root, df)
+    lo = "2024-02-01 01:00:00+02:00"  # == 2024-01-31 23:00 UTC
+    hi = "2024-02-01 03:30:00+02:00"  # == 2024-02-01 01:30 UTC
+    pruned, plan = plan_snapshot_scan(
+        spark, root, [Range("ts", lo, hi)], require_pruning=True
+    )
+    exp = df.where(f"ts >= '{lo}' and ts <= '{hi}'").count()
+    assert pruned.count() == exp and exp > 0
