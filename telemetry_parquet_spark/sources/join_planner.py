@@ -276,11 +276,16 @@ def _stage_into_buckets(
     schema = StructType.fromJson(_json.loads(m["schema"]))
     if key.lower() not in {c.lower() for c in schema.fieldNames()}:
         raise ValueError(f"bucket join: no column {key!r} to stage on")
+    # the one source of truth for the bucket expression: any drift from
+    # the write side would silently mis-align the staged layout
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        spark_transform,
+    )
+
     staged = df.select(
         "*",
-        F.pmod(
-            F.crc32(F.col(key).cast("string").cast("binary")), F.lit(n)
-        ).cast("int").alias("__b"),
+        spark_transform(PartitionField(key, "bucket", n)).alias("__b"),
     ).repartition(F.col("__b"))
     plan_str = staged._jdf.queryExecution().executedPlan().toString()
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
