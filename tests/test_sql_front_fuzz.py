@@ -108,6 +108,8 @@ _READONLY = [
     "GROUP BY o_orderpriority",
     "TABLE CHANGES t FROM 1 TO 3",
     "SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF 9999999999",
+    # deterministic per manifest version -> mutation-invariant
+    "SELECT * FROM t TABLESAMPLE (50 ROWS)",
 ]
 
 
@@ -170,6 +172,8 @@ def test_near_miss_is_loud_never_a_silent_reroute(spark, table):
         "VACUUM t RETAIN 5 VERSIONS",
         "DELETE FROM t WHERE o_orderkey < 0",
         "ALTER TABLE t SET PARTITION SPEC (day(o_orderdate))",
+        "ALTER TABLE t SET PARTITION SPEC (month(o_orderdate))",
+        "ALTER TABLE t SET PARTITION SPEC (year(o_orderdate))",
         "CREATE TAG t2 ON t",
         "MERGE BRANCH b INTO t",
         "RESTORE t TO VERSION AS OF 1",
