@@ -943,6 +943,14 @@ def snapshot_filtered_agg(
     - anything else (straddling file covering ``value``, missing stats,
       unknown/nonzero nulls) → refuse.
 
+    Outstanding deletion vectors stay metadata-only for COUNT/SUM: an
+    INCLUDED file is single-valued at the probe, so every row a vector
+    masks in it also matched — each vector's per-file sidecar delta
+    (``_write_dv_agg_sidecar``) subtracts exactly; deltas on EXCLUDED
+    files never counted and are ignored. MIN/MAX refuses when a vector
+    touches an included file (a deleted extreme row would falsify the
+    footer envelope); pre-format sidecars (no breakdown) refuse.
+
     On a key-clustered layout — one file set per day, say — "count
     yesterday's rows / sum yesterday's revenue" is a manifest fold, the
     query every 100 TB ingest pipeline runs hourly. Returns
@@ -952,7 +960,7 @@ def snapshot_filtered_agg(
         version = resolve_ref(root, version)
     v = latest_version(root) if version is None else version
     m = read_manifest(root, v)
-    if m.get("dv") or not m["files"]:
+    if not m["files"]:
         return None
     schema = StructType.fromJson(json.loads(m["schema"]))
     key = _canon_col(schema, key)
@@ -988,6 +996,7 @@ def snapshot_filtered_agg(
     nsc, nmm = len(sum_cols or []), len(minmax_cols or [])
     total = [0] + [0] * (2 * nsc) + [None] * (2 * nmm)
     included = 0
+    included_files: set[str] = set()
     for f in m["files"]:
         n = rows.get(f)
         if n is None:
@@ -1011,6 +1020,7 @@ def snapshot_filtered_agg(
         if nulls.get(f, {}).get(key) != 0:
             return None  # NULL-key rows would inflate the count
         included += 1
+        included_files.add(f)
         total[0] += int(n)
         fsums = sums.get(f, {})
         for i, c in enumerate(sum_cols or []):
@@ -1030,8 +1040,31 @@ def snapshot_filtered_agg(
             total[hi] = cst[1] if total[hi] is None else max(
                 total[hi], cst[1]
             )
-    if (nsc or nmm) and included == 0:
+    for dvf in m.get("dv") or []:
+        agg = _read_dv_agg_sidecar(root, dvf)
+        if agg is None or agg.get("per_file") is None:
+            return None  # no per-file breakdown -> scan fallback
+        for f, delta in agg["per_file"].items():
+            if f not in included_files:
+                continue  # excluded file: its masked rows never counted
+            dn = int(delta["n"])
+            if dn == 0:
+                continue
+            if nmm:
+                # a deleted row may have BEEN the min/max; the footer
+                # envelope cannot answer post-delete extremes
+                return None
+            total[0] -= dn
+            for i, c in enumerate(sum_cols or []):
+                ent = (delta.get("sums") or {}).get(c)
+                if ent is None:
+                    return None
+                total[1 + i] -= int(ent[0])
+                total[1 + nsc + i] -= int(ent[1])
+    if total[0] <= 0 and (nsc or nmm):
         return None  # SUM/MIN/MAX over zero rows is NULL; scan answers
+    if (nsc or nmm) and included == 0:
+        return None
     if any(total[1 + nsc + i] == 0 for i in range(nsc)) and included:
         return None  # an all-NULL SUM column: SQL says NULL
     return (

@@ -2021,3 +2021,54 @@ def test_metadata_fast_paths_case_insensitive_and_null_key_files(
         .first()
     )
     assert got == (exp.n, exp.s)
+
+
+def test_filtered_agg_stays_metadata_only_through_mor_deletes(
+    spark, sf_dir, tmp_path
+):
+    """DV-aware filtered aggregate: an included file is single-valued
+    at the probe, so its vector-masked rows all matched — the per-file
+    sidecar delta subtracts exactly for COUNT/SUM; MIN/MAX refuses when
+    a vector touches an included file; deltas on excluded files are
+    ignored."""
+    import os as _os
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        delete_where_mor,
+        snapshot_filtered_agg,
+    )
+
+    src = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    root = str(tmp_path / "dvagg")
+    for p in ("1-URGENT", "2-HIGH", "3-MEDIUM"):
+        append(
+            spark, root,
+            src.where(F.col("o_orderpriority") == p).repartition(2),
+        )
+    delete_where_mor(spark, root, "o_custkey % 5 = 2")
+    live = src.where(
+        "o_orderpriority in ('1-URGENT','2-HIGH','3-MEDIUM') "
+        "and not (o_custkey % 5 = 2)"
+    )
+    got = snapshot_filtered_agg(
+        root, "o_orderpriority", "2-HIGH", ["o_custkey"]
+    )
+    exp = live.where("o_orderpriority = '2-HIGH'").agg(
+        F.count("*"), F.sum("o_custkey")
+    ).first()
+    assert got == (exp[0], exp[1])
+    # second stacked vector still folds exactly
+    delete_where_mor(spark, root, "o_custkey % 7 = 3")
+    live2 = live.where("not (o_custkey % 7 = 3)")
+    got2 = snapshot_filtered_agg(
+        root, "o_orderpriority", "2-HIGH", ["o_custkey"]
+    )
+    exp2 = live2.where("o_orderpriority = '2-HIGH'").agg(
+        F.count("*"), F.sum("o_custkey")
+    ).first()
+    assert got2 == (exp2[0], exp2[1])
+    # MIN/MAX under a vector that touched the included files: refuse
+    assert snapshot_filtered_agg(
+        root, "o_orderpriority", "2-HIGH", minmax_cols=["o_orderkey"]
+    ) is None
