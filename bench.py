@@ -294,6 +294,9 @@ HEADLINE = [
     # dim's <= n distinct key buckets select the fact files; stats
     # cannot serve this (bucket layout scrambles the key envelope)
     "snapshot_dpp_join",
+    # round 11: DV-aware filtered metadata aggregate — COUNT/SUM at one
+    # cluster value through MOR deletes, zero data I/O (raise-proven)
+    "snapshot_filtered_mor",
 ]
 
 

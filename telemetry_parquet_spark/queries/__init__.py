@@ -45,13 +45,14 @@ from telemetry_parquet_spark.queries import table_service  # noqa: F401, E402
 # green — see CORRECTNESS_CUMULATIVE.md). Per the r10 verdict, this
 # round is a STALENESS re-certification: after the r11 code churn
 # (spec-aware branch/WAP writes, per-file DV sidecars, one-side bucket
-# join), the window is (1) the 4 never-checked r11 queries (the
-# late-round snapshot_dpp_join displaced one r07 slot), (2) 5
+# join), the window is (1) the 5 never-checked r11 queries (two
+# late-round additions each displaced one r07 slot), (2) 5
 # green-but-infrastructure-touched re-checks, (3) ALL 36 queries whose
-# latest row is r06, (4) the 5 alphabetically-first r07 names
-# (4+5+36+5 = 50). The remaining 43 r07 names rotate to round 12.
+# latest row is r06, (4) the 4 alphabetically-first r07 names
+# (5+5+36+4 = 50). The remaining 44 r07 names rotate to round 12.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 11 — never driver-checked
+    "snapshot_filtered_mor",
     "snapshot_dpp_join",
     "snapshot_rollup_mor",
     "snapshot_hour_prune",
@@ -106,9 +107,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_topk_docs",
     "bpe_learn_merges_batched",
     "contamination_ngram_overlap",
-    "dd_duplicate_components",
-    # (dd_embedding_cosine_pairs displaced to round 12 by the late-round
-    # snapshot_dpp_join addition)
+    # (dd_duplicate_components and dd_embedding_cosine_pairs displaced
+    # to round 12 by the late-round snapshot_dpp_join and
+    # snapshot_filtered_mor additions)
 )
 
 

@@ -2233,3 +2233,64 @@ def snapshot_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_orders"), _sum_cents()
     )
+
+
+@query(
+    "snapshot_filtered_mor",
+    # WHERE key = literal COUNT/SUM on a key-clustered, MOR-deleted
+    # table: the SQL front door answers from per-file manifest stats
+    # minus the vector's per-file sidecar deltas -- zero data I/O
+    # (inputFiles raise below); the oracle filters plainly.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders
+    WHERE o_orderpriority = '2-HIGH' AND NOT (o_custkey % 5 = 2)
+    """,
+)
+def snapshot_filtered_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-aware filtered metadata aggregate
+    (snapshots.snapshot_filtered_agg via the SQL front door): on a
+    priority-clustered orders table with an outstanding merge-on-read
+    delete, COUNT/SUM over one cluster value folds the included files'
+    manifest stats and subtracts each deletion vector's per-file
+    sidecar delta -- every masked row in a single-valued file matched
+    the probe by construction. At 100 TB: 'count/sum yesterday's
+    surviving rows' stays a manifest read through MOR deletes."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        delete_where_mor,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        for p in (
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+        ):
+            append(
+                spark, root,
+                orders.where(F.col("o_orderpriority") == p).repartition(2),
+            )
+        delete_where_mor(spark, root, "o_custkey % 5 = 2")
+
+    root = materialize_cached(
+        spark, src,
+        "snapfmor_orders_" + os.path.basename(sf_dir.rstrip("/")), build,
+    )
+    out = engine_sql(
+        spark,
+        "SELECT COUNT(*) AS n_orders, SUM(o_custkey) AS sum_custkey "
+        "FROM t WHERE o_orderpriority = '2-HIGH'",
+        {"t": root},
+    )
+    if out.inputFiles():
+        raise RuntimeError(
+            "filtered metadata aggregate read data files under MOR"
+        )
+    return out.select(
+        F.col("n_orders").cast("long"),
+        F.col("sum_custkey").cast("long"),
+    )
