@@ -21,9 +21,35 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def cross_label_normalizer(rec: dict) -> None:
+    """Contended vs uncontended at the SAME sf, normalized by the
+    calibration constants both records carry inline: the driver-window
+    (contended) record embeds host co-tenancy that is not code — the
+    fixed reference workloads' ratio factors it out, so a round-over-
+    round driver comparison stops looking like a regression."""
+    c, u = rec.get("contended"), rec.get("uncontended")
+    if not (c and u and c.get("calibration") and u.get("calibration")):
+        print("(no calibrated contended+uncontended pair — skipped)")
+        return
+    cc, uc = c["calibration"], u["calibration"]
+    r_jvm = cc["jvm_codegen_sum_s"] / uc["jvm_codegen_sum_s"]
+    r_np = cc["numpy_matmul_s"] / uc["numpy_matmul_s"]
+    raw = c["value"] / u["value"]
+    print(
+        f"contended {c['value']}s vs uncontended {u['value']}s: raw "
+        f"{raw:.2f}x; host-speed ratio jvm {r_jvm:.2f}x / numpy "
+        f"{r_np:.2f}x; jvm-normalized {raw / r_jvm:.2f}x, "
+        f"numpy-normalized {raw / r_np:.2f}x "
+        f"(≈1.0 ⇒ the gap is host contention, not code)"
+    )
+
+
 def main() -> None:
     with open(os.path.join(REPO, "BENCH_full.json")) as f:
         rec = json.load(f)
+    print("== contended/uncontended calibration normalizer ==")
+    cross_label_normalizer(rec)
+    print("\n== 10x data-step scaling (sf0.01 -> sf0.1) ==")
     small = rec.get("scaling_sf0.01_sf0.01") or rec.get("smoke_sf0.01")
     big = rec["uncontended"]
     sq, bq = small["queries"], big["queries"]

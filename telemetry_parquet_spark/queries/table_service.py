@@ -2147,8 +2147,19 @@ def snapshot_bucket_join_oneside(
     if plan.staged_side != "right":
         raise RuntimeError(f"staging did not engage: {plan.staged_side}")
     stage = (plan.staging_plan or "").split("== Initial Plan ==")[0]
-    if stage.replace("BroadcastExchange", "").count("Exchange") != 1:
-        raise RuntimeError("staging paid more than one exchange")
+    # count SHUFFLE nodes specifically: the bare 'Exchange' substring
+    # also matches BroadcastExchange/ReusedExchange and is brittle
+    # across plan-format changes; the physical shuffle node prints as
+    # 'Exchange <partitioning>' at a tree position, never 'Reused…'
+    import re as _re
+
+    n_shuffles = len(
+        _re.findall(r"(?m)^[\s+*:-]*Exchange\b", stage)
+    )
+    if n_shuffles != 1:
+        raise RuntimeError(
+            f"staging paid {n_shuffles} shuffle exchanges, expected 1"
+        )
     return joined.groupBy(
         F.coalesce(F.col("c_nationkey"), F.lit(-1))
         .cast("long")

@@ -254,7 +254,12 @@ def _stage_into_buckets(
     are immutable at a version, so a later call with the same key
     REUSES the layout and skips the shuffle entirely (the
     materialize_cached discipline; repeated joins against one dim
-    version pay the exchange once, and nothing accumulates in /tmp).
+    version pay the exchange once). Eviction keeps the scratch bounded:
+    each stage dir carries a ``_stage_meta.json`` (root + version), and
+    before a new stage is written every dir of the SAME table whose
+    version is older than the table head is removed — evolving
+    versions or predicate sets therefore never accumulate more than
+    the head version's layouts (legacy meta-less dirs are left alone).
     The write is crash-safe: a private tmp dir renamed into place; a
     lost rename race discards its copy and reuses the winner's.
 
@@ -299,8 +304,30 @@ def _stage_into_buckets(
     ).hexdigest()[:16]
     scratch = os.path.join(wh, f"bucket_stage_{fp}")
     if not os.path.isdir(scratch):
+        # evict this table's stale layouts first: any stage dir whose
+        # recorded version is older than the table head can never be
+        # reused (callers resolve versions against the head), so the
+        # scratch stays bounded by the head version's layouts
+        head = S.latest_version(root)
+        abs_root = os.path.abspath(root)
+        for name in os.listdir(wh) if os.path.isdir(wh) else []:
+            if not name.startswith("bucket_stage_"):
+                continue
+            d = os.path.join(wh, name)
+            meta_p = os.path.join(d, "_stage_meta.json")
+            try:
+                with open(meta_p) as fh:
+                    meta = _json.load(fh)
+            except (OSError, ValueError):
+                continue  # meta-less / foreign dir: leave it alone
+            if meta.get("root") == abs_root and meta.get("version",
+                                                         head) < head:
+                shutil.rmtree(d, ignore_errors=True)
         tmp = f"{scratch}.tmp-{_uuid.uuid4().hex[:8]}"
         staged.write.partitionBy("__b").mode("error").parquet(tmp)
+        with open(os.path.join(tmp, "_stage_meta.json"), "w") as fh:
+            _json.dump({"root": abs_root, "version": version,
+                        "key": key.lower(), "n": n}, fh)
         try:
             os.rename(tmp, scratch)
         except OSError:  # lost the race: the winner's copy is identical
@@ -395,7 +422,18 @@ def plan_bucket_join(
 
     from pyspark.sql.types import StructType
 
-    how = {"left": "left_outer"}.get(how.lower(), how.lower())
+    # accept every Spark-accepted spelling (DataFrame.join parity):
+    # 'left' / 'leftouter' / 'left outer' → left_outer, 'semi' /
+    # 'leftsemi' → left_semi, 'anti' / 'leftanti' → left_anti
+    how = how.lower().replace(" ", "_").replace("-", "_")
+    how = {
+        "left": "left_outer",
+        "leftouter": "left_outer",
+        "semi": "left_semi",
+        "leftsemi": "left_semi",
+        "anti": "left_anti",
+        "leftanti": "left_anti",
+    }.get(how, how)
     if how not in ("inner", "left_semi", "left_anti", "left_outer"):
         raise ValueError(
             f"plan_bucket_join: unsupported join type {how!r} "

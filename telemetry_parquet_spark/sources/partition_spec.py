@@ -70,12 +70,15 @@ while the PLAN side converts predicate literals with timezone-naive
 ``datetime.fromisoformat``. The two agree iff the planning process runs
 under the same timezone the files were written under — the repo's
 session factory pins ``spark.sql.session.timeZone=UTC`` and naive ISO
-literals therefore mean UTC everywhere. If a deployment re-writes under
-a different session timezone, temporal pruning near period boundaries
-could drop a file containing matching rows; the residual filter does
-NOT rescue a dropped file, so DO NOT change the session timezone
-between writing and planning (DATE columns are unaffected — no
-timezone enters either side).
+literals therefore mean UTC everywhere. Offset-AWARE literals are
+converted to the wall clock of the ACTUAL ``spark.sql.session.timeZone``
+(resolved from the active session, memoized per session — see
+``_session_zone``), so a deployment that overrides the session timezone
+still prunes aware literals correctly. The remaining contract is for
+NAIVE literals only: they mean "session-zone wall clock", so DO NOT
+change the session timezone between writing and planning (DATE columns
+are unaffected — no timezone enters either side); a dropped file is
+never rescued by the residual filter.
 
 NULL tuples: Spark's hive layout writes BOTH a NULL transformed value
 and an EMPTY-STRING one to ``__HIVE_DEFAULT_PARTITION__``, so for
@@ -131,8 +134,74 @@ class PartitionField:
 
     @staticmethod
     def from_json(d: dict) -> "PartitionField":
-        return PartitionField(d["col"], d.get("transform", "identity"),
-                              d.get("n"))
+        t = d.get("transform", "identity")
+        n = d.get("n")
+        if t not in ("bucket", "truncate"):
+            # a STORED spec may carry a legacy n=... on temporal/identity
+            # transforms (committed through the previously-permissive SQL
+            # parser, e.g. day(8, ts)); the argument never influenced the
+            # written layout, so normalize instead of hard-failing every
+            # subsequent spec-aware write. validate_spec stays strict for
+            # newly-authored specs.
+            n = None
+        return PartitionField(d["col"], t, n)
+
+
+_ZONE_CACHE: dict[int, _dt.tzinfo] = {}
+
+
+def _session_zone() -> _dt.tzinfo:
+    """tzinfo of ``spark.sql.session.timeZone`` for the ACTIVE session —
+    the zone Spark's cast interprets an offset-bearing timestamp literal
+    under, so the plan side must read the wall clock in the same zone.
+    Memoized per session id (one py4j lookup, not one per pruned file);
+    the module contract already forbids flipping the session timezone
+    between write and plan, which covers the memo too. Raises ValueError
+    when no session is active or the zone id cannot be resolved — the
+    callers' undecidable-literal discipline turns that into KEEP."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("no active SparkSession: timezone undecidable")
+    key = id(spark)
+    tz = _ZONE_CACHE.get(key)
+    if tz is not None:
+        return tz
+    name = spark.conf.get("spark.sql.session.timeZone") or "UTC"
+    tz = _parse_zone(name)
+    _ZONE_CACHE[key] = tz
+    return tz
+
+
+def _parse_zone(name: str) -> _dt.tzinfo:
+    """A Spark/Java zone id → Python tzinfo: 'Z'/'UTC'/'GMT', fixed
+    offsets ('+02:00', 'UTC+02:00', 'GMT-8'), or region ids via
+    zoneinfo. Unresolvable ids raise ValueError (→ keep)."""
+    s = name.strip()
+    if s.upper() in ("Z", "UTC", "GMT", "UT", "ETC/UTC", "ETC/GMT"):
+        return _dt.timezone.utc
+    body = s
+    for p in ("UTC", "GMT", "UT"):
+        if body.upper().startswith(p) and len(body) > len(p):
+            body = body[len(p):]
+            break
+    if body and body[0] in "+-":
+        sign = -1 if body[0] == "-" else 1
+        hhmm = body[1:]
+        if ":" in hhmm:
+            hh, _, mm = hhmm.partition(":")
+        else:
+            hh, mm = (hhmm[:2], hhmm[2:]) if len(hhmm) > 2 else (hhmm, "0")
+        return _dt.timezone(
+            sign * _dt.timedelta(hours=int(hh), minutes=int(mm or 0))
+        )
+    try:
+        import zoneinfo
+
+        return zoneinfo.ZoneInfo(s)
+    except Exception as exc:  # KeyError / ZoneInfoNotFoundError
+        raise ValueError(f"unresolvable session timezone {name!r}") from exc
 
 
 def _simple_type(schema: StructType, col: str) -> str:
@@ -227,9 +296,12 @@ def partition_value(f: PartitionField, v):
             # an offset-bearing literal ('…+02:00'): Spark's cast honors
             # the offset, so reading the AWARE wall-clock fields here
             # would mis-prune near period boundaries. Convert to the
-            # session timezone (the factory pins UTC — the module's
-            # documented contract) and compare wall clocks there.
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            # ACTUAL session timezone (resolved from
+            # spark.sql.session.timeZone — the factory pins UTC, but a
+            # deployment override must not silently mis-prune) and
+            # compare wall clocks there. An unresolvable zone raises →
+            # the callers keep the file.
+            v = v.astimezone(_session_zone()).replace(tzinfo=None)
         if f.transform == "hour":
             # a bare date literal means midnight: hour-of-day 0
             h = v.hour if isinstance(v, _dt.datetime) else 0
