@@ -178,6 +178,92 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_merge_conditional",
+    # Conditional MERGE (snapshots.merge_into_conditional), driven
+    # through the SQL front door: ordered first-match-wins clauses —
+    # DELETE matched keys with o_orderkey%40<2, UPDATE SET * (source
+    # carries o_orderpriority='SRC') when the target row's status isn't
+    # 'F', keep the rest unchanged; INSERT only even-custkey unmatched
+    # source rows. The oracle replays the clause routing as plain set
+    # ops (anti ∪ case-joined ∪ filtered-anti). Grouped per status so
+    # one hash checks delete, conditional update, carry-unchanged, and
+    # filtered insert at once.
+    oracle=f"""
+    WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
+    s AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate, 'SRC' AS o_orderpriority
+          FROM orders WHERE o_orderkey % 20 < 4 OR o_orderkey % 10 = 8),
+    merged AS (
+      SELECT t.* FROM t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM s)
+      UNION ALL
+      SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+             t.o_orderdate,
+             CASE WHEN t.o_orderstatus <> 'F' THEN 'SRC'
+                  ELSE t.o_orderpriority END AS o_orderpriority
+      FROM t JOIN s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (s.o_orderkey % 40 < 2)
+      UNION ALL
+      SELECT * FROM s
+      WHERE s.o_orderkey % 10 = 8 AND s.o_custkey % 2 = 0
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority = 'SRC' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_src,
+           {_SUM} AS sum_price_cents
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def snapshot_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-clause MERGE INTO as a copy-on-write commit
+    (sources/snapshots.py::merge_into_conditional — the reference's
+    keep-newest dedup-upsert shape, PioneerOnlineNewsDedupe.scala:114-121),
+    routed through the SQL front door's WHEN-clause grammar. Detection is
+    CLAUSE-AWARE: only files where a matched row actually fires a clause
+    rewrite, so a mostly-stale source rewrites almost nothing at 100 TB."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        read_snapshot,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 < 7))
+        orders.where(
+            (F.col("o_orderkey") % 20 < 4) | (F.col("o_orderkey") % 10 == 8)
+        ).withColumn(
+            "o_orderpriority", F.lit("SRC")
+        ).createOrReplaceTempView("__merge_cond_src")
+        engine_sql(
+            spark,
+            """
+            MERGE INTO tgt USING (SELECT * FROM __merge_cond_src)
+            ON o_orderkey
+            WHEN MATCHED AND s.o_orderkey % 40 < 2 THEN DELETE
+            WHEN MATCHED AND t.o_orderstatus <> 'F' THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.o_custkey % 2 = 0 THEN INSERT *
+            """,
+            {"tgt": root},
+        )
+
+    root = materialize_cached(
+        spark, src,
+        "snapmergecond_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    return read_snapshot(spark, root).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "SRC", 1).otherwise(0)
+        ).alias("n_src"),
+        _sum_cents(),
+    )
+
+
+@query(
     "snapshot_zorder_planned",
     # oracle = the plain full-scan double-range filter over lineitem. The
     # Spark side serves it from a SNAPSHOT VERSION's manifest file list:

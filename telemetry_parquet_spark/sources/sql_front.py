@@ -353,32 +353,91 @@ def _dml(
             )
         return _version_df(spark, "append", S.append(spark, root, rows))
 
-    # Row-level MERGE, the restricted update-all/insert-all form the COW
-    # merge commit implements (snapshots.merge_into): ``MERGE INTO t
-    # USING (<select>) ON k1[, k2 …] [WHEN MATCHED THEN UPDATE ALL WHEN
-    # NOT MATCHED THEN INSERT ALL]``. The USING subquery goes through the
-    # same rewriter, so merging FROM a time-traveled version or another
-    # snapshot table works. Conditional WHEN clauses / DELETE actions are
-    # a loud error, not a silent misread.
+    # Row-level MERGE (snapshots.merge_into / merge_into_conditional):
+    # ``MERGE INTO t USING (<select>) ON k1[, k2 …]`` followed by zero
+    # or more clauses. No clauses (or the exact update-all/insert-all
+    # pair) routes to the unconditional COW merge; any conditional /
+    # DELETE / insert-only shape routes to the conditional engine:
+    # ``WHEN MATCHED [AND <cond>] THEN UPDATE SET * | DELETE`` (ordered,
+    # first-match-wins) and ``WHEN NOT MATCHED [AND <cond>] THEN INSERT
+    # *``. Conditions are SQL over aliases t (target) / s (source);
+    # ``ALL`` is accepted as a synonym of ``SET *`` / ``*``. The USING
+    # subquery goes through the same rewriter, so merging FROM a
+    # time-traveled version or another snapshot table works. Restricted
+    # parse discipline: a clause tail the clause grammar does not fully
+    # consume is a loud error, never a silent misread (conditions
+    # containing a bare ' THEN ' — e.g. CASE expressions — are out of
+    # shape).
     m = re.fullmatch(
         r"\s*MERGE\s+INTO\s+(\w+)\s+USING\s*\((.+)\)\s*"
         r"ON\s+(\w+(?:\s*,\s*\w+)*)"
-        r"(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+ALL"
-        r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+ALL)?\s*;?\s*",
+        r"((?:\s+WHEN\s.+)?)\s*;?\s*",
         sql, re.IGNORECASE | re.DOTALL,
     )
     if m:
         root = _resolve(tables, m.group(1))
         source = engine_sql(spark, m.group(2), tables)
         keys = [k.strip() for k in m.group(3).split(",") if k.strip()]
-        v = S.merge_into(spark, root, source, keys)
-        return _version_df(spark, "merge-into", v)
+        rest = (m.group(4) or "").strip().rstrip(";").strip()
+        if not rest or re.fullmatch(
+            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+(?:ALL|SET\s*\*)\s+"
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(?:ALL|\*)",
+            rest, re.IGNORECASE,
+        ):
+            v = S.merge_into(spark, root, source, keys)
+            return _version_df(spark, "merge-into", v)
+        clause_re = re.compile(
+            r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+            r"(UPDATE\s+(?:SET\s*\*|ALL)|DELETE|INSERT\s+(?:\*|ALL))"
+            r"\s*",
+            re.IGNORECASE | re.DOTALL,
+        )
+        matched_clauses: list[tuple[str, str | None]] = []
+        not_matched_insert = False
+        insert_condition: str | None = None
+        pos = 0
+        while pos < len(rest):
+            c = clause_re.match(rest, pos)
+            if not c:
+                raise ValueError(
+                    f"MERGE INTO: cannot parse clause tail at "
+                    f"{rest[pos:pos + 60]!r} — supported: WHEN MATCHED "
+                    "[AND <cond>] THEN UPDATE SET * | DELETE, WHEN NOT "
+                    "MATCHED [AND <cond>] THEN INSERT *"
+                )
+            is_not, cond, action = c.group(1), c.group(2), c.group(3)
+            action_kw = action.split()[0].upper()
+            cond = cond.strip() if cond else None
+            if is_not:
+                if action_kw != "INSERT":
+                    raise ValueError(
+                        "MERGE INTO: WHEN NOT MATCHED supports only "
+                        "INSERT *"
+                    )
+                if not_matched_insert:
+                    raise ValueError(
+                        "MERGE INTO: at most one WHEN NOT MATCHED clause"
+                    )
+                not_matched_insert, insert_condition = True, cond
+            else:
+                if action_kw == "INSERT":
+                    raise ValueError(
+                        "MERGE INTO: INSERT belongs to WHEN NOT MATCHED"
+                    )
+                matched_clauses.append(
+                    ("update" if action_kw == "UPDATE" else "delete", cond)
+                )
+            pos = c.end()
+        v = S.merge_into_conditional(
+            spark, root, source, keys, matched_clauses,
+            not_matched_insert=not_matched_insert,
+            insert_condition=insert_condition,
+        )
+        return _version_df(spark, "merge-into-conditional", v)
     if re.match(r"\s*MERGE\s+INTO\b", sql, re.IGNORECASE):
         raise ValueError(
             "MERGE INTO: only the 'USING (<select>) ON <key list> "
-            "[WHEN MATCHED THEN UPDATE ALL WHEN NOT MATCHED THEN INSERT "
-            "ALL]' form is supported (conditional clauses and DELETE "
-            "actions are not)"
+            "[WHEN clauses]' form is supported"
         )
 
     m = re.fullmatch(

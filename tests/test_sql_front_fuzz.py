@@ -178,6 +178,12 @@ def test_near_miss_is_loud_never_a_silent_reroute(spark, table):
         "MERGE BRANCH b INTO t",
         "RESTORE t TO VERSION AS OF 1",
         "TABLE CHANGES t FROM 1 TO 3",
+        # conditional MERGE: every keyword corruption must land in the
+        # loud clause-tail error or the MERGE INTO prefix error, never
+        # silently run a DIFFERENT clause routing
+        "MERGE INTO t USING (SELECT * FROM t VERSION AS OF 1) "
+        "ON o_orderkey WHEN MATCHED AND s.o_orderkey < 0 THEN DELETE "
+        "WHEN NOT MATCHED AND s.o_orderkey < 0 THEN INSERT *",
     ]
     head_before = latest_version(table)
     for stmt in base:
