@@ -2254,6 +2254,108 @@ def snapshot_bucket_join_oneside(
 
 
 @query(
+    "snapshot_bucket_join_composite",
+    # COMPOSITE-key storage-partitioned join — the reference's
+    # multi-column dedup join shape (PioneerOnlineNewsDedupe.scala:
+    # 114-117): both sides bucket-partitioned on (orderkey, linenumber)
+    # at widths (8, 4); the planner pairs files on the TUPLE of per-key
+    # buckets (32 composite buckets) with zero join-side shuffles. The
+    # oracle is the plain two-key join. Money as BIGINT cents.
+    oracle="""
+    SELECT l.l_linenumber,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(15,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(SUM(r.r_tax_cents) AS BIGINT) AS sum_tax_cents
+    FROM lineitem l
+    JOIN (SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber,
+                 CAST(CAST(l_tax AS DECIMAL(15,2)) * 100 AS BIGINT)
+                   AS r_tax_cents
+          FROM lineitem WHERE l_returnflag = 'R') r
+      ON l.l_orderkey = r.r_orderkey
+     AND l.l_linenumber = r.r_linenumber
+    GROUP BY l.l_linenumber
+    """,
+)
+def snapshot_bucket_join_composite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Composite-key bucket join (join_planner.py::plan_bucket_join with
+    ``on`` = a list of key pairs): an equi-join on (orderkey,
+    linenumber) decomposes by the TUPLE of per-key crc32 buckets, so
+    two tables spec'd ``bucket(8, orderkey), bucket(4, linenumber)``
+    pair file-for-file across 32 composite buckets — at 100 TB the
+    bucketed-blocklist dedup join runs with ZERO repartitioning of
+    either side. Engagement is raise-proven: no staging, full 32-bucket
+    pairing."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+    )
+
+    lsrc = os.path.join(sf_dir, "lineitem.parquet")
+
+    def build_left(root: str) -> None:
+        li = spark.read.parquet(lsrc).select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+        append(spark, root, li)
+        set_partition_spec(root, [
+            PartitionField("l_orderkey", "bucket", 8),
+            PartitionField("l_linenumber", "bucket", 4),
+        ])
+        compact_table(spark, root, target_bytes=128 * 1024 * 1024)
+
+    def build_right(root: str) -> None:
+        ret = spark.read.parquet(lsrc).where(
+            F.col("l_returnflag") == "R"
+        ).select(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_linenumber").alias("r_linenumber"),
+            (F.col("l_tax").cast("decimal(15,2)") * 100)
+            .cast("long").alias("r_tax_cents"),
+        )
+        append(spark, root, ret)
+        set_partition_spec(root, [
+            PartitionField("r_orderkey", "bucket", 8),
+            PartitionField("r_linenumber", "bucket", 4),
+        ])
+        compact_table(spark, root, target_bytes=128 * 1024 * 1024)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    lroot = materialize_cached(
+        spark, lsrc, f"snapbjc_li_{tag}", build_left
+    )
+    rroot = materialize_cached(
+        spark, lsrc, f"snapbjc_ret_{tag}", build_right
+    )
+    joined, plan = plan_bucket_join(
+        spark, lroot, rroot,
+        [("l_orderkey", "r_orderkey"), ("l_linenumber", "r_linenumber")],
+    )
+    if plan.staged_side is not None or plan.n_buckets != 32:
+        raise RuntimeError(
+            f"composite pairing did not engage: staged="
+            f"{plan.staged_side}, n_buckets={plan.n_buckets}"
+        )
+    return joined.groupBy("l_linenumber").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            (F.col("l_quantity").cast("decimal(15,2)") * 100)
+            .cast("long")
+        ).alias("sum_qty_cents"),
+        F.sum("r_tax_cents").alias("sum_tax_cents"),
+    )
+
+
+@query(
     "snapshot_dpp_join",
     # Manifest-side dynamic partition pruning: the dim filter keeps 3
     # customer keys; their crc32 buckets (<= 3 of 8 ints on the driver,

@@ -234,20 +234,21 @@ def _stage_into_buckets(
     spark: SparkSession,
     root: str,
     m: dict,
-    key: str,
-    n: int,
+    keys: list[str],
+    ns: list[int],
     predicates: list | None,
     version: int,
 ) -> tuple[dict, str, str]:
     """Shuffle an UNBUCKETED side into the bucket layout — the missing
     half of the storage-partitioned join. ONE job: scan-prune the side
     through ``plan_snapshot_scan`` (predicates filter BEFORE the
-    shuffle), derive ``__b = crc32(utf8(key)) % n`` (bit-identical to
-    partition_spec's write-side bucket), repartition BY ``__b`` (the
-    single exchange this plan pays, on this side only), and write
-    per-bucket files to a scratch directory. NULL keys land in the hive
-    default dir -> bucket None, same semantics as a None-tuple file.
-    Returns ({rel_file: bucket}, scratch_root, staging physical plan).
+    shuffle), derive ``__b{i} = crc32(utf8(key_i)) % n_i`` per key
+    (bit-identical to partition_spec's write-side bucket), repartition
+    BY the full ``__b*`` tuple (the single exchange this plan pays, on
+    this side only), and write per-bucket files to a scratch directory.
+    NULL keys land in the hive default dir -> a None tuple component,
+    same semantics as a None-tuple file. Returns
+    ({rel_file: bucket tuple}, scratch_root, staging physical plan).
 
     The staged layout lands under the SESSION WAREHOUSE keyed by
     (table root, resolved version, key, width, predicates) — manifests
@@ -279,8 +280,10 @@ def _stage_into_buckets(
         spark, root, predicates or [], version=version
     )
     schema = StructType.fromJson(_json.loads(m["schema"]))
-    if key.lower() not in {c.lower() for c in schema.fieldNames()}:
-        raise ValueError(f"bucket join: no column {key!r} to stage on")
+    names = {c.lower() for c in schema.fieldNames()}
+    for key in keys:
+        if key.lower() not in names:
+            raise ValueError(f"bucket join: no column {key!r} to stage on")
     # the one source of truth for the bucket expression: any drift from
     # the write side would silently mis-align the staged layout
     from telemetry_parquet_spark.sources.partition_spec import (
@@ -288,17 +291,24 @@ def _stage_into_buckets(
         spark_transform,
     )
 
+    bcols = [f"__b{i}" for i in range(len(keys))]
     staged = df.select(
         "*",
-        spark_transform(PartitionField(key, "bucket", n)).alias("__b"),
-    ).repartition(F.col("__b"))
+        *[
+            spark_transform(PartitionField(k, "bucket", n)).alias(c)
+            for k, n, c in zip(keys, ns, bcols)
+        ],
+    ).repartition(*[F.col(c) for c in bcols])
     plan_str = staged._jdf.queryExecution().executedPlan().toString()
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     if wh.startswith("file:"):
         wh = wh[len("file:"):]
+    key_sig = ",".join(
+        f"{k.lower()}:{n}" for k, n in zip(keys, ns)
+    )
     fp = hashlib.md5(
         (
-            f"{os.path.abspath(root)}|v{version}|{key.lower()}|{n}|"
+            f"{os.path.abspath(root)}|v{version}|{key_sig}|"
             f"{sorted(repr(p) for p in predicates or [])}"
         ).encode()
     ).hexdigest()[:16]
@@ -324,25 +334,33 @@ def _stage_into_buckets(
                                                          head) < head:
                 shutil.rmtree(d, ignore_errors=True)
         tmp = f"{scratch}.tmp-{_uuid.uuid4().hex[:8]}"
-        staged.write.partitionBy("__b").mode("error").parquet(tmp)
+        staged.write.partitionBy(*bcols).mode("error").parquet(tmp)
         with open(os.path.join(tmp, "_stage_meta.json"), "w") as fh:
             _json.dump({"root": abs_root, "version": version,
-                        "key": key.lower(), "n": n}, fh)
+                        "keys": key_sig}, fh)
         try:
             os.rename(tmp, scratch)
         except OSError:  # lost the race: the winner's copy is identical
             shutil.rmtree(tmp, ignore_errors=True)
     buckets: dict = {}
-    for dirpath, _dirs, names in os.walk(scratch):
-        for name in names:
+    for dirpath, _dirs, fnames in os.walk(scratch):
+        for name in fnames:
             if not name.endswith(".parquet"):
                 continue
             rel = os.path.relpath(os.path.join(dirpath, name), scratch)
-            seg = next(
-                (p for p in rel.split(os.sep) if p.startswith("__b=")), ""
+            vals = []
+            for c in bcols:
+                seg = next(
+                    (p for p in rel.split(os.sep)
+                     if p.startswith(f"{c}=")), ""
+                )
+                raw = seg[len(c) + 1:]
+                vals.append(int(raw) if raw.isdigit() else None)
+            # a None component means the file's rows are NULL on that
+            # key -> the composite can never equi-match (None tuple)
+            buckets[rel] = (
+                None if any(v is None for v in vals) else tuple(vals)
             )
-            raw = seg[len("__b="):]
-            buckets[rel] = int(raw) if raw.isdigit() else None
     return buckets, scratch, plan_str
 
 
@@ -350,7 +368,7 @@ def plan_bucket_join(
     spark: SparkSession,
     left_root: str,
     right_root: str,
-    on: tuple[str, str],
+    on: tuple[str, str] | list[tuple[str, str]],
     how: str = "inner",
     left_predicates: list | None = None,
     right_predicates: list | None = None,
@@ -365,7 +383,20 @@ def plan_bucket_join(
     (partition_spec.py's crc32 bucket — write-side layout IS the join
     plan): an equi-join decomposes exactly by any function of the key,
     so the planner pairs each bucket's files across the two tables and
-    unions n per-bucket joins in ONE Catalyst plan. Per-bucket byte
+    unions n per-bucket joins in ONE Catalyst plan.
+
+    COMPOSITE keys: ``on`` may be a LIST of (left, right) pairs — the
+    reference's five-column dedup join shape
+    (``PioneerOnlineNewsDedupe.scala:114-117``). Pairing then runs on
+    the TUPLE of per-key bucket values (matching rows agree on every
+    key, hence on every key's bucket — the decomposition stays exact);
+    alignment uses the largest subset of keys BOTH sides are tupled on
+    at one width per field (a subset pairing is coarser but correct —
+    the join condition still applies every key). Refusal matrix, all
+    loud: spec-intended-but-untupled keys raise the compact_table
+    migration; width mismatch on EVERY common field raises; two sides
+    bucketed on disjoint fields raise; a side unbucketed on every key
+    stages into the other's full tupled layout (one exchange). Per-bucket byte
     sums from the manifest drive a PER-BUCKET broadcast decision — with
     every pair broadcast, the physical plan contains n
     BroadcastHashJoins and ZERO shuffle exchanges for the join itself.
@@ -439,7 +470,21 @@ def plan_bucket_join(
             f"plan_bucket_join: unsupported join type {how!r} "
             "(inner / left_semi / left_anti / left_outer)"
         )
-    lkey, rkey = on
+    # normalize ``on``: one (lkey, rkey) pair, or a LIST of pairs for a
+    # COMPOSITE key (the reference's five-column dedup join,
+    # PioneerOnlineNewsDedupe.scala:114-117): an equi-join on every key
+    # decomposes by the TUPLE of per-key buckets (matching rows agree on
+    # each key, hence on each key's bucket), so pairing runs on the
+    # cartesian bucket tuple. Alignment can use any non-empty SUBSET of
+    # the keys both sides are tupled on at one width — a subset pairing
+    # is coarser (fewer, larger buckets) but always correct, the full
+    # join condition still applies every key.
+    if on and isinstance(on[0], (list, tuple)):
+        key_pairs = [(lk, rk) for lk, rk in on]
+    else:
+        key_pairs = [(on[0], on[1])]
+    lkeys = [p[0] for p in key_pairs]
+    rkeys = [p[1] for p in key_pairs]
     # resolve each side's version ONCE and use it for BOTH the bucket
     # index and the pruning scan: re-resolving latest_version inside
     # _side_prune would let a concurrent commit slip between the two
@@ -460,49 +505,107 @@ def plan_bucket_join(
             for f in (m.get("partition_spec") or {}).get("fields", [])
         )
 
-    lerr = rerr = None
-    try:
-        ln, lbuckets = _bucket_index(lm, lkey)
-    except ValueError as e:
-        if _spec_has_bucket(lm, lkey):
-            # the side INTENDS bucketing but is partially tupled /
-            # mixed-width: one metadata-guided compact_table away from
-            # the zero-shuffle join — raise the migration guidance
-            # rather than silently rewriting the whole side to scratch
-            raise
-        ln, lbuckets, lerr = 0, {}, e
-    try:
-        rn, rbuckets = _bucket_index(rm, rkey)
-    except ValueError as e:
-        if _spec_has_bucket(rm, rkey):
-            raise
-        rn, rbuckets, rerr = 0, {}, e
-    if lerr and rerr:
-        raise lerr  # neither side aligned: migration is the answer
-    # exactly one side unbucketed: shuffle ONLY that side into the
-    # other's bucket layout (the storage-partitioned-join completion —
-    # the bucketed fact never moves, the dim pays one exchange). width
-    # `or 1` covers an empty tupled side: alignment is vacuous then.
+    def _side_index(m: dict, keys: list[str]) -> list:
+        """Per join-key position: (width, {file: bucket}) or the
+        ValueError _bucket_index raised for that key."""
+        out: list = []
+        for k in keys:
+            try:
+                out.append(_bucket_index(m, k))
+            except ValueError as e:
+                # a side whose CURRENT spec INTENDS bucketing this key
+                # but is partially tupled / mixed-width gets the loud
+                # compact_table migration guidance, never a silent
+                # staging rewrite or a silent skip of the field
+                if _spec_has_bucket(m, k):
+                    raise
+                out.append(e)
+        return out
+
+    lidx = _side_index(lm, lkeys)
+    ridx = _side_index(rm, rkeys)
+    l_ok = {i for i, v in enumerate(lidx) if not isinstance(v, Exception)}
+    r_ok = {i for i, v in enumerate(ridx) if not isinstance(v, Exception)}
+    # aligned positions: both sides tupled at ONE width (a zero-file
+    # side aligns vacuously at the other's width); per-field width
+    # mismatches drop the FIELD from the pairing, not the join — unless
+    # no field survives, which is the refusal matrix below
+    aligned = [
+        i
+        for i in sorted(l_ok & r_ok)
+        if lidx[i][0] == ridx[i][0] or lidx[i][0] == 0 or ridx[i][0] == 0
+    ]
     staged_side = staging_plan = None
     lbase, rbase = left_root, right_root
-    if lerr:
-        lbuckets, lbase, staging_plan = _stage_into_buckets(
-            spark, left_root, lm, lkey, rn or 1, left_predicates, lv
-        )
-        ln, staged_side, left_predicates = rn or 1, "left", None
-    elif rerr:
-        rbuckets, rbase, staging_plan = _stage_into_buckets(
-            spark, right_root, rm, rkey, ln or 1, right_predicates, rv
-        )
-        rn, staged_side, right_predicates = ln or 1, "right", None
-    # a zero-file side reports width 0 (nothing to align): the empty
-    # inner join / full-left anti passthrough below is the right answer,
-    # not a migration error
-    if ln and rn and ln != rn:
-        raise ValueError(
-            f"bucket join: width mismatch (left {ln}, right {rn}) — "
-            "evolve one side's spec and compact_table to migrate"
-        )
+    if not aligned:
+        # refusal matrix — every path is loud, with the migration that
+        # unlocks the zero/one-shuffle join named:
+        if l_ok and r_ok:
+            common = sorted(l_ok & r_ok)
+            if common:
+                detail = ", ".join(
+                    f"{lkeys[i]}: left {lidx[i][0]} vs right {ridx[i][0]}"
+                    for i in common
+                )
+                raise ValueError(
+                    f"bucket join: width mismatch on every common "
+                    f"bucketed field ({detail}) — evolve one side's "
+                    "spec and compact_table to migrate"
+                )
+            raise ValueError(
+                "bucket join: the two sides are bucketed on DISJOINT "
+                f"join keys (left: {[lkeys[i] for i in sorted(l_ok)]}, "
+                f"right: {[rkeys[i] for i in sorted(r_ok)]}) — evolve "
+                "one side's spec to share a field and compact_table"
+            )
+        if not l_ok and not r_ok:
+            raise next(
+                v for v in lidx + ridx if isinstance(v, Exception)
+            )  # neither side aligned: migration is the answer
+        # exactly one side unbucketed on EVERY key: shuffle ONLY that
+        # side into the other's bucket layout (the storage-partitioned-
+        # join completion — the bucketed fact never moves, the dim pays
+        # one exchange), on all of the bucketed side's tupled keys.
+        # width `or 1` covers an empty tupled side: alignment is
+        # vacuous then.
+        if l_ok:
+            aligned = sorted(l_ok)
+            ns = [lidx[i][0] or 1 for i in aligned]
+            rbuckets, rbase, staging_plan = _stage_into_buckets(
+                spark, right_root, rm, [rkeys[i] for i in aligned], ns,
+                right_predicates, rv,
+            )
+            staged_side, right_predicates = "right", None
+        else:
+            aligned = sorted(r_ok)
+            ns = [ridx[i][0] or 1 for i in aligned]
+            lbuckets, lbase, staging_plan = _stage_into_buckets(
+                spark, left_root, lm, [lkeys[i] for i in aligned], ns,
+                left_predicates, lv,
+            )
+            staged_side, left_predicates = "left", None
+    else:
+        ns = [max(lidx[i][0], ridx[i][0]) for i in aligned]
+
+    def _composite(idx: list, m: dict) -> dict:
+        """Per-file bucket TUPLE over the aligned positions; None when
+        any component is None (all-NULL keys can never equi-match)."""
+        per = [idx[i][1] for i in aligned]
+        out: dict = {}
+        for f in m["files"]:
+            vals = [p.get(f) for p in per]
+            out[f] = (
+                None if any(v is None for v in vals) else tuple(vals)
+            )
+        return out
+
+    if staged_side != "left":
+        lbuckets = _composite(lidx, lm)
+    if staged_side != "right":
+        rbuckets = _composite(ridx, rm)
+    n_total = 1
+    for n_ in ns:
+        n_total *= n_
 
     from telemetry_parquet_spark.sources.scan_planner import (
         _predicate_expr,
@@ -528,11 +631,11 @@ def plan_bucket_join(
     )
     lschema = StructType.fromJson(_json.loads(lm["schema"]))
     rschema = StructType.fromJson(_json.loads(rm["schema"]))
-    using = lkey.lower() == rkey.lower()
+    using = all(lk.lower() == rk.lower() for lk, rk in key_pairs)
     if how in ("inner", "left_outer"):
         shared = {c.lower() for c in lschema.fieldNames()} & {
             c.lower() for c in rschema.fieldNames()
-        } - ({lkey.lower()} if using else set())
+        } - ({k.lower() for k in lkeys} if using else set())
         if shared:
             raise ValueError(
                 f"bucket join: both sides carry column(s) {sorted(shared)}"
@@ -616,13 +719,17 @@ def plan_bucket_join(
                 f"(left={lb} B, right={rb} B, threshold="
                 f"{broadcast_threshold} B)"
             )
-        pairs.append((b, lb, rb, choice))
+        pairs.append((b[0] if len(b) == 1 else b, lb, rb, choice))
         if how in ("inner", "left_outer") and using:
             # USING form: same-named keys dedupe to one output column
             # (the expression form would emit both and break the union)
-            parts.append(ldf.join(rdf, on=[lkey], how=how))
+            parts.append(ldf.join(rdf, on=lkeys, how=how))
         else:
-            parts.append(ldf.join(rdf, ldf[lkey] == rdf[rkey], how))
+            cond = None
+            for lk, rk in key_pairs:
+                e = ldf[lk] == rdf[rk]
+                cond = e if cond is None else cond & e
+            parts.append(ldf.join(rdf, cond, how))
 
     if passthrough:
         pt = spark.read.schema(lschema).parquet(
@@ -636,7 +743,10 @@ def plan_bucket_join(
             # typed NULLs
             add = [
                 f for f in rschema.fields
-                if not (using and f.name.lower() == rkey.lower())
+                if not (
+                    using
+                    and f.name.lower() in {k.lower() for k in rkeys}
+                )
             ]
             pt = pt.select(
                 "*",
@@ -652,17 +762,17 @@ def plan_bucket_join(
         le = spark.createDataFrame([], lschema)
         re_ = spark.createDataFrame([], rschema)
         if using:  # match the USING-form schema
-            joined = le.join(re_, on=[lkey], how=how)
+            joined = le.join(re_, on=lkeys, how=how)
         else:
-            joined = le.alias("l").join(
-                re_.alias("r"),
-                F.col(f"l.{lkey}") == F.col(f"r.{rkey}"),
-                how,
-            )
+            cond = None
+            for lk, rk in key_pairs:
+                e = F.col(f"l.{lk}") == F.col(f"r.{rk}")
+                cond = e if cond is None else cond & e
+            joined = le.alias("l").join(re_.alias("r"), cond, how)
     else:  # semi/anti output schema is the left schema
         joined = spark.createDataFrame([], lschema)
     return joined, BucketJoinPlan(
-        max(ln, rn), pairs, dropped, skipped, len(passthrough),
+        n_total, pairs, dropped, skipped, len(passthrough),
         staged_side, staging_plan,
     )
 

@@ -823,3 +823,141 @@ def test_staging_layout_is_reused_across_calls(spark, tmp_path):
     j3, _ = plan_bucket_join(spark, la, rb, ("v", "dk"))
     assert len(stage_dirs() - after1) == 1  # new version -> new layout
     assert j3.count() == 300  # dk=99 matches no v in 0..4
+
+
+def _mk_bucketed(spark, root, df, fields):
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    S.append(spark, root, df)
+    set_partition_spec(
+        root, [PartitionField(c, "bucket", n) for c, n in fields]
+    )
+    S.compact_table(spark, root, target_bytes=1 << 26)
+
+
+def test_composite_bucket_join_two_side(spark, tmp_path):
+    """Both sides tupled on (k1, k2): pairing runs on the bucket TUPLE
+    (8*4 composite buckets), answers match the plain two-key join, and
+    no side stages."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+
+    la, rb = str(tmp_path / "ca"), str(tmp_path / "cb")
+    left = spark.range(0, 500).select(
+        (F.col("id") % 50).alias("k1"), (F.col("id") % 7).alias("k2"),
+        F.col("id").alias("v"))
+    right = spark.range(0, 300).select(
+        (F.col("id") % 40).alias("rk1"), (F.col("id") % 7).alias("rk2"),
+        (F.col("id") * 10).alias("w"))
+    _mk_bucketed(spark, la, left, [("k1", 8), ("k2", 4)])
+    _mk_bucketed(spark, rb, right, [("rk1", 8), ("rk2", 4)])
+    joined, plan = plan_bucket_join(
+        spark, la, rb, [("k1", "rk1"), ("k2", "rk2")]
+    )
+    want = left.join(
+        right, (left.k1 == right.rk1) & (left.k2 == right.rk2)
+    )
+    assert plan.staged_side is None and plan.n_buckets == 32
+    agg = lambda df: tuple(  # noqa: E731
+        df.agg(F.count("*"), F.sum("v"), F.sum("w")).first()
+    )
+    assert agg(joined) == agg(want)
+    # composite anti: manifest passthrough + per-bucket anti agree too
+    anti, aplan = plan_bucket_join(
+        spark, la, rb, [("k1", "rk1"), ("k2", "rk2")], "left_anti"
+    )
+    want_anti = left.join(
+        right, (left.k1 == right.rk1) & (left.k2 == right.rk2),
+        "left_anti",
+    ).count()
+    assert anti.count() == want_anti
+
+
+def test_composite_one_side_stages_on_all_fields(spark, tmp_path):
+    """Unbucketed right side stages into the left's FULL (8, 4) tuple
+    layout — one exchange, composite alignment afterwards."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+
+    la, rc = str(tmp_path / "sa"), str(tmp_path / "sc")
+    left = spark.range(0, 500).select(
+        (F.col("id") % 50).alias("k1"), (F.col("id") % 7).alias("k2"),
+        F.col("id").alias("v"))
+    right = spark.range(0, 300).select(
+        (F.col("id") % 40).alias("rk1"), (F.col("id") % 7).alias("rk2"),
+        (F.col("id") * 10).alias("w"))
+    _mk_bucketed(spark, la, left, [("k1", 8), ("k2", 4)])
+    S.append(spark, rc, right)  # never tupled
+    joined, plan = plan_bucket_join(
+        spark, la, rc, [("k1", "rk1"), ("k2", "rk2")]
+    )
+    assert plan.staged_side == "right" and plan.n_buckets == 32
+    want = left.join(
+        right, (left.k1 == right.rk1) & (left.k2 == right.rk2)
+    ).count()
+    assert joined.count() == want
+
+
+def test_composite_refusal_matrix(spark, tmp_path):
+    """Mixed per-field widths: a field whose widths disagree drops from
+    the pairing (coarser but correct); when EVERY common field
+    disagrees, or the sides are bucketed on disjoint fields, the join
+    refuses loudly with migration guidance."""
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+
+    left = spark.range(0, 500).select(
+        (F.col("id") % 50).alias("k1"), (F.col("id") % 7).alias("k2"),
+        F.col("id").alias("v"))
+    right = spark.range(0, 300).select(
+        (F.col("id") % 40).alias("rk1"), (F.col("id") % 7).alias("rk2"),
+        (F.col("id") * 10).alias("w"))
+    la = str(tmp_path / "ma")
+    _mk_bucketed(spark, la, left, [("k1", 8), ("k2", 4)])
+    want = left.join(
+        right, (left.k1 == right.rk1) & (left.k2 == right.rk2)
+    ).count()
+
+    # partial width mismatch -> aligns on the surviving field only
+    rp = str(tmp_path / "mp")
+    _mk_bucketed(spark, rp, right, [("rk1", 8), ("rk2", 2)])
+    joined, plan = plan_bucket_join(
+        spark, la, rp, [("k1", "rk1"), ("k2", "rk2")]
+    )
+    assert plan.staged_side is None and plan.n_buckets == 8
+    assert joined.count() == want
+
+    # width mismatch on every field -> loud refusal
+    rw = str(tmp_path / "mw")
+    _mk_bucketed(spark, rw, right, [("rk1", 5), ("rk2", 2)])
+    with pytest.raises(ValueError, match="width mismatch"):
+        plan_bucket_join(spark, la, rw, [("k1", "rk1"), ("k2", "rk2")])
+
+    # disjoint bucketed fields -> loud refusal
+    rd = str(tmp_path / "md")
+    _mk_bucketed(spark, rd, right, [("rk2", 4)])
+    ld = str(tmp_path / "ml")
+    _mk_bucketed(spark, ld, left, [("k1", 8)])
+    with pytest.raises(ValueError, match="DISJOINT"):
+        plan_bucket_join(spark, ld, rd, [("k1", "rk1"), ("k2", "rk2")])
+
+    # spec-intended-but-untupled key still raises compact_table guidance
+    lp = str(tmp_path / "mi")
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    S.append(spark, lp, left)  # pre-spec, untupled
+    set_partition_spec(lp, [PartitionField("k2", "bucket", 4)])
+    S.append(spark, lp, left)  # tupled on k2; NO compact
+    rb = str(tmp_path / "mr")
+    _mk_bucketed(spark, rb, right, [("rk1", 8), ("rk2", 4)])
+    with pytest.raises(ValueError, match="compact_table"):
+        plan_bucket_join(spark, lp, rb, [("k1", "rk1"), ("k2", "rk2")])
