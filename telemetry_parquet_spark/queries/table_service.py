@@ -2382,11 +2382,31 @@ def snapshot_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket(8, o_custkey) orders table; require_pruning raises if the
     bucket set drops nothing."""
     from telemetry_parquet_spark.sources.join_planner import plan_dpp_join
+    from telemetry_parquet_spark.sources.scan_planner import Range
+
+    oroot, croot = _dpp_tables(spark, sf_dir)
+    joined, plan = plan_dpp_join(
+        spark, oroot, croot, ("o_custkey", "c_custkey"),
+        dim_predicates=[Range("c_custkey", 55, 57)],
+        require_pruning=True,
+    )
+    if not (0 < plan.live_buckets < plan.n_buckets):
+        raise RuntimeError(f"DPP did not engage: {plan}")
+    if plan.fact_files_kept >= plan.fact_files_total:
+        raise RuntimeError("DPP kept every fact file")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"), _sum_cents()
+    )
+
+
+def _dpp_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The shared DPP star pair: bucket(8, o_custkey) orders fact +
+    plain customer dim, fingerprint-cached (same builders as
+    snapshot_dpp_join / snapshot_bucket_join)."""
     from telemetry_parquet_spark.sources.partition_spec import (
         PartitionField,
         set_partition_spec,
     )
-    from telemetry_parquet_spark.sources.scan_planner import Range
     from telemetry_parquet_spark.sources.snapshots import (
         append,
         compact_table,
@@ -2396,7 +2416,7 @@ def snapshot_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     osrc = os.path.join(sf_dir, "orders.parquet")
     csrc = os.path.join(sf_dir, "customer.parquet")
 
-    def build_orders(root: str) -> None:  # identical to snapshot_bucket_join
+    def build_orders(root: str) -> None:
         orders = spark.read.parquet(osrc)
         append(spark, root, orders.where(F.col("o_orderkey") % 10 < 6))
         set_partition_spec(
@@ -2411,26 +2431,125 @@ def snapshot_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build_customer(root: str) -> None:
         append(spark, root, spark.read.parquet(csrc))
 
+    tag = os.path.basename(sf_dir.rstrip("/"))
     oroot = materialize_cached(
-        spark, osrc, "snapbj_orders_" + os.path.basename(sf_dir.rstrip("/")),
-        build_orders,
+        spark, osrc, f"snapbj_orders_{tag}", build_orders
     )
     croot = materialize_cached(
-        spark, csrc,
-        "snapbj1_customer_" + os.path.basename(sf_dir.rstrip("/")),
-        build_customer,
+        spark, csrc, f"snapbj1_customer_{tag}", build_customer
     )
+    return oroot, croot
+
+
+@query(
+    "snapshot_dpp_semi",
+    # Semi-join DPP: the allowlist-filter shape (J3,
+    # AddonRecommender.scala:132-148) — keep only orders whose custkey
+    # is in the filtered dim. Dim-liveness fact-file pruning is equally
+    # safe for left_semi (a semi KEEPS only matching fact rows; a
+    # dropped file provably holds none); anti/outer stay illegal. The
+    # oracle is the plain IN-subquery.
+    oracle=f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_SUM} AS sum_price_cents
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_custkey BETWEEN 101 AND 103)
+    GROUP BY o_orderpriority
+    """,
+)
+def snapshot_dpp_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-side DPP under a LEFT SEMI join
+    (join_planner.py::plan_dpp_join how='left_semi'): the filtered dim's
+    live bucket set prunes fact files exactly as for inner — semi keeps
+    only matching fact rows, so a non-live file can contribute nothing —
+    while the output schema stays the fact's (the at-scale allowlist
+    filter). require_pruning raise-proves the engagement; anti/outer
+    raise by construction (legality pytest in test_join_planner)."""
+    from telemetry_parquet_spark.sources.join_planner import plan_dpp_join
+    from telemetry_parquet_spark.sources.scan_planner import Range
+
+    oroot, croot = _dpp_tables(spark, sf_dir)
     joined, plan = plan_dpp_join(
         spark, oroot, croot, ("o_custkey", "c_custkey"),
-        dim_predicates=[Range("c_custkey", 55, 57)],
+        how="left_semi",
+        dim_predicates=[Range("c_custkey", 101, 103)],
         require_pruning=True,
     )
-    if not (0 < plan.live_buckets < plan.n_buckets):
-        raise RuntimeError(f"DPP did not engage: {plan}")
-    if plan.fact_files_kept >= plan.fact_files_total:
-        raise RuntimeError("DPP kept every fact file")
+    if plan.how != "left_semi" or plan.fact_files_kept >= (
+        plan.fact_files_total
+    ):
+        raise RuntimeError(f"semi DPP did not engage: {plan}")
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_orders"), _sum_cents()
+    )
+
+
+@query(
+    "snapshot_dpp_sql",
+    # DPP through the SQL FRONT DOOR: a bare star-join statement routes
+    # through plan_dpp_join (the scan rewrite could never get Spark's
+    # own DPP to engage on plain parquet + manifest tuples). The route
+    # is proven twice below: the static probe must admit the statement,
+    # and EXPLAIN must report the dpp-join route. Oracle = the plain
+    # join.
+    oracle=f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_SUM} AS sum_price_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey BETWEEN 201 AND 203
+    GROUP BY o_orderpriority
+    """,
+)
+def snapshot_dpp_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join DPP via ``engine_sql``
+    (sources/sql_front.py::_try_dpp_rewrite): an eligible ``SELECT …
+    FROM fact JOIN dim ON fk = dk WHERE <dim filter>`` statement routes
+    through the manifest-side DPP planner under the same restricted-
+    shape parse discipline as the MV router (inadmissible shapes and
+    planner refusals fall through to the scan, never a changed answer).
+    Engagement is raise-proven via the static probe + the EXPLAIN
+    route, and the pruning itself via a require_pruning twin plan."""
+    from telemetry_parquet_spark.sources.join_planner import plan_dpp_join
+    from telemetry_parquet_spark.sources.scan_planner import Range
+    from telemetry_parquet_spark.sources.sql_front import (
+        _probe_dpp,
+        engine_sql,
+    )
+
+    oroot, croot = _dpp_tables(spark, sf_dir)
+    t = {"ord": oroot, "cust": croot}
+    stmt = (
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 "
+        "AS BIGINT)) AS BIGINT) AS sum_price_cents "
+        "FROM ord JOIN cust ON o_custkey = c_custkey "
+        "WHERE c_custkey BETWEEN 201 AND 203 "
+        "GROUP BY o_orderpriority"
+    )
+    verdict, info = _probe_dpp(stmt, t)
+    if verdict != "candidate":
+        raise RuntimeError(f"DPP probe refused the statement: {info}")
+    route = {
+        r.aspect: r.detail
+        for r in engine_sql(spark, "EXPLAIN " + stmt, t).collect()
+    }.get("route", "")
+    if not route.startswith("dpp-join"):
+        raise RuntimeError(f"EXPLAIN did not report the DPP route: {route}")
+    # the pruning proof the routed statement itself cannot surface:
+    # the same star shape with require_pruning must engage
+    _, plan = plan_dpp_join(
+        spark, oroot, croot, ("o_custkey", "c_custkey"),
+        dim_predicates=[Range("c_custkey", 201, 203)],
+        require_pruning=True,
+    )
+    if plan.fact_files_kept >= plan.fact_files_total:
+        raise RuntimeError("DPP kept every fact file")
+    out = engine_sql(spark, stmt, t)
+    return out.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "sum_price_cents",
     )
 
 

@@ -792,6 +792,7 @@ class DppJoinPlan:
     fact_files_kept: int
     dim_bytes: int
     broadcast_dim: bool
+    how: str = "inner"
 
 
 def plan_dpp_join(
@@ -799,6 +800,7 @@ def plan_dpp_join(
     fact_root: str,
     dim_root: str,
     on: tuple[str, str],
+    how: str = "inner",
     dim_predicates: list | None = None,
     fact_predicates: list | None = None,
     broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
@@ -806,7 +808,7 @@ def plan_dpp_join(
     fact_version: int | None = None,
     dim_version: int | None = None,
 ) -> tuple[DataFrame, DppJoinPlan]:
-    """Star-schema inner join with MANIFEST-SIDE dynamic partition
+    """Star-schema join with MANIFEST-SIDE dynamic partition
     pruning: the filtered dimension decides which of the fact's
     partitions can possibly hold matches, BEFORE the fact scan is
     planned.
@@ -841,8 +843,15 @@ def plan_dpp_join(
     Guardrails: the fact's CURRENT spec must carry a field on the join
     key (raise otherwise — use plan_join for stats-only pruning);
     ``require_pruning`` raises when the live set dropped nothing.
-    Inner join only: outer semantics would preserve rows the prune
-    removed."""
+
+    Join types: ``inner`` and ``left_semi`` only. The semi join is the
+    at-scale allowlist-filter shape (J3, AddonRecommender.scala:132-148)
+    and dim-liveness pruning is equally safe there: a semi join KEEPS
+    only fact rows with a dim match, and a dropped file provably holds
+    none. ``left_anti`` and every outer type are ILLEGAL by
+    construction — they must PRESERVE exactly the rows/files the prune
+    removes (an anti join's answer lives in the non-live files; an
+    outer join must emit pruned rows NULL-padded) — so they raise."""
     import json as _json
     import os
 
@@ -854,6 +863,14 @@ def plan_dpp_join(
         spark_transform,
     )
 
+    how = how.lower().replace(" ", "_").replace("-", "_")
+    how = {"semi": "left_semi", "leftsemi": "left_semi"}.get(how, how)
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"plan_dpp_join: join type {how!r} cannot compose with "
+            "dim-liveness file pruning (anti/outer joins preserve "
+            "exactly the rows the prune removes) — inner / left_semi"
+        )
     fkey, dkey = on
     fv = (
         S.latest_version(fact_root)
@@ -891,7 +908,9 @@ def plan_dpp_join(
     shared = {c.lower() for c in fschema.fieldNames()} & {
         c.lower() for c in dschema.fieldNames()
     }
-    if shared:
+    if shared and how == "inner":
+        # a semi join's output is the fact schema alone and the join
+        # condition is frame-qualified — shared names are fine there
         raise ValueError(
             f"plan_dpp_join: both sides carry column(s) {sorted(shared)}"
             " — the join output would hold ambiguous duplicates; rename "
@@ -999,9 +1018,9 @@ def plan_dpp_join(
     if bcast:
         ddf = F.broadcast(ddf)
     joined = pruned_fact.join(
-        ddf, pruned_fact[fkey] == ddf[dkey], "inner"
+        ddf, pruned_fact[fkey] == ddf[dkey], how
     )
     return joined, DppJoinPlan(
         n, -1 if live is None else len(live), fact_total, len(kept),
-        dbytes, bcast,
+        dbytes, bcast, how,
     )

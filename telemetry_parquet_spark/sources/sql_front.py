@@ -749,6 +749,203 @@ def _try_mv_rewrite(
     return df.select(*out_cols)
 
 
+_STAR_JOIN = re.compile(
+    r"\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t1>\w+)\s+JOIN\s+"
+    r"(?P<t2>\w+)\s+ON\s+(?P<c1>\w+)\s*=\s*(?P<c2>\w+)"
+    r"\s+WHERE\s+(?P<where>.+?)"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w\s,]+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>[\w\s,]+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_LIT = r"(?:'[^']*'|-?\d+(?:\.\d+)?)"
+_CONJUNCT = re.compile(
+    rf"(\w+)\s*(?:"
+    rf"=\s*(?P<eq>{_LIT})"
+    rf"|IN\s*\(\s*(?P<in>{_LIT}(?:\s*,\s*{_LIT})*)\s*\)"
+    rf"|BETWEEN\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})"
+    rf"|(?P<op><=|>=)\s*(?P<cmp>{_LIT})"
+    rf")\s*",
+    re.IGNORECASE,
+)
+
+
+def _sql_literal(tok: str):
+    if tok.startswith("'"):
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
+def _parse_conjuncts(where: str) -> list | None:
+    """Conjunctions of ``col = lit`` / ``col IN (…)`` / ``col BETWEEN
+    lo AND hi`` / ``col <= lit`` / ``col >= lit`` → planner predicate
+    objects, or None when ANY piece is out of shape (disjunctions,
+    cross-column comparisons, functions — the honest scan fallback)."""
+    from telemetry_parquet_spark.sources.scan_planner import Eq, In, Range
+
+    preds, pos = [], 0
+    s = where.strip()
+    while pos < len(s):
+        m = _CONJUNCT.match(s, pos)
+        if not m:
+            return None
+        col = m.group(1)
+        if m.group("eq") is not None:
+            preds.append(Eq(col, _sql_literal(m.group("eq"))))
+        elif m.group("in") is not None:
+            vals = re.findall(_LIT, m.group("in"))
+            preds.append(In(col, tuple(_sql_literal(v) for v in vals)))
+        elif m.group("lo") is not None:
+            preds.append(Range(col, _sql_literal(m.group("lo")),
+                               _sql_literal(m.group("hi"))))
+        else:
+            v = _sql_literal(m.group("cmp"))
+            preds.append(
+                Range(col, None, v) if m.group("op") == "<="
+                else Range(col, v, None)
+            )
+        pos = m.end()
+        if pos < len(s):
+            am = re.match(r"AND\s+", s[pos:], re.IGNORECASE)
+            if not am:
+                return None
+            pos += am.end()
+    return preds or None
+
+
+def _probe_dpp(sql: str, tables: dict[str, str]):
+    """Static admission check for the star-join DPP route — manifests
+    only, no Spark job (so EXPLAIN can report the decision without
+    paying for the live set). Returns ``("miss", reason)`` or
+    ``("candidate", info)`` where info carries everything
+    ``engine_sql`` needs to call ``plan_dpp_join``."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _ST
+
+    m = _STAR_JOIN.fullmatch(sql)
+    if not m:
+        return ("miss", "not a bare fact JOIN dim ON k1 = k2 WHERE …")
+    t1, t2 = m.group("t1"), m.group("t2")
+    if t1 not in tables or t2 not in tables or t1 == t2:
+        return ("miss", "both join sides must be cataloged tables")
+    if "." in m.group("items"):
+        return ("miss", "qualified select items — scan route")
+    preds = _parse_conjuncts(m.group("where"))
+    if preds is None:
+        return ("miss", "WHERE not a conjunction of col-op-literal")
+
+    def _head_schema(name):
+        root = tables[name]
+        mf = read_manifest(root, latest_version(root))
+        return mf, {
+            f.name.lower()
+            for f in _ST.fromJson(_json.loads(mf["schema"])).fields
+        }
+
+    m1, cols1 = _head_schema(t1)
+    m2, cols2 = _head_schema(t2)
+    c1, c2 = m.group("c1"), m.group("c2")
+
+    def _owner(col):
+        a, b = col.lower() in cols1, col.lower() in cols2
+        if a == b:
+            return None  # both or neither: ambiguous
+        return t1 if a else t2
+
+    o1, o2 = _owner(c1), _owner(c2)
+    if o1 is None or o2 is None or o1 == o2:
+        return ("miss", "cannot attribute the ON columns to one side each")
+    key_of = {o1: c1, o2: c2}
+
+    def _spec_field(mf, col):
+        return next(
+            (
+                f
+                for f in (mf.get("partition_spec") or {}).get("fields", [])
+                if f["col"].lower() == col.lower()
+            ),
+            None,
+        )
+
+    # the FACT is the side whose CURRENT spec partitions its join key
+    fld1 = _spec_field(m1, key_of.get(t1, ""))
+    fld2 = _spec_field(m2, key_of.get(t2, ""))
+    if fld1 is not None:
+        fact, dim = t1, t2
+        fld = fld1
+    elif fld2 is not None:
+        fact, dim = t2, t1
+        fld = fld2
+    else:
+        return (
+            "miss",
+            "neither side's partition spec carries a field on its join "
+            "key — scan route",
+        )
+    fact_cols = cols1 if fact == t1 else cols2
+    dim_cols = cols2 if fact == t1 else cols1
+    dim_preds, fact_preds = [], []
+    for p in preds:
+        on_fact = p.col.lower() in fact_cols
+        on_dim = p.col.lower() in dim_cols
+        if on_fact == on_dim:
+            return ("miss", f"predicate column {p.col!r} is ambiguous")
+        (fact_preds if on_fact else dim_preds).append(p)
+    if not dim_preds:
+        return ("miss", "no dim predicate — the live set would be total")
+    return (
+        "candidate",
+        {
+            "fact": fact,
+            "dim": dim,
+            "fkey": key_of[fact],
+            "dkey": key_of[dim],
+            "transform": f"{fld.get('transform', 'identity')}"
+                         f"({fld['col']})",
+            "dim_predicates": dim_preds,
+            "fact_predicates": fact_preds,
+            "items": m.group("items"),
+            "group": m.group("group"),
+            "order": m.group("order"),
+        },
+    )
+
+
+def _try_dpp_rewrite(
+    spark: SparkSession, sql: str, tables: dict[str, str]
+) -> DataFrame | None:
+    """Route an eligible star-join statement through
+    ``join_planner.plan_dpp_join`` — manifest-side dynamic partition
+    pruning the plain scan rewrite can never get (Spark's own DPP
+    cannot engage on plain parquet + manifest tuples). Same restricted-
+    shape parse discipline as the MV router: any inadmissible piece, or
+    a planner refusal (cross-typed keys, shared columns), falls through
+    to the ordinary scan route — never a changed answer."""
+    verdict, info = _probe_dpp(sql, tables)
+    if verdict != "candidate":
+        return None
+    from telemetry_parquet_spark.sources.join_planner import plan_dpp_join
+
+    try:
+        joined, _plan = plan_dpp_join(
+            spark,
+            tables[info["fact"]],
+            tables[info["dim"]],
+            (info["fkey"], info["dkey"]),
+            dim_predicates=info["dim_predicates"],
+            fact_predicates=info["fact_predicates"],
+        )
+    except ValueError:
+        return None  # planner refusal -> honest scan fallback
+    joined.createOrReplaceTempView("__dpp_star_join")
+    stmt = f"SELECT {info['items']} FROM __dpp_star_join"
+    if info["group"]:
+        stmt += f" GROUP BY {info['group']}"
+    if info["order"]:
+        stmt += f" ORDER BY {info['order']}"
+    return spark.sql(stmt)
+
+
 _MUTATOR_KIND = {
     "DELETE": "DELETE (copy-on-write file rewrite commit)",
     "UPDATE": "UPDATE (merge-on-read deletion-vector commit)",
@@ -834,6 +1031,18 @@ def explain_sql(
                         )
                     )
                     break
+        if route == "scan" and re.match(
+            r"\s*SELECT\b.*\bJOIN\b", stmt, re.IGNORECASE | re.DOTALL
+        ):
+            # the star-join DPP decision, statically (no live-set job)
+            verdict, info = _probe_dpp(stmt, tables)
+            if verdict == "candidate":
+                route = (
+                    f"dpp-join (fact={info['fact']} pruned by "
+                    f"{info['transform']} live set of dim={info['dim']})"
+                )
+            else:
+                rows.append(("dpp_miss", info))
         rows.insert(1, ("route", route))
     for name in sorted(tables):
         if not re.search(rf"\b{re.escape(name)}\b", stmt):
@@ -1383,6 +1592,17 @@ def engine_sql(
                 )
                 fields.append(StructField(nm, LongType(), False))
             return spark.createDataFrame(rows_out, StructType(fields))
+
+    # Star-join DPP route: an eligible ``SELECT … FROM fact JOIN dim ON
+    # fk = dk WHERE <dim filter…>`` (HEAD reads only — a pinned read
+    # must plan at its pin, which the prober does not) goes through
+    # plan_dpp_join so the dim filter prunes FACT FILES from the
+    # manifest before the scan. Honest fallback on any inadmissible
+    # shape or planner refusal.
+    if not pins:
+        dpp = _try_dpp_rewrite(spark, sql, tables)
+        if dpp is not None:
+            return dpp
 
     for name, root in tables.items():
         def _sub_version(mo: re.Match) -> str:

@@ -961,3 +961,50 @@ def test_composite_refusal_matrix(spark, tmp_path):
     _mk_bucketed(spark, rb, right, [("rk1", 8), ("rk2", 4)])
     with pytest.raises(ValueError, match="compact_table"):
         plan_bucket_join(spark, lp, rb, [("k1", "rk1"), ("k2", "rk2")])
+
+
+def test_dpp_semi_and_legality_matrix(spark, tmp_path):
+    """left_semi DPP prunes fact files exactly like inner (a semi keeps
+    only matching fact rows) and matches Spark's own semi join;
+    anti/outer joins raise by construction — they must preserve the
+    rows/files the prune removes."""
+    from telemetry_parquet_spark.sources.join_planner import plan_dpp_join
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+    from telemetry_parquet_spark.sources.scan_planner import Eq
+
+    froot, droot = str(tmp_path / "f"), str(tmp_path / "d")
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 100).alias("fk"), F.col("id").alias("val"))
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("dk"), (F.col("id") % 10).alias("grp"))
+    S.append(spark, froot, fact)
+    set_partition_spec(froot, [PartitionField("fk", "bucket", 8)])
+    S.compact_table(spark, froot, target_bytes=1 << 26)
+    S.append(spark, droot, dim)
+
+    semi, plan = plan_dpp_join(
+        spark, froot, droot, ("fk", "dk"), how="left_semi",
+        dim_predicates=[Eq("dk", 7)], require_pruning=True,
+    )
+    want = fact.join(dim.where("dk = 7"), fact.fk == dim.dk, "left_semi")
+    assert sorted(tuple(r) for r in semi.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+    assert plan.how == "left_semi"
+    assert plan.fact_files_kept < plan.fact_files_total
+    assert set(semi.columns) == {"fk", "val"}  # fact schema only
+    # synonyms accepted (DataFrame.join parity)
+    for ok in ("semi", "LEFT SEMI", "leftsemi"):
+        _, p = plan_dpp_join(
+            spark, froot, droot, ("fk", "dk"), how=ok,
+            dim_predicates=[Eq("dk", 7)],
+        )
+        assert p.how == "left_semi"
+    # illegal types raise with the preservation rationale
+    for bad in ("left_anti", "anti", "left_outer", "left", "full",
+                "right_outer", "cross"):
+        with pytest.raises(ValueError, match="cannot compose"):
+            plan_dpp_join(spark, froot, droot, ("fk", "dk"), how=bad)
