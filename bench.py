@@ -297,6 +297,21 @@ HEADLINE = [
     # round 11: DV-aware filtered metadata aggregate — COUNT/SUM at one
     # cluster value through MOR deletes, zero data I/O (raise-proven)
     "snapshot_filtered_mor",
+    # round 12: conditional MERGE clauses — clause-aware COW detection
+    # (only files where a matched row FIRES a clause rewrite)
+    "snapshot_merge_conditional",
+    # round 12: composite-key bucket join — (orderkey, linenumber)
+    # tuple pairing across 32 composite buckets, zero join shuffles
+    "snapshot_bucket_join_composite",
+    # round 12: left_semi DPP — the allowlist filter with manifest-side
+    # fact-file pruning (require_pruning raise-proven)
+    "snapshot_dpp_semi",
+    # round 12: star-join DPP through the SQL front door (probe +
+    # EXPLAIN route raise-proven)
+    "snapshot_dpp_sql",
+    # round 12: equality deletes — metadata-only key-set delete, scope
+    # rule + CDC + compaction interplay raise-proven in the chain
+    "snapshot_mor_equality_delete",
 ]
 
 

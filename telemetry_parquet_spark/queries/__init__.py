@@ -40,76 +40,72 @@ from telemetry_parquet_spark.queries import table_service  # noqa: F401, E402
 # (no file I/O at import time) and is refreshed by hand from the latest
 # CORRECTNESS_r{N}.json each round.
 #
-# Round-11 window (CORRECTNESS_r10 was 50/50 green; every registered
-# query now has a driver row and every oracled one's latest verdict is
-# green — see CORRECTNESS_CUMULATIVE.md). Per the r10 verdict, this
-# round is a STALENESS re-certification: after the r11 code churn
-# (spec-aware branch/WAP writes, per-file DV sidecars, one-side bucket
-# join), the window is (1) the 5 never-checked r11 queries (two
-# late-round additions each displaced one r07 slot), (2) 5
-# green-but-infrastructure-touched re-checks, (3) ALL 36 queries whose
-# latest row is r06, (4) the 4 alphabetically-first r07 names
-# (5+5+36+4 = 50). The remaining 44 r07 names rotate to round 12.
+# Round-12 window (CORRECTNESS_r11 was 49/50 green — the 50th is the
+# documented no-oracle ML row; every registered query's latest oracled
+# verdict is green). Per the r11 verdict this round FINISHES the
+# staleness re-certification: (1) the 5 never-checked round-12 queries
+# (conditional MERGE, composite bucket join, semi/SQL DPP, equality
+# deletes), (2) ALL 44 queries whose latest driver row is r07 —
+# several sit directly on infrastructure rewritten this round
+# (read_snapshot/_read_logical, join_planner composite rework), (3) one
+# churn re-check: snapshot_rollup_mor rides the partition-rollup fold
+# that gained the equality-delete refusal (5+44+1 = 50). After this
+# round every query's row is ≤ 2 rounds old — keep the rotation
+# steady-state.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # new in round 11 — never driver-checked
-    "snapshot_filtered_mor",
-    "snapshot_dpp_join",
+    # new in round 12 — never driver-checked
+    "snapshot_merge_conditional",
+    "snapshot_bucket_join_composite",
+    "snapshot_dpp_semi",
+    "snapshot_dpp_sql",
+    "snapshot_mor_equality_delete",
+    # latest driver row r07 — the complete remaining cohort (44)
+    "dd_duplicate_components",
+    "dd_embedding_cosine_pairs",
+    "dd_embedding_near_dup_lsh",
+    "dd_exact_dedup_groups",
+    "er_entity_groups",
+    "er_fuzzy_customer_pairs",
+    "graph_label_prop",
+    "graph_personalized_pagerank",
+    "graph_triangle_count",
+    "ml_als_recall_eval",
+    "path_transition_matrix",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_inactive_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_filter",
+    "sample_weighted_priority",
+    "sim_knn_graph",
+    "skew_salted_agg",
+    "stat_moments_by_flag",
+    "stream_heavy_hitters",
+    "stream_ohlc_bars",
+    "tfidf_top_terms",
+    "theta_audience_overlap",
+    "theta_daily_merge",
+    "theta_distinct_users",
+    "theta_sketch_users",
+    "ts_anomaly_days",
+    "ts_gap_fill_interpolate",
+    "ts_ohlc_bars",
+    "unpivot_lineitem_measures",
+    "w4_rank_suite",
+    # churn re-check: the partition rollup fold gained the eq refusal
     "snapshot_rollup_mor",
-    "snapshot_hour_prune",
-    "snapshot_bucket_join_oneside",
-    # green r10 but their write/fold paths changed this round:
-    # branch + staged appends are now partition-spec-aware, and the DV
-    # agg sidecar gained the per-file breakdown these folds consume
-    "snapshot_branch_merge",
-    "snapshot_wap_publish",
-    "catalog_txn_consistent_read",
-    "snapshot_partition_rollup",
-    "snapshot_metadata_sum",
-    # latest driver row r06 — the stalest cohort, complete (36)
-    "events_flatten_variant",
-    "f10_bucketed_histogram",
-    "f9_domain_extraction",
-    "footer_stats_lineitem",
-    "funnel_conversion",
-    "grouping_sets_volume",
-    "lm_bigram_train",
-    "lm_perplexity_score",
-    "lm_pmi_collocations",
-    "longitudinal_newest",
-    "longitudinal_unnest",
-    "merge_upsert_customers",
-    "ml_als_recommendations",
-    "mm_decoded_features",
-    "mm_frame_samples",
-    "o2_top_customers",
-    "percentile_stats",
-    "ping_events_roundtrip",
-    "ping_flat_sync_roundtrip",
-    "ping_ingestion_roundtrip",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "qsketch_histograms",
-    "qsketch_quantiles",
-    "quality_linear_score",
-    "range_clicks_after_purchase",
-    "retention_cohorts",
-    "rolling_weekly_active",
-    "rollup_order_volume",
-    "sim_adc_recall_eval",
-    "sim_pq_adc_topk",
-    "sim_pq_codes",
-    "skew_report",
-    "stream_qsketch_histogram",
-    "vocab_heavy_hitters",
-    # latest driver row r07 — alphabetically first 6 fill the window
-    "ab_test_zscores",
-    "bm25_topk_docs",
-    "bpe_learn_merges_batched",
-    "contamination_ngram_overlap",
-    # (dd_duplicate_components and dd_embedding_cosine_pairs displaced
-    # to round 12 by the late-round snapshot_dpp_join and
-    # snapshot_filtered_mor additions)
 )
 
 

@@ -2554,6 +2554,103 @@ def snapshot_dpp_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_mor_equality_delete",
+    # EQUALITY deletes (Iceberg v2's other delete kind): append 60% →
+    # delete_eq on composite (o_custkey, o_orderstatus) key pairs →
+    # append 40% → compact. The hash pins the SEQUENCE rule (second-
+    # append rows with matching keys survive — only t1 rows mask), the
+    # composite-key anti-join, and compaction materialization; CDC and
+    # metadata-row-count interplay are raise-proven in the build/body.
+    oracle=f"""
+    WITH t1 AS (SELECT * FROM orders WHERE o_orderkey % 10 < 6),
+    s1 AS (SELECT * FROM t1
+           WHERE NOT (o_custkey % 11 = 0 AND o_orderstatus = 'F')),
+    t2 AS (SELECT * FROM orders WHERE o_orderkey % 10 >= 6),
+    final AS (SELECT * FROM s1 UNION ALL SELECT * FROM t2)
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_SUM} AS sum_price_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def snapshot_mor_equality_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equality-delete chain (sources/snapshots.py::delete_eq +
+    _read_logical): "delete every row whose (custkey, status) equals
+    one of these pairs" committed as METADATA — a tiny key-set file
+    plus its commit-time scope, NO detection scan at write time. Rows
+    appended AFTER the delete are untouched even with matching keys
+    (the Iceberg sequence rule as an explicit ``applies_to``); at
+    100 TB this is the delete-one-user's-rows shape: O(keys) write
+    where a position delete pays a detection scan. Pins in the body:
+    the CDC feed sees exactly the masked rows, the materializing
+    compaction cancels CDC to empty, and the MOR head's metadata row
+    count equals the compacted state's footer count (the eq arithmetic
+    against physically materialized truth)."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        compact_table,
+        delete_eq,
+        read_manifest,
+        read_snapshot,
+        snapshot_row_count,
+        table_changes,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        t1 = orders.where(F.col("o_orderkey") % 10 < 6)
+        append(spark, root, t1)
+        vals = (
+            t1.where(
+                (F.col("o_custkey") % 11 == 0)
+                & (F.col("o_orderstatus") == "F")
+            )
+            .select("o_custkey", "o_orderstatus")
+            .dropDuplicates()
+        )
+        v2 = delete_eq(spark, root, vals)
+        entry = read_manifest(root, v2)["eq"][0]
+        # CDC interplay, pinned once at build: the delete-eq commit
+        # feeds exactly its matched rows as deletes
+        n_cdc = table_changes(spark, root, 1, v2).where(
+            F.col("_change") == "delete"
+        ).count()
+        if n_cdc != entry["matched"]:
+            raise RuntimeError(
+                f"CDC fed {n_cdc} deletes, eq entry matched "
+                f"{entry['matched']}"
+            )
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 >= 6))
+        v4 = compact_table(spark, root, target_bytes=128 * 1024 * 1024)
+        if table_changes(spark, root, v4 - 1, v4).count() != 0:
+            raise RuntimeError(
+                "materializing compaction did not cancel CDC to empty"
+            )
+
+    root = materialize_cached(
+        spark, src,
+        "snapeq_orders_" + os.path.basename(sf_dir.rstrip("/")), build,
+    )
+    head = read_manifest(root, 4)
+    if head.get("eq") or head.get("dv"):
+        raise RuntimeError("compaction left vectors outstanding")
+    # metadata row count of the MOR head (footer sums minus eq matched
+    # counts — zero data I/O) must equal the compacted state's footer
+    # count: the eq arithmetic checked against materialized truth
+    if snapshot_row_count(root, 3) != snapshot_row_count(root, 4):
+        raise RuntimeError(
+            f"eq metadata count {snapshot_row_count(root, 3)} != "
+            f"materialized {snapshot_row_count(root, 4)}"
+        )
+    return read_snapshot(spark, root, 3).groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"), _sum_cents()
+    )
+
+
+@query(
     "snapshot_filtered_mor",
     # WHERE key = literal COUNT/SUM on a key-clustered, MOR-deleted
     # table: the SQL front door answers from per-file manifest stats

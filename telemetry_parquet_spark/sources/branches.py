@@ -152,6 +152,12 @@ def create_branch(
         else S.resolve_ref(root, from_version)
     )
     m = S.read_manifest(root, v)
+    if m.get("eq"):
+        raise ValueError(
+            "create_branch: the base version carries outstanding "
+            "equality deletes — the branch machinery does not thread "
+            "their scopes through branch appends; compact_table first"
+        )
     import time as _time
 
     fork = {
@@ -413,6 +419,8 @@ def merge_branch(
         extra["rebased_from"] = bm["base_version"]
         if mh.get("dv"):
             extra["dv"] = mh["dv"]
+        if mh.get("eq"):  # branch-added files postdate every scope
+            extra["eq"] = mh["eq"]
         added_parts = {f: bparts[f] for f in added if f in bparts}
         if added_parts:  # main-head files keep their own via _commit
             extra["partitions"] = added_parts

@@ -450,6 +450,7 @@ def set_partition_spec(root: str, fields: list[PartitionField]) -> int:
         {
             **S._carry_meta(m),
             **({"dv": m["dv"]} if m.get("dv") else {}),
+            **({"eq": m["eq"]} if m.get("eq") else {}),
             "partition_spec": {"spec_id": spec_id,
                                "fields": specs[str(spec_id)]},
             "specs": specs,
@@ -554,6 +555,7 @@ def drop_partition_spec(root: str) -> int:
         {
             **S._carry_meta(m),
             **({"dv": m["dv"]} if m.get("dv") else {}),
+            **({"eq": m["eq"]} if m.get("eq") else {}),
             "partition_spec": None,
         },
     )
@@ -599,7 +601,9 @@ def snapshot_groupby_partition(
     m = S.read_manifest(root, v)
     files = m["files"]
     parts = m.get("partitions") or {}
-    if not files or set(parts) != set(files):
+    if not files or set(parts) != set(files) or m.get("eq"):
+        # outstanding EQUALITY deletes: their per-tuple masks are
+        # unknown until read time — refuse to the scan
         return None
     spec_ids = {e["spec_id"] for e in parts.values()}
     if len(spec_ids) != 1:

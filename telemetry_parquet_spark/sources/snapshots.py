@@ -579,9 +579,9 @@ def _validate_unique(
         # the probe must see the LOGICAL table: a key masked by an
         # outstanding deletion vector is absent, and treating it as
         # existing would falsely reject a legitimate re-insert
-        if m.get("dv"):
-            existing = _scan_with_pos(
-                spark, root, candidates, schema, m["dv"]
+        if m.get("dv") or m.get("eq"):
+            existing = _read_logical(
+                spark, root, candidates, schema, m.get("dv"), m.get("eq")
             ).select(*cols)
         else:
             existing = (
@@ -662,15 +662,72 @@ def _scan_with_pos(
     return df
 
 
+def _read_logical(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    schema: StructType,
+    dv: list[str] | None,
+    eq: list[dict] | None,
+    keep_pos: bool = False,
+) -> DataFrame:
+    """``files`` under the FULL merge-on-read contract: position
+    deletion vectors anti-joined out, then each EQUALITY delete's key
+    set anti-joined out of exactly the files in its commit-time scope
+    (``applies_to`` — rows appended after the delete are untouched, the
+    Iceberg v2 sequence rule made explicit). Scopes are grouped by
+    signature so each file is read ONCE: because COW mutators refuse
+    under outstanding deletes, scopes between eq commits only ever
+    nest, so there are at most len(eq)+1 groups. Each eq key set
+    broadcasts (delete-batch-sized by design). ``keep_pos`` keeps the
+    ``__file``/``__pos`` columns for callers that stack further
+    vectors."""
+    cols = [f.name for f in schema.fields]
+    out_cols = cols + (["__file", "__pos"] if keep_pos else [])
+    eq = eq or []
+
+    def _base(grp: list[str]) -> DataFrame:
+        if dv or keep_pos:
+            return _scan_with_pos(spark, root, grp, schema, dv or [])
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in grp]
+        )
+
+    if not eq:
+        return _base(files).select(*out_cols) if (dv or keep_pos) else (
+            _base(files)
+        )
+    scopes = [set(e.get("applies_to") or []) for e in eq]
+    sig: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple(i for i, s in enumerate(scopes) if f in s)
+        sig.setdefault(key, []).append(f)
+    parts = []
+    for key in sorted(sig):
+        df = _base(sig[key])
+        for i in key:
+            vals = spark.read.parquet(
+                os.path.join(root, eq[i]["file"])
+            ).dropDuplicates()
+            df = df.join(
+                F.broadcast(vals), on=list(eq[i]["cols"]), how="left_anti"
+            )
+        parts.append(df.select(*out_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """The table AS OF ``version`` (default: head). Reads exactly the
     manifest's file list under the stored schema — concurrent commits
     cannot change what this returns. Merge-on-read: if the manifest
-    carries deletion vectors (``delete_where_mor``), the deleted
-    positions are anti-joined out at read time. ``version`` may be a
-    tag name (``create_tag``)."""
+    carries deletion vectors (``delete_where_mor``) or equality deletes
+    (``delete_eq``), the masked rows are anti-joined out at read time.
+    ``version`` may be a tag name (``create_tag``)."""
     if isinstance(version, str):
         version = resolve_ref(root, version)
     v = latest_version(root) if version is None else version
@@ -678,10 +735,10 @@ def read_snapshot(
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not m["files"]:
         return spark.createDataFrame([], schema)
-    if m.get("dv"):
-        return _scan_with_pos(
-            spark, root, m["files"], schema, m["dv"]
-        ).select(*[f.name for f in schema.fields])
+    if m.get("dv") or m.get("eq"):
+        return _read_logical(
+            spark, root, m["files"], schema, m.get("dv"), m.get("eq")
+        )
     paths = [os.path.join(root, f) for f in m["files"]]
     return spark.read.schema(schema).parquet(*paths)
 
@@ -719,6 +776,11 @@ def snapshot_row_count(root: str, version: int | str | None = None) -> int:
         total -= int(
             pq.ParquetFile(os.path.join(root, dvf)).metadata.num_rows
         )
+    # equality deletes record their exact logical matched count at
+    # commit time (delete_eq) — stacked vectors never overlap, so the
+    # subtraction stays a pure metadata read
+    for e in m.get("eq", []) or []:
+        total -= int(e["matched"])
     return total
 
 
@@ -757,7 +819,7 @@ def snapshot_minmax(
             version = resolve_ref(root, version)
         v = latest_version(root) if version is None else version
         m = read_manifest(root, v)
-    if m.get("dv") or not m["files"]:
+    if m.get("dv") or m.get("eq") or not m["files"]:
         return None
     schema = StructType.fromJson(json.loads(m["schema"]))
     col = _canon_col(schema, col)
@@ -892,8 +954,11 @@ def snapshot_sum(
             version = resolve_ref(root, version)
         v = latest_version(root) if version is None else version
         m = read_manifest(root, v)
-    if not m["files"]:
-        return None  # SUM over zero rows is NULL; let the scan say so
+    if not m["files"] or m.get("eq"):
+        # zero rows: SUM is NULL, the scan says so. Outstanding
+        # EQUALITY deletes: what they mask per column is unknown until
+        # read time — refuse to the scan, never guess.
+        return None
     schema = StructType.fromJson(json.loads(m["schema"]))
     col = _canon_col(schema, col)
     if col is None or col in (m.get("stats_types") or {}):
@@ -960,7 +1025,9 @@ def snapshot_filtered_agg(
         version = resolve_ref(root, version)
     v = latest_version(root) if version is None else version
     m = read_manifest(root, v)
-    if not m["files"]:
+    if not m["files"] or m.get("eq"):
+        # outstanding EQUALITY deletes: what they mask per included
+        # file is unknown until read time — refuse to the scan
         return None
     schema = StructType.fromJson(json.loads(m["schema"]))
     key = _canon_col(schema, key)
@@ -1100,7 +1167,7 @@ def sample_rows(
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not m["files"]:
         return spark.createDataFrame([], schema)
-    if m.get("dv"):
+    if m.get("dv") or m.get("eq"):
         return read_snapshot(spark, root, v).limit(n)
     rows = m.get("rows", {})
     picked, covered = [], 0
@@ -1159,7 +1226,7 @@ def snapshot_groupby_metadata(
         version = resolve_ref(root, version)
     v = latest_version(root) if version is None else version
     m = read_manifest(root, v)
-    if m.get("dv") or not m["files"]:
+    if m.get("dv") or m.get("eq") or not m["files"]:
         return None
     schema = StructType.fromJson(json.loads(m["schema"]))
     keys = [_canon_col(schema, k) for k in keys]
@@ -1263,6 +1330,8 @@ def append(
         meta = {**_carry_meta(m), **_validate_unique(spark, root, m, df)}
         if m.get("dv"):  # outstanding deletion vectors stay in force
             meta["dv"] = m["dv"]
+        if m.get("eq"):  # appended files are outside every eq scope
+            meta["eq"] = m["eq"]
         table_schema = StructType.fromJson(json.loads(schema_json))
         table_cols = [f.name for f in table_schema.fields]
         _check_column_types(df, table_schema, "append")
@@ -1314,6 +1383,12 @@ def _require_no_dv(m: dict, op: str) -> None:
             f"({len(m['dv'])} dv files); run compact_table to "
             "materialize them first"
         )
+    if m.get("eq"):
+        raise ValueError(
+            f"{op}: table has outstanding equality deletes "
+            f"({len(m['eq'])} key sets); run compact_table to "
+            "materialize them first"
+        )
 
 
 def delete_where_mor(
@@ -1340,14 +1415,16 @@ def delete_where_mor(
     m = read_manifest(root, parent)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
-    meta = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {})}
+    meta = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {}),
+        **({"eq": m["eq"]} if m.get("eq") else {})}
     if not m["files"]:
         return _commit(
             root, "delete-mor", [], m["schema"], parent, meta
         )
     schema = StructType.fromJson(json.loads(m["schema"]))
-    matched = _scan_with_pos(
-        spark, root, m["files"], schema, m.get("dv", [])
+    matched = _read_logical(
+        spark, root, m["files"], schema, m.get("dv"), m.get("eq"),
+        keep_pos=True,
     ).where(hit)
     matches = matched.select(
         F.col("__file").alias("file"), F.col("__pos").alias("pos")
@@ -1402,8 +1479,9 @@ def update_where_mor(
                 f"columns {sorted(touched)}; use merge_into for key "
                 "changes"
             )
-    matched = _scan_with_pos(
-        spark, root, m["files"], schema, m.get("dv", [])
+    matched = _read_logical(
+        spark, root, m["files"], schema, m.get("dv"), m.get("eq"),
+        keep_pos=True,
     ).where(hit)
     dv_rows = matched.select(
         F.col("__file").alias("file"), F.col("__pos").alias("pos")
@@ -1424,7 +1502,11 @@ def update_where_mor(
     tag = f"u{parent + 1:06d}"
     new_dv = _write_commit_files(dv_rows.repartition(1), root, tag + "dv")
     _write_dv_agg_sidecar(spark, root, new_dv, matched, schema)
-    meta = {**_carry_meta(m), "dv": m.get("dv", []) + new_dv}
+    meta = {
+        **_carry_meta(m),
+        **({"eq": m["eq"]} if m.get("eq") else {}),
+        "dv": m.get("dv", []) + new_dv,
+    }
     spec = m.get("partition_spec")
     if spec:
         # the updated copies carry tuples too (derived from their NEW
@@ -1444,6 +1526,93 @@ def update_where_mor(
     return _commit(
         root, "update-mor", m["files"] + new_files, m["schema"], parent,
         meta,
+    )
+
+
+def delete_eq(
+    spark: SparkSession,
+    root: str,
+    values: DataFrame,
+) -> int:
+    """EQUALITY delete — the other half of the Iceberg v2 delete
+    contract (position deletes are ``delete_where_mor``): "delete every
+    row whose key equals one of these values" committed as METADATA —
+    a tiny parquet file of key tuples plus the list of data files it
+    applies to — with NO detection scan at write time. The read side
+    (``_read_logical``) anti-joins each key set out of exactly its
+    scoped files; rows appended AFTER the delete are untouched (the
+    Iceberg sequence-number rule, made explicit as ``applies_to``).
+
+    Write cost is O(keys) — at 100 TB, deleting one user's rows from a
+    key-scattered table costs one small file write, where a position
+    delete would pay a full detection scan and a COW delete a region
+    rewrite. The read-side anti-join broadcasts (key batches are small
+    by design); ``compact_table`` materializes outstanding equality
+    deletes exactly like position vectors.
+
+    ``values``: a DataFrame whose columns are the equality columns
+    (a subset of the table schema, exact type match); NULL key values
+    are refused loudly (SQL equality never matches NULL — a NULL tuple
+    could silently delete nothing while looking committed).
+
+    The commit records the delete's exact LOGICAL matched-row count
+    (one semi-join job — the only scan this path pays, and it keeps
+    ``snapshot_row_count`` a pure metadata read). Stacked deletes never
+    double-count: each count is computed on the logical view with every
+    earlier vector applied. Metadata aggregates (min/max, sums,
+    partition rollups) REFUSE to the scan under outstanding equality
+    deletes rather than guess."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    cols = list(values.columns)
+    if not cols:
+        raise ValueError("delete_eq: no equality columns")
+    for c in cols:
+        if _canon_col(schema, c) != c:
+            raise ValueError(
+                f"delete_eq: column {c!r} is not a table column "
+                "(exact-case match required — the read-side anti-join "
+                "binds by name)"
+            )
+    _check_column_types(values, schema, "delete_eq")
+    any_null = F.col(cols[0]).isNull()
+    for c in cols[1:]:
+        any_null = any_null | F.col(c).isNull()
+    null_keys = values.where(any_null).limit(1).count()
+    if null_keys:
+        raise ValueError(
+            "delete_eq: NULL key values are refused (SQL equality never "
+            "matches NULL — the tuple would silently delete nothing)"
+        )
+    meta = {
+        **_carry_meta(m),
+        **({"dv": m["dv"]} if m.get("dv") else {}),
+        **({"eq": m["eq"]} if m.get("eq") else {}),
+        **({"eq": m["eq"]} if m.get("eq") else {}),
+    }
+    if not m["files"]:
+        return _commit(root, "delete-eq", [], m["schema"], parent, meta)
+    vals = values.dropDuplicates()
+    eq_files = _write_commit_files(
+        vals.repartition(1), root, f"eq{parent + 1:06d}"
+    )
+    matched = (
+        _read_logical(
+            spark, root, m["files"], schema, m.get("dv"), m.get("eq")
+        )
+        .join(F.broadcast(vals), on=cols, how="left_semi")
+        .count()
+    )
+    entry = {
+        "file": eq_files[0],
+        "cols": cols,
+        "applies_to": list(m["files"]),
+        "matched": int(matched),
+    }
+    return _commit(
+        root, "delete-eq", m["files"], m["schema"], parent,
+        {**meta, "eq": meta.get("eq", []) + [entry]},
     )
 
 
@@ -2221,7 +2390,8 @@ def alter_drop_column(root: str, name: str) -> int:
     narrowed = StructType(
         [f for f in schema.fields if f.name != name]
     )
-    meta = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {})}
+    meta = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {}),
+        **({"eq": m["eq"]} if m.get("eq") else {})}
     # tombstone: the physical bytes survive in old files, so re-adding
     # the same name is refused until a full compaction rewrites them
     meta["dropped_cols"] = sorted(
@@ -2289,6 +2459,7 @@ def add_check_constraint(
             # a metadata commit must keep outstanding DVs in force —
             # dropping them would resurrect MOR-deleted rows
             **({"dv": m["dv"]} if m.get("dv") else {}),
+        **({"eq": m["eq"]} if m.get("eq") else {}),
         },
     )
 
@@ -2315,7 +2486,8 @@ def alter_add_column(root: str, name: str, dtype: str) -> int:
     schema.add(name, _parse_datatype_string(dtype), True)
     return _commit(
         root, "add-column", m["files"], schema.json(), parent,
-        {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {})},
+        {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {}),
+        **({"eq": m["eq"]} if m.get("eq") else {})},
     )
 
 
@@ -2345,6 +2517,7 @@ def add_unique_constraint(
             **_carry_meta(m),
             "unique_keys": uniques,
             **({"dv": m["dv"]} if m.get("dv") else {}),
+        **({"eq": m["eq"]} if m.get("eq") else {}),
         },
     )
 
@@ -2357,7 +2530,8 @@ def drop_unique_constraint(root: str, name: str) -> int:
     if name not in uniques:
         raise ValueError(f"no unique constraint '{name}'")
     del uniques[name]
-    meta = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {})}
+    meta = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {}),
+        **({"eq": m["eq"]} if m.get("eq") else {})}
     meta.pop("unique_keys", None)
     if uniques:
         meta["unique_keys"] = uniques
@@ -2374,7 +2548,8 @@ def drop_check_constraint(root: str, name: str) -> int:
     if name not in constraints:
         raise KeyError(name)
     del constraints[name]
-    extra = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {})}
+    extra = {**_carry_meta(m), **({"dv": m["dv"]} if m.get("dv") else {}),
+        **({"eq": m["eq"]} if m.get("eq") else {})}
     extra.pop("constraints", None)
     if constraints:
         extra["constraints"] = constraints
@@ -2395,6 +2570,7 @@ def restore_table(root: str, version: int) -> int:
         {
             **_carry_meta(target),
             **({"dv": target["dv"]} if target.get("dv") else {}),
+            **({"eq": target["eq"]} if target.get("eq") else {}),
             "restored_from": version,
         },
     )
@@ -2440,23 +2616,33 @@ def table_changes(
             .distinct()
             .collect()  # driver-sized: one row per DV-affected FILE
         }
+    # EQUALITY-delete deltas widen the region the same way: an eq entry
+    # one side has and the other hasn't re-includes exactly its scoped
+    # files; each side's logical rows then apply its OWN eq masks, so a
+    # delete-eq commit feeds precisely the newly-masked rows and a
+    # compaction that materializes eq deletes still cancels to empty.
+    eq_f, eq_t = mf.get("eq", []) or [], mt.get("eq", []) or []
+    f_ids = {e["file"] for e in eq_f}
+    t_ids = {e["file"] for e in eq_t}
+    for e in eq_f + eq_t:
+        if e["file"] in (f_ids ^ t_ids):
+            dv_touched.update(e["applies_to"])
 
-    def _side(all_files: list[str], only: list[str], dv: list[str]):
+    def _side(all_files: list[str], only: list[str], dv: list[str],
+              eq: list[dict]):
         files = sorted(
             set(only) | (dv_touched & set(all_files))
         )
         if not files:
             return spark.createDataFrame([], schema)
-        if dv:
-            return _scan_with_pos(spark, root, files, schema, dv).select(
-                *[f.name for f in schema.fields]
-            )
+        if dv or eq:
+            return _read_logical(spark, root, files, schema, dv, eq)
         return spark.read.schema(schema).parquet(
             *[os.path.join(root, f) for f in files]
         )
 
-    old = _side(mf["files"], f_only, dv_f)
-    new = _side(mt["files"], t_only, dv_t)
+    old = _side(mf["files"], f_only, dv_f, eq_f)
+    new = _side(mt["files"], t_only, dv_t, eq_t)
     inserts = new.exceptAll(old).withColumn("_change", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change", F.lit("delete"))
     return inserts.unionByName(deletes)
@@ -2689,6 +2875,11 @@ def stage_delete_mor(
     vacuum-pinned until published or discarded."""
     parent = latest_version(root)
     m = read_manifest(root, parent)
+    if m.get("eq"):
+        raise ValueError(
+            "stage_delete_mor: outstanding equality deletes — "
+            "compact_table to materialize them before staging"
+        )
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -2751,6 +2942,11 @@ def stage_update_mor(
     tables in one atomic catalog commit."""
     parent = latest_version(root)
     m = read_manifest(root, parent)
+    if m.get("eq"):
+        raise ValueError(
+            "stage_update_mor: outstanding equality deletes — "
+            "compact_table to materialize them before staging"
+        )
     if not m["files"]:
         raise ValueError("stage_update_mor: table has no data")
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -2971,6 +3167,12 @@ def _publish_staged_mor(
                 "copy-on-write); the frozen positions no longer resolve "
                 "— re-stage against the current head"
             )
+        if mh.get("eq"):
+            raise ValueError(
+                f"publish_staged: an equality delete landed since "
+                f"{wap_id!r} was staged — the frozen positions may "
+                "overlap its masks; re-stage against the current head"
+            )
         if (mh.get("dv") or []) != (s["base_dv"] or []):
             raise ValueError(
                 f"publish_staged: deletion vectors changed since "
@@ -3148,13 +3350,14 @@ def plan_snapshot_scan(
     re-applied (and pushed into the parquet scan), so the result is
     EXACTLY the full-scan answer regardless of stats/index coverage.
 
-    Merge-on-read versions: by default outstanding deletion vectors are
-    refused (raw-file scan); with ``allow_dv`` the pruned read goes
-    through the DV-applying scan instead — pruning still drops whole
-    files from the manifest list (a DV masks rows, it never ADDS any, so
-    a file skipped by stats/Bloom stays skippable) and the vectors are
-    anti-joined out of the kept files only. The MOR table gets planned
-    scans without waiting for compaction."""
+    Merge-on-read versions: by default outstanding deletion vectors and
+    equality deletes are refused (raw-file scan); with ``allow_dv`` the
+    pruned read goes through the logical scan instead — pruning still
+    drops whole files from the manifest list (a vector masks rows, it
+    never ADDS any, so a file skipped by stats/Bloom stays skippable)
+    and position vectors + scoped equality key sets are anti-joined out
+    of the kept files only. The MOR table gets planned scans without
+    waiting for compaction."""
     import dataclasses
     import datetime as _dt
 
@@ -3287,9 +3490,9 @@ def plan_snapshot_scan(
         return (
             empty if residual is None else empty.where(residual)
         ), plan
-    if m.get("dv"):
-        df = _scan_with_pos(spark, root, kept, schema, m["dv"]).select(
-            *[f.name for f in schema.fields]
+    if m.get("dv") or m.get("eq"):
+        df = _read_logical(
+            spark, root, kept, schema, m.get("dv"), m.get("eq")
         )
     else:
         df = spark.read.schema(schema).parquet(*plan.files)
@@ -3340,11 +3543,13 @@ def vacuum(
         m = read_manifest(root, v)
         live.update(m["files"])
         live.update(m.get("dv", []))  # deletion vectors are data too
+        live.update(e["file"] for e in m.get("eq", []) or [])
     ever: set[str] = set()  # referenced by ANY manifest = was committed
     for v in versions:
         m = read_manifest(root, v)
         ever.update(m["files"])
         ever.update(m.get("dv", []))
+        ever.update(e["file"] for e in m.get("eq", []) or [])
     for wap_id in list_staged(root):  # staged-but-unpublished commits are
         live.update(read_staged_manifest(root, wap_id)["new_files"])  # pinned
     from telemetry_parquet_spark.sources.branches import branch_live_files

@@ -1210,6 +1210,11 @@ def engine_sql(
             for f, delta in per_file.items():
                 if f in live_files:
                     agg[_pkey(f)][1] -= int(delta["n"])
+        if head.get("eq"):
+            # outstanding equality deletes: per-tuple masked counts are
+            # unknown until read time — report -1, never overstate
+            for g in agg.values():
+                g[3] = False
         from pyspark.sql.types import LongType
 
         return spark.createDataFrame(
