@@ -26,9 +26,19 @@ with the time-travel syntax the public table formats expose:
 - ``INSERT INTO|OVERWRITE <name> SELECT …`` — ``append`` / ``overwrite``
   (the SELECT goes through the same rewriter: INSERT … SELECT from a
   time-traveled version works)
-- ``MERGE INTO <name> USING (<select>) ON <k1>[, <k2> …] [WHEN MATCHED
-  THEN UPDATE ALL WHEN NOT MATCHED THEN INSERT ALL]`` — the COW upsert
-  commit (``merge_into``; conditional clauses are a loud error)
+- ``MERGE INTO <name> USING (<select>) ON <k1>[, <k2> …] [WHEN
+  clauses]`` — the COW upsert commit. No clauses (or the exact
+  update-all/insert-all pair) = unconditional ``merge_into``; ordered
+  conditional clauses (``WHEN MATCHED [AND <cond>] THEN UPDATE SET * |
+  DELETE``, ``WHEN NOT MATCHED [AND <cond>] THEN INSERT *``, conditions
+  over aliases ``t``/``s``) = ``merge_into_conditional`` with
+  clause-aware file detection; a malformed clause tail is a loud error
+- eligible ``SELECT … FROM fact JOIN dim ON fk = dk WHERE <conjunctive
+  dim filter>`` statements route through ``plan_dpp_join`` — the
+  filtered dim's transformed live set prunes FACT FILES from the
+  manifest before the scan (``_try_dpp_rewrite``; any inadmissible
+  shape or planner refusal falls through to the scan route, and
+  ``EXPLAIN`` reports the decision or the miss reason statically)
 - ``TABLE CHANGES <name> FROM <v|'tag'> TO <v|'tag'>`` — the CDC
   changes feed between two versions (``table_changes``; file-granular)
 - ``SELECT * FROM <name> [VERSION AS OF …] TABLESAMPLE (n ROWS)`` —
