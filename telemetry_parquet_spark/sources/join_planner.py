@@ -258,9 +258,12 @@ def _stage_into_buckets(
     version pay the exchange once). Eviction keeps the scratch bounded:
     each stage dir carries a ``_stage_meta.json`` (root + version), and
     before a new stage is written every dir of the SAME table whose
-    version is older than the table head is removed — evolving
-    versions or predicate sets therefore never accumulate more than
-    the head version's layouts (legacy meta-less dirs are left alone).
+    version is older than the table head AND untouched for an hour is
+    removed (the grace mirrors vacuum's orphan rule: it protects
+    in-flight writers and lazy join frames still reading a
+    just-superseded layout) — evolving versions or predicate sets never
+    accumulate more than the head's layouts plus the trailing hour
+    (legacy meta-less dirs are left alone).
     The write is crash-safe: a private tmp dir renamed into place; a
     lost rename race discards its copy and reuses the winner's.
 
@@ -314,24 +317,38 @@ def _stage_into_buckets(
     ).hexdigest()[:16]
     scratch = os.path.join(wh, f"bucket_stage_{fp}")
     if not os.path.isdir(scratch):
-        # evict this table's stale layouts first: any stage dir whose
+        # evict this table's stale layouts first: a stage dir whose
         # recorded version is older than the table head can never be
         # reused (callers resolve versions against the head), so the
-        # scratch stays bounded by the head version's layouts
+        # scratch stays bounded by the head version's layouts. Two
+        # safety gates, same shape as vacuum's orphan_grace_s: (a)
+        # in-flight ``.tmp-`` writer dirs are never candidates, and (b)
+        # only dirs untouched for an hour are removed — a LAZY join
+        # DataFrame returned against the previous head keeps reading
+        # its layout while the caller is still consuming it (collect
+        # promptly after the table advances; vacuum has the same
+        # contract for data files)
+        import time as _time
+
         head = S.latest_version(root)
         abs_root = os.path.abspath(root)
+        now = _time.time()
         for name in os.listdir(wh) if os.path.isdir(wh) else []:
-            if not name.startswith("bucket_stage_"):
+            if not name.startswith("bucket_stage_") or ".tmp-" in name:
                 continue
             d = os.path.join(wh, name)
             meta_p = os.path.join(d, "_stage_meta.json")
             try:
                 with open(meta_p) as fh:
                     meta = _json.load(fh)
+                age = now - os.path.getmtime(d)
             except (OSError, ValueError):
                 continue  # meta-less / foreign dir: leave it alone
-            if meta.get("root") == abs_root and meta.get("version",
-                                                         head) < head:
+            if (
+                meta.get("root") == abs_root
+                and meta.get("version", head) < head
+                and age > 3600.0
+            ):
                 shutil.rmtree(d, ignore_errors=True)
         tmp = f"{scratch}.tmp-{_uuid.uuid4().hex[:8]}"
         staged.write.partitionBy(*bcols).mode("error").parquet(tmp)

@@ -147,30 +147,47 @@ class PartitionField:
         return PartitionField(d["col"], t, n)
 
 
-_ZONE_CACHE: dict[int, _dt.tzinfo] = {}
+def _zone_cache():
+    import weakref
+
+    global _ZONE_CACHE
+    if _ZONE_CACHE is None:
+        _ZONE_CACHE = weakref.WeakKeyDictionary()
+    return _ZONE_CACHE
+
+
+_ZONE_CACHE = None
 
 
 def _session_zone() -> _dt.tzinfo:
     """tzinfo of ``spark.sql.session.timeZone`` for the ACTIVE session —
     the zone Spark's cast interprets an offset-bearing timestamp literal
     under, so the plan side must read the wall clock in the same zone.
-    Memoized per session id (one py4j lookup, not one per pruned file);
-    the module contract already forbids flipping the session timezone
-    between write and plan, which covers the memo too. Raises ValueError
-    when no session is active or the zone id cannot be resolved — the
-    callers' undecidable-literal discipline turns that into KEEP."""
+    Memoized per session OBJECT via a WeakKeyDictionary (one py4j
+    lookup, not one per pruned file; a stopped-and-recreated session
+    cannot alias a stale entry the way an id()-keyed memo could — the
+    entry dies with the session). The module contract already forbids
+    flipping the session timezone between write and plan, which covers
+    the memo too. Raises ValueError when no session is active or the
+    zone id cannot be resolved — the callers' undecidable-literal
+    discipline turns that into KEEP."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
     if spark is None:
         raise ValueError("no active SparkSession: timezone undecidable")
-    key = id(spark)
-    tz = _ZONE_CACHE.get(key)
+    cache = _zone_cache()
+    try:
+        tz = cache.get(spark)
+    except TypeError:  # un-weakref-able/unhashable session: no memo
+        cache = None
+        tz = None
     if tz is not None:
         return tz
     name = spark.conf.get("spark.sql.session.timeZone") or "UTC"
     tz = _parse_zone(name)
-    _ZONE_CACHE[key] = tz
+    if cache is not None:
+        cache[spark] = tz
     return tz
 
 

@@ -1589,7 +1589,6 @@ def delete_eq(
         **_carry_meta(m),
         **({"dv": m["dv"]} if m.get("dv") else {}),
         **({"eq": m["eq"]} if m.get("eq") else {}),
-        **({"eq": m["eq"]} if m.get("eq") else {}),
     }
     if not m["files"]:
         return _commit(root, "delete-eq", [], m["schema"], parent, meta)
@@ -1769,6 +1768,50 @@ def delete_where(
     return _commit(root, "delete", carried + new, m["schema"], parent, audit)
 
 
+def _key_range_candidates(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    schema: StructType,
+    source: DataFrame,
+    keys: list[str],
+) -> list[str]:
+    """Files that can possibly hold a key match for a MERGE: the
+    SOURCE's own key min/max envelope (one 1-row agg) intersected with
+    per-file key stats (one map-side build). Exact with no caller
+    contract — a file whose envelope misses every source key cannot
+    hold a match. Shared by merge_into and merge_into_conditional so
+    the prune can never diverge between the two MERGE paths."""
+    from telemetry_parquet_spark.sources.scan_planner import (
+        Range,
+        _minmax_keep,
+        build_minmax_file_stats,
+    )
+
+    root_abs = os.path.abspath(root)
+    candidates = list(m["files"])
+    bounds = source.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+    ).first()
+    ranges = [
+        Range(k, bounds[f"lo_{k}"], bounds[f"hi_{k}"]) for k in keys
+    ]
+    head = spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in candidates]
+    )
+    stats = {
+        _rel_path(root_abs, r.file_path): r
+        for r in build_minmax_file_stats(head, keys).collect()
+    }
+    return [
+        f
+        for f in candidates
+        if f not in stats
+        or all(_minmax_keep(stats[f], p) for p in ranges)
+    ]
+
+
 def merge_into(
     spark: SparkSession,
     root: str,
@@ -1849,34 +1892,11 @@ def merge_into(
     def _rel(p: str) -> str:
         return _rel_path(root_abs, p)
 
-    candidates = list(m["files"])
-    if prune_by_key_range:
-        from telemetry_parquet_spark.sources.scan_planner import (
-            Range,
-            _minmax_keep,
-            build_minmax_file_stats,
-        )
-
-        bounds = source.agg(
-            *[F.min(k).alias(f"lo_{k}") for k in keys],
-            *[F.max(k).alias(f"hi_{k}") for k in keys],
-        ).first()
-        ranges = [
-            Range(k, bounds[f"lo_{k}"], bounds[f"hi_{k}"]) for k in keys
-        ]
-        head = spark.read.schema(schema).parquet(
-            *[os.path.join(root, f) for f in candidates]
-        )
-        stats = {
-            _rel(r.file_path): r
-            for r in build_minmax_file_stats(head, keys).collect()
-        }
-        candidates = [
-            f
-            for f in candidates
-            if f not in stats
-            or all(_minmax_keep(stats[f], p) for p in ranges)
-        ]
+    candidates = (
+        _key_range_candidates(spark, root, m, schema, source, keys)
+        if prune_by_key_range
+        else list(m["files"])
+    )
     affected = set()
     if candidates:
         scan = spark.read.schema(schema).parquet(
@@ -2048,34 +2068,11 @@ def merge_into_conditional(
     def _rel(p: str) -> str:
         return _rel_path(root_abs, p)
 
-    candidates = list(m["files"])
-    if prune_by_key_range:
-        from telemetry_parquet_spark.sources.scan_planner import (
-            Range,
-            _minmax_keep,
-            build_minmax_file_stats,
-        )
-
-        bounds = source.agg(
-            *[F.min(k).alias(f"lo_{k}") for k in keys],
-            *[F.max(k).alias(f"hi_{k}") for k in keys],
-        ).first()
-        ranges = [
-            Range(k, bounds[f"lo_{k}"], bounds[f"hi_{k}"]) for k in keys
-        ]
-        head = spark.read.schema(schema).parquet(
-            *[os.path.join(root, f) for f in candidates]
-        )
-        stats = {
-            _rel(r.file_path): r
-            for r in build_minmax_file_stats(head, keys).collect()
-        }
-        candidates = [
-            f
-            for f in candidates
-            if f not in stats
-            or all(_minmax_keep(stats[f], p) for p in ranges)
-        ]
+    candidates = (
+        _key_range_candidates(spark, root, m, schema, source, keys)
+        if prune_by_key_range
+        else list(m["files"])
+    )
 
     srcm = source.withColumn("__s_matched", F.lit(True))
 
@@ -2387,6 +2384,15 @@ def alter_drop_column(root: str, name: str) -> int:
             f"column '{name}' is referenced by the current partition "
             "spec; DROP PARTITION SPEC first"
         )
+    for e in m.get("eq", []) or []:
+        if name in e["cols"]:
+            # dropping an eq key column would make EVERY later read
+            # (and the materializing compaction) fail resolving the
+            # anti-join key — a bricked table, not a metadata nicety
+            raise ValueError(
+                f"column '{name}' is a key of an outstanding equality "
+                "delete; run compact_table to materialize it first"
+            )
     narrowed = StructType(
         [f for f in schema.fields if f.name != name]
     )
@@ -3055,10 +3061,12 @@ def read_staged(
             (m.get("dv") or []) + s["dv_files"],
         ).select(*[f.name for f in schema.fields])
     files = m["files"] + s["new_files"]
-    if m.get("dv"):
-        return _scan_with_pos(
-            spark, root, files, schema, m["dv"]
-        ).select(*[f.name for f in schema.fields])
+    if m.get("dv") or m.get("eq"):
+        # staged files are outside every eq scope (they postdate it);
+        # _read_logical applies each key set to its scoped files only
+        return _read_logical(
+            spark, root, files, schema, m.get("dv"), m.get("eq")
+        )
     return spark.read.schema(schema).parquet(
         *[os.path.join(root, f) for f in files]
     )
@@ -3123,6 +3131,8 @@ def publish_staged(
     extra.update(_validate_unique(spark, root, mh, new_rows))
     if mh.get("dv"):
         extra["dv"] = mh["dv"]
+    if mh.get("eq"):  # staged files postdate every eq scope
+        extra["eq"] = mh["eq"]
     if s.get("partitions"):  # spec-staged tuples survive publication
         extra["partitions"] = s["partitions"]
     v = _commit(

@@ -161,3 +161,36 @@ def test_unique_probe_sees_eq_masks(spark, tmp_path):
     v = S.append(spark, root, spark.createDataFrame(
         [(1, "z")], "k int, cat string"))
     assert _state(spark, root, v) == {(1, "z"), (2, "b")}
+
+
+def test_wap_publish_carries_eq_and_preview_applies_it(spark, tmp_path):
+    """publish of a staged APPEND must carry the head's outstanding eq
+    (staged files postdate every scope) and the audited preview must
+    already apply the masks — an audit validating resurrected rows is
+    a wrong gate."""
+    root = _mk(spark, tmp_path, "w")
+    S.delete_eq(spark, root, spark.createDataFrame([("a",)], "cat string"))
+    S.stage_append(
+        spark, root,
+        spark.createDataFrame([(9, "a", 90)], "k int, cat string, v int"),
+        "w1",
+    )
+    preview = {tuple(r) for r in S.read_staged(spark, root, "w1").collect()}
+    assert preview == {(2, "b", 20), (4, "c", 40), (9, "a", 90)}
+    v = S.publish_staged(spark, root, "w1")
+    m = S.read_manifest(root, v)
+    assert m.get("eq"), "publish dropped the outstanding equality delete"
+    assert _state(spark, root, v) == {
+        (2, "b", 20), (4, "c", 40), (9, "a", 90)
+    }
+    assert S.snapshot_row_count(root, v) == 3
+
+
+def test_drop_column_refuses_eq_key(spark, tmp_path):
+    root = _mk(spark, tmp_path, "dc")
+    S.delete_eq(spark, root, spark.createDataFrame([("a",)], "cat string"))
+    with pytest.raises(ValueError, match="outstanding equality"):
+        S.alter_drop_column(root, "cat")
+    # non-key columns still droppable; reads stay healthy
+    v = S.alter_drop_column(root, "v")
+    assert _state(spark, root, v) == {(2, "b"), (4, "c")}

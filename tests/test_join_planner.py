@@ -1008,3 +1008,59 @@ def test_dpp_semi_and_legality_matrix(spark, tmp_path):
                 "right_outer", "cross"):
         with pytest.raises(ValueError, match="cannot compose"):
             plan_dpp_join(spark, froot, droot, ("fk", "dk"), how=bad)
+
+
+def test_stage_eviction_grace_and_tmp_safety(spark, tmp_path):
+    """Eviction removes only SAME-table, older-than-head, hour-stale
+    layouts; fresh layouts (lazy frames may still read them) and
+    in-flight .tmp- writer dirs are never candidates."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+    from telemetry_parquet_spark.sources.partition_spec import (
+        PartitionField,
+        set_partition_spec,
+    )
+
+    la, rb = str(tmp_path / "ea"), str(tmp_path / "eb")
+    left = spark.range(0, 100).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("v"))
+    _mk_bucketed(spark, la, left, [("k", 4)])
+    S.append(spark, rb, spark.range(0, 50).select(
+        (F.col("id") % 10).alias("rk"), (F.col("id") * 2).alias("w")))
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+
+    def stage_dirs():
+        return set(_glob.glob(_os.path.join(wh, "bucket_stage_*")))
+
+    before = stage_dirs()
+    plan_bucket_join(spark, la, rb, ("k", "rk"))
+    (d1,) = stage_dirs() - before
+    # plant a decoy in-flight tmp dir with valid meta: never evicted
+    tmp_decoy = _os.path.join(wh, "bucket_stage_deadbeef.tmp-x")
+    _os.makedirs(tmp_decoy, exist_ok=True)
+    with open(_os.path.join(tmp_decoy, "_stage_meta.json"), "w") as fh:
+        _json.dump({"root": _os.path.abspath(rb), "version": 0}, fh)
+    _os.utime(tmp_decoy, (0, 0))
+    # advance the dim head; d1 is now stale-by-version but FRESH
+    S.append(spark, rb, spark.createDataFrame([(99, 0)], "rk long, w long"))
+    plan_bucket_join(spark, la, rb, ("k", "rk"))
+    assert _os.path.isdir(d1), "fresh layout evicted within the grace"
+    assert _os.path.isdir(tmp_decoy), "in-flight tmp dir evicted"
+    # age d1 past the grace: the next staging evicts exactly it
+    old = _time.time() - 7200
+    _os.utime(d1, (old, old))
+    S.append(spark, rb, spark.createDataFrame([(98, 0)], "rk long, w long"))
+    plan_bucket_join(spark, la, rb, ("k", "rk"))
+    assert not _os.path.isdir(d1), "hour-stale superseded layout kept"
+    assert _os.path.isdir(tmp_decoy)
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp_decoy, ignore_errors=True)

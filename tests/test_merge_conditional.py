@@ -91,11 +91,14 @@ def test_clause_aware_detection_carries_unfired_files(spark, tmp_path):
     merge against a mostly-stale source rewrites almost nothing."""
     root = str(tmp_path / "d")
     S.append(spark, root, spark.createDataFrame(
-        [(1, "a", 10), (2, "b", 20)], "k int, name string, ts int"))
+        [(1, "a", 10), (2, "b", 20)], "k int, name string, ts int"
+    ).coalesce(1))
+    files_1 = set(S.read_manifest(root, 1)["files"])
     S.append(spark, root, spark.createDataFrame(
-        [(3, "c", 30), (4, "d", 40)], "k int, name string, ts int"))
-    before = set(S.read_manifest(root, 2)["files"])
-    # source matches BOTH files' keys, but only file 2's rows fire
+        [(3, "c", 30), (4, "d", 40)], "k int, name string, ts int"
+    ).coalesce(1))
+    files_2 = set(S.read_manifest(root, 2)["files"]) - files_1
+    # source matches keys in BOTH appends, but only append 2's row fires
     src = spark.createDataFrame(
         [(1, "stale", 0), (3, "C", 99)], "k int, name string, ts int")
     v = S.merge_into_conditional(
@@ -103,9 +106,10 @@ def test_clause_aware_detection_carries_unfired_files(spark, tmp_path):
         not_matched_insert=False,
     )
     after = set(S.read_manifest(root, v)["files"])
-    carried = before & after
-    # the file holding k=1,2 (no clause fired) must be in both
-    assert len(carried) == 1
+    # append 1 (k=1 matched but stale, k=2 unmatched): carried intact
+    assert files_1 <= after
+    # append 2 (k=3 fired): rewritten away
+    assert not (files_2 & after)
     assert _state(spark, root, v) == {
         (1, "a", 10), (2, "b", 20), (3, "C", 99), (4, "d", 40)
     }
