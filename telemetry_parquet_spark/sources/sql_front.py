@@ -34,11 +34,13 @@ with the time-travel syntax the public table formats expose:
   over aliases ``t``/``s``) = ``merge_into_conditional`` with
   clause-aware file detection; a malformed clause tail is a loud error
 - eligible ``SELECT … FROM fact JOIN dim ON fk = dk WHERE <conjunctive
-  dim filter>`` statements route through ``plan_dpp_join`` — the
-  filtered dim's transformed live set prunes FACT FILES from the
-  manifest before the scan (``_try_dpp_rewrite``; any inadmissible
-  shape or planner refusal falls through to the scan route, and
-  ``EXPLAIN`` reports the decision or the miss reason statically)
+  dim filter>`` statements — and the semi shape ``… FROM fact WHERE fk
+  IN (SELECT dk FROM dim WHERE …) [AND …]`` — route through
+  ``plan_dpp_join`` (inner / left_semi): the filtered dim's transformed
+  live set prunes FACT FILES from the manifest before the scan
+  (``_try_dpp_rewrite``; any inadmissible shape or planner refusal
+  falls through to the scan route, and ``EXPLAIN`` reports the decision
+  or the miss reason statically)
 - ``TABLE CHANGES <name> FROM <v|'tag'> TO <v|'tag'>`` — the CDC
   changes feed between two versions (``table_changes``; file-granular)
 - ``SELECT * FROM <name> [VERSION AS OF …] TABLESAMPLE (n ROWS)`` —
@@ -767,6 +769,17 @@ _STAR_JOIN = re.compile(
     r"(?:\s+ORDER\s+BY\s+(?P<order>[\w\s,]+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# the semi shape: SELECT … FROM fact WHERE fk IN (SELECT dk FROM dim
+# WHERE <dim conj>) [AND <fact conj>] — the allowlist filter as SQL
+_STAR_SEMI = re.compile(
+    r"\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t1>\w+)"
+    r"\s+WHERE\s+(?P<c1>\w+)\s+IN\s*\(\s*SELECT\s+(?P<c2>\w+)"
+    r"\s+FROM\s+(?P<t2>\w+)\s+WHERE\s+(?P<dimwhere>.+?)\s*\)"
+    r"(?:\s+AND\s+(?P<factwhere>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w\s,]+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>[\w\s,]+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _LIT = r"(?:'[^']*'|-?\d+(?:\.\d+)?)"
 _CONJUNCT = re.compile(
     rf"(\w+)\s*(?:"
@@ -832,17 +845,34 @@ def _probe_dpp(sql: str, tables: dict[str, str]):
 
     from pyspark.sql.types import StructType as _ST
 
-    m = _STAR_JOIN.fullmatch(sql)
+    sm = _STAR_SEMI.fullmatch(sql)
+    m = sm or _STAR_JOIN.fullmatch(sql)
     if not m:
-        return ("miss", "not a bare fact JOIN dim ON k1 = k2 WHERE …")
+        return (
+            "miss",
+            "not a bare fact JOIN dim ON k1 = k2 WHERE … nor a "
+            "fk IN (SELECT dk FROM dim WHERE …) filter",
+        )
+    how = "left_semi" if sm else "inner"
     t1, t2 = m.group("t1"), m.group("t2")
     if t1 not in tables or t2 not in tables or t1 == t2:
         return ("miss", "both join sides must be cataloged tables")
     if "." in m.group("items"):
         return ("miss", "qualified select items — scan route")
-    preds = _parse_conjuncts(m.group("where"))
-    if preds is None:
-        return ("miss", "WHERE not a conjunction of col-op-literal")
+    if sm:
+        dim_where = _parse_conjuncts(m.group("dimwhere"))
+        fact_where = (
+            _parse_conjuncts(m.group("factwhere"))
+            if m.group("factwhere")
+            else []
+        )
+        if dim_where is None or fact_where is None:
+            return ("miss", "WHERE not a conjunction of col-op-literal")
+        preds = dim_where + fact_where
+    else:
+        preds = _parse_conjuncts(m.group("where"))
+        if preds is None:
+            return ("miss", "WHERE not a conjunction of col-op-literal")
 
     def _head_schema(name):
         root = tables[name]
@@ -865,6 +895,10 @@ def _probe_dpp(sql: str, tables: dict[str, str]):
     o1, o2 = _owner(c1), _owner(c2)
     if o1 is None or o2 is None or o1 == o2:
         return ("miss", "cannot attribute the ON columns to one side each")
+    if sm and (o1 != t1 or o2 != t2):
+        # the semi's direction is fixed by the syntax: fk belongs to
+        # the outer (fact) table, dk to the subquery (dim) table
+        return ("miss", "IN-subquery columns bound to the wrong sides")
     key_of = {o1: c1, o2: c2}
 
     def _spec_field(mf, col):
@@ -883,14 +917,17 @@ def _probe_dpp(sql: str, tables: dict[str, str]):
     if fld1 is not None:
         fact, dim = t1, t2
         fld = fld1
-    elif fld2 is not None:
+    elif fld2 is not None and not sm:
         fact, dim = t2, t1
         fld = fld2
     else:
         return (
             "miss",
-            "neither side's partition spec carries a field on its join "
-            "key — scan route",
+            ("the outer table's partition spec carries no field on the "
+             "IN column — scan route")
+            if sm
+            else ("neither side's partition spec carries a field on its "
+                  "join key — scan route"),
         )
     fact_cols = cols1 if fact == t1 else cols2
     dim_cols = cols2 if fact == t1 else cols1
@@ -908,6 +945,7 @@ def _probe_dpp(sql: str, tables: dict[str, str]):
         {
             "fact": fact,
             "dim": dim,
+            "how": how,
             "fkey": key_of[fact],
             "dkey": key_of[dim],
             "transform": f"{fld.get('transform', 'identity')}"
@@ -942,6 +980,7 @@ def _try_dpp_rewrite(
             tables[info["fact"]],
             tables[info["dim"]],
             (info["fkey"], info["dkey"]),
+            how=info.get("how", "inner"),
             dim_predicates=info["dim_predicates"],
             fact_predicates=info["fact_predicates"],
         )
@@ -1042,14 +1081,16 @@ def explain_sql(
                     )
                     break
         if route == "scan" and re.match(
-            r"\s*SELECT\b.*\bJOIN\b", stmt, re.IGNORECASE | re.DOTALL
+            r"\s*SELECT\b.*\b(JOIN|IN\s*\(\s*SELECT)\b",
+            stmt, re.IGNORECASE | re.DOTALL,
         ):
             # the star-join DPP decision, statically (no live-set job)
             verdict, info = _probe_dpp(stmt, tables)
             if verdict == "candidate":
                 route = (
-                    f"dpp-join (fact={info['fact']} pruned by "
-                    f"{info['transform']} live set of dim={info['dim']})"
+                    f"dpp-join [{info['how']}] (fact={info['fact']} "
+                    f"pruned by {info['transform']} live set of "
+                    f"dim={info['dim']})"
                 )
             else:
                 rows.append(("dpp_miss", info))

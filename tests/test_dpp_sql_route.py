@@ -161,3 +161,67 @@ def test_conjunct_parser_shapes():
     for bad in ("a = 5 OR b = 2", "a = b", "f(a) = 5", "a = 5 AND",
                 "NOT a = 5"):
         assert _parse_conjuncts(bad) is None, bad
+
+
+_SEMI_STMT = (
+    "SELECT fk, COUNT(*) AS n, SUM(val) AS sv FROM f "
+    "WHERE fk IN (SELECT dk FROM dm WHERE grp = 3) AND val >= 100 "
+    "GROUP BY fk ORDER BY fk"
+)
+
+
+def test_semi_shape_routes_and_matches_vanilla(spark, star):
+    """fk IN (SELECT dk FROM dim WHERE …) routes as a left_semi DPP
+    join; answers equal the vanilla correlated-IN evaluation."""
+    verdict, info = _probe_dpp(_SEMI_STMT, star)
+    assert verdict == "candidate" and info["how"] == "left_semi"
+    got = [tuple(r) for r in engine_sql(spark, _SEMI_STMT, star).collect()]
+    want = [tuple(r) for r in _vanilla(spark, star, _SEMI_STMT).collect()]
+    assert got == want and got
+    route = {
+        r.aspect: r.detail
+        for r in engine_sql(spark, "EXPLAIN " + _SEMI_STMT, star).collect()
+    }["route"]
+    assert route.startswith("dpp-join [left_semi]")
+
+
+def test_semi_subquery_fact_conjunct_is_equivalent(spark, star):
+    """A fact-column conjunct INSIDE the subquery is a correlated
+    reference in SQL; classifying it as a fact predicate is equivalent
+    (the subquery is all-or-nothing per outer row) — proven against
+    Spark's own evaluation."""
+    stmt = (
+        "SELECT COUNT(*) AS n FROM f WHERE fk IN "
+        "(SELECT dk FROM dm WHERE grp = 3 AND val <= 2000)"
+    )
+    assert _probe_dpp(stmt, star)[0] == "candidate"
+    got = engine_sql(spark, stmt, star).first().n
+    want = _vanilla(spark, star, stmt).first().n
+    assert got == want
+
+
+def test_semi_misses_fall_through(spark, star):
+    # wrong direction: the IN column belongs to the dim
+    v, why = _probe_dpp(
+        "SELECT COUNT(*) AS n FROM f WHERE dk IN "
+        "(SELECT fk FROM dm WHERE grp = 3)",
+        star,
+    )
+    assert v == "miss"
+    # no dim filter in the subquery -> not our shape (regex needs WHERE)
+    v2, _ = _probe_dpp(
+        "SELECT COUNT(*) AS n FROM f WHERE fk IN (SELECT dk FROM dm)",
+        star,
+    )
+    assert v2 == "miss"
+    # still answerable by the scan route
+    got = engine_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM f WHERE fk IN (SELECT dk FROM dm)",
+        star,
+    ).first().n
+    want = _vanilla(
+        spark, star,
+        "SELECT COUNT(*) AS n FROM f WHERE fk IN (SELECT dk FROM dm)",
+    ).first().n
+    assert got == want
