@@ -292,14 +292,24 @@ def test_merge_into_statement(spark, sf_dir, tmp_path):
     got_untouched = cur.where("o_orderkey % 10 IN (0,1,2,3,4)")
     assert got_untouched.exceptAll(exp_untouched).count() == 0
 
-    # conditional / DELETE forms: loud error, not a silent misparse
+    # conditional / DELETE forms now ROUTE to merge_into_conditional
+    # (tests/test_merge_conditional.py pins their semantics); what must
+    # stay loud is (a) downstream validation of a routed statement and
+    # (b) a clause tail the grammar cannot parse
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="MERGE INTO"):
+    with _pytest.raises(ValueError, match="source columns"):
         engine_sql(
             spark,
             "MERGE INTO t USING (SELECT 1) ON k "
             "WHEN MATCHED AND x THEN DELETE",
+            {"t": root},
+        )
+    with _pytest.raises(ValueError, match="cannot parse clause tail"):
+        engine_sql(
+            spark,
+            "MERGE INTO t USING (SELECT 1) ON k "
+            "WHEN MATCHED THEN FROB *",
             {"t": root},
         )
 
