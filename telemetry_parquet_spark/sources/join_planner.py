@@ -316,6 +316,14 @@ def _stage_into_buckets(
         ).encode()
     ).hexdigest()[:16]
     scratch = os.path.join(wh, f"bucket_stage_{fp}")
+    if os.path.isdir(scratch):
+        # REUSE: refresh mtime so the eviction grace measures time
+        # since LAST USE, not creation — a lazy join frame handed out
+        # against a long-lived layout stays protected
+        try:
+            os.utime(scratch, None)
+        except OSError:
+            pass
     if not os.path.isdir(scratch):
         # evict this table's stale layouts first: a stage dir whose
         # recorded version is older than the table head can never be
@@ -334,14 +342,24 @@ def _stage_into_buckets(
         abs_root = os.path.abspath(root)
         now = _time.time()
         for name in os.listdir(wh) if os.path.isdir(wh) else []:
-            if not name.startswith("bucket_stage_") or ".tmp-" in name:
+            if not name.startswith("bucket_stage_"):
                 continue
             d = os.path.join(wh, name)
+            try:
+                age = now - os.path.getmtime(d)
+            except OSError:
+                continue
+            if ".tmp-" in name:
+                # an in-flight writer's private dir — ours by naming
+                # convention; reclaim only once it is clearly a crash
+                # leftover (writes take minutes, not an hour)
+                if age > 3600.0:
+                    shutil.rmtree(d, ignore_errors=True)
+                continue
             meta_p = os.path.join(d, "_stage_meta.json")
             try:
                 with open(meta_p) as fh:
                     meta = _json.load(fh)
-                age = now - os.path.getmtime(d)
             except (OSError, ValueError):
                 continue  # meta-less / foreign dir: leave it alone
             if (

@@ -869,10 +869,12 @@ def _probe_dpp(sql: str, tables: dict[str, str]):
         if dim_where is None or fact_where is None:
             return ("miss", "WHERE not a conjunction of col-op-literal")
         preds = dim_where + fact_where
+        outer_conjuncts = fact_where
     else:
         preds = _parse_conjuncts(m.group("where"))
         if preds is None:
             return ("miss", "WHERE not a conjunction of col-op-literal")
+        outer_conjuncts = []
 
     def _head_schema(name):
         root = tables[name]
@@ -932,11 +934,23 @@ def _probe_dpp(sql: str, tables: dict[str, str]):
     fact_cols = cols1 if fact == t1 else cols2
     dim_cols = cols2 if fact == t1 else cols1
     dim_preds, fact_preds = [], []
+    outer = {id(p) for p in outer_conjuncts}
     for p in preds:
         on_fact = p.col.lower() in fact_cols
         on_dim = p.col.lower() in dim_cols
         if on_fact == on_dim:
             return ("miss", f"predicate column {p.col!r} is ambiguous")
+        if id(p) in outer and not on_fact:
+            # a dim-only column in the semi's OUTER scope is INVALID
+            # SQL (it cannot resolve against the fact table); routing
+            # it as a dim predicate would silently ANSWER what the
+            # scan route correctly rejects — fall through so Catalyst
+            # raises its own unresolved-column error
+            return (
+                "miss",
+                f"outer predicate column {p.col!r} is not a fact "
+                "column — scan route (which will reject it)",
+            )
         (fact_preds if on_fact else dim_preds).append(p)
     if not dim_preds:
         return ("miss", "no dim predicate — the live set would be total")

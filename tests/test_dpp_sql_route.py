@@ -51,7 +51,10 @@ def _vanilla(spark, t, stmt):
     S.read_snapshot(spark, t["f"]).createOrReplaceTempView("vf")
     S.read_snapshot(spark, t["dm"]).createOrReplaceTempView("vd")
     return spark.sql(
-        stmt.replace("FROM f ", "FROM vf ").replace("JOIN dm ", "JOIN vd ")
+        stmt.replace("FROM f ", "FROM vf ")
+        .replace("JOIN dm ", "JOIN vd ")
+        .replace("FROM dm ", "FROM vd ")
+        .replace("FROM dm)", "FROM vd)")
     )
 
 
@@ -225,3 +228,17 @@ def test_semi_misses_fall_through(spark, star):
         "SELECT COUNT(*) AS n FROM f WHERE fk IN (SELECT dk FROM dm)",
     ).first().n
     assert got == want
+
+
+def test_outer_dim_only_conjunct_misses_not_answers(spark, star):
+    """An outer-scope conjunct on a dim-only column is INVALID SQL: the
+    probe must MISS (never silently answer n=0) so the scan route can
+    raise Catalyst's own unresolved-column error."""
+    stmt = (
+        "SELECT COUNT(*) AS n FROM f WHERE fk IN "
+        "(SELECT dk FROM dm WHERE dk = 3) AND grp = 5"
+    )
+    v, why = _probe_dpp(stmt, star)
+    assert v == "miss" and "outer predicate" in why
+    with pytest.raises(Exception):  # Catalyst AnalysisException
+        engine_sql(spark, stmt, star).collect()

@@ -1043,24 +1043,37 @@ def test_stage_eviction_grace_and_tmp_safety(spark, tmp_path):
     before = stage_dirs()
     plan_bucket_join(spark, la, rb, ("k", "rk"))
     (d1,) = stage_dirs() - before
-    # plant a decoy in-flight tmp dir with valid meta: never evicted
-    tmp_decoy = _os.path.join(wh, "bucket_stage_deadbeef.tmp-x")
-    _os.makedirs(tmp_decoy, exist_ok=True)
-    with open(_os.path.join(tmp_decoy, "_stage_meta.json"), "w") as fh:
-        _json.dump({"root": _os.path.abspath(rb), "version": 0}, fh)
-    _os.utime(tmp_decoy, (0, 0))
+    # decoys: a FRESH in-flight tmp dir (a live writer — must survive)
+    # and an HOUR-OLD one (a crash leftover — must be reclaimed)
+    tmp_fresh = _os.path.join(wh, "bucket_stage_deadbeef.tmp-x")
+    tmp_stale = _os.path.join(wh, "bucket_stage_cafebabe.tmp-y")
+    for d in (tmp_fresh, tmp_stale):
+        _os.makedirs(d, exist_ok=True)
+        with open(_os.path.join(d, "_stage_meta.json"), "w") as fh:
+            _json.dump({"root": _os.path.abspath(rb), "version": 0}, fh)
+    _os.utime(tmp_stale, (0, 0))
     # advance the dim head; d1 is now stale-by-version but FRESH
     S.append(spark, rb, spark.createDataFrame([(99, 0)], "rk long, w long"))
     plan_bucket_join(spark, la, rb, ("k", "rk"))
     assert _os.path.isdir(d1), "fresh layout evicted within the grace"
-    assert _os.path.isdir(tmp_decoy), "in-flight tmp dir evicted"
-    # age d1 past the grace: the next staging evicts exactly it
+    assert _os.path.isdir(tmp_fresh), "live writer tmp dir evicted"
+    assert not _os.path.isdir(tmp_stale), "crashed tmp leftover kept"
+    # REUSE refreshes mtime (the grace measures time since LAST USE):
+    # backdate d1, reuse it at its own version (same fingerprint), and
+    # the touch must bring it back inside the grace
     old = _time.time() - 7200
+    _os.utime(d1, (old, old))
+    plan_bucket_join(spark, la, rb, ("k", "rk"), right_version=1)
+    assert _time.time() - _os.path.getmtime(d1) < 3600, (
+        "reuse did not refresh the layout's mtime"
+    )
+    # a backdated, UNUSED, superseded layout is evicted by the next
+    # staging pass
     _os.utime(d1, (old, old))
     S.append(spark, rb, spark.createDataFrame([(98, 0)], "rk long, w long"))
     plan_bucket_join(spark, la, rb, ("k", "rk"))
     assert not _os.path.isdir(d1), "hour-stale superseded layout kept"
-    assert _os.path.isdir(tmp_decoy)
+    assert _os.path.isdir(tmp_fresh)
     import shutil as _shutil
 
-    _shutil.rmtree(tmp_decoy, ignore_errors=True)
+    _shutil.rmtree(tmp_fresh, ignore_errors=True)
