@@ -349,9 +349,11 @@ def _stage_into_buckets(
                 age = now - os.path.getmtime(d)
             except OSError:
                 continue
-            if ".tmp-" in name:
-                # an in-flight writer's private dir — ours by naming
-                # convention; reclaim only once it is clearly a crash
+            if ".tmp-" in name or ".tomb-" in name:
+                # ``.tmp-``: an in-flight writer's private dir;
+                # ``.tomb-``: a condemned dir whose evictor crashed
+                # between rename and rmtree. Both are ours by naming
+                # convention; reclaim only once clearly a crash
                 # leftover (writes take minutes, not an hour)
                 if age > 3600.0:
                     shutil.rmtree(d, ignore_errors=True)
@@ -367,7 +369,25 @@ def _stage_into_buckets(
                 and meta.get("version", head) < head
                 and age > 3600.0
             ):
-                shutil.rmtree(d, ignore_errors=True)
+                # Evict via atomic rename-to-tombstone, NOT an in-place
+                # rmtree: a concurrent process may have just refreshed
+                # the dir's mtime (reuse) and begun lazy reads — a
+                # getmtime-check-then-rmtree window would delete the
+                # layout out from under it mid-walk. The rename is
+                # atomic and preceded by a FRESH mtime recheck (the
+                # loop's ``age`` is from a stale ``now``); a reuser
+                # that already resolved the original path then fails
+                # loudly on the vanished dir (see the post-walk meta
+                # check below) instead of silently reading a
+                # half-deleted directory.
+                tomb = f"{d}.tomb-{_uuid.uuid4().hex[:8]}"
+                try:
+                    if _time.time() - os.path.getmtime(d) <= 3600.0:
+                        continue  # a reuser refreshed it meanwhile
+                    os.rename(d, tomb)
+                except OSError:
+                    continue  # raced with another evictor/reuser
+                shutil.rmtree(tomb, ignore_errors=True)
         tmp = f"{scratch}.tmp-{_uuid.uuid4().hex[:8]}"
         staged.write.partitionBy(*bcols).mode("error").parquet(tmp)
         with open(os.path.join(tmp, "_stage_meta.json"), "w") as fh:
@@ -396,6 +416,16 @@ def _stage_into_buckets(
             buckets[rel] = (
                 None if any(v is None for v in vals) else tuple(vals)
             )
+    # Loud-failure gate for the eviction race: every valid stage dir
+    # carries _stage_meta.json (written before the rename-into-place),
+    # so its absence after the walk means the layout vanished mid-read
+    # (evicted by another process despite the mtime grace). An empty
+    # ``buckets`` here would otherwise flow into a silently-empty join.
+    if not os.path.isfile(os.path.join(scratch, "_stage_meta.json")):
+        raise RuntimeError(
+            f"bucket join: staged layout {scratch} disappeared while "
+            "being read (evicted concurrently) — re-plan the join"
+        )
     return buckets, scratch, plan_str
 
 

@@ -163,31 +163,34 @@ def _session_zone() -> _dt.tzinfo:
     """tzinfo of ``spark.sql.session.timeZone`` for the ACTIVE session —
     the zone Spark's cast interprets an offset-bearing timestamp literal
     under, so the plan side must read the wall clock in the same zone.
-    Memoized per session OBJECT via a WeakKeyDictionary (one py4j
-    lookup, not one per pruned file; a stopped-and-recreated session
-    cannot alias a stale entry the way an id()-keyed memo could — the
-    entry dies with the session). The module contract already forbids
-    flipping the session timezone between write and plan, which covers
-    the memo too. Raises ValueError when no session is active or the
-    zone id cannot be resolved — the callers' undecidable-literal
-    discipline turns that into KEEP."""
+    The PARSE is memoized per session OBJECT via a WeakKeyDictionary,
+    but the conf STRING is re-read on every plan invocation (one py4j
+    call per plan, not one per pruned file) and the memo is invalidated
+    when the string changed — a runtime ``spark.conf.set`` of the
+    session timezone before the next plan is picked up instead of
+    silently pruning under the stale zone. (The module contract still
+    forbids flipping the zone between write and plan — that hazard is
+    about data written under a different zone, which no memo policy can
+    fix.) Raises ValueError when no session is active or the zone id
+    cannot be resolved — the callers' undecidable-literal discipline
+    turns that into KEEP."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
     if spark is None:
         raise ValueError("no active SparkSession: timezone undecidable")
+    name = spark.conf.get("spark.sql.session.timeZone") or "UTC"
     cache = _zone_cache()
     try:
-        tz = cache.get(spark)
+        cached = cache.get(spark)
     except TypeError:  # un-weakref-able/unhashable session: no memo
         cache = None
-        tz = None
-    if tz is not None:
-        return tz
-    name = spark.conf.get("spark.sql.session.timeZone") or "UTC"
+        cached = None
+    if cached is not None and cached[0] == name:
+        return cached[1]
     tz = _parse_zone(name)
     if cache is not None:
-        cache[spark] = tz
+        cache[spark] = (name, tz)
     return tz
 
 

@@ -1593,6 +1593,14 @@ def delete_eq(
     if not m["files"]:
         return _commit(root, "delete-eq", [], m["schema"], parent, meta)
     vals = values.dropDuplicates()
+    if not vals.limit(1).count():
+        # An empty key set (e.g. a GDPR batch that filtered to zero rows)
+        # deletes nothing — committing a degenerate eq entry would flip
+        # the whole table into eq-refusal mode (metadata aggregates
+        # refuse, COW mutators raise) until a full compaction. Return
+        # the parent version untouched instead: a no-op delete must not
+        # degrade the table's operational mode.
+        return parent
     eq_files = _write_commit_files(
         vals.repartition(1), root, f"eq{parent + 1:06d}"
     )

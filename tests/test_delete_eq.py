@@ -194,3 +194,23 @@ def test_drop_column_refuses_eq_key(spark, tmp_path):
     # non-key columns still droppable; reads stay healthy
     v = S.alter_drop_column(root, "v")
     assert _state(spark, root, v) == {(2, "b"), (4, "c")}
+
+
+def test_empty_key_set_is_a_noop(spark, tmp_path):
+    """A delete batch that filtered to zero rows must NOT commit a
+    degenerate eq entry: that would flip the table into eq-refusal mode
+    (metadata aggregates refuse, COW mutators raise) until a full
+    compaction. The call returns the parent version untouched."""
+    root = _mk(spark, tmp_path)
+    parent = S.latest_version(root)
+    empty = spark.createDataFrame([], "cat string")
+    v = S.delete_eq(spark, root, empty)
+    assert v == parent
+    assert S.latest_version(root) == parent  # no commit at all
+    m = S.read_manifest(root, parent)
+    assert not m.get("eq")
+    # the table's operational mode is intact: metadata aggregates work
+    assert S.snapshot_row_count(root, parent) == 4
+    assert _state(spark, root, parent) == {
+        (1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "c", 40)
+    }

@@ -1077,3 +1077,52 @@ def test_stage_eviction_grace_and_tmp_safety(spark, tmp_path):
     import shutil as _shutil
 
     _shutil.rmtree(tmp_fresh, ignore_errors=True)
+
+
+def test_stage_eviction_tombstone_and_loud_vanish(spark, tmp_path):
+    """Eviction is rename-to-tombstone (atomic) + rmtree of the
+    tombstone: crashed tombstones are reclaimed after the grace like
+    crashed .tmp- dirs, and a layout that vanishes mid-read fails
+    loudly (meta gone) instead of flowing into a silently-empty join."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+
+    la, rb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    left = spark.range(0, 40).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    _mk_bucketed(spark, la, left, [("k", 4)])
+    S.append(spark, rb, spark.range(0, 20).select(
+        (F.col("id") % 5).alias("rk"), (F.col("id") * 2).alias("w")))
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    # crashed-evictor tombstones: hour-old reclaimed, fresh kept
+    tomb_stale = _os.path.join(wh, "bucket_stage_feed.tomb-a")
+    tomb_fresh = _os.path.join(wh, "bucket_stage_f00d.tomb-b")
+    for d in (tomb_stale, tomb_fresh):
+        _os.makedirs(d, exist_ok=True)
+    _os.utime(tomb_stale, (0, 0))
+    before = set(_glob.glob(_os.path.join(wh, "bucket_stage_*")))
+    plan_bucket_join(spark, la, rb, ("k", "rk"))
+    assert not _os.path.isdir(tomb_stale), "crashed tombstone kept"
+    assert _os.path.isdir(tomb_fresh), "fresh tombstone reclaimed early"
+    (d1,) = (
+        set(_glob.glob(_os.path.join(wh, "bucket_stage_*")))
+        - before - {tomb_stale}
+    )
+    # concurrent-eviction simulation: the meta file vanishes under a
+    # reuser that already resolved the path -> loud RuntimeError
+    _os.remove(_os.path.join(d1, "_stage_meta.json"))
+    with _pytest.raises(RuntimeError, match="disappeared while"):
+        plan_bucket_join(spark, la, rb, ("k", "rk"))
+    import shutil as _shutil
+
+    for d in (tomb_fresh, d1):
+        _shutil.rmtree(d, ignore_errors=True)

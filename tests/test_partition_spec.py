@@ -942,3 +942,27 @@ def test_offset_bearing_literals_prune_exactly(spark, tmp_path):
     )
     exp = df.where(f"ts >= '{lo}' and ts <= '{hi}'").count()
     assert pruned.count() == exp and exp > 0
+
+
+def test_session_zone_memo_invalidates_on_conf_change(spark):
+    """The tzinfo memo is keyed by the conf STRING: a runtime
+    ``spark.conf.set`` of spark.sql.session.timeZone before the next
+    plan must be picked up — a per-session-object memo alone would
+    silently prune offset-aware literals under the stale zone."""
+    import datetime as _dt
+
+    from telemetry_parquet_spark.sources.partition_spec import _session_zone
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert _session_zone().utcoffset(None) == _dt.timedelta(0)
+        spark.conf.set("spark.sql.session.timeZone", "+05:30")
+        assert _session_zone().utcoffset(None) == _dt.timedelta(
+            hours=5, minutes=30
+        )
+        # and back — no one-way latch
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert _session_zone().utcoffset(None) == _dt.timedelta(0)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
