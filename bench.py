@@ -315,6 +315,34 @@ HEADLINE = [
 ]
 
 
+def calibration_gate(label: str, pre: dict, post: dict) -> str | None:
+    """Steady-host gate for the cross-round record. The ``uncontended``
+    label is the protocol record verdicts compare round over round; r12
+    showed that a drifting host (idle numpy probes 3.25-4.04 s vs the
+    3.1-3.2 s steady reference) can park ×2-×3.6 outliers on UNCHANGED
+    code in that record, poisoning the comparison. Instead of
+    documenting drift in prose, refuse to persist an ``uncontended``
+    entry whose pre- or post-loop numpy probe drifts >15% from the
+    steady reference (env SPARK_GRAFT_STEADY_NUMPY_S, default the
+    measured 3.15 s for this host class) — the record must be re-taken
+    on a steady host. Contended/driver-window labels are exempt (they
+    exist to record contention); SPARK_GRAFT_BENCH_FORCE=1 bypasses
+    with the reason stamped into the entry. Returns the refusal reason
+    or None (ok)."""
+    if not label.startswith("uncontended"):
+        return None
+    steady = float(os.environ.get("SPARK_GRAFT_STEADY_NUMPY_S", "3.15"))
+    for tag, cal in (("pre", pre), ("post", post)):
+        got = cal["numpy_matmul_s"]
+        drift = got / steady - 1.0
+        if abs(drift) > 0.15:
+            return (
+                f"{tag}-loop numpy probe {got:.3f}s drifts "
+                f"{drift:+.0%} from steady {steady:.2f}s (band ±15%)"
+            )
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from telemetry_parquet_spark.queries import all_queries
@@ -429,6 +457,8 @@ def main() -> None:
                       " (normalize cross-round records by their ratio)",
         "calibration": calibration,
     }
+    calibration_post = _calibrate()
+    out["calibration_post"] = calibration_post
     # Full record: one line on stdout + a file copy (survives any tail
     # window). Compact summary LAST so a bounded tail always parses.
     # BENCH_full.json holds BOTH isolation regimes side by side, labeled
@@ -442,6 +472,11 @@ def main() -> None:
     label = os.environ.get("SPARK_GRAFT_BENCH_LABEL", "contended")
     if out["sf"] != 0.1:
         label = f"{label}_sf{sf}"
+    refusal = calibration_gate(label, calibration, calibration_post)
+    forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
+    if refusal and forced:
+        out["calibration_forced_past_gate"] = refusal
+        refusal = None
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
     )
@@ -453,9 +488,13 @@ def main() -> None:
             full = prev
     except (OSError, ValueError):
         pass
-    full[label] = out
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1)
+    if refusal:
+        print(json.dumps({"calibration_gate": "REFUSED", "label": label,
+                          "reason": refusal}), file=sys.stderr)
+    else:
+        full[label] = out
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
     print(json.dumps({k: out[k] for k in ("metric", "value", "unit", "sf")}))
     spark.stop()
 

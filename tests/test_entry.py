@@ -52,3 +52,27 @@ def test_bench_headline_names_registered():
 
     missing = [n for n in bench.HEADLINE if n not in all_queries()]
     assert not missing, missing
+
+
+def test_bench_calibration_gate():
+    """The cross-round `uncontended` record refuses to persist when the
+    host calibration probe drifts >15% from the steady reference —
+    pre OR post loop; contended labels are exempt."""
+    import bench
+
+    ok = {"numpy_matmul_s": 3.15, "jvm_codegen_sum_s": 1.0}
+    hot = {"numpy_matmul_s": 3.80, "jvm_codegen_sum_s": 1.0}  # +21%
+    edge = {"numpy_matmul_s": 3.60, "jvm_codegen_sum_s": 1.0}  # +14%
+    assert bench.calibration_gate("uncontended", ok, ok) is None
+    assert bench.calibration_gate("uncontended", ok, edge) is None
+    r = bench.calibration_gate("uncontended", hot, ok)
+    assert r and "pre-loop" in r and "+21%" in r
+    r = bench.calibration_gate("uncontended", ok, hot)
+    assert r and "post-loop" in r
+    # sf-suffixed protocol records gate too; contended never does
+    assert bench.calibration_gate("uncontended_sf0.01", hot, ok)
+    assert bench.calibration_gate("contended", hot, hot) is None
+    # too-FAST drifts refuse as well (a miscalibrated reference would
+    # otherwise flatter the round)
+    fast = {"numpy_matmul_s": 2.40, "jvm_codegen_sum_s": 1.0}
+    assert bench.calibration_gate("uncontended", fast, fast)
