@@ -264,6 +264,99 @@ def snapshot_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_merge_by_source",
+    # MERGE … WHEN NOT MATCHED BY SOURCE — the set-difference side of
+    # SQL MERGE (sync-table-to-snapshot; the reference's dedup-prune
+    # lineage drops stale prior-state rows the same way). Clauses:
+    # matched rows take the source row (UPDATE SET *); unmatched-by-
+    # source rows with status 'F' are DELETEd; remaining unmatched rows
+    # get o_orderpriority rewritten via an explicit SET over alias t
+    # (first-match-wins: the DELETE shadows the UPDATE for 'F' rows).
+    # The oracle replays the routing as plain set ops: join ∪
+    # anti-filtered-update, with the 'F' anti rows dropped.
+    oracle=f"""
+    WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
+    s AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate, 'SRC' AS o_orderpriority
+          FROM orders WHERE o_orderkey % 20 < 4),
+    merged AS (
+      SELECT s.* FROM t JOIN s ON t.o_orderkey = s.o_orderkey
+      UNION ALL
+      SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+             t.o_orderdate,
+             'STALE-' || t.o_orderstatus AS o_orderpriority
+      FROM t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM s)
+        AND t.o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority = 'SRC' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_src,
+           CAST(SUM(CASE WHEN o_orderpriority LIKE 'STALE-%' THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_stale,
+           {_SUM} AS sum_price_cents
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def snapshot_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WHEN NOT MATCHED BY SOURCE`` through the SQL front door
+    (sources/snapshots.py::merge_into_conditional ``by_source_clauses``
+    + sql_front.py clause grammar): delete-or-update target rows whose
+    key is absent from the source — the canonical sync-to-snapshot
+    shape, set-difference analog of the reference's dedup prune
+    (``PioneerOnlineNewsDedupe.scala:114-121``). Detection FLIPS for
+    these clauses: key-range pruning is invalid (files outside the
+    source envelope are the candidates), so a second pass anti-joins
+    every file's keys against the source and rewrites only files
+    holding a firing row."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        read_snapshot,
+    )
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        orders = spark.read.parquet(src)
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 < 7))
+        orders.where(F.col("o_orderkey") % 20 < 4).withColumn(
+            "o_orderpriority", F.lit("SRC")
+        ).createOrReplaceTempView("__merge_bs_src")
+        engine_sql(
+            spark,
+            """
+            MERGE INTO tgt USING (SELECT * FROM __merge_bs_src)
+            ON o_orderkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F'
+              THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN
+              UPDATE SET o_orderpriority =
+                concat('STALE-', t.o_orderstatus)
+            """,
+            {"tgt": root},
+        )
+
+    root = materialize_cached(
+        spark, src,
+        "snapmergebs_orders_" + os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    return read_snapshot(spark, root).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "SRC", 1).otherwise(0)
+        ).alias("n_src"),
+        F.sum(
+            F.when(F.col("o_orderpriority").startswith("STALE-"), 1)
+            .otherwise(0)
+        ).alias("n_stale"),
+        _sum_cents(),
+    )
+
+
+@query(
     "snapshot_zorder_planned",
     # oracle = the plain full-scan double-range filter over lineitem. The
     # Spark side serves it from a SNAPSHOT VERSION's manifest file list:

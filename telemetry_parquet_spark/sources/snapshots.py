@@ -1979,9 +1979,39 @@ def _merge_decision(matched_clauses: list) -> "Column":
         chain = (
             F.when(c, F.lit(i)) if chain is None else chain.when(c, F.lit(i))
         )
+    if chain is None:
+        return F.lit(-1)
     return F.when(
         F.coalesce(F.col("__s_matched"), F.lit(False)),
         chain.otherwise(F.lit(-1)),
+    ).otherwise(F.lit(-1))
+
+
+def _by_source_decision(by_source_clauses: list) -> "Column":
+    """The ``__bs`` expression: index of the FIRST not-matched-BY-SOURCE
+    clause whose condition holds, for target rows with NO source match
+    (NULL ``__s_matched`` after the left join); matched rows are always
+    -1. Conditions are SQL strings over alias ``t`` only (there is no
+    source row — per the SQL standard ``s.*`` is out of scope; here it
+    would evaluate to NULL → not-satisfied). None = unconditional."""
+    chain = None
+    for i, clause in enumerate(by_source_clauses):
+        cond = clause[1]
+        c = (
+            F.lit(True)
+            if cond is None
+            else F.coalesce(
+                F.expr(cond) if isinstance(cond, str) else cond,
+                F.lit(False),
+            )
+        )
+        chain = (
+            F.when(c, F.lit(i)) if chain is None else chain.when(c, F.lit(i))
+        )
+    if chain is None:
+        return F.lit(-1)
+    return F.when(
+        F.col("__s_matched").isNull(), chain.otherwise(F.lit(-1))
     ).otherwise(F.lit(-1))
 
 
@@ -1994,6 +2024,7 @@ def merge_into_conditional(
     not_matched_insert: bool = True,
     insert_condition: str | None = None,
     prune_by_key_range: bool = True,
+    by_source_clauses: list | None = None,
 ) -> int:
     """MERGE INTO with per-clause conditions — the general SQL MERGE
     shape the unconditional ``merge_into`` refuses — as one file-granular
@@ -2011,6 +2042,27 @@ def merge_into_conditional(
     ``not_matched_insert``/``insert_condition``: WHEN NOT MATCHED [AND
     cond] THEN INSERT * — the condition sees source columns (alias
     ``s``).
+
+    ``by_source_clauses``: ordered WHEN NOT MATCHED BY SOURCE clauses —
+    target rows whose key has NO source match (the set-difference side
+    of MERGE; the canonical "sync table to snapshot" shape, and the
+    set-difference analog of the reference's dedup-prune lineage:
+    ``PioneerOnlineNewsDedupe.scala:114-121`` drops stale prior-state
+    rows absent from the fresh batch). Each entry is ``('delete',
+    cond)`` or ``('update', cond, assignments)`` where ``assignments``
+    maps target column → SQL expression over alias ``t`` ONLY (there is
+    no source row; per the SQL standard ``s.*`` is out of scope —
+    references to it evaluate to NULL here). First satisfied clause
+    wins; an unmatched target row satisfying none carries unchanged.
+
+    BY-SOURCE flips the DETECTION shape: key-range pruning is valid
+    only for matched clauses (files OUTSIDE the source key envelope are
+    precisely the ones full of BY-SOURCE candidates), so a second
+    detection pass anti-joins every file's keys against the source and
+    marks files holding a firing unmatched row. That pass scans all
+    files' key columns once — inherent to the operator's semantics
+    (every file may hold stale rows), but it ships only (file, keys)
+    through the join and rewrites only firing files.
 
     Scale shape (the part naive row-level MERGE gets wrong at 100 TB):
 
@@ -2033,7 +2085,29 @@ def merge_into_conditional(
                 f"merge_into_conditional: unknown matched action "
                 f"{action!r} (update / delete)"
             )
-    if not matched_clauses and not not_matched_insert:
+    bs_clauses = list(by_source_clauses or [])
+    for clause in bs_clauses:
+        action = clause[0]
+        if action == "delete":
+            if len(clause) != 2:
+                raise ValueError(
+                    "merge_into_conditional: BY SOURCE delete clause is "
+                    "('delete', cond)"
+                )
+        elif action == "update":
+            if len(clause) != 3 or not isinstance(clause[2], dict) \
+                    or not clause[2]:
+                raise ValueError(
+                    "merge_into_conditional: BY SOURCE update clause is "
+                    "('update', cond, {col: sql_expr}) with at least "
+                    "one assignment"
+                )
+        else:
+            raise ValueError(
+                f"merge_into_conditional: unknown BY SOURCE action "
+                f"{action!r} (update / delete)"
+            )
+    if not matched_clauses and not not_matched_insert and not bs_clauses:
         raise ValueError(
             "merge_into_conditional: no clauses at all — nothing to do"
         )
@@ -2048,6 +2122,14 @@ def merge_into_conditional(
             f"{sorted(source.columns)} != table columns {sorted(tbl_cols)}"
         )
     source = source.select(*tbl_cols)
+    for clause in bs_clauses:
+        if clause[0] == "update":
+            for c in clause[2]:
+                if c not in tbl_cols:
+                    raise ValueError(
+                        f"merge_into_conditional: BY SOURCE update "
+                        f"assigns unknown column {c!r}"
+                    )
     _check_column_types(source, schema, "merge_into_conditional")
     _validate_constraints(source, m.get("constraints"))
     dup = (
@@ -2059,7 +2141,9 @@ def merge_into_conditional(
             "merge_into_conditional: source has duplicate merge keys"
         )
     audit_base = {"matched_clauses": [a for a, _ in matched_clauses],
-                  "insert": bool(not_matched_insert)}
+                  "insert": bool(not_matched_insert),
+                  **({"by_source_clauses": [c[0] for c in bs_clauses]}
+                     if bs_clauses else {})}
     if not m["files"]:
         ins = source
         if not_matched_insert and insert_condition is not None:
@@ -2111,6 +2195,35 @@ def merge_into_conditional(
             _rel(r[0])
             for r in det.select("__fp").distinct().collect()
         }
+    if bs_clauses:
+        # BY-SOURCE detection: key-range pruning is INVALID here (files
+        # outside the source envelope are exactly the BY-SOURCE-rich
+        # ones), so anti-join EVERY file's keys against the source and
+        # keep files holding an unmatched row that fires some clause.
+        # Conditions are over alias ``t`` only — a source reference
+        # fails loudly at analysis (no ``s`` in scope on this path).
+        bs_fire = None
+        for clause in bs_clauses:
+            cond = clause[1]
+            c = (
+                F.lit(True)
+                if cond is None
+                else F.coalesce(F.expr(cond), F.lit(False))
+            )
+            bs_fire = c if bs_fire is None else (bs_fire | c)
+        all_scan = spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in m["files"]]
+        ).select(F.col("_metadata.file_path").alias("__fp"), *tbl_cols)
+        bs_det = (
+            all_scan
+            .join(source.select(*keys), keys, "left_anti")
+            .alias("t")
+            .where(bs_fire)
+        )
+        affected |= {
+            _rel(r[0])
+            for r in bs_det.select("__fp").distinct().collect()
+        }
     carried = [f for f in m["files"] if f not in affected]
     rewrite = [f for f in m["files"] if f in affected]
     if affected and not rewrite:
@@ -2123,6 +2236,10 @@ def merge_into_conditional(
                if a == "update"]
     del_idx = [i for i, (a, _) in enumerate(matched_clauses)
                if a == "delete"]
+    bs_upd = [(i, clause[2]) for i, clause in enumerate(bs_clauses)
+              if clause[0] == "update"]
+    bs_del_idx = [i for i, clause in enumerate(bs_clauses)
+                  if clause[0] == "delete"]
     parts: list[DataFrame] = []
     if rewrite:
         region = spark.read.schema(schema).parquet(
@@ -2133,25 +2250,39 @@ def merge_into_conditional(
             .join(srcm.alias("s"), _key_cond(), "left_outer")
             .select(
                 _merge_decision(matched_clauses).alias("__dec"),
+                _by_source_decision(bs_clauses).alias("__bs"),
                 *[F.col(f"t.{c}").alias(f"__t_{c}") for c in tbl_cols],
                 *[F.col(f"s.{c}").alias(f"__s_{c}") for c in tbl_cols],
+                # BY-SOURCE update assignments are SQL over alias ``t``
+                # — evaluate them HERE, while the alias is in scope;
+                # cast to the declared column type (MERGE never evolves
+                # the table schema on the conditional path)
+                *[
+                    F.expr(assign[c]).cast(schema[c].dataType)
+                    .alias(f"__bsu_{i}_{c}")
+                    for i, assign in bs_upd
+                    for c in assign
+                ],
             )
         )
         if del_idx:
             j = j.where(~F.col("__dec").isin(del_idx))
+        if bs_del_idx:
+            j = j.where(~F.col("__bs").isin(bs_del_idx))
         is_upd = (
             F.col("__dec").isin(upd_idx) if upd_idx else F.lit(False)
         )
-        parts.append(
-            j.select(
-                *[
-                    F.when(is_upd, F.col(f"__s_{c}"))
-                    .otherwise(F.col(f"__t_{c}"))
-                    .alias(c)
-                    for c in tbl_cols
-                ]
-            )
-        )
+
+        def _out_col(c: str) -> "Column":
+            chain = F.when(is_upd, F.col(f"__s_{c}"))
+            for i, assign in bs_upd:
+                if c in assign:
+                    chain = chain.when(
+                        F.col("__bs") == i, F.col(f"__bsu_{i}_{c}")
+                    )
+            return chain.otherwise(F.col(f"__t_{c}")).alias(c)
+
+        parts.append(j.select(*[_out_col(c) for c in tbl_cols]))
     if not_matched_insert:
         # a source row key-matching ANY target row is matched, never an
         # insert — anti-join against every candidate file's keys (files

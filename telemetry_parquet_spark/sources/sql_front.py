@@ -31,7 +31,9 @@ with the time-travel syntax the public table formats expose:
   update-all/insert-all pair) = unconditional ``merge_into``; ordered
   conditional clauses (``WHEN MATCHED [AND <cond>] THEN UPDATE SET * |
   DELETE``, ``WHEN NOT MATCHED [AND <cond>] THEN INSERT *``, conditions
-  over aliases ``t``/``s``) = ``merge_into_conditional`` with
+  over aliases ``t``/``s``; ``WHEN NOT MATCHED BY SOURCE [AND <cond>]
+  THEN DELETE | UPDATE SET <col> = <expr>[, …]``, conditions and
+  assignments over alias ``t`` only) = ``merge_into_conditional`` with
   clause-aware file detection; a malformed clause tail is a loud error
 - eligible ``SELECT … FROM fact JOIN dim ON fk = dk WHERE <conjunctive
   dim filter>`` statements — and the semi shape ``… FROM fact WHERE fk
@@ -303,6 +305,26 @@ def _split_assignments(s: str) -> list[str]:
     return parts
 
 
+def _parse_set_assignments(s: str, ctx: str) -> dict[str, str]:
+    """``col = expr[, col = expr …]`` → ordered dict; loud on anything
+    the restricted grammar does not fully consume (no silent misreads)."""
+    assigns: dict[str, str] = {}
+    for part in _split_assignments(s):
+        am = re.fullmatch(r"(\w+)\s*=\s*(.+)", part, re.DOTALL)
+        if not am:
+            raise ValueError(
+                f"{ctx}: cannot parse SET assignment {part!r} "
+                "(expected <col> = <expr>)"
+            )
+        col, expr = am.group(1), am.group(2).strip()
+        if col in assigns:
+            raise ValueError(f"{ctx}: column {col!r} assigned twice")
+        assigns[col] = expr
+    if not assigns:
+        raise ValueError(f"{ctx}: empty SET assignment list")
+    return assigns
+
+
 def _resolve(tables: dict[str, str], name: str) -> str:
     if name not in tables:
         raise KeyError(f"unknown snapshot table {name!r}")
@@ -371,8 +393,12 @@ def _dml(
     # pair) routes to the unconditional COW merge; any conditional /
     # DELETE / insert-only shape routes to the conditional engine:
     # ``WHEN MATCHED [AND <cond>] THEN UPDATE SET * | DELETE`` (ordered,
-    # first-match-wins) and ``WHEN NOT MATCHED [AND <cond>] THEN INSERT
-    # *``. Conditions are SQL over aliases t (target) / s (source);
+    # first-match-wins), ``WHEN NOT MATCHED [AND <cond>] THEN INSERT
+    # *``, and ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE |
+    # UPDATE SET <col> = <expr>[, …]`` (target rows with no source key
+    # match — the sync-to-snapshot shape; conditions/assignments over
+    # alias t only). Conditions are SQL over aliases t (target) / s
+    # (source);
     # ``ALL`` is accepted as a synonym of ``SET *`` / ``*``. The USING
     # subquery goes through the same rewriter, so merging FROM a
     # time-traveled version or another snapshot table works. Restricted
@@ -399,12 +425,15 @@ def _dml(
             v = S.merge_into(spark, root, source, keys)
             return _version_df(spark, "merge-into", v)
         clause_re = re.compile(
-            r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
-            r"(UPDATE\s+(?:SET\s*\*|ALL)|DELETE|INSERT\s+(?:\*|ALL))"
-            r"\s*",
+            r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+            r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
+            r"(UPDATE\s+SET\s*\*|UPDATE\s+ALL|DELETE|INSERT\s+(?:\*|ALL)"
+            r"|UPDATE\s+SET\s+.+?)"
+            r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
             re.IGNORECASE | re.DOTALL,
         )
         matched_clauses: list[tuple[str, str | None]] = []
+        by_source_clauses: list = []
         not_matched_insert = False
         insert_condition: str | None = None
         pos = 0
@@ -415,12 +444,38 @@ def _dml(
                     f"MERGE INTO: cannot parse clause tail at "
                     f"{rest[pos:pos + 60]!r} — supported: WHEN MATCHED "
                     "[AND <cond>] THEN UPDATE SET * | DELETE, WHEN NOT "
-                    "MATCHED [AND <cond>] THEN INSERT *"
+                    "MATCHED [AND <cond>] THEN INSERT *, WHEN NOT "
+                    "MATCHED BY SOURCE [AND <cond>] THEN DELETE | "
+                    "UPDATE SET <col> = <expr>[, …]"
                 )
-            is_not, cond, action = c.group(1), c.group(2), c.group(3)
+            kind = re.sub(r"\s+", " ", c.group(1).upper())
+            cond, action = c.group(2), c.group(3)
             action_kw = action.split()[0].upper()
             cond = cond.strip() if cond else None
-            if is_not:
+            if kind == "NOT MATCHED BY SOURCE":
+                if action_kw == "DELETE":
+                    by_source_clauses.append(("delete", cond))
+                elif re.fullmatch(r"UPDATE\s+SET\s*\*", action,
+                                  re.IGNORECASE):
+                    raise ValueError(
+                        "MERGE INTO: WHEN NOT MATCHED BY SOURCE cannot "
+                        "UPDATE SET * — there is no source row; use "
+                        "explicit SET <col> = <expr> over alias t"
+                    )
+                elif action_kw == "UPDATE":
+                    assigns = _parse_set_assignments(
+                        re.sub(r"^UPDATE\s+SET\s+", "", action,
+                               flags=re.IGNORECASE),
+                        "MERGE INTO: WHEN NOT MATCHED BY SOURCE",
+                    )
+                    by_source_clauses.append(("update", cond, assigns))
+                else:
+                    raise ValueError(
+                        "MERGE INTO: WHEN NOT MATCHED BY SOURCE "
+                        "supports only DELETE or UPDATE SET <col> = "
+                        "<expr>"
+                    )
+            elif kind == "NOT MATCHED":
                 if action_kw != "INSERT":
                     raise ValueError(
                         "MERGE INTO: WHEN NOT MATCHED supports only "
@@ -436,6 +491,14 @@ def _dml(
                     raise ValueError(
                         "MERGE INTO: INSERT belongs to WHEN NOT MATCHED"
                     )
+                if action_kw == "UPDATE" and not re.fullmatch(
+                    r"UPDATE\s+(?:SET\s*\*|ALL)", action, re.IGNORECASE
+                ):
+                    raise ValueError(
+                        "MERGE INTO: WHEN MATCHED supports only UPDATE "
+                        "SET * (full-row replace) or DELETE — explicit "
+                        "SET lists belong to WHEN NOT MATCHED BY SOURCE"
+                    )
                 matched_clauses.append(
                     ("update" if action_kw == "UPDATE" else "delete", cond)
                 )
@@ -444,6 +507,7 @@ def _dml(
             spark, root, source, keys, matched_clauses,
             not_matched_insert=not_matched_insert,
             insert_condition=insert_condition,
+            by_source_clauses=by_source_clauses or None,
         )
         return _version_df(spark, "merge-into-conditional", v)
     if re.match(r"\s*MERGE\s+INTO\b", sql, re.IGNORECASE):
