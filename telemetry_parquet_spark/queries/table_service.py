@@ -2647,6 +2647,110 @@ def snapshot_dpp_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_delete_eq_sql",
+    # SQL DELETE routed to METADATA-ONLY equality deletes: declare
+    # (o_custkey, o_orderstatus) eq-capable → `DELETE … WHERE
+    # o_custkey IN (…)` and a composite `o_custkey = 10 AND
+    # o_orderstatus = 'O'` commit as key-set files with ZERO file
+    # rewrites (manifest-identity raise-proven in the build, EXPLAIN
+    # route asserted) → late append survives both (sequence rule).
+    # The oracle replays the chain as plain NOT-filters.
+    oracle=f"""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 7),
+    live AS (
+      SELECT * FROM base
+      WHERE NOT (o_custkey IN (3, 7, 19, 23, 42))
+        AND NOT (o_custkey = 10 AND o_orderstatus = 'O')
+    ),
+    late AS (SELECT * FROM orders WHERE o_orderkey % 10 >= 7),
+    final AS (SELECT * FROM live UNION ALL SELECT * FROM late)
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_SUM} AS sum_price_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def snapshot_delete_eq_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``DELETE`` through the front door, ROUTED to equality
+    deletes (sql_front.py::_probe_eq_delete → snapshots.delete_eq):
+    when the WHERE is a conjunction of ``col = lit`` / ``col IN (…)``
+    over columns declared via ``ALTER TABLE … SET EQUALITY DELETE
+    COLUMNS``, the commit is a tiny key-set file — no COW rewrite, no
+    detection scan. At 100 TB this turns a GDPR point delete from a
+    region rewrite into an O(keys) metadata write. The build
+    raise-proves the route: EXPLAIN reports the equality-delete
+    mutator, the commit's action is ``delete-eq``, the manifest file
+    list is BYTE-IDENTICAL across both deletes, and a non-eq-shaped
+    predicate still EXPLAINs as the COW mutator."""
+    from telemetry_parquet_spark.sources.snapshots import (
+        append,
+        read_manifest,
+        read_snapshot,
+    )
+    from telemetry_parquet_spark.sources.sql_front import (
+        engine_sql,
+        explain_sql,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(root: str) -> None:
+        tables = {"tgt": root}
+        orders = spark.read.parquet(src)
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 < 7))
+        engine_sql(
+            spark,
+            "ALTER TABLE tgt SET EQUALITY DELETE COLUMNS "
+            "(o_custkey, o_orderstatus)",
+            tables,
+        )
+        stmt = "DELETE FROM tgt WHERE o_custkey IN (3, 7, 19, 23, 42)"
+        routes = {
+            r["aspect"]: r["detail"]
+            for r in explain_sql(spark, stmt, tables).collect()
+        }
+        if "equality-delete" not in routes["route"]:
+            raise RuntimeError(
+                f"EXPLAIN did not report the eq route: {routes['route']}"
+            )
+        files_before = read_manifest(root, 2)["files"]
+        out = engine_sql(spark, stmt, tables).first()
+        if out["action"] != "delete-eq":
+            raise RuntimeError(f"route fell back to {out['action']}")
+        out = engine_sql(
+            spark,
+            "DELETE FROM tgt WHERE o_custkey = 10 "
+            "AND o_orderstatus = 'O'",
+            tables,
+        ).first()
+        if out["action"] != "delete-eq":
+            raise RuntimeError(f"route fell back to {out['action']}")
+        m = read_manifest(root, out["version"])
+        if m["files"] != files_before or len(m.get("eq") or []) != 2:
+            raise RuntimeError(
+                "eq-routed DELETE rewrote files — not metadata-only"
+            )
+        # a non-eq-shaped predicate must EXPLAIN as the COW mutator
+        cow = {
+            r["aspect"]: r["detail"]
+            for r in explain_sql(
+                spark, "DELETE FROM tgt WHERE o_totalprice > 0", tables
+            ).collect()
+        }
+        if "equality-delete" in cow["route"]:
+            raise RuntimeError("range predicate mis-routed to eq delete")
+        # sequence rule: late rows with matching keys survive
+        append(spark, root, orders.where(F.col("o_orderkey") % 10 >= 7))
+
+    root = materialize_cached(
+        spark, src,
+        "snapeqsql_orders_" + os.path.basename(sf_dir.rstrip("/")), build,
+    )
+    return read_snapshot(spark, root).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _sum_cents(),
+    )
+
+
+@query(
     "snapshot_mor_equality_delete",
     # EQUALITY deletes (Iceberg v2's other delete kind): append 60% →
     # delete_eq on composite (o_custkey, o_orderstatus) key pairs →

@@ -453,6 +453,8 @@ def _carry_meta(m: dict) -> dict:
         out["unique_keys"] = m["unique_keys"]
     if m.get("dropped_cols"):
         out["dropped_cols"] = m["dropped_cols"]
+    if m.get("eq_delete_cols"):
+        out["eq_delete_cols"] = m["eq_delete_cols"]
     return out
 
 
@@ -2577,6 +2579,45 @@ def commit_with_retry(fn, retries: int = 3):
             if attempt == retries:
                 raise
     raise AssertionError("unreachable")
+
+
+def set_eq_delete_cols(root: str, cols: list[str]) -> int:
+    """Declare which columns SQL ``DELETE`` may route to METADATA-ONLY
+    equality deletes (``delete_eq``) instead of a copy-on-write rewrite
+    — the Iceberg-v2 ``identifier-fields`` analog. A pure metadata
+    commit; the declaration is carried by every later commit (including
+    compaction — it is a capability, not delete state). The SQL front
+    door routes ``DELETE FROM t WHERE <conjunction of col = lit /
+    col IN (…)>`` through ``delete_eq`` only when every referenced
+    column is declared here; anything else keeps the COW path. Declare
+    the columns GDPR-ish point deletes key on (user/account ids) — the
+    read-side anti-join broadcasts the key batches, so they should be
+    selective. An empty list clears the declaration."""
+    parent = latest_version(root)
+    m = read_manifest(root, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    canon = []
+    for c in cols:
+        cc = _canon_col(schema, c)
+        if cc is None:
+            raise ValueError(
+                f"set_eq_delete_cols: column {c!r} not in table schema"
+            )
+        canon.append(cc)
+    if len(set(canon)) != len(canon):
+        raise ValueError("set_eq_delete_cols: duplicate columns")
+    meta = {
+        **_carry_meta(m),
+        **({"dv": m["dv"]} if m.get("dv") else {}),
+        **({"eq": m["eq"]} if m.get("eq") else {}),
+    }
+    if canon:
+        meta["eq_delete_cols"] = canon
+    else:
+        meta.pop("eq_delete_cols", None)
+    return _commit(
+        root, "set-eq-delete-cols", m["files"], m["schema"], parent, meta
+    )
 
 
 def add_check_constraint(

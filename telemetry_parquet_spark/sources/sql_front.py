@@ -355,7 +355,16 @@ def _dml(
     )
     if m:
         root = _resolve(tables, m.group(1))
-        v = S.delete_where(spark, root, m.group(2) or "1=1")
+        where = m.group(2)
+        if where:
+            tuples = _probe_eq_delete(root, where)
+            if tuples is not None:
+                cols, vals = tuples
+                v = S.delete_eq(
+                    spark, root, _eq_values_df(spark, root, cols, vals)
+                )
+                return _version_df(spark, "delete-eq", v)
+        v = S.delete_where(spark, root, where or "1=1")
         return _version_df(spark, "delete", v)
 
     m = re.fullmatch(
@@ -598,6 +607,17 @@ def _dml(
         cols = [c.strip() for c in m.group(3).split(",")]
         v = S.add_unique_constraint(spark, root, m.group(2), cols)
         return _version_df(spark, f"add-unique:{m.group(2)}", v)
+
+    m = re.fullmatch(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+EQUALITY\s+DELETE\s+COLUMNS"
+        r"\s*\(([\w\s,]*)\)\s*;?\s*",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        root = _resolve(tables, m.group(1))
+        cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+        v = S.set_eq_delete_cols(root, cols)
+        return _version_df(spark, "set-eq-delete-cols", v)
 
     m = re.fullmatch(
         r"\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*",
@@ -899,6 +919,87 @@ def _parse_conjuncts(where: str) -> list | None:
     return preds or None
 
 
+_EQ_DELETE_MAX_TUPLES = 10_000
+
+
+def _probe_eq_delete(root: str, where: str):
+    """Static admission check for the metadata-only DELETE route —
+    manifest only, no Spark job (so EXPLAIN can report the decision
+    without paying for it). The WHERE must be a conjunction of
+    ``col = lit`` / ``col IN (…)`` over DISTINCT columns, every column
+    declared via ``set_eq_delete_cols``; the key set is the cross
+    product of the conjuncts' value sets, capped at
+    ``_EQ_DELETE_MAX_TUPLES`` (beyond that a broadcast key batch stops
+    being "small by design" — honest COW fallback). Returns
+    ``(cols, tuples)`` or None (→ copy-on-write route)."""
+    import itertools
+
+    from telemetry_parquet_spark.sources.scan_planner import Eq, In
+    from telemetry_parquet_spark.sources.snapshots import (
+        latest_version,
+        read_manifest,
+    )
+
+    try:
+        m = read_manifest(root, latest_version(root))
+    except FileNotFoundError:
+        return None
+    declared = m.get("eq_delete_cols")
+    if not declared:
+        return None
+    preds = _parse_conjuncts(where)
+    if not preds:
+        return None
+    low = {c.lower(): c for c in declared}
+    cols: list[str] = []
+    value_sets: list[tuple] = []
+    for p in preds:
+        if isinstance(p, Eq):
+            vals = (p.value,)
+        elif isinstance(p, In):
+            vals = tuple(p.values)
+        else:
+            return None  # ranges/comparisons: not a key-tuple delete
+        canon = low.get(p.col.lower())
+        if canon is None or canon in cols:
+            return None  # undeclared or duplicated column
+        if any(v is None for v in vals):
+            return None  # NULL never equality-matches; COW handles it
+        cols.append(canon)
+        value_sets.append(vals)
+    n = 1
+    for vs in value_sets:
+        n *= len(vs)
+        if n > _EQ_DELETE_MAX_TUPLES:
+            return None
+    return cols, list(itertools.product(*value_sets))
+
+
+def _eq_values_df(spark, root: str, cols: list[str], vals: list) -> DataFrame:
+    """Key tuples → a DataFrame typed EXACTLY as the table's columns
+    (``delete_eq`` refuses type mismatches; SQL literals arrive as
+    python ints/floats/strs)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _ST
+
+    from telemetry_parquet_spark.sources.snapshots import (
+        latest_version,
+        read_manifest,
+    )
+
+    from pyspark.sql import functions as F
+
+    m = read_manifest(root, latest_version(root))
+    schema = _ST.fromJson(_json.loads(m["schema"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    df = spark.createDataFrame([tuple(map(str, t)) for t in vals],
+                               ", ".join(f"{c} string" for c in cols))
+    return df.select(
+        *[F.col(c).cast(types[c]).alias(c) for c in cols]
+    )
+
+
 def _probe_dpp(sql: str, tables: dict[str, str]):
     """Static admission check for the star-join DPP route — manifests
     only, no Spark job (so EXPLAIN can report the decision without
@@ -1123,8 +1224,29 @@ def explain_sql(
     first = stmt.split(None, 1)[0].upper() if stmt else ""
     rows: list[tuple[str, str]] = []
     if first in _MUTATOR_KIND:
-        rows.append(("statement", _MUTATOR_KIND[first]))
-        rows.append(("route", "commit-log mutator"))
+        kind, route = _MUTATOR_KIND[first], "commit-log mutator"
+        if first == "DELETE":
+            # route-aware: the eq-delete admission check is manifest-
+            # only, so EXPLAIN can report it without a Spark job
+            dm = re.fullmatch(
+                r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            probe = (
+                _probe_eq_delete(tables[dm.group(1)], dm.group(2))
+                if dm and dm.group(1) in tables
+                else None
+            )
+            if probe is not None:
+                cols, vals = probe
+                kind = (
+                    "DELETE (metadata-only equality-delete commit: "
+                    f"{len(vals)} key tuple(s) over ({', '.join(cols)}))"
+                )
+                route = "commit-log mutator (equality-delete, no file "\
+                        "rewrite, no detection scan)"
+        rows.append(("statement", kind))
+        rows.append(("route", route))
     else:
         rows.append(("statement", "query"))
         route = "scan"

@@ -214,3 +214,133 @@ def test_empty_key_set_is_a_noop(spark, tmp_path):
     assert _state(spark, root, parent) == {
         (1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "c", 40)
     }
+
+
+# ---- SQL DELETE → equality-delete routing (sql_front._probe_eq_delete) ----
+
+
+def _route_setup(spark, tmp_path, declare=("k", "cat"), name="rt"):
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    root = _mk(spark, tmp_path, name)
+    tables = {"t": root}
+    if declare:
+        engine_sql(
+            spark,
+            "ALTER TABLE t SET EQUALITY DELETE COLUMNS "
+            f"({', '.join(declare)})",
+            tables,
+        )
+    return root, tables
+
+
+def test_sql_delete_routes_to_eq(spark, tmp_path):
+    """An eq-shaped DELETE over declared columns commits a key-set
+    file: action delete-eq, manifest file list BYTE-IDENTICAL."""
+    from telemetry_parquet_spark.sources.sql_front import engine_sql
+
+    root, tables = _route_setup(spark, tmp_path)
+    before = S.read_manifest(root, S.latest_version(root))["files"]
+    out = engine_sql(spark, "DELETE FROM t WHERE k IN (1, 3)", tables).first()
+    assert out["action"] == "delete-eq"
+    m = S.read_manifest(root, out["version"])
+    assert m["files"] == before and len(m["eq"]) == 1
+    assert _state(spark, root) == {(2, "b", 20), (4, "c", 40)}
+    # composite tuple over both declared columns, typed cast (int+str)
+    out = engine_sql(
+        spark, "DELETE FROM t WHERE cat = 'c' AND k = 4", tables
+    ).first()
+    assert out["action"] == "delete-eq"
+    assert S.read_manifest(root, out["version"])["files"] == before
+    assert _state(spark, root) == {(2, "b", 20)}
+
+
+def test_sql_delete_cow_fallbacks(spark, tmp_path):
+    """Every non-eq shape keeps the copy-on-write route: undeclared
+    column, range/OR predicates, duplicate conjunct column, NULL
+    literal, no declaration, no WHERE at all."""
+    from telemetry_parquet_spark.sources.sql_front import (
+        _probe_eq_delete,
+        engine_sql,
+    )
+
+    root, tables = _route_setup(spark, tmp_path)
+    for where in (
+        "v = 10",                 # undeclared column
+        "k > 2",                  # range
+        "k = 1 OR k = 2",         # disjunction (parser refuses)
+        "k = 1 AND k = 2",        # duplicated column
+        "cat = 'a' AND v = 10",   # one declared, one not
+        "upper(cat) = 'A'",       # function
+    ):
+        assert _probe_eq_delete(root, where) is None, where
+    # a genuinely COW-routed delete still works end-to-end
+    out = engine_sql(spark, "DELETE FROM t WHERE v >= 40", tables).first()
+    assert out["action"] == "delete"
+    assert _state(spark, root) == {(1, "a", 10), (2, "b", 20), (3, "a", 30)}
+    # undeclared table: probe never routes
+    root2, tables2 = _route_setup(spark, tmp_path, declare=None, name="rt2")
+    from telemetry_parquet_spark.sources.sql_front import _probe_eq_delete as p
+    assert p(root2, "k = 1") is None
+    out = engine_sql(spark, "DELETE FROM t2 WHERE k = 1",
+                     {"t2": root2}).first()
+    assert out["action"] == "delete"
+
+
+def test_eq_delete_cross_product_cap(spark, tmp_path):
+    """IN × IN key sets beyond the cap fall back to COW (a broadcast
+    key batch must stay small by design)."""
+    import telemetry_parquet_spark.sources.sql_front as SF
+
+    root, tables = _route_setup(spark, tmp_path)
+    probe = SF._probe_eq_delete(root, "k IN (1, 2) AND cat IN ('a', 'b')")
+    assert probe is not None and len(probe[1]) == 4
+    old = SF._EQ_DELETE_MAX_TUPLES
+    SF._EQ_DELETE_MAX_TUPLES = 3
+    try:
+        assert SF._probe_eq_delete(
+            root, "k IN (1, 2) AND cat IN ('a', 'b')") is None
+    finally:
+        SF._EQ_DELETE_MAX_TUPLES = old
+
+
+def test_explain_reports_eq_route(spark, tmp_path):
+    from telemetry_parquet_spark.sources.sql_front import explain_sql
+
+    root, tables = _route_setup(spark, tmp_path)
+    rows = {
+        r["aspect"]: r["detail"]
+        for r in explain_sql(
+            spark, "DELETE FROM t WHERE k IN (1, 3)", tables
+        ).collect()
+    }
+    assert "equality-delete" in rows["route"]
+    assert "2 key tuple(s) over (k)" in rows["statement"]
+    cow = {
+        r["aspect"]: r["detail"]
+        for r in explain_sql(
+            spark, "DELETE FROM t WHERE v > 5", tables
+        ).collect()
+    }
+    assert "equality-delete" not in cow["route"]
+    assert "copy-on-write" in cow["statement"]
+
+
+def test_eq_delete_cols_declaration(spark, tmp_path):
+    """Declaration DDL: validates columns, survives later commits and
+    compaction (capability, not state), clears with an empty list."""
+    root = _mk(spark, tmp_path, "decl")
+    with pytest.raises(ValueError, match="not in table schema"):
+        S.set_eq_delete_cols(root, ["nope"])
+    with pytest.raises(ValueError, match="duplicate"):
+        S.set_eq_delete_cols(root, ["k", "k"])
+    v = S.set_eq_delete_cols(root, ["k"])
+    assert S.read_manifest(root, v)["eq_delete_cols"] == ["k"]
+    S.append(spark, root, spark.createDataFrame(
+        [(9, "z", 90)], "k int, cat string, v int"))
+    assert S.read_manifest(
+        root, S.latest_version(root))["eq_delete_cols"] == ["k"]
+    v = S.compact_table(spark, root, target_bytes=1 << 20)
+    assert S.read_manifest(root, v)["eq_delete_cols"] == ["k"]
+    v = S.set_eq_delete_cols(root, [])
+    assert "eq_delete_cols" not in S.read_manifest(root, v)
