@@ -314,3 +314,280 @@ def ivf_table_topk(
         .where(F.col("rank") <= topk)
         .select("qid", "cand_id", "score_q", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: PQ codes in the postings, raw vectors in a separate cell-
+# partitioned relation read only for the final rescore (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search"; the FAISS IVFPQ
+# shape with by_residual=False — codes quantize the RAW vector, not the
+# cell residual, keeping the whole lifecycle one exact-integer relation
+# both engines can replay).
+#
+# Why this matters at 100 TB: the exact-IVF probe above reads the probed
+# cells' RAW vectors — probe I/O ∝ cells × dim × 8 bytes. Here the probe
+# is an ADC scan of the CODES column (M small ints per vector, 16×
+# smaller at M=4/dim=64), and only the ADC top-m survivors' raw vectors
+# are read back — both scans cell-pruned and raise-proven.
+# ---------------------------------------------------------------------------
+
+_CODEBOOK = "codebook"
+_VECTORS = "vectors"
+
+
+def _sub_codebook(train_seed_rows: list, m_sub: int) -> np.ndarray:
+    """(m_sub, k_code, subdim) int64: subspace j's codebook = the seed
+    vectors' j-th slices (the datapipe/pq.py discipline — codebooks
+    derive from the k_code lowest train ids, re-derivable by both
+    engines from the table itself)."""
+    mat = np.array([v for _, v in train_seed_rows], dtype=np.int64)
+    k_code, dim = mat.shape
+    subdim = dim // m_sub
+    return mat.reshape(k_code, m_sub, subdim).transpose(1, 0, 2).copy()
+
+
+def _pq_encode_udf(cb: np.ndarray):
+    """array<long> of M codes per vector: per subspace the packed
+    ``min(d2*k_code + c)`` argmin — the same tie-free exact-integer
+    ordering the cell assignment uses, one int64 matmul per subspace
+    per Arrow batch."""
+    m_sub, k_code, subdim = cb.shape
+    ccs = [(cb[j] * cb[j]).sum(axis=1) for j in range(m_sub)]
+
+    @F.pandas_udf("array<long>")
+    def encode(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in qv])
+        n = mat.shape[0]
+        out = np.empty((n, m_sub), dtype=np.int64)
+        for j in range(m_sub):
+            s = mat[:, j * subdim:(j + 1) * subdim]
+            d2 = (
+                (s * s).sum(axis=1)[:, None]
+                - 2 * (s @ cb[j].T)
+                + ccs[j][None, :]
+            )
+            packed = d2 * np.int64(k_code) + np.arange(
+                k_code, dtype=np.int64
+            )[None, :]
+            out[:, j] = packed.min(axis=1) % np.int64(k_code)
+        return pd.Series(list(out))
+
+    return encode
+
+
+def _load_codebook(spark: SparkSession, root: str) -> np.ndarray:
+    rows = spark.read.parquet(os.path.join(root, _CODEBOOK)).collect()
+    m_sub = 1 + max(int(r.j) for r in rows)
+    k_code = 1 + max(int(r.c) for r in rows)
+    subdim = len(rows[0].sub)
+    cb = np.zeros((m_sub, k_code, subdim), dtype=np.int64)
+    for r in rows:
+        cb[int(r.j), int(r.c)] = np.asarray(r.sub, dtype=np.int64)
+    return cb
+
+
+def build_ivfpq_table(
+    spark: SparkSession,
+    root: str,
+    qvec: DataFrame,
+    k: int,
+    iters: int,
+    m_sub: int,
+    k_code: int,
+) -> None:
+    """Train the coarse quantizer (deterministic int64 k-means), derive
+    the sub-codebooks from the k_code LOWEST train ids, and persist FOUR
+    relations: ``centroids`` (the coarse model), ``codebook`` (j, c,
+    sub — the PQ model), ``postings`` (vec_id, codes) and ``vectors``
+    (vec_id, qv), the last two written ``partitionBy(cluster_id)``.
+    Codes and raw vectors are SEPARATE relations so the ADC probe scan
+    never pays raw-vector bytes."""
+    assigned, centroids = kmeans_fit(
+        qvec, k=k, iters=iters, assignment="matmul"
+    )
+    seed_rows = sorted(
+        (int(r.vec_id), [int(v) for v in r.qv])
+        for r in qvec.orderBy("vec_id").limit(k_code).collect()
+    )  # k_code rows — driver-sized by the BPE-argmax contract
+    cb = _sub_codebook(seed_rows, m_sub)
+    enc = _pq_encode_udf(cb)
+    base = assigned.join(qvec, "vec_id")
+    (
+        base.select(
+            "vec_id", enc(F.col("qv")).alias("codes"), "cluster_id"
+        )
+        .write.partitionBy("cluster_id")
+        .parquet(os.path.join(root, _POSTINGS))
+    )
+    (
+        base.select("vec_id", "qv", "cluster_id")
+        .write.partitionBy("cluster_id")
+        .parquet(os.path.join(root, _VECTORS))
+    )
+    spark.createDataFrame(
+        [(int(cid), [int(v) for v in vec]) for cid, vec in centroids],
+        "cluster_id long, cvec array<long>",
+    ).coalesce(1).write.parquet(os.path.join(root, _CENTROIDS))
+    spark.createDataFrame(
+        [
+            (j, c, [int(v) for v in cb[j, c]])
+            for j in range(cb.shape[0])
+            for c in range(cb.shape[1])
+        ],
+        "j int, c int, sub array<long>",
+    ).coalesce(1).write.parquet(os.path.join(root, _CODEBOOK))
+
+
+def append_vectors_pq(
+    spark: SparkSession,
+    root: str,
+    qvec_new: DataFrame,
+    k: int,
+) -> None:
+    """Incremental IVF-PQ maintenance: route new vectors to cells under
+    the FROZEN coarse quantizer and encode them under the FROZEN
+    codebook (both map-only matmul passes), then append into the cell
+    directories — no existing file touched."""
+    centroids = load_centroids(spark, root)
+    cb = _load_codebook(spark, root)
+    assign = _matmul_assign_udf(centroids, k)
+    enc = _pq_encode_udf(cb)
+    assigned = qvec_new.select(
+        "vec_id", "qv", assign(F.col("qv")).alias("cluster_id"),
+        enc(F.col("qv")).alias("codes"),
+    )
+    (
+        assigned.select("vec_id", "codes", "cluster_id")
+        .write.mode("append").partitionBy("cluster_id")
+        .parquet(os.path.join(root, _POSTINGS))
+    )
+    (
+        assigned.select("vec_id", "qv", "cluster_id")
+        .write.mode("append").partitionBy("cluster_id")
+        .parquet(os.path.join(root, _VECTORS))
+    )
+
+
+def _require_cell_pruned(df: DataFrame, cells: list[int], what: str) -> None:
+    """RAISES unless every file the (post-prune) scan touches lives
+    under a probed cell directory — the proof partition pruning engaged."""
+    touched = {
+        r.f
+        for r in df.select(
+            F.col("_metadata.file_path").alias("f")
+        ).distinct().collect()
+    }
+    allowed = tuple(f"cluster_id={c}/" for c in cells)
+    stray = [f for f in touched if not any(a in f for a in allowed)]
+    if stray:
+        raise RuntimeError(
+            f"{what} scan escaped the probed cells: {stray[:3]}"
+        )
+
+
+def ivfpq_table_topk(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    adc_m: int,
+    topk: int,
+    require_pruned: bool = True,
+) -> DataFrame:
+    """IVF-PQ probe: (1) top-``nprobe`` cells per query by packed
+    integer centroid distance; (2) ADC over the probed cells' CODES —
+    each query's (M × k_code) int64 distance table is tiny and
+    broadcast, scoring is M lookups per candidate; (3) EXACT int64
+    dot-product rescore of only the ADC top-``adc_m`` survivors,
+    reading the ``vectors`` relation cell-pruned + survivor-filtered.
+    Both scans are raise-proven cell-pruned. Ordering is tie-free end
+    to end (packed mins; (adc_dist, cand_id); (score desc, cand_id)),
+    so one DuckDB recursive CTE replays the whole lifecycle
+    (queries/kmeans.py::sim_ivfpq_persisted_topk)."""
+    from pyspark.sql.window import Window as W
+
+    centroids = load_centroids(spark, root)
+    cb = _load_codebook(spark, root)
+    m_sub, k_code, subdim = cb.shape
+    qrows = queries.select("vec_id", "qv").collect()  # driver-sized
+    probe_pairs = [
+        (int(r.qid), int(c))
+        for r in queries.select(
+            F.col("vec_id").alias("qid"),
+            _probe_cells_udf(centroids, k, nprobe)(F.col("qv")).alias(
+                "cells"
+            ),
+        ).collect()
+        for c in r.cells
+    ]
+    cells = sorted({c for _, c in probe_pairs})
+    # per-query ADC distance tables: n_q × M × k_code rows, broadcast
+    dtab_rows = []
+    for r in qrows:
+        qv = np.asarray(r.qv, dtype=np.int64)
+        for j in range(m_sub):
+            s = qv[j * subdim:(j + 1) * subdim]
+            d2 = ((s[None, :] - cb[j]) ** 2).sum(axis=1)
+            dtab_rows.extend(
+                (int(r.vec_id), j, c, int(d2[c])) for c in range(k_code)
+            )
+    dtab = F.broadcast(spark.createDataFrame(
+        dtab_rows, "qid long, j int, code long, d2 long"
+    ))
+    probe_df = F.broadcast(
+        spark.createDataFrame(probe_pairs, "qid long, cluster_id long")
+    )
+    posts = spark.read.parquet(os.path.join(root, _POSTINGS)).where(
+        F.col("cluster_id").isin(cells)
+    )
+    if require_pruned:
+        _require_cell_pruned(posts, cells, "ADC (postings)")
+    adc = (
+        posts.join(probe_df, "cluster_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cand_id"),
+                F.posexplode("codes").alias("j", "code"))
+        .join(dtab, ["qid", "j", "code"])
+        .groupBy("qid", "cand_id")
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    wa = W.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    survivors = (
+        adc.withColumn("__r", F.row_number().over(wa))
+        .where(F.col("__r") <= adc_m)
+        .select("qid", "cand_id")
+    )
+    vecs = spark.read.parquet(os.path.join(root, _VECTORS)).where(
+        F.col("cluster_id").isin(cells)
+    )
+    if require_pruned:
+        _require_cell_pruned(vecs, cells, "rescore (vectors)")
+    qside = F.broadcast(spark.createDataFrame(
+        [(int(r.vec_id), [int(v) for v in r.qv]) for r in qrows],
+        "qid long, qv_q array<long>",
+    ))
+    dots = (
+        survivors.join(
+            vecs.select(F.col("vec_id").alias("cand_id"),
+                        F.col("qv").alias("qv_c")),
+            "cand_id",
+        )
+        .join(qside, "qid")
+        .select(
+            "qid", "cand_id",
+            F.aggregate(
+                F.zip_with("qv_q", "qv_c", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score_q"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("cand_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("qid", "cand_id", "score_q", "rank")
+    )

@@ -466,3 +466,228 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root, queries, k=K_IDX, nprobe=NPROBE, topk=TOPK,
         require_pruned=True,
     )
+
+
+# --- IVF-PQ persisted index (datapipe/ann_index.py IVFPQ section) ---
+# Small enough cells that ADC pruning BITES at test scale: 16 cells over
+# ~450 train vectors ≈ 28/cell, nprobe 2 ≈ 56 candidates, ADC keeps 16.
+K_PQ = 16
+ITERS_PQ = 2
+M_SUB = 4
+K_CODE = 16    # == K_PQ, so the Lloyd seeds relation doubles as the
+SUBDIM = 16    # codebook seed set (16 lowest train ids)
+ADC_M = 16
+
+
+def _train_ctes(k: int, iters: int) -> str:
+    """The train-slice Lloyd CTEs (qt/qh/seeds + recursion) at an
+    arbitrary (k, iters) — the same text as _QT/_AT parameterized, so
+    the k=256 exact-IVF oracle and the k=16 IVF-PQ oracle share one
+    recursion shape."""
+    return f"""
+qt AS (SELECT * FROM q WHERE vec_id % 10 <> 9),
+qh AS (SELECT * FROM q WHERE vec_id % 10 = 9),
+seeds AS (
+  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+    FROM (SELECT DISTINCT vec_id FROM qt)
+  ) WHERE rn <= {k}
+),
+a(iter, vec_id, cid) AS (
+  SELECT 1 AS iter, vec_id, CAST(packed % {k} AS BIGINT) AS cid FROM (
+    SELECT vec_id, MIN(d2 * {k} + scid) AS packed FROM (
+      SELECT p.vec_id, c.cid AS scid,
+             SUM((p.qval - c.qval) * (p.qval - c.qval)) AS d2
+      FROM qt p JOIN (
+        SELECT s.cid, sq.dim, sq.qval
+        FROM seeds s JOIN qt sq ON sq.vec_id = s.vec_id
+      ) c ON c.dim = p.dim
+      GROUP BY p.vec_id, c.cid
+    ) GROUP BY vec_id
+  )
+  UNION ALL
+  SELECT d.iter + 1, d.vec_id, CAST(d.packed % {k} AS BIGINT) FROM (
+    SELECT dd.iter, dd.vec_id, MIN(dd.d2 * {k} + dd.cid) AS packed FROM (
+      SELECT c.iter, p.vec_id, c.cid,
+             SUM((p.qval - c.cval) * (p.qval - c.cval)) AS d2
+      FROM qt p JOIN (
+        SELECT a.iter, a.cid, p2.dim,
+               CAST(floor(CAST(SUM(p2.qval) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS cval
+        FROM a JOIN qt p2 ON p2.vec_id = a.vec_id
+        WHERE a.iter < {iters}
+        GROUP BY a.iter, a.cid, p2.dim
+      ) c ON c.dim = p.dim
+      GROUP BY c.iter, p.vec_id, c.cid
+    ) dd GROUP BY dd.iter, dd.vec_id
+  ) d
+)
+"""
+
+
+@query(
+    "sim_ivfpq_persisted_topk",
+    # The IVF-PQ lifecycle under ONE exact recursive-CTE oracle:
+    # train 16 cells on the %10<>9 slice → derive sub-codebooks from
+    # the 16 lowest train ids (seeds relation reused) → ENCODE every
+    # vector to M=4 codes by per-subspace packed argmin → freeze both
+    # models and append the %10==9 slice → probe top-2 cells per query
+    # → ADC over the probed cells' CODES (per-query 4×16 int distance
+    # table, SUM of M lookups) → keep the ADC top-16 → EXACT int64 dot
+    # rescore of only the survivors → top-10. The Spark side RAISES
+    # unless BOTH scans (codes, vectors) touch only probed-cell files.
+    oracle=f"""
+    WITH RECURSIVE {_Q}, {_train_ctes(K_PQ, ITERS_PQ)},
+    fin AS (SELECT vec_id, cid FROM a WHERE iter = {ITERS_PQ}),
+    cent AS (
+      SELECT f.cid, p.dim,
+             CAST(floor(CAST(SUM(p.qval) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS cval
+      FROM fin f JOIN qt p ON p.vec_id = f.vec_id
+      GROUP BY f.cid, p.dim
+    ),
+    hold AS (
+      SELECT vec_id, CAST(packed % {K_PQ} AS BIGINT) AS cid FROM (
+        SELECT vec_id, MIN(d2 * {K_PQ} + cid) AS packed FROM (
+          SELECT p.vec_id, c.cid,
+                 SUM((p.qval - c.cval) * (p.qval - c.cval)) AS d2
+          FROM qh p JOIN cent c ON c.dim = p.dim
+          GROUP BY p.vec_id, c.cid
+        ) GROUP BY vec_id
+      )
+    ),
+    members AS (SELECT * FROM fin UNION ALL SELECT * FROM hold),
+    cb AS (
+      SELECT s.cid AS c, sq.dim, sq.qval
+      FROM seeds s JOIN qt sq ON sq.vec_id = s.vec_id
+    ),
+    codes AS (
+      SELECT vec_id, j, CAST(packed % {K_CODE} AS BIGINT) AS code FROM (
+        SELECT vec_id, j, MIN(d2 * {K_CODE} + c) AS packed FROM (
+          SELECT p.vec_id, CAST(p.dim // {SUBDIM} AS INT) AS j, cb.c,
+                 SUM((p.qval - cb.qval) * (p.qval - cb.qval)) AS d2
+          FROM q p JOIN cb ON cb.dim = p.dim
+          GROUP BY p.vec_id, 2, cb.c
+        ) GROUP BY vec_id, j
+      )
+    ),
+    dtab AS (
+      SELECT p.vec_id AS qid, CAST(p.dim // {SUBDIM} AS INT) AS j, cb.c,
+             SUM((p.qval - cb.qval) * (p.qval - cb.qval)) AS d2
+      FROM q p JOIN cb ON cb.dim = p.dim
+      WHERE p.vec_id < {N_QUERIES}
+      GROUP BY 1, 2, cb.c
+    ),
+    qd AS (
+      SELECT p.vec_id AS qid, c.cid,
+             SUM((p.qval - c.cval) * (p.qval - c.cval)) AS d2
+      FROM q p JOIN cent c ON c.dim = p.dim
+      WHERE p.vec_id < {N_QUERIES}
+      GROUP BY p.vec_id, c.cid
+    ),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d2 * {K_PQ} + cid) AS rn
+        FROM qd
+      ) WHERE rn <= {NPROBE}
+    ),
+    adc AS (
+      SELECT pr.qid, mm.vec_id AS cand_id, SUM(dt.d2) AS adc_dist
+      FROM probe pr
+      JOIN members mm ON mm.cid = pr.cid AND mm.vec_id <> pr.qid
+      JOIN codes co ON co.vec_id = mm.vec_id
+      JOIN dtab dt ON dt.qid = pr.qid AND dt.j = co.j
+                  AND dt.c = co.code
+      GROUP BY pr.qid, mm.vec_id
+    ),
+    adctop AS (
+      SELECT qid, cand_id FROM (
+        SELECT qid, cand_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, cand_id) AS rn
+        FROM adc
+      ) WHERE rn <= {ADC_M}
+    ),
+    dots AS (
+      SELECT c.qid, c.cand_id,
+             CAST(SUM(p1.qval * p2.qval) AS BIGINT) AS score_q
+      FROM adctop c
+      JOIN q p1 ON p1.vec_id = c.qid
+      JOIN q p2 ON p2.vec_id = c.cand_id AND p2.dim = p1.dim
+      GROUP BY c.qid, c.cand_id
+    )
+    SELECT qid, cand_id, score_q, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT qid, cand_id, score_q,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score_q DESC, cand_id) AS rn
+      FROM dots
+    ) WHERE rn <= {TOPK}
+    """,
+)
+def sim_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ index (datapipe/ann_index.py): PQ codes in
+    the cell-partitioned postings, raw vectors in a SEPARATE
+    cell-partitioned relation — the probe is an ADC scan of codes (M=4
+    small ints per vector instead of 64 raw components: at 100 TB the
+    probe I/O drops ~16×), and only the ADC top-m survivors' raw
+    vectors are read for the exact rescore. Both scans raise unless
+    every touched file lives under a probed cell (pruning proven per
+    run); the frozen-model append keeps maintenance map-only. Standard
+    IVFPQ (Jégou et al.), by_residual=False so the whole
+    train→encode→append→probe→ADC→rescore lifecycle is exact integers
+    under one recursive-CTE oracle."""
+    import os as _os
+
+    from telemetry_parquet_spark.datapipe.ann_index import (
+        append_vectors_pq,
+        build_ivfpq_table,
+        ivfpq_table_topk,
+    )
+    from telemetry_parquet_spark.ml.kmeans_det import quantize_vectors
+    from telemetry_parquet_spark.sources.skipping import materialize_cached
+
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+
+    def build(root: str) -> None:
+        qvec = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+        train = qvec.where(F.col("vec_id") % 10 != 9)
+        hold = qvec.where(F.col("vec_id") % 10 == 9)
+        build_ivfpq_table(
+            spark, root, train, k=K_PQ, iters=ITERS_PQ,
+            m_sub=M_SUB, k_code=K_CODE,
+        )
+
+        def _files(d):
+            return {
+                _os.path.join(dp, n)
+                for dp, _, ns in _os.walk(d)
+                for n in ns
+                if n.endswith(".parquet")
+            }
+
+        before = _files(_os.path.join(root, "postings")) | _files(
+            _os.path.join(root, "vectors")
+        )
+        append_vectors_pq(spark, root, hold, k=K_PQ)
+        after = _files(_os.path.join(root, "postings")) | _files(
+            _os.path.join(root, "vectors")
+        )
+        if not before < after:
+            raise RuntimeError(
+                "incremental IVF-PQ append rewrote or dropped index files"
+            )
+
+    root = materialize_cached(
+        spark, src,
+        "ivfpqidx_embeddings_" + _os.path.basename(sf_dir.rstrip("/")),
+        build,
+    )
+    qvec = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+    queries = qvec.where(F.col("vec_id") < N_QUERIES)
+    return ivfpq_table_topk(
+        spark, root, queries, k=K_PQ, nprobe=NPROBE, adc_m=ADC_M,
+        topk=TOPK, require_pruned=True,
+    )

@@ -222,3 +222,144 @@ def test_compact_index_preserves_content(spark, sf_dir, index):
         topk=5, require_pruned=True,
     )
     assert out.count() > 0
+
+
+# ---------------- IVF-PQ (codes in postings, vectors separate) -------------
+
+
+from telemetry_parquet_spark.datapipe.ann_index import (  # noqa: E402
+    _load_codebook,
+    append_vectors_pq,
+    build_ivfpq_table,
+    ivfpq_table_topk,
+)
+
+K_PQ, M_SUB, K_CODE = 8, 4, 8
+
+
+@pytest.fixture()
+def pq_index(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "ivfpqidx")
+    qvec = _qvec(spark, sf_dir)
+    build_ivfpq_table(
+        spark, root, qvec.where(F.col("vec_id") % 10 != 9),
+        k=K_PQ, iters=ITERS, m_sub=M_SUB, k_code=K_CODE,
+    )
+    return root
+
+
+def test_ivfpq_layout_and_separated_relations(spark, sf_dir, pq_index):
+    """Codes and raw vectors live in SEPARATE cell-partitioned
+    relations — the ADC scan never pays raw-vector bytes — and the
+    codebook persists (m_sub, k_code, subdim)."""
+    posts = spark.read.parquet(os.path.join(pq_index, "postings"))
+    vecs = spark.read.parquet(os.path.join(pq_index, "vectors"))
+    assert set(posts.columns) == {"vec_id", "codes", "cluster_id"}
+    assert set(vecs.columns) == {"vec_id", "qv", "cluster_id"}
+    assert posts.count() == vecs.count()
+    r = posts.first()
+    assert len(r.codes) == M_SUB
+    assert all(0 <= c < K_CODE for c in r.codes)
+    cb = _load_codebook(spark, pq_index)
+    assert cb.shape[:2] == (M_SUB, K_CODE)
+
+
+def test_ivfpq_append_frozen_models(spark, sf_dir, pq_index):
+    """Appends route under the frozen quantizer AND encode under the
+    frozen codebook: no pre-existing file is touched, and the appended
+    rows' codes equal a fresh encode under the same codebook."""
+    import numpy as np
+
+    from telemetry_parquet_spark.datapipe.ann_index import _pq_encode_udf
+
+    def _files(d):
+        return {
+            os.path.join(dp, n)
+            for dp, _, ns in os.walk(d)
+            for n in ns
+            if n.endswith(".parquet")
+        }
+
+    qvec = _qvec(spark, sf_dir)
+    hold = qvec.where(F.col("vec_id") % 10 == 9)
+    before = _files(os.path.join(pq_index, "postings")) | _files(
+        os.path.join(pq_index, "vectors"))
+    append_vectors_pq(spark, pq_index, hold, k=K_PQ)
+    after = _files(os.path.join(pq_index, "postings")) | _files(
+        os.path.join(pq_index, "vectors"))
+    assert before < after
+    cb = _load_codebook(spark, pq_index)
+    enc = _pq_encode_udf(cb)
+    expect = {
+        int(r.vec_id): list(r.codes)
+        for r in hold.select(
+            "vec_id", enc(F.col("qv")).alias("codes")).collect()
+    }
+    hold_ids = set(expect)
+    got = {
+        int(r.vec_id): list(r.codes)
+        for r in spark.read.parquet(
+            os.path.join(pq_index, "postings")).collect()
+        if int(r.vec_id) in hold_ids
+    }
+    assert got == expect
+
+
+def test_ivfpq_probe_pruned_and_raises_on_stray(spark, sf_dir, pq_index):
+    """Both probe scans are raise-proven cell-pruned; a stray file
+    planted outside any cluster_id directory trips the check."""
+    qvec = _qvec(spark, sf_dir)
+    queries = qvec.where(F.col("vec_id") < 3)
+    out = ivfpq_table_topk(
+        spark, pq_index, queries, k=K_PQ, nprobe=2, adc_m=8, topk=5,
+        require_pruned=True,
+    ).collect()
+    assert 0 < len(out) <= 3 * 5
+    # the raise path itself: a scan whose post-prune file set touches a
+    # cell outside the probed list must trip the check (this is what
+    # fires if the isin filter ever stops reaching the file listing)
+    from telemetry_parquet_spark.datapipe.ann_index import (
+        _require_cell_pruned,
+    )
+
+    posts_dir = os.path.join(pq_index, "postings")
+    all_cells = sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(posts_dir)
+        if n.startswith("cluster_id=")
+    )
+    assert len(all_cells) >= 2
+    unfiltered = spark.read.parquet(posts_dir)
+    with pytest.raises(RuntimeError, match="escaped the probed cells"):
+        _require_cell_pruned(unfiltered, all_cells[:1], "ADC (postings)")
+
+
+def test_ivfpq_recall_floor_vs_exact_ivf(spark, sf_dir, tmp_path):
+    """The ADC shortcut must not wreck retrieval quality: with the SAME
+    cells and probes, IVF-PQ@10 keeps >= 60% of the exact-IVF top-10
+    (deterministic data -> deterministic recall; measured ~0.8+)."""
+    qvec = _qvec(spark, sf_dir)
+    train = qvec.where(F.col("vec_id") % 10 != 9)
+    r_exact = str(tmp_path / "exact")
+    r_pq = str(tmp_path / "pq")
+    build_ivf_table(spark, r_exact, train, k=K_PQ, iters=ITERS)
+    build_ivfpq_table(spark, r_pq, train, k=K_PQ, iters=ITERS,
+                      m_sub=M_SUB, k_code=16)
+    queries = qvec.where(F.col("vec_id") < 5)
+    exact = {}
+    for r in ivf_table_topk(
+        spark, r_exact, queries, k=K_PQ, nprobe=2, topk=10,
+        require_pruned=False,
+    ).collect():
+        exact.setdefault(r.qid, set()).add(r.cand_id)
+    approx = {}
+    for r in ivfpq_table_topk(
+        spark, r_pq, queries, k=K_PQ, nprobe=2, adc_m=32, topk=10,
+        require_pruned=False,
+    ).collect():
+        approx.setdefault(r.qid, set()).add(r.cand_id)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q])
+        for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
