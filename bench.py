@@ -312,6 +312,15 @@ HEADLINE = [
     # round 12: equality deletes — metadata-only key-set delete, scope
     # rule + CDC + compaction interplay raise-proven in the chain
     "snapshot_mor_equality_delete",
+    # round 13: MERGE WHEN NOT MATCHED BY SOURCE — the set-difference
+    # clause family; detection flips to an all-files anti-join pass
+    "snapshot_merge_by_source",
+    # round 13: SQL DELETE routed to metadata-only equality deletes
+    # (declared columns; EXPLAIN + manifest-identity raise-proven)
+    "snapshot_delete_eq_sql",
+    # round 13: persisted IVF-PQ — ADC probe over cell-pruned CODES,
+    # exact rescore of only the ADC survivors (both scans raise-proven)
+    "sim_ivfpq_persisted_topk",
 ]
 
 

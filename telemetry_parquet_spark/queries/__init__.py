@@ -40,72 +40,73 @@ from telemetry_parquet_spark.queries import table_service  # noqa: F401, E402
 # (no file I/O at import time) and is refreshed by hand from the latest
 # CORRECTNESS_r{N}.json each round.
 #
-# Round-12 window (CORRECTNESS_r11 was 49/50 green — the 50th is the
-# documented no-oracle ML row; every registered query's latest oracled
-# verdict is green). Per the r11 verdict this round FINISHES the
-# staleness re-certification: (1) the 5 never-checked round-12 queries
-# (conditional MERGE, composite bucket join, semi/SQL DPP, equality
-# deletes), (2) ALL 44 queries whose latest driver row is r07 —
-# several sit directly on infrastructure rewritten this round
-# (read_snapshot/_read_logical, join_planner composite rework), (3) one
-# churn re-check: snapshot_rollup_mor rides the partition-rollup fold
-# that gained the equality-delete refusal (5+44+1 = 50). After this
-# round every query's row is ≤ 2 rounds old — keep the rotation
-# steady-state.
+# Round-13 window (CORRECTNESS_r12 was 50/50 hash-green). Per the r12
+# verdict: (1) the 3 never-checked round-13 queries (MERGE WHEN NOT
+# MATCHED BY SOURCE, SQL DELETE routed to equality deletes, persisted
+# IVF-PQ), (2) 47 of the 49 queries whose latest driver row is r08 —
+# the whole UDAF/window/explode/sketch cohort, several of which ride
+# the scan-planner/_read_logical code rewritten in r10-r12 (3+47 = 50).
+# The two slipped r08 rows (f_date_functions, f_string_functions —
+# pure scalar functions over plain parquet, no snapshot/scan-planner
+# dependence) plus the r09 cohort lead the r14 window. Freshness
+# arithmetic: 232 registered queries / 50 slots = a ~4.6-round
+# steady-state rotation; each round re-certifies the stalest cohort
+# plus all never-checked names.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # new in round 12 — never driver-checked
-    "snapshot_merge_conditional",
-    "snapshot_bucket_join_composite",
-    "snapshot_dpp_semi",
-    "snapshot_dpp_sql",
-    "snapshot_mor_equality_delete",
-    # latest driver row r07 — the complete remaining cohort (44)
-    "dd_duplicate_components",
-    "dd_embedding_cosine_pairs",
-    "dd_embedding_near_dup_lsh",
-    "dd_exact_dedup_groups",
-    "er_entity_groups",
-    "er_fuzzy_customer_pairs",
-    "graph_label_prop",
-    "graph_personalized_pagerank",
-    "graph_triangle_count",
-    "ml_als_recall_eval",
-    "path_transition_matrix",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_waiting_suppliers",
-    "q22_inactive_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "quality_filter",
-    "sample_weighted_priority",
-    "sim_knn_graph",
-    "skew_salted_agg",
-    "stat_moments_by_flag",
-    "stream_heavy_hitters",
-    "stream_ohlc_bars",
-    "tfidf_top_terms",
-    "theta_audience_overlap",
-    "theta_daily_merge",
-    "theta_distinct_users",
-    "theta_sketch_users",
-    "ts_anomaly_days",
-    "ts_gap_fill_interpolate",
-    "ts_ohlc_bars",
-    "unpivot_lineitem_measures",
-    "w4_rank_suite",
-    # churn re-check: the partition rollup fold gained the eq refusal
-    "snapshot_rollup_mor",
+    # new in round 13 — never driver-checked
+    "snapshot_merge_by_source",
+    "snapshot_delete_eq_sql",
+    "sim_ivfpq_persisted_topk",
+    # latest driver row r08 — the stalest cohort (47 of 49; the two
+    # pure scalar-function rows f_date_functions / f_string_functions
+    # slip to r14 — they touch no snapshot/scan-planner code)
+    "a1_earliest_event_per_user",
+    "a2_row_first",
+    "a3_map_first",
+    "a4_map_sum",
+    "a5_search_counts_pivot",
+    "a7_hll_distinct_users",
+    "a8_counts_per_nation",
+    "a9_null_counts",
+    "analyze_column_stats",
+    "bm25_indexed_topk",
+    "bp_boilerplate_removal",
+    "bp_hot_segments",
+    "cap_budget_per_source",
+    "cap_per_source",
+    "corpus_global_order",
+    "dd_incremental_bloom",
+    "dd_minhash_near_dup_pairs",
+    "dd_ngram_jaccard_pairs",
+    "dd_prefix_fingerprint_groups",
+    "dd_simhash_near_dup_pairs",
+    "hll_det_daily_merge",
+    "hll_det_distinct_users",
+    "hll_det_orderkey_estimates",
+    "hll_det_register_table",
+    "json_union_coercion",
+    "lang_id",
+    "layout_zorder_keys",
+    "mix_sampled_corpus",
+    "ml_kmeans_assignments",
+    "ml_kmeans_centroids",
+    "mm_image_near_dup",
+    "p7_column_expressions",
+    "pack_sequences",
+    "pii_redaction",
+    "rep_repetition_features",
+    "sim_brute_force_topk",
+    "sim_ivf_det_topk",
+    "sim_ivf_exact_topk",
+    "sim_ivf_probe_topk",
+    "skip_bloom_point_lookup",
+    "split_train_holdout",
+    "stream_hll_registers",
+    "text_stats",
+    "ts_hypertable_rollup",
+    "w1_latest_order_per_customer",
+    "w2_running_order_total",
+    "x1_token_explode",
 )
 
 

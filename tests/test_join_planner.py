@@ -1126,3 +1126,60 @@ def test_stage_eviction_tombstone_and_loud_vanish(spark, tmp_path):
 
     for d in (tomb_fresh, d1):
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucket_pair_over_broadcast_threshold_degrades_unhinted(
+    spark, tmp_path
+):
+    """A bucket pair whose BOTH sides exceed the broadcast threshold
+    degrades to an UNHINTED per-bucket join (Catalyst picks the
+    strategy) — but stays per-bucket: the physical plan must contain no
+    key-based Exchange (the files are already co-located by layout; a
+    global repartition sneaking in would defeat the storage-partitioned
+    join), and require_broadcast raises NAMING the offending bucket and
+    its byte sizes."""
+    la, rb = str(tmp_path / "oa"), str(tmp_path / "ob")
+    left = spark.range(0, 4000).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("v"))
+    right = spark.range(0, 4000).select(
+        (F.col("id") % 4).alias("rk"), (F.col("id") * 2).alias("w"))
+    _mk_bucketed(spark, la, left, [("k", 4)])
+    _mk_bucketed(spark, rb, right, [("rk", 4)])
+    from telemetry_parquet_spark.sources.join_planner import (
+        plan_bucket_join,
+    )
+
+    # threshold below any real file size: every pair is over-threshold
+    df, plan = plan_bucket_join(
+        spark, la, rb, ("k", "rk"), broadcast_threshold=1
+    )
+    assert all(choice is None for _, _, _, choice in plan.pairs)
+    assert df.count() == left.join(
+        right, F.col("k") == F.col("rk")).count()
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    # per-bucket promise: no key-hash Exchange (AQE may inject empty-
+    # relation artifacts, but never a hashpartitioning on the join key)
+    assert "hashpartitioning(k" not in phys
+    assert "hashpartitioning(rk" not in phys
+    # the degradation is per-PAIR: with a threshold that fits one
+    # side, the hint returns
+    df2, plan2 = plan_bucket_join(
+        spark, la, rb, ("k", "rk"), broadcast_threshold=1 << 26
+    )
+    assert all(choice is not None for _, _, _, choice in plan2.pairs)
+    # require_broadcast raises, naming bucket and sizes
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match=r"bucket .* fits no broadcast"):
+        plan_bucket_join(
+            spark, la, rb, ("k", "rk"), broadcast_threshold=1,
+            require_broadcast=True,
+        )
+    try:
+        plan_bucket_join(
+            spark, la, rb, ("k", "rk"), broadcast_threshold=1,
+            require_broadcast=True,
+        )
+    except RuntimeError as e:
+        msg = str(e)
+        assert "left=" in msg and "right=" in msg and "threshold=1 B" in msg
