@@ -80,3 +80,57 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def trend() -> None:
+    """--trend: the per-round calibration-normalized series over
+    BENCH_r{N}.json, so verdicts stop re-deriving it by hand. Each
+    driver record's tail carries the compact summary (always parseable)
+    and, from r12 on, the inline calibration probes; the normalized
+    column divides the wall total by (numpy probe / steady reference)
+    — ≈flat ⇒ host drift, rising ⇒ code or coverage growth (see the
+    query-count column)."""
+    import glob
+    import re
+
+    steady = float(os.environ.get("SPARK_GRAFT_STEADY_NUMPY_S", "3.15"))
+    print("| round | queries | total s | numpy probe s | "
+          "normalized s (steady host) |")
+    print("|---|---|---|---|---|")
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        with open(path) as f:
+            rec = json.load(f)
+        tail = rec.get("tail", "")
+        m = re.findall(
+            r'\{"metric": "headline_queries_total", "value": ([0-9.]+), '
+            r'"unit": "sec", "sf": [0-9.]+\}', tail)
+        value = float(m[-1]) if m else None
+        nq = None
+        full = re.search(
+            r'\{"metric": "headline_queries_total".*"queries": .*\}',
+            tail)
+        if full:
+            try:
+                nq = len(json.loads(full.group(0))["queries"])
+            except ValueError:  # full record head-truncated by the tail
+                qm = re.search(r'"queries": \{(.*?)\}', tail)
+                nq = len(qm.group(1).split(",")) if qm else None
+        cm = re.search(
+            r'"calibration": \{"numpy_matmul_s": ([0-9.]+)', tail)
+        probe = float(cm.group(1)) if cm else None
+        rn = rec.get("n", "?")
+        if value is None:
+            print(f"| r{rn} | — | (tail unparseable) | — | — |")
+            continue
+        norm = f"{value / (probe / steady):.1f}" if probe else "—"
+        print(f"| r{rn} | {nq if nq else '—'} | {value:.1f} | "
+              f"{probe if probe else '—'} | {norm} |")
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    if "--trend" in _sys.argv:
+        trend()
+    else:
+        main()
