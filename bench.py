@@ -477,15 +477,18 @@ def main() -> None:
     # each other and cross-round comparisons are self-describing. Runs at
     # a non-default sf land under "<label>_sf<sf>" and never touch the
     # sf0.1 headline records.
-    print(json.dumps(out))
     label = os.environ.get("SPARK_GRAFT_BENCH_LABEL", "contended")
     if out["sf"] != 0.1:
         label = f"{label}_sf{sf}"
     refusal = calibration_gate(label, calibration, calibration_post)
     forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
     if refusal and forced:
+        # stamp BEFORE printing: the stdout record is what BENCH_r{N}
+        # tails and cross-round verdicts parse — a forced drift must be
+        # visible there, not only in BENCH_full.json
         out["calibration_forced_past_gate"] = refusal
         refusal = None
+    print(json.dumps(out))
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
     )

@@ -78,10 +78,6 @@ def main() -> None:
     )
 
 
-if __name__ == "__main__":
-    main()
-
-
 def trend() -> None:
     """--trend: the per-round calibration-normalized series over
     BENCH_r{N}.json, so verdicts stop re-deriving it by hand. Each

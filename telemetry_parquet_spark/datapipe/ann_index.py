@@ -413,19 +413,29 @@ def build_ivfpq_table(
     )  # k_code rows — driver-sized by the BPE-argmax contract
     cb = _sub_codebook(seed_rows, m_sub)
     enc = _pq_encode_udf(cb)
-    base = assigned.join(qvec, "vec_id")
-    (
-        base.select(
-            "vec_id", enc(F.col("qv")).alias("codes"), "cluster_id"
+    # persist across the two writes: without it each .write re-runs the
+    # assignment join AND the encode UDF over every vector — doubling
+    # the most expensive build pass (correct either way, the encode is
+    # deterministic, but 2× the corpus matmuls at 100 TB is real money)
+    base = (
+        assigned.join(qvec, "vec_id")
+        .select("vec_id", "qv", enc(F.col("qv")).alias("codes"),
+                "cluster_id")
+        .persist()
+    )
+    try:
+        (
+            base.select("vec_id", "codes", "cluster_id")
+            .write.partitionBy("cluster_id")
+            .parquet(os.path.join(root, _POSTINGS))
         )
-        .write.partitionBy("cluster_id")
-        .parquet(os.path.join(root, _POSTINGS))
-    )
-    (
-        base.select("vec_id", "qv", "cluster_id")
-        .write.partitionBy("cluster_id")
-        .parquet(os.path.join(root, _VECTORS))
-    )
+        (
+            base.select("vec_id", "qv", "cluster_id")
+            .write.partitionBy("cluster_id")
+            .parquet(os.path.join(root, _VECTORS))
+        )
+    finally:
+        base.unpersist()
     spark.createDataFrame(
         [(int(cid), [int(v) for v in vec]) for cid, vec in centroids],
         "cluster_id long, cvec array<long>",
@@ -457,17 +467,20 @@ def append_vectors_pq(
     assigned = qvec_new.select(
         "vec_id", "qv", assign(F.col("qv")).alias("cluster_id"),
         enc(F.col("qv")).alias("codes"),
-    )
-    (
-        assigned.select("vec_id", "codes", "cluster_id")
-        .write.mode("append").partitionBy("cluster_id")
-        .parquet(os.path.join(root, _POSTINGS))
-    )
-    (
-        assigned.select("vec_id", "qv", "cluster_id")
-        .write.mode("append").partitionBy("cluster_id")
-        .parquet(os.path.join(root, _VECTORS))
-    )
+    ).persist()  # two writes below — one UDF pass, not two
+    try:
+        (
+            assigned.select("vec_id", "codes", "cluster_id")
+            .write.mode("append").partitionBy("cluster_id")
+            .parquet(os.path.join(root, _POSTINGS))
+        )
+        (
+            assigned.select("vec_id", "qv", "cluster_id")
+            .write.mode("append").partitionBy("cluster_id")
+            .parquet(os.path.join(root, _VECTORS))
+        )
+    finally:
+        assigned.unpersist()
 
 
 def _require_cell_pruned(df: DataFrame, cells: list[int], what: str) -> None:
@@ -513,16 +526,20 @@ def ivfpq_table_topk(
     cb = _load_codebook(spark, root)
     m_sub, k_code, subdim = cb.shape
     qrows = queries.select("vec_id", "qv").collect()  # driver-sized
-    probe_pairs = [
-        (int(r.qid), int(c))
-        for r in queries.select(
-            F.col("vec_id").alias("qid"),
-            _probe_cells_udf(centroids, k, nprobe)(F.col("qv")).alias(
-                "cells"
-            ),
-        ).collect()
-        for c in r.cells
-    ]
+    # probe cells in plain numpy from the already-collected queries ×
+    # driver-resident centroids — same packed min(d2*k + cid) ordering
+    # as _probe_cells_udf, without launching a second Spark job per call
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cm = np.array([v for _, v in centroids], dtype=np.int64)
+    cc = (cm * cm).sum(axis=1)
+    probe_pairs = []
+    for r in qrows:
+        qv = np.asarray(r.qv, dtype=np.int64)
+        d2 = (qv * qv).sum() - 2 * (cm @ qv) + cc
+        packed = d2 * np.int64(k) + cids
+        n = min(nprobe, packed.shape[0])
+        for c in np.sort(packed)[:n] % np.int64(k):
+            probe_pairs.append((int(r.vec_id), int(c)))
     cells = sorted({c for _, c in probe_pairs})
     # per-query ADC distance tables: n_q × M × k_code rows, broadcast
     dtab_rows = []

@@ -297,24 +297,23 @@ def sim_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Lloyd recursion over the TRAINING slice only (vec_id % 10 <> 9), with
-# rank-renumbered seeds (the k lowest TRAIN ids -> cid 0..k-1, exactly
-# kmeans_fit's renumbering for sparse id sets).
-_QT = f"""
+def _train_ctes(k: int, iters: int) -> str:
+    """The train-slice Lloyd CTEs (qt/qh/seeds + recursion) at an
+    arbitrary (k, iters) — ONE copy of the recursion text, shared by
+    the k=256 exact-IVF oracle and the k=16 IVF-PQ oracle so the
+    shape can never drift between them."""
+    return f"""
 qt AS (SELECT * FROM q WHERE vec_id % 10 <> 9),
 qh AS (SELECT * FROM q WHERE vec_id % 10 = 9),
 seeds AS (
   SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
     SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
     FROM (SELECT DISTINCT vec_id FROM qt)
-  ) WHERE rn <= {K_IDX}
-)
-"""
-
-_AT = f"""
+  ) WHERE rn <= {k}
+),
 a(iter, vec_id, cid) AS (
-  SELECT 1 AS iter, vec_id, CAST(packed % {K_IDX} AS BIGINT) AS cid FROM (
-    SELECT vec_id, MIN(d2 * {K_IDX} + scid) AS packed FROM (
+  SELECT 1 AS iter, vec_id, CAST(packed % {k} AS BIGINT) AS cid FROM (
+    SELECT vec_id, MIN(d2 * {k} + scid) AS packed FROM (
       SELECT p.vec_id, c.cid AS scid,
              SUM((p.qval - c.qval) * (p.qval - c.qval)) AS d2
       FROM qt p JOIN (
@@ -325,8 +324,8 @@ a(iter, vec_id, cid) AS (
     ) GROUP BY vec_id
   )
   UNION ALL
-  SELECT d.iter + 1, d.vec_id, CAST(d.packed % {K_IDX} AS BIGINT) FROM (
-    SELECT dd.iter, dd.vec_id, MIN(dd.d2 * {K_IDX} + dd.cid) AS packed FROM (
+  SELECT d.iter + 1, d.vec_id, CAST(d.packed % {k} AS BIGINT) FROM (
+    SELECT dd.iter, dd.vec_id, MIN(dd.d2 * {k} + dd.cid) AS packed FROM (
       SELECT c.iter, p.vec_id, c.cid,
              SUM((p.qval - c.cval) * (p.qval - c.cval)) AS d2
       FROM qt p JOIN (
@@ -334,7 +333,7 @@ a(iter, vec_id, cid) AS (
                CAST(floor(CAST(SUM(p2.qval) AS DOUBLE) / COUNT(*) + 0.5)
                     AS BIGINT) AS cval
         FROM a JOIN qt p2 ON p2.vec_id = a.vec_id
-        WHERE a.iter < {ITERS_IDX}
+        WHERE a.iter < {iters}
         GROUP BY a.iter, a.cid, p2.dim
       ) c ON c.dim = p.dim
       GROUP BY c.iter, p.vec_id, c.cid
@@ -342,6 +341,7 @@ a(iter, vec_id, cid) AS (
   ) d
 )
 """
+
 
 
 @query(
@@ -356,7 +356,7 @@ a(iter, vec_id, cid) AS (
     # RAISES unless the probe scan's files all live under probed cell
     # directories — a green row proves partition pruning engaged.
     oracle=f"""
-    WITH RECURSIVE {_Q}, {_QT}, {_AT},
+    WITH RECURSIVE {_Q}, {_train_ctes(K_IDX, ITERS_IDX)},
     fin AS (SELECT vec_id, cid FROM a WHERE iter = {ITERS_IDX}),
     cent AS (
       SELECT f.cid, p.dim,
@@ -477,52 +477,6 @@ M_SUB = 4
 K_CODE = 16    # == K_PQ, so the Lloyd seeds relation doubles as the
 SUBDIM = 16    # codebook seed set (16 lowest train ids)
 ADC_M = 16
-
-
-def _train_ctes(k: int, iters: int) -> str:
-    """The train-slice Lloyd CTEs (qt/qh/seeds + recursion) at an
-    arbitrary (k, iters) — the same text as _QT/_AT parameterized, so
-    the k=256 exact-IVF oracle and the k=16 IVF-PQ oracle share one
-    recursion shape."""
-    return f"""
-qt AS (SELECT * FROM q WHERE vec_id % 10 <> 9),
-qh AS (SELECT * FROM q WHERE vec_id % 10 = 9),
-seeds AS (
-  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
-    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-    FROM (SELECT DISTINCT vec_id FROM qt)
-  ) WHERE rn <= {k}
-),
-a(iter, vec_id, cid) AS (
-  SELECT 1 AS iter, vec_id, CAST(packed % {k} AS BIGINT) AS cid FROM (
-    SELECT vec_id, MIN(d2 * {k} + scid) AS packed FROM (
-      SELECT p.vec_id, c.cid AS scid,
-             SUM((p.qval - c.qval) * (p.qval - c.qval)) AS d2
-      FROM qt p JOIN (
-        SELECT s.cid, sq.dim, sq.qval
-        FROM seeds s JOIN qt sq ON sq.vec_id = s.vec_id
-      ) c ON c.dim = p.dim
-      GROUP BY p.vec_id, c.cid
-    ) GROUP BY vec_id
-  )
-  UNION ALL
-  SELECT d.iter + 1, d.vec_id, CAST(d.packed % {k} AS BIGINT) FROM (
-    SELECT dd.iter, dd.vec_id, MIN(dd.d2 * {k} + dd.cid) AS packed FROM (
-      SELECT c.iter, p.vec_id, c.cid,
-             SUM((p.qval - c.cval) * (p.qval - c.cval)) AS d2
-      FROM qt p JOIN (
-        SELECT a.iter, a.cid, p2.dim,
-               CAST(floor(CAST(SUM(p2.qval) AS DOUBLE) / COUNT(*) + 0.5)
-                    AS BIGINT) AS cval
-        FROM a JOIN qt p2 ON p2.vec_id = a.vec_id
-        WHERE a.iter < {iters}
-        GROUP BY a.iter, a.cid, p2.dim
-      ) c ON c.dim = p.dim
-      GROUP BY c.iter, p.vec_id, c.cid
-    ) dd GROUP BY dd.iter, dd.vec_id
-  ) d
-)
-"""
 
 
 @query(

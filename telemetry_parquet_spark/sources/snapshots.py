@@ -2210,7 +2210,10 @@ def merge_into_conditional(
             c = (
                 F.lit(True)
                 if cond is None
-                else F.coalesce(F.expr(cond), F.lit(False))
+                else F.coalesce(
+                    F.expr(cond) if isinstance(cond, str) else cond,
+                    F.lit(False),
+                )
             )
             bs_fire = c if bs_fire is None else (bs_fire | c)
         all_scan = spark.read.schema(schema).parquet(
@@ -2544,6 +2547,16 @@ def alter_drop_column(root: str, name: str) -> int:
     meta["dropped_cols"] = sorted(
         set(m.get("dropped_cols", [])) | {name}
     )
+    # the eq-delete-capability declaration is safe to PRUNE (unlike the
+    # outstanding-eq refusal above): leaving the dropped name declared
+    # would keep advertising the metadata-delete route over a column
+    # that no longer resolves
+    if name in (meta.get("eq_delete_cols") or []):
+        kept = [c for c in meta["eq_delete_cols"] if c != name]
+        if kept:
+            meta["eq_delete_cols"] = kept
+        else:
+            meta.pop("eq_delete_cols", None)
     return _commit(
         root, "drop-column", m["files"], narrowed.json(), parent, meta
     )

@@ -950,6 +950,24 @@ def _probe_eq_delete(root: str, where: str):
     preds = _parse_conjuncts(where)
     if not preds:
         return None
+    import json as _json
+
+    from pyspark.sql.types import StructType as _ST
+
+    schema = _ST.fromJson(_json.loads(m["schema"]))
+    type_of = {f.name: f.dataType.typeName() for f in schema.fields}
+    # literal/column type gate: the eq route materializes literals as
+    # typed key tuples, so a literal whose python type does not belong
+    # to the column's type class must NOT route — Spark's own coercion
+    # on the COW path has different semantics (e.g. `cat = 5` on a
+    # string column compares numerically / raises under ANSI; the eq
+    # tuple would string-match only '5'). Out-of-shape → honest COW.
+    _OK_TYPES = {
+        "byte": (int,), "short": (int,), "integer": (int,),
+        "long": (int,), "float": (int, float), "double": (int, float),
+        "decimal": (int, float), "string": (str,),
+        "date": (str,), "timestamp": (str,), "timestamp_ntz": (str,),
+    }
     low = {c.lower(): c for c in declared}
     cols: list[str] = []
     value_sets: list[tuple] = []
@@ -965,6 +983,14 @@ def _probe_eq_delete(root: str, where: str):
             return None  # undeclared or duplicated column
         if any(v is None for v in vals):
             return None  # NULL never equality-matches; COW handles it
+        allowed = _OK_TYPES.get(type_of.get(canon, "").split("(")[0])
+        if allowed is None:
+            return None  # exotic column type: COW handles it
+        if any(
+            isinstance(v, bool) or not isinstance(v, allowed)
+            for v in vals
+        ):
+            return None  # literal type outside the column's class
         cols.append(canon)
         value_sets.append(vals)
     n = 1

@@ -344,3 +344,44 @@ def test_eq_delete_cols_declaration(spark, tmp_path):
     assert S.read_manifest(root, v)["eq_delete_cols"] == ["k"]
     v = S.set_eq_delete_cols(root, [])
     assert "eq_delete_cols" not in S.read_manifest(root, v)
+
+
+def test_eq_route_literal_type_gate(spark, tmp_path):
+    """A literal whose python type is outside the declared column's
+    type class must NOT route: the eq tuple would string/number-match a
+    DIFFERENT row set than Spark's own coercion on the COW path (review
+    finding: `cat = 5` on a string column deleted only '5', not '05')."""
+    from telemetry_parquet_spark.sources.sql_front import _probe_eq_delete
+
+    root, tables = _route_setup(spark, tmp_path, name="tg")
+    assert _probe_eq_delete(root, "cat = 5") is None        # int on str
+    assert _probe_eq_delete(root, "k = 'abc'") is None      # str on int
+    assert _probe_eq_delete(root, "k IN (1, 'x')") is None  # mixed IN
+    assert _probe_eq_delete(root, "k = 1.5") is None        # float on int
+    # proper types still route
+    assert _probe_eq_delete(root, "cat = '5'") is not None
+    assert _probe_eq_delete(root, "k IN (1, 2)") is not None
+
+
+def test_drop_column_prunes_eq_declaration(spark, tmp_path):
+    """Dropping a declared eq-delete column prunes the declaration so
+    EXPLAIN/DELETE stop advertising a route over a nonexistent column
+    (review finding: stale declaration crashed with KeyError)."""
+    from telemetry_parquet_spark.sources.sql_front import (
+        _probe_eq_delete,
+        engine_sql,
+    )
+
+    root, tables = _route_setup(spark, tmp_path, name="td")
+    S.alter_drop_column(root, "cat")
+    m = S.read_manifest(root, S.latest_version(root))
+    assert m.get("eq_delete_cols") == ["k"]  # cat pruned, k kept
+    assert _probe_eq_delete(root, "cat = 'a'") is None
+    out = engine_sql(spark, "DELETE FROM t WHERE k = 1",
+                     {"t": root}).first()
+    assert out["action"] == "delete-eq"  # surviving column still routes
+    # dropping the last declared column clears the declaration entirely
+    root2, _ = _route_setup(spark, tmp_path, declare=("cat",), name="td2")
+    S.alter_drop_column(root2, "cat")
+    assert "eq_delete_cols" not in S.read_manifest(
+        root2, S.latest_version(root2))

@@ -264,3 +264,21 @@ def test_sql_by_source_loud_errors(spark, tmp_path):
     with pytest.raises(ValueError, match="BY SOURCE"):
         engine_sql(spark, f"MERGE INTO t USING {sub} ON k "
                    "WHEN NOT MATCHED BY SOURCE THEN INSERT *", tables)
+
+
+def test_column_object_condition(spark, tmp_path):
+    """BY-SOURCE conditions may be Column objects, same as matched
+    clauses (review finding: detection crashed with TypeError on
+    F.expr(Column)). Like matched-clause Column conditions, references
+    must be t-qualified — both sides of the rewrite join are in scope."""
+    from pyspark.sql import functions as F
+
+    root = _mk(spark, tmp_path, "colcond")
+    src = spark.createDataFrame([(1, "A", 100)], "k int, name string, ts int")
+    v = S.merge_into_conditional(
+        spark, root, src, ["k"], [], not_matched_insert=False,
+        by_source_clauses=[("delete", F.col("t.ts") < 25)],
+    )
+    assert _state(spark, root, v) == {
+        (1, "a", 10), (3, "c", 30), (4, "d", 40)
+    }
