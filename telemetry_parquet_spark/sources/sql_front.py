@@ -1273,6 +1273,40 @@ def explain_sql(
                         "rewrite, no detection scan)"
         rows.append(("statement", kind))
         rows.append(("route", route))
+        if first == "MERGE" and re.match(
+            r"MERGE\s+INTO\b", stmt, re.IGNORECASE
+        ):
+            kinds = [
+                re.sub(r"\s+", " ", k.upper())
+                for k in re.findall(
+                    r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED"
+                    r"|MATCHED)\b",
+                    stmt, re.IGNORECASE,
+                )
+            ]
+            if kinds:
+                rows.append((
+                    "merge_clauses",
+                    f"{kinds.count('MATCHED')} matched, "
+                    f"{kinds.count('NOT MATCHED')} not-matched, "
+                    f"{kinds.count('NOT MATCHED BY SOURCE')} "
+                    "not-matched-by-source",
+                ))
+            if "NOT MATCHED BY SOURCE" in kinds:
+                rows.append((
+                    "merge_detection",
+                    "BY-SOURCE clause present: detection adds an "
+                    "all-files anti-join pass (key-range pruning is "
+                    "invalid for those clauses); matched-clause "
+                    "detection stays key-range-pruned",
+                ))
+            elif kinds:
+                rows.append((
+                    "merge_detection",
+                    "clause-aware: only files where a matched row "
+                    "FIRES a clause rewrite; detection scan bounded "
+                    "by the source key envelope",
+                ))
     else:
         rows.append(("statement", "query"))
         route = "scan"

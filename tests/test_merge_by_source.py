@@ -282,3 +282,36 @@ def test_column_object_condition(spark, tmp_path):
     assert _state(spark, root, v) == {
         (1, "a", 10), (3, "c", 30), (4, "d", 40)
     }
+
+
+def test_explain_reports_merge_clause_shape(spark, tmp_path):
+    """EXPLAIN MERGE reports the clause census and the detection shape
+    (BY-SOURCE flips to the all-files pass) from the statement alone —
+    nothing executes."""
+    from telemetry_parquet_spark.sources.sql_front import explain_sql
+
+    root = _mk(spark, tmp_path, "ex")
+    tables = {"t": root}
+    v_before = S.latest_version(root)
+    rows = {
+        r["aspect"]: r["detail"]
+        for r in explain_sql(spark, """
+            MERGE INTO t USING (SELECT 1 AS k, 'x' AS name, 1 AS ts)
+            ON k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """, tables).collect()
+    }
+    assert rows["merge_clauses"] == (
+        "1 matched, 1 not-matched, 1 not-matched-by-source")
+    assert "all-files anti-join" in rows["merge_detection"]
+    assert S.latest_version(root) == v_before  # nothing committed
+    rows2 = {
+        r["aspect"]: r["detail"]
+        for r in explain_sql(spark, """
+            MERGE INTO t USING (SELECT 1 AS k, 'x' AS name, 1 AS ts)
+            ON k WHEN MATCHED AND s.ts > t.ts THEN UPDATE SET *
+        """, tables).collect()
+    }
+    assert "key envelope" in rows2["merge_detection"]
