@@ -8,7 +8,6 @@ reference that applies SQL MERGE semantics row by row."""
 
 from __future__ import annotations
 
-import itertools
 import os
 import tempfile
 
