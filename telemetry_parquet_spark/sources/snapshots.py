@@ -2605,7 +2605,17 @@ def set_eq_delete_cols(root: str, cols: list[str]) -> int:
     column is declared here; anything else keeps the COW path. Declare
     the columns GDPR-ish point deletes key on (user/account ids) — the
     read-side anti-join broadcasts the key batches, so they should be
-    selective. An empty list clears the declaration."""
+    selective. An empty list clears the declaration.
+
+    OPERATIONAL INTERPLAY (declaring is consenting to it): a routed
+    DELETE commits an OUTSTANDING equality-delete key set, and while
+    any is outstanding every COW mutator (copy-on-write DELETE/UPDATE,
+    MERGE, staging, branching) REFUSES loudly until ``compact_table``
+    materializes the vectors — the same contract as calling
+    ``delete_eq`` directly. Tables that interleave point deletes with
+    COW DML should schedule compaction between them (the refusal
+    message says exactly that); EXPLAIN DELETE reports the route
+    before anything commits."""
     parent = latest_version(root)
     m = read_manifest(root, parent)
     schema = StructType.fromJson(json.loads(m["schema"]))

@@ -357,11 +357,11 @@ def _dml(
         root = _resolve(tables, m.group(1))
         where = m.group(2)
         if where:
-            tuples = _probe_eq_delete(root, where)
-            if tuples is not None:
-                cols, vals = tuples
+            probe = _probe_eq_delete(root, where)
+            if probe is not None:
+                cols, vals, schema = probe
                 v = S.delete_eq(
-                    spark, root, _eq_values_df(spark, root, cols, vals)
+                    spark, root, _eq_values_df(spark, schema, cols, vals)
                 )
                 return _version_df(spark, "delete-eq", v)
         v = S.delete_where(spark, root, where or "1=1")
@@ -957,16 +957,23 @@ def _probe_eq_delete(root: str, where: str):
     schema = _ST.fromJson(_json.loads(m["schema"]))
     type_of = {f.name: f.dataType.typeName() for f in schema.fields}
     # literal/column type gate: the eq route materializes literals as
-    # typed key tuples, so a literal whose python type does not belong
-    # to the column's type class must NOT route — Spark's own coercion
-    # on the COW path has different semantics (e.g. `cat = 5` on a
-    # string column compares numerically / raises under ANSI; the eq
-    # tuple would string-match only '5'). Out-of-shape → honest COW.
+    # typed key tuples, so routing is admitted ONLY where the tuple
+    # match is bit-identical to Spark's own predicate semantics —
+    # integer literals on integer columns (range-checked: an
+    # out-of-range literal would cast to NULL and blow up delete_eq
+    # where COW is a silent no-op) and string literals on string
+    # columns. Float/decimal (coercion-promoted comparisons diverge:
+    # float32(0.1) ≠ 0.1 as double; decimal casts ROUND) and
+    # date/timestamp (invalid strings cast to NULL) stay on the COW
+    # path — GDPR-ish point deletes key on ids and strings, which this
+    # covers. Out-of-shape → honest COW, never a semantics change.
+    _INT_RANGE = {
+        "byte": (-128, 127), "short": (-32768, 32767),
+        "integer": (-2**31, 2**31 - 1), "long": (-2**63, 2**63 - 1),
+    }
     _OK_TYPES = {
         "byte": (int,), "short": (int,), "integer": (int,),
-        "long": (int,), "float": (int, float), "double": (int, float),
-        "decimal": (int, float), "string": (str,),
-        "date": (str,), "timestamp": (str,), "timestamp_ntz": (str,),
+        "long": (int,), "string": (str,),
     }
     low = {c.lower(): c for c in declared}
     cols: list[str] = []
@@ -983,14 +990,18 @@ def _probe_eq_delete(root: str, where: str):
             return None  # undeclared or duplicated column
         if any(v is None for v in vals):
             return None  # NULL never equality-matches; COW handles it
-        allowed = _OK_TYPES.get(type_of.get(canon, "").split("(")[0])
+        tname = type_of.get(canon, "").split("(")[0]
+        allowed = _OK_TYPES.get(tname)
         if allowed is None:
-            return None  # exotic column type: COW handles it
+            return None  # non-int/string column type: COW handles it
         if any(
             isinstance(v, bool) or not isinstance(v, allowed)
             for v in vals
         ):
             return None  # literal type outside the column's class
+        rng = _INT_RANGE.get(tname)
+        if rng and any(not (rng[0] <= v <= rng[1]) for v in vals):
+            return None  # out-of-range int would cast to NULL
         cols.append(canon)
         value_sets.append(vals)
     n = 1
@@ -998,26 +1009,16 @@ def _probe_eq_delete(root: str, where: str):
         n *= len(vs)
         if n > _EQ_DELETE_MAX_TUPLES:
             return None
-    return cols, list(itertools.product(*value_sets))
+    return cols, list(itertools.product(*value_sets)), schema
 
 
-def _eq_values_df(spark, root: str, cols: list[str], vals: list) -> DataFrame:
+def _eq_values_df(spark, schema, cols: list[str], vals: list) -> DataFrame:
     """Key tuples → a DataFrame typed EXACTLY as the table's columns
     (``delete_eq`` refuses type mismatches; SQL literals arrive as
-    python ints/floats/strs)."""
-    import json as _json
-
-    from pyspark.sql.types import StructType as _ST
-
-    from telemetry_parquet_spark.sources.snapshots import (
-        latest_version,
-        read_manifest,
-    )
-
+    python ints/strs). Takes the schema the probe already parsed —
+    no second manifest read on the DML hot path."""
     from pyspark.sql import functions as F
 
-    m = read_manifest(root, latest_version(root))
-    schema = _ST.fromJson(_json.loads(m["schema"]))
     types = {f.name: f.dataType for f in schema.fields}
     df = spark.createDataFrame([tuple(map(str, t)) for t in vals],
                                ", ".join(f"{c} string" for c in cols))
@@ -1264,13 +1265,20 @@ def explain_sql(
                 else None
             )
             if probe is not None:
-                cols, vals = probe
+                cols, vals, _schema = probe
                 kind = (
                     "DELETE (metadata-only equality-delete commit: "
                     f"{len(vals)} key tuple(s) over ({', '.join(cols)}))"
                 )
                 route = "commit-log mutator (equality-delete, no file "\
                         "rewrite, no detection scan)"
+                rows.append((
+                    "eq_delete_interplay",
+                    "commits an OUTSTANDING key set: COW mutators "
+                    "(copy-on-write DELETE/UPDATE/MERGE, staging, "
+                    "branching) refuse until compact_table "
+                    "materializes it",
+                ))
         rows.append(("statement", kind))
         rows.append(("route", route))
         if first == "MERGE" and re.match(

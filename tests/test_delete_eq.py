@@ -385,3 +385,52 @@ def test_drop_column_prunes_eq_declaration(spark, tmp_path):
     S.alter_drop_column(root2, "cat")
     assert "eq_delete_cols" not in S.read_manifest(
         root2, S.latest_version(root2))
+
+
+def test_eq_route_exact_semantics_only(spark, tmp_path):
+    """Second-review pins: float/decimal/date columns and out-of-range
+    integer literals never route — each is a case where the typed key
+    tuple would diverge from (or crash where) the COW predicate
+    (float32 promotion, decimal cast ROUNDING, cast-to-NULL)."""
+    from telemetry_parquet_spark.sources.sql_front import _probe_eq_delete
+
+    root = str(tmp_path / "sem")
+    S.append(spark, root, spark.createDataFrame(
+        [(1, 0.1, "2024-01-01", 5)],
+        "b tinyint, f float, d string, k int").selectExpr(
+            "b", "f", "CAST(d AS DATE) AS d", "k"))
+    S.set_eq_delete_cols(root, ["b", "f", "d", "k"])
+    assert _probe_eq_delete(root, "f = 0.1") is None       # float col
+    assert _probe_eq_delete(root, "d = '2024-01-01'") is None  # date col
+    assert _probe_eq_delete(root, "b = 999") is None       # out of range
+    assert _probe_eq_delete(root, "b = -129") is None
+    assert _probe_eq_delete(root, "b = 127") is not None   # in range
+    assert _probe_eq_delete(root, "k = 5") is not None
+
+
+def test_eq_routed_then_cow_refusal_is_loud(spark, tmp_path):
+    """Second-review pin for the operational interplay: a routed point
+    delete leaves an outstanding key set, so a later COW-shaped DELETE
+    through the same front door refuses with the compact_table
+    instruction — and EXPLAIN advertised the interplay up front."""
+    from telemetry_parquet_spark.sources.sql_front import (
+        engine_sql,
+        explain_sql,
+    )
+
+    root, tables = _route_setup(spark, tmp_path, name="inter")
+    rows = {
+        r["aspect"]: r["detail"]
+        for r in explain_sql(spark, "DELETE FROM t WHERE k = 1",
+                             tables).collect()
+    }
+    assert "refuse until compact_table" in rows["eq_delete_interplay"]
+    out = engine_sql(spark, "DELETE FROM t WHERE k = 1", tables).first()
+    assert out["action"] == "delete-eq"
+    with pytest.raises(ValueError, match="compact_table"):
+        engine_sql(spark, "DELETE FROM t WHERE v > 5", tables)
+    # compaction restores COW DML
+    S.compact_table(spark, root, target_bytes=1 << 20)
+    out = engine_sql(spark, "DELETE FROM t WHERE v > 35", tables).first()
+    assert out["action"] == "delete"
+    assert _state(spark, root) == {(2, "b", 20), (3, "a", 30)}
