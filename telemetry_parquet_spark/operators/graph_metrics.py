@@ -32,15 +32,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Undirected edge set normalized to (a < b), loops dropped, distinct."""
+def canonical_edges(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    partition_on: str | None = None,
+) -> DataFrame:
+    """Undirected edge set normalized to (a < b), loops dropped, distinct.
+
+    ``partition_on`` ("a" or "b"): dedup via repartition-on-that-key +
+    partition-local hash-agg instead of a (a, b) distinct — same edge set,
+    but the result is hash-partitioned on the key, so a downstream
+    consumer that persists it joins/aggregates on that key with ZERO
+    further exchanges (guide §2.4; HashPartitioning(a) clusters equal
+    (a, b) rows, so dropDuplicates needs no second shuffle). The explicit
+    count pins the layout against AQE coalescing; it comes from conf, so
+    it scales with the session, not with local[32]."""
     a = F.least(F.col(src), F.col(dst))
     b = F.greatest(F.col(src), F.col(dst))
-    return (
-        edges.select(a.alias("a"), b.alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    base = edges.select(a.alias("a"), b.alias("b")).where(F.col("a") != F.col("b"))
+    if partition_on is None:
+        return base.distinct()
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return base.repartition(n_part, partition_on).dropDuplicates(["a", "b"])
 
 
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -58,7 +72,9 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     # computed exactly once per action (MEMORY_AND_DISK default, edge-sized).
     # Lazy return ⇒ no unpersist here; blocks follow the session residue
     # contract (evictable; release via session.clear_cached_relations).
-    e = canonical_edges(edges, src, dst).persist()
+    # Partitioned on "a" at dedup time (r13, guide §2.4) so the first degree
+    # attach joins the cached relation with no exchange on the edge side.
+    e = canonical_edges(edges, src, dst, partition_on="a").persist()
 
     deg = (
         e.select(F.col("a").alias("id"))
@@ -77,11 +93,22 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
     ka = F.struct(F.col("deg_a").alias("deg"), F.col("a").alias("id"))
     kb = F.struct(F.col("deg_b").alias("deg"), F.col("b").alias("id"))
-    oriented = with_deg.select(
-        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(ka < kb, kb).otherwise(ka).alias("vkey"),
-    ).persist()
+    # Partition the oriented relation on the wedge apex u before persisting
+    # (r13, guide §2.4): the wedge self-join below reads BOTH sides from
+    # this cache co-partitioned (and, via sortWithinPartitions, co-sorted)
+    # on u — zero exchanges and zero per-consumer sorts for the largest
+    # join in the query. Count pinned from conf against AQE coalescing.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    oriented = (
+        with_deg.select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(ka < kb, kb).otherwise(ka).alias("vkey"),
+        )
+        .repartition(n_part, "u")
+        .sortWithinPartitions("u")
+        .persist()
+    )
 
     # Wedges at the apex u: pairs (v, w) with u→v and u→w, emitted once in
     # orientation order (vkey < wkey) so each triangle closes exactly once.
@@ -135,10 +162,19 @@ def label_propagation(
     M = 1 << 31
 
     e = canonical_edges(edges, src, dst)
+    # Partitioned on u and persisted — NOT localCheckpoint, which reports
+    # UnknownPartitioning under AQE — so each iteration's vote join reads
+    # the edge relation CO-PARTITIONED on the join key and only the
+    # node-sized label vector moves per iteration (r13, guide §2.4; the
+    # edge-side exchange was the dominant per-iteration shuffle). The
+    # explicit conf-derived count pins the layout against AQE coalescing.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     both = (
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint()
+        .repartition(n_part, "u")
+        .sortWithinPartitions("u")
+        .persist()
     )
     lbl = (
         both.select(F.col("u").alias("id"))

@@ -68,7 +68,25 @@ def pagerank_fixed_point(
     oracle discipline; non-seed nodes earn rank only through incoming
     links from the seeds' neighborhoods.
     """
-    edges = edges.select("src", "dst").distinct()
+    # Build-phase shuffle discipline (r13 optimization, guide §2.4): dedup
+    # via repartition-on-src + partition-local hash-agg (HashPartitioning(src)
+    # clusters equal (src, dst) rows, so dropDuplicates adds NO second
+    # exchange), and persist() — NOT localCheckpoint, which reports
+    # UnknownPartitioning under AQE — so (a) the edge derivation runs ONCE
+    # for its three consumers (nodes / deg / aug) instead of replaying the
+    # upstream lineage per consumer, and (b) the src partitioning is visible
+    # downstream: deg's groupBy("src") and aug's join on "src" both reuse it
+    # with zero additional exchanges. The explicit partition count pins the
+    # layout against AQE coalescing so the per-iteration join below stays
+    # exchange-free on the big side (count from conf — scale-adaptive, not
+    # a local constant).
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        edges.select("src", "dst")
+        .repartition(n_part, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -80,7 +98,11 @@ def pagerank_fixed_point(
         raise ValueError("pagerank_fixed_point: edge list is empty (no nodes)")
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     # marker self-loops guarantee every node appears as a dst each step
-    # (zero contribution), so teleport reaches in-degree-0 nodes too
+    # (zero contribution), so teleport reaches in-degree-0 nodes too.
+    # Re-partitioned on src and persisted: every iteration's contribution
+    # join then reads aug CO-PARTITIONED on the join key — only the
+    # node-sized rank vector moves per iteration, never the edge relation
+    # (the dominant per-iteration exchange before this change).
     aug = (
         edges.join(deg, "src")
         .select("src", "dst", "d", F.lit(True).alias("is_real"))
@@ -92,7 +114,9 @@ def pagerank_fixed_point(
                 F.lit(False).alias("is_real"),
             )
         )
-        .localCheckpoint()
+        .repartition(n_part, "src")
+        .sortWithinPartitions("src")
+        .persist()
     )
     if seed_mod is None:
         init = scale // n
