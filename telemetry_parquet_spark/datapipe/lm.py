@@ -99,14 +99,29 @@ def perplexity_scores(docs: DataFrame, keep_threshold: float) -> DataFrame:
     The bigram relation feeds three consumers (the scoring join source and
     both count tables); materialize it ONCE so the corpus is tokenized and
     exploded a single time — the same multi-consumer localCheckpoint
-    discipline as ``semantic_prune`` and ``minhash_near_dup_pairs``."""
+    discipline as ``semantic_prune`` and ``minhash_near_dup_pairs``.
+
+    r13 optimization (guide §2.3): the ``w1`` (context-count) join moved
+    from occurrence level to TYPE level. The model term is a function of
+    the bigram type, so the two count tables pre-join into one
+    pair-vocab-sized model table ``(w1, w2, t)`` and the occurrence
+    relation passes through exactly ONE shuffle join (on ``(w1, w2)``)
+    instead of two — at web scale the dropped join re-shuffled the whole
+    exploded corpus on the Zipf-skewed ``w1`` key. (A further collapse of
+    the occurrences to per-document type counts before the model join was
+    measured and rejected: natural-text bigrams are nearly unique within
+    a document, so the extra wide-key aggregation shuffles ~the same rows
+    and cost +45% at sf0.1.) Arithmetic is unchanged — the same
+    ``round(ln, 9) → decimal(28,9)`` term per type, summed over the same
+    occurrences — so results are bit-identical."""
     bi = doc_bigrams(docs).localCheckpoint()
-    terms = (
-        bi.join(bigram_counts(bi), ["w1", "w2"])
+    model = (
+        bigram_counts(bi)
         .join(context_counts(bi), ["w1"])
         .crossJoin(F.broadcast(vocab_size(docs)))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.round(
                 F.log(
                     (F.col("cw") + F.col("vocab")).cast("double")
@@ -119,7 +134,8 @@ def perplexity_scores(docs: DataFrame, keep_threshold: float) -> DataFrame:
         )
     )
     return (
-        terms.groupBy("doc_id")
+        bi.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.sum("t").alias("s"))
         .select(
             "doc_id",

@@ -216,14 +216,22 @@ def ngram_contamination(
         .select(F.md5("__g").alias("__h"))
         .distinct()
     )
-    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "__h")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
+    # r13 optimization (guide §2.3): one pass instead of two. A broadcast
+    # LEFT join marks each gram occurrence as hit/miss, and a single
+    # aggregation produces totals and hit counts together — the corpus
+    # gram explode runs once (it ran twice before: totals pass + hits
+    # pass), and the totals⋈hits join shuffle disappears. The inner-join
+    # row set is preserved by keeping only docs with ≥ 1 hit.
+    marked = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "__h", "left"
     )
     return (
-        totals.join(hits, id_col)
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum("__hit").alias("n_contaminated"),
+        )
+        .where(F.col("n_contaminated").isNotNull())
         .select(
             F.col(id_col),
             "n_ngrams",
@@ -264,10 +272,17 @@ def dsir_fixedpoint_scores(
     per-bucket log and a global constant; fixed-point keeps the gate
     exact — the kmeans_det/micro-cosine discipline).
 
-    Scale shape: one explode + ONE map-side-combinable aggregation over
-    (bucket) for the stats (bucket-table-sized result, broadcast back),
-    one hash-agg per document for the score — the corpus is touched
-    twice, no self-joins, no Python. Returns (id, score)."""
+    Scale shape (r13 optimization — guide §2.3/§2.4): the corpus is
+    touched ONCE. A single explode (both n-gram orders concatenated into
+    one pass) feeds one map-side-combinable aggregation to a persisted
+    per-document bucket-count table (≤ ``buckets`` rows per document —
+    the lightweight proxy of the gram stream); bucket stats, the ratio
+    table, and the per-document score all derive from that proxy, so the
+    gram-level explode+md5 work that previously ran twice (stats pass +
+    scoring pass) runs exactly once, and the scoring shuffle carries
+    (id, bucket, count) rows instead of one row per gram occurrence.
+    Integer arithmetic is unchanged: Σ_grams ilr(b) ≡ Σ_buckets n·ilr(b)
+    exactly (int64), so scores are bit-identical. Returns (id, score)."""
     from telemetry_parquet_spark.datapipe.dedup import md5_hash60
 
     base = spread(
@@ -275,20 +290,26 @@ def dsir_fixedpoint_scores(
             F.col(id_col), F.col(text_col), is_target.alias("__tgt")
         )
     )
-    hashed = None
-    for n in ns:
-        g = base.select(
-            F.col(id_col),
-            "__tgt",
-            F.explode(_raw_word_ngrams(F.col(text_col), n)).alias("__g"),
-        ).select(
-            F.col(id_col), "__tgt",
-            (md5_hash60(F.col("__g")) % buckets).alias("__b"),
-        )
-        hashed = g if hashed is None else hashed.unionByName(g)
-    stats = hashed.groupBy("__b").agg(
-        F.count("*").alias("cr"),
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+    hashed = base.select(
+        F.col(id_col),
+        "__tgt",
+        F.explode(
+            F.concat(*[_raw_word_ngrams(F.col(text_col), n) for n in ns])
+        ).alias("__g"),
+    ).select(
+        F.col(id_col), "__tgt",
+        (md5_hash60(F.col("__g")) % buckets).alias("__b"),
+    )
+    per_doc = (
+        hashed.groupBy(id_col, "__tgt", "__b")
+        .agg(F.count("*").alias("__n"))
+        .persist()  # session residue contract; evictable MEMORY_AND_DISK
+    )
+    stats = per_doc.groupBy("__b").agg(
+        F.sum("__n").alias("cr"),
+        F.sum(F.when(F.col("__tgt"), F.col("__n")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
     )
     spark = docs.sparkSession
     grid = spark.range(buckets).select(F.col("id").cast("long").alias("__b"))
@@ -303,9 +324,9 @@ def dsir_fixedpoint_scores(
         )
     )
     return (
-        hashed.join(F.broadcast(ilr), "__b")
+        per_doc.join(F.broadcast(ilr), "__b")
         .groupBy(id_col)
-        .agg(F.sum("__ilr").cast("long").alias("score"))
+        .agg(F.sum(F.col("__n") * F.col("__ilr")).cast("long").alias("score"))
     )
 
 
