@@ -193,7 +193,12 @@ def lsh_candidate_pairs(
             )
         )
     )
-    banded = _banded(sigs, sig, id_col, bands, width)
+    # materialize the banded keys ONCE (bands·N rows of (id, band_id,
+    # 64-bit hash)) — without the lineage break both self-join sides
+    # recompute the whole signature pipeline (corpus shingle explode +
+    # K-min aggregation); the broadcast side's exchange cannot be reused
+    # by the streamed side, so the corpus pass ran twice
+    banded = _banded(sigs, sig, id_col, bands, width).localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -312,10 +317,14 @@ def ngram_jaccard_pairs(
     counts; dropping a hot shingle can only lower a pair's reported
     intersection (conservative: similarity is under-, never over-stated).
     ``df_cap=None`` disables the guard (exact oracle mode)."""
+    # materialize the hashed shingle index ONCE ((id, 64-bit hash) rows) —
+    # it feeds four consumers (per-doc sizes, the hot-key census, and both
+    # self-join sides), each of which otherwise re-runs the corpus shingle
+    # explode + hash
     sh = spread(df).select(
         F.col(id_col),
         F.explode(shingles(text_col, shingle_n)).alias("shingle"),
-    ).withColumn("shingle", F.xxhash64("shingle"))
+    ).withColumn("shingle", F.xxhash64("shingle")).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     joinable = sh
     if df_cap is not None:
@@ -421,7 +430,11 @@ def hamming_pairs(
             f"pigeonhole needs max_hamming ({max_hamming}) < chunks ({chunks})"
         )
     width = 64 // chunks
-    fp = fps.select(F.col(id_col), F.col(fp_col).alias("fp"))
+    # materialize the fingerprints ONCE (doc-sized: id + 8 bytes) — the
+    # chunk-bucket self-join otherwise recomputes the full fingerprint
+    # pipeline (token explode + 64-column vote aggregation for SimHash,
+    # image decode for aHash) on BOTH sides
+    fp = fps.select(F.col(id_col), F.col(fp_col).alias("fp")).localCheckpoint()
     chunked = fp.select(
         F.col(id_col),
         "fp",
