@@ -47,8 +47,7 @@ from pyspark.sql import functions as F
 from telemetry_parquet_spark.sources.skipping import (
     NUM_BITS,
     NUM_HASHES,
-    bloom_candidate_files,
-    bloom_candidate_files_any,
+    bloom_probe_files,
 )
 
 
@@ -172,19 +171,24 @@ def plan_scan(
 
     ``stats`` routes every predicate whose column it covers through
     min/max envelope pruning; ``bloom_indexes[col]`` routes ``Eq`` and
-    ``In`` predicates on ``col`` through the per-file Bloom index (an IN
-    list probes in ONE job via ``bloom_candidate_files_any``). Mechanisms
+    ``In`` predicates on ``col`` through the per-file Bloom index (each
+    probe resolves coverage and candidates in ONE job via
+    ``bloom_probe_files``, IN lists included). Mechanisms
     only remove files, so their composition is order-free; the residual
     filter guarantees exactness regardless. With ``require_each_pruning``
     each wired mechanism must skip >= 1 file or the planner RAISES."""
     paths = data_path if isinstance(data_path, list) else [data_path]
-    schema = spark.read.parquet(*paths).schema
+    reader = spark.read.parquet(*paths)
+    schema = reader.schema
+    # enumerate files from the reader's file index (driver-side, O(files)
+    # metadata ops) — the previous `_metadata.file_path` distinct+collect
+    # was a full ROW scan of the table just to list its files, a
+    # data-sized job at 100 TB for a files-sized answer. inputFiles()
+    # renders the file scheme as file:/// while _metadata (the stats and
+    # Bloom index key) renders file:/ — normalize to the _metadata form.
     all_files = [
-        r.file_path
-        for r in spark.read.parquet(*paths)
-        .select(F.col("_metadata.file_path").alias("file_path"))
-        .distinct()
-        .collect()
+        "file:/" + u[len("file:///"):] if u.startswith("file:///") else u
+        for u in set(reader.inputFiles())
     ]
     plan = ScanPlan(total_files=len(all_files))
     kept = sorted(all_files)
@@ -209,27 +213,43 @@ def plan_scan(
                 plan.steps.append((f"minmax:{p.col}", len(kept)))
 
     for col, index in (bloom_indexes or {}).items():
-        # files the index has never seen (appended after the last
-        # update_file_bloom_index) must be KEPT unconditionally — the
+        # each probe resolves coverage AND candidates in ONE pass over
+        # the index (bloom_probe_files) — the previous shape executed the
+        # whole index-build pipeline once for the coverage set and again
+        # per probe. Files the index has never seen (appended after the
+        # last update_file_bloom_index) are KEPT unconditionally — the
         # min/max stage applies the same stale-coverage rule; dropping
-        # them would silently lose matching rows
-        indexed = {
-            r.file_path
-            for r in index.select("file_path").distinct().collect()
-        }
+        # them would silently lose matching rows. The probe value is
+        # rendered to string by SPARK (F.lit + cast), matching the build
+        # side's cast(key AS string) — a Python str() could differ and a
+        # representation mismatch would be a Bloom FALSE NEGATIVE.
         for p in predicates:
             if isinstance(p, Eq) and p.col == col:
-                cands = set(
-                    bloom_candidate_files(index, p.value, num_bits, num_hashes)
+                vals = spark.range(1).select(
+                    F.lit(p.value).cast("string").alias("__val")
                 )
             elif isinstance(p, In) and p.col == col:
-                cands = set(  # one job for the whole IN list
-                    bloom_candidate_files_any(
-                        index, p.values, num_bits, num_hashes
-                    )
-                )
+                if not p.values:
+                    # IN () matches nothing: drop every indexed file,
+                    # keep only never-indexed ones (coverage rule)
+                    indexed = {
+                        r.file_path
+                        for r in index.select("file_path")
+                        .distinct()
+                        .collect()
+                    }
+                    kept = [f for f in kept if f not in indexed]
+                    plan.steps.append((f"bloom:{col}", len(kept)))
+                    continue
+                vals = spark.createDataFrame(
+                    [(v,) for v in p.values], ["__raw"]
+                ).select(F.col("__raw").cast("string").alias("__val"))
             else:
                 continue
+            indexed_l, cands_l = bloom_probe_files(
+                index, vals, num_bits, num_hashes
+            )
+            indexed, cands = set(indexed_l), set(cands_l)
             kept = [
                 f for f in kept if f not in indexed or f in cands
             ]

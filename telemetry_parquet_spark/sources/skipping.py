@@ -153,6 +153,61 @@ def bloom_candidate_files_any(
     return [r.file_path for r in hits.collect()]
 
 
+def bloom_probe_files(
+    index: DataFrame,
+    vals: DataFrame,
+    num_bits: int = NUM_BITS,
+    num_hashes: int = NUM_HASHES,
+) -> tuple[list[str], list[str]]:
+    """(indexed files, candidate files) in ONE pass over the index.
+
+    ``vals`` is a one-column ``__val`` string DataFrame of probe values
+    (the caller controls the exact value→string rendering — it must match
+    the build side's ``cast(key AS string)``). A LEFT join keeps every
+    index row, so the same aggregation that scores candidates (every
+    probe word of at least one value matched) also enumerates coverage —
+    the planner previously paid one full index-build execution for the
+    coverage set and another for the probe."""
+    word, mask = _word_and_mask(F.col("__pos"))
+    probe = (
+        vals.select(
+            "__val",
+            F.explode(
+                _positions(F.col("__val"), num_bits, num_hashes)
+            ).alias("__pos"),
+        )
+        .select("__val", word.alias("word_idx"), mask.alias("__mask"))
+        .groupBy("__val", "word_idx")
+        .agg(F.bit_or("__mask").alias("need"))
+    )
+    need_counts = probe.groupBy("__val").agg(F.count("*").alias("n_need"))
+    per_val = (
+        index.join(F.broadcast(probe), "word_idx", "left")
+        .groupBy("file_path", "__val")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bits").bitwiseAND(F.col("need")) == F.col("need"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_ok")
+        )
+        .join(F.broadcast(need_counts), "__val", "left")
+    )
+    rows = (
+        per_val.groupBy("file_path")
+        .agg(
+            F.max(
+                F.when(F.col("n_ok") == F.col("n_need"), 1).otherwise(0)
+            ).alias("__qual")
+        )
+        .collect()
+    )
+    indexed = [r.file_path for r in rows]
+    cands = [r.file_path for r in rows if r["__qual"] == 1]
+    return indexed, cands
+
+
 def pruned_point_lookup(
     spark: SparkSession,
     data_path: str,
@@ -167,15 +222,14 @@ def pruned_point_lookup(
     full-scan filter because Bloom filters have no false negatives. With
     ``require_pruning`` the lookup RAISES unless at least one file was
     skipped — callers that claim skipping engaged get proof, not hope."""
-    schema = spark.read.parquet(data_path).schema
+    reader = spark.read.parquet(data_path)
+    schema = reader.schema
     cands = bloom_candidate_files(index, value, num_bits, num_hashes)
     if require_pruning:
-        n_total = (
-            spark.read.parquet(data_path)
-            .select("_metadata.file_path")
-            .distinct()
-            .count()
-        )
+        # count files from the reader's file index (driver-side) — the
+        # previous `_metadata.file_path` distinct().count() was a full
+        # row scan of the table for a files-sized answer
+        n_total = len(set(reader.inputFiles()))
         if len(cands) >= n_total:
             raise RuntimeError(
                 f"bloom index pruned nothing: {len(cands)}/{n_total} files"
