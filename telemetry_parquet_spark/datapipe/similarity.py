@@ -81,32 +81,88 @@ def pairwise_top_k(
     vec_col: str = "embedding",
     exclude_self: bool = False,
 ) -> DataFrame:
-    """Top-k corpus neighbors for each query row: broadcast the (small) query
-    set against the corpus, score, rank per query. For large query sets use
-    ``lsh_bucket_top_k``. With ``exclude_self`` a corpus row whose id equals
-    the query id is dropped before ranking (the KNN-graph shape, where the
-    query batch is itself a slice of the corpus)."""
+    """Top-k corpus neighbors for each query row — the query batch rides
+    into a ``mapInPandas`` as a driver-side float64 matrix (batch KNN
+    contract: n_queries is bounded, exactly the bound the previous
+    broadcast-join shape assumed), every corpus Arrow batch is scored in
+    ONE (batch × dim) @ (dim × n_queries) matmul, and each batch emits
+    only its per-query top-k — the corpus is touched once with NO join
+    and the only shuffle is the trimmed candidate set into the final
+    rank window. The earlier expression route materialized the full
+    |corpus|·|batch| pair set through an interpreted higher-order dot
+    fold (BroadcastNestedLoopJoin; guide §4's row-at-a-time boundary in
+    codegen clothing).
+
+    Semantics are unchanged from the expression route: cosine =
+    dot/(‖c‖·‖q‖) in float64, rows with a zero (or null) vector on
+    either side keep score 0.0, rounding is half-away-from-zero to 6
+    digits (Spark ``F.round``), and ties rank by (score desc, id asc).
+    The per-batch trim orders by that same key, so it is a superset of
+    the global top-k by construction. For large query sets use
+    ``lsh_bucket_top_k``. With ``exclude_self`` a corpus row whose id
+    equals the query id is dropped before ranking (the KNN-graph shape,
+    where the query batch is itself a slice of the corpus)."""
     from pyspark.sql import Window as W
 
-    q = queries.select(
-        F.col(query_id),
-        F.col(vec_col).alias("__qv"),
-        norm(F.col(vec_col)).alias("__qn"),
+    q_rows = queries.select(query_id, vec_col).collect()
+    qids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    nq = len(qids)
+    dim = next(
+        (len(r[1]) for r in q_rows if r[1] is not None), 1
     )
-    scored = corpus.withColumn("__cn", norm(F.col(vec_col))).join(
-        F.broadcast(q)
-    ).select(
-        query_id,
-        corpus_id,
-        F.round(
-            cosine_presplit(
-                F.col(vec_col), F.col("__qv"), F.col("__cn"), F.col("__qn")
-            ),
-            6,
-        ).alias("cosine_sim"),
+
+    def _to_mat(vals) -> np.ndarray:
+        # null vector -> zero vector: the expression route scored those
+        # rows 0.0 via the d > 0 guard, and a zero vector reproduces
+        # exactly that (denominator 0 -> score 0.0)
+        return np.stack(
+            [
+                np.zeros(dim)
+                if v is None
+                else np.asarray(v, dtype=np.float64)
+                for v in vals
+            ]
+        )
+
+    qm = _to_mat([r[1] for r in q_rows]) if nq else np.zeros((0, dim))
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    out_schema = f"{query_id} long, {corpus_id} long, cosine_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            cids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            cm = _to_mat(pdf[vec_col])
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            denom = cn[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(denom > 0, (cm @ qm.T) / denom, 0.0)
+            # F.round(_, 6): HALF_UP = half away from zero
+            r = s * 1e6
+            cos = np.where(r >= 0, np.floor(r + 0.5), np.ceil(r - 0.5)) / 1e6
+            parts = []
+            for j in range(nq):
+                col, ids = cos[:, j], cids
+                if exclude_self:
+                    m_ok = ids != qids[j]
+                    col, ids = col[m_ok], ids[m_ok]
+                top = np.lexsort((ids, -col))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_id: qids[j],
+                            corpus_id: ids[top],
+                            "cosine_sim": col[top],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = corpus.select(F.col(corpus_id), F.col(vec_col)).mapInPandas(
+        score, out_schema
     )
-    if exclude_self:
-        scored = scored.where(F.col(corpus_id) != F.col(query_id))
     w = W.partitionBy(query_id).orderBy(
         F.desc("cosine_sim"), F.asc(corpus_id)
     )

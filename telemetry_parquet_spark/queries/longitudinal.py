@@ -248,20 +248,38 @@ TOP_BASKET_PAIRS = 100
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence (association-rules support counting):
     part pairs ordered together in ≥ {MIN_PAIR_SUPPORT} orders, top-k by
-    (support desc, pair). The self-join keys on the order id, so the
-    compare count is Σ|basket|²/2 — bounded by basket size, never
-    catalog² — and the DISTINCT pre-projection keeps repeated lineitems
-    of the same part from inflating support."""
-    items = (
+    (support desc, pair). Baskets are built with ONE map-side-combinable
+    `collect_set` aggregation (the set dedups repeated lineitems of the
+    same part, so support counts orders, not line items) and the ordered
+    pairs are generated with array ops inside each basket — the compare
+    count stays Σ|basket|²/2, bounded by basket size, never catalog²,
+    but the corpus is scanned and shuffled ONCE where the previous
+    self-join shape ran the distinct pipeline on both join sides."""
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("__parts"))
     )
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__parts"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("__parts"), i + 2, F.size(F.col("__parts"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    )
     return (
-        a.join(b, ["l_orderkey"])
-        .where(F.col("part_a") < F.col("part_b"))
+        pairs.select(F.col("__p.part_a"), F.col("__p.part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
         .where(F.col("n_orders") >= MIN_PAIR_SUPPORT)
