@@ -160,14 +160,35 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = kmv_sketch(events, "event_type", "user_id", k=K)
     est = kmv_pair_set_estimates(sk, "event_type", k=K)
-    d = events.select("event_type", "user_id").distinct()
+    # exact pairwise intersections via per-user group-set expansion (the
+    # basket_part_pairs shape): ONE scan + one map-side-combinable
+    # collect_set instead of a distinct pipeline computed on both sides
+    # of a user-keyed self-join; the expansion stays Σ|user's groups|²/2,
+    # bounded by the group count, never corpus²
+    gsets = (
+        events.select("event_type", "user_id")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("__gs"))
+    )
     exact = (
-        d.select(F.col("event_type").alias("group_a"), "user_id")
-        .join(
-            d.select(F.col("event_type").alias("group_b"), "user_id"),
-            "user_id",
+        gsets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("__gs"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("__gs"), i + 2, F.size(F.col("__gs"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("group_a"), y.alias("group_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("__p")
         )
-        .where(F.col("group_a") < F.col("group_b"))
+        .select(F.col("__p.group_a"), F.col("__p.group_b"))
         .groupBy("group_a", "group_b")
         .agg(F.count("*").alias("exact_intersection"))
     )
