@@ -53,31 +53,59 @@ def bm25_top_k(
     micro-scaled score divided back to a double (exactly reproducible —
     see module docstring). Ties break on ascending doc id.
     """
+    if len(set(query_terms)) != len(query_terms):
+        # a duplicated term would double its contribution rows below but
+        # doubled the tf inside ONE row in the previous two-pass shape —
+        # BM25 is nonlinear in tf, so refuse loudly instead of diverging
+        raise ValueError("bm25_top_k: query_terms must be distinct")
     toks = docs.select(
         F.col(doc_id), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )
 
-    # Per-document length + 1-row corpus stats (N, avgdl as an exact
-    # integer-sum ratio), broadcast back into the scoring plan.
-    # dl fans out to the corpus-stats aggregate AND the scoring join;
-    # persisting the (doc-sized, 2-column) relation saves a full re-tokenize
-    # of the corpus for the stats pass. The returned plan is LAZY, so this
-    # function cannot unpersist after the action it never runs — the blocks
-    # follow the session residue contract (evictable MEMORY_AND_DISK;
-    # release via session.clear_cached_relations between queries).
-    dl = toks.groupBy(doc_id).agg(F.count("*").alias("dl")).persist()
-    stats = dl.agg(
+    # ONE tokenize pass: a single map-side-combinable aggregation yields
+    # the per-document length AND the per-query-term counts (bounded
+    # column fan-out — the query is a literal bag of words by contract).
+    # The previous shape tokenized the corpus twice: once for dl, once
+    # for the term-pruned tf aggregation. The 1-row corpus stats
+    # (N, avgdl as an exact integer-sum ratio) broadcast back into the
+    # scoring plan. per_doc fans out to stats, dl, and tf; persisting the
+    # (doc-sized) relation keeps it one pass. The returned plan is LAZY,
+    # so this function cannot unpersist after the action it never runs —
+    # the blocks follow the session residue contract (evictable
+    # MEMORY_AND_DISK; release via session.clear_cached_relations
+    # between queries).
+    per_doc = (
+        toks.groupBy(doc_id)
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum(
+                    F.when(F.col("token") == t, 1).otherwise(0)
+                ).alias(f"__tf{i}")
+                for i, t in enumerate(query_terms)
+            ],
+        )
+        .persist()
+    )
+    stats = per_doc.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),
     )
-
-    qterms = spark.createDataFrame([(t,) for t in query_terms], ["token"])
-
-    # Postings pruned to the query terms BEFORE the tf aggregation.
+    dl = per_doc.select(doc_id, "dl")
+    # melt the per-term columns back to (doc, token, tf > 0) postings —
+    # identical rows to the previous term-pruned aggregation
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("token"), F.col(f"__tf{i}").alias("tf")
+            )
+            for i, t in enumerate(query_terms)
+        ]
+    )
     tf = (
-        toks.join(F.broadcast(qterms), "token")
-        .groupBy(doc_id, "token")
-        .agg(F.count("*").alias("tf"))
+        per_doc.select(F.col(doc_id), F.explode(entries).alias("__e"))
+        .select(doc_id, F.col("__e.token").alias("token"), F.col("__e.tf").alias("tf"))
+        .where(F.col("tf") > 0)
     )
     return _score_topk(tf, dl, stats, k=k, k1=k1, b=b, doc_id=doc_id)
 
