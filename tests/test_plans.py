@@ -111,13 +111,15 @@ def test_bm25_broadcasts_query_terms_and_stats(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_knn_graph_is_broadcast_not_shuffle(spark, sf_dir):
-    """sim_knn_graph: the query batch joins the corpus via a broadcast
-    (nested-loop on the tiny batch — the intended linear-scan shape), so no
-    shuffle may appear before the per-query ranking window."""
+def test_knn_graph_is_batch_matmul_not_join(spark, sf_dir):
+    """sim_knn_graph: the query batch rides into an Arrow ``mapInPandas``
+    matmul (the r13 shape — one corpus pass, per-batch top-k trim), so
+    the plan has NO join at all and no shuffle may appear before the
+    per-query ranking window."""
     df = QUERIES["sim_knn_graph"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan  # neither broadcast-nested-loop nor shuffle
     # exactly one exchange: the hash partitioning for the ranking window
     assert exchange_count(df) == 1
 
