@@ -118,7 +118,11 @@ def rank_bucket_map(df: DataFrame, col: str, bits: int = 8) -> DataFrame:
     # in the histogram would reserve bucket range no value can use and
     # compress every real value into the top of the curve
     hist = nn.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
-    total = nn.agg(F.count("*").alias("n"))
+    # total derives from the histogram (Σ cnt ≡ count of non-null rows),
+    # not from a second corpus scan; hist's aggregation exchange is
+    # identical under both consumers, so AQE exchange reuse runs the
+    # corpus pass once per column
+    total = hist.agg(F.sum("cnt").alias("n"))
     cume = hist.withColumn(
         "start", F.sum("cnt").over(Window.orderBy("v")) - F.col("cnt")
     )
