@@ -271,8 +271,20 @@ def minhash_near_dup_pairs(
     cand_ids = (
         cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
     )
+    # The verify join consumes sh on BOTH pair sides under DIFFERENT
+    # keys/projections (id_a vs id_b), so the two BroadcastExchange subtrees
+    # are not exchange-identical and reuse cannot kick in — without a
+    # materialization the corpus scan + semi-join ran TWICE (plan-verified:
+    # 2 parquet scans of documents in the verify subtree). Checkpoint the
+    # pruned (id, text) rows — NOT the shingle arrays: those are ~3× the
+    # text bytes and materializing them measured 30-60% SLOWER at sf0.1
+    # (write+re-read of the arrays beat the page-cached second scan). The
+    # cheap shingle expression runs once per pair side over candidate docs
+    # only; the corpus scan and semi-join run once.
     sh = (
         spread(df.join(F.broadcast(cand_ids), id_col, "left_semi"))
+        .select(F.col(id_col), F.col(text_col))
+        .localCheckpoint()
         .select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
