@@ -349,6 +349,25 @@ def calibration_gate(label: str, pre: dict, post: dict) -> str | None:
                 f"{tag}-loop numpy probe {got:.3f}s drifts "
                 f"{drift:+.0%} from steady {steady:.2f}s (band ±15%)"
             )
+    # r13: scheduler/scratch degradation gate (opt-in: only when the
+    # steady shuffle-probe reference for this host class is pinned via
+    # env — the probe is recorded in every record regardless). A host
+    # whose single-thread probes are steady can still run Spark 2-10×
+    # slow when vCPU wakeups or local-dir writes degrade; refuse the
+    # cross-round record rather than park phantom outliers on it.
+    steady_sh = os.environ.get("SPARK_GRAFT_STEADY_SHUFFLE_S")
+    if steady_sh:
+        ref = float(steady_sh)
+        for tag, cal in (("pre", pre), ("post", post)):
+            got = cal.get("spark_shuffle_probe_s")
+            if got is None:
+                continue
+            if got / ref - 1.0 > 0.5:
+                return (
+                    f"{tag}-loop shuffle probe {got:.3f}s is "
+                    f"{got / ref:.2f}× the steady {ref:.2f}s "
+                    "(scheduler/scratch-dir degradation; band +50%)"
+                )
     return None
 
 
@@ -389,8 +408,45 @@ def main() -> None:
         not code; see BENCH_full.json host_note_r10). Two constants:
         a single-thread numpy int64 matmul (pure per-core speed) and a
         32-partition JVM codegen sum (whole-session throughput). Both
-        are min-of-3 of workloads that never change between rounds."""
+        are min-of-3 of workloads that never change between rounds.
+
+        r13 addition (measurement-bug fix, documented in
+        OPTIMIZATION_r13.md): two probes for the degradation mode the
+        first two CANNOT see. A virtualized host under co-tenant load
+        can keep single-thread compute at full speed while thread
+        WAKEUPS (futex/park paths — every Spark stage barrier and task
+        completion) and SCRATCH-DIR I/O (every shuffle write) run 4-10×
+        slow with multi-second tail stalls; measured on 2026-08-18:
+        numpy probe 1.00× of steady while shuffle-heavy queries ran
+        2-10× slow with idle CPU. ``futex_wakeup_us`` is a two-thread
+        event ping-pong (pure scheduler wakeup latency, no Spark);
+        ``spark_shuffle_probe_s`` is a fixed small shuffle that actually
+        writes/reads spark.local.dir through a 64-task wave. Steady
+        idle-host references for this host class: ~15-60 us and
+        ~0.5-0.9 s; a multiple of those flags records whose per-query
+        numbers are scheduler/scratch-bound, not code-bound."""
+        import threading as _threading
+
         import numpy as _np
+
+        def _futex_wakeup_us(n: int = 15000) -> float:
+            e1, e2 = _threading.Event(), _threading.Event()
+
+            def _echo() -> None:
+                for _ in range(n):
+                    e1.wait()
+                    e1.clear()
+                    e2.set()
+
+            t = _threading.Thread(target=_echo)
+            t.start()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                e1.set()
+                e2.wait()
+                e2.clear()
+            t.join()
+            return (time.perf_counter() - t0) / n * 1e6
 
         a = (_np.arange(512 * 512, dtype=_np.int64) % 97).reshape(512, 512)
         t_np = float("inf")
@@ -406,9 +462,18 @@ def main() -> None:
                 "sum(id * 3 + 1)"
             ).collect()
             t_jvm = min(t_jvm, time.perf_counter() - t0)
+        t_sh = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 2_000_000, 1, 32).repartition(
+                64, "id"
+            ).selectExpr("sum(id)").collect()
+            t_sh = min(t_sh, time.perf_counter() - t0)
         return {
             "numpy_matmul_s": round(t_np, 4),
             "jvm_codegen_sum_s": round(t_jvm, 4),
+            "futex_wakeup_us": round(_futex_wakeup_us(), 1),
+            "spark_shuffle_probe_s": round(t_sh, 4),
         }
 
     calibration = _calibrate()

@@ -63,6 +63,39 @@ ROCKSDB_STATE_PROVIDER = (
 )
 
 
+def _default_local_dir() -> str | None:
+    """Scratch directory for shuffle files / spilled blocks.
+
+    ``SPARK_GRAFT_LOCAL_DIR`` (env) wins; otherwise prefer RAM-backed
+    /dev/shm when it has ample headroom, else leave Spark's default.
+
+    Why (r13, measured): on a virtualized host whose block device is
+    contended, shuffle WRITES through the page cache + virtio stall in
+    multi-second bursts while single-thread compute stays at full speed
+    — per-stage shuffleWriteTime reached ~260 ms/task for KB-sized
+    shuffle files, and shuffle-heavy queries ran 2-10× slower with the
+    CPUs idle (OPTIMIZATION_r13.md, host-pathology section). Shuffle
+    files are scratch by definition: placing them on the fastest local
+    ephemeral storage is the standard production discipline (NVMe on
+    real clusters — pass SPARK_GRAFT_LOCAL_DIR or spark.local.dir
+    there); on a single 128 GiB box the RAM-backed tmpfs is that
+    storage. The 32 GiB floor keeps the default away from small-/dev/shm
+    hosts where spilled blocks could matter."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize >= 32 * 1024**3:
+            path = os.path.join(shm, "spark-graft-local")
+            os.makedirs(path, exist_ok=True)
+            return path
+    except OSError:
+        pass
+    return None
+
+
 def get_session(
     app_name: str = "telemetry_parquet_spark",
     master: str | None = None,
@@ -86,6 +119,12 @@ def get_session(
         rocksdb_state = os.environ.get("SPARK_GRAFT_ROCKSDB_STATE", "0") == "1"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = {**DEFAULT_CONF, **(extra_conf or {})}
+    if "spark.local.dir" not in conf:
+        local_dir = _default_local_dir()
+        if local_dir:
+            # static conf: takes effect only when this factory creates
+            # the JVM (same contract as spark.driver.memory above)
+            conf["spark.local.dir"] = local_dir
     if rocksdb_state:
         conf["spark.sql.streaming.stateStore.providerClass"] = ROCKSDB_STATE_PROVIDER
     for k, v in conf.items():

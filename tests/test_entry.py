@@ -76,3 +76,29 @@ def test_bench_calibration_gate():
     # otherwise flatter the round)
     fast = {"numpy_matmul_s": 2.40, "jvm_codegen_sum_s": 1.0}
     assert bench.calibration_gate("uncontended", fast, fast)
+
+
+def test_bench_calibration_gate_shuffle_probe(monkeypatch):
+    """r13: the scheduler/scratch-dir probe gates the uncontended record
+    only when its steady reference is pinned via env (opt-in — the
+    default driver path is unchanged); a degraded-probe record refuses
+    even though the numpy probe sits at steady (the blind spot this
+    probe exists for)."""
+    import bench
+
+    ok = {"numpy_matmul_s": 3.15, "jvm_codegen_sum_s": 1.0,
+          "spark_shuffle_probe_s": 0.70, "futex_wakeup_us": 30.0}
+    slow = {"numpy_matmul_s": 3.15, "jvm_codegen_sum_s": 1.0,
+            "spark_shuffle_probe_s": 2.80, "futex_wakeup_us": 400.0}
+    # no env pin: the shuffle probe is recorded but never gates
+    monkeypatch.delenv("SPARK_GRAFT_STEADY_SHUFFLE_S", raising=False)
+    assert bench.calibration_gate("uncontended", slow, slow) is None
+    monkeypatch.setenv("SPARK_GRAFT_STEADY_SHUFFLE_S", "0.70")
+    assert bench.calibration_gate("uncontended", ok, ok) is None
+    r = bench.calibration_gate("uncontended", ok, slow)
+    assert r and "post-loop shuffle probe" in r and "4.00×" in r
+    # pre-r13 records lack the key: tolerated, not a crash
+    old = {"numpy_matmul_s": 3.15, "jvm_codegen_sum_s": 1.0}
+    assert bench.calibration_gate("uncontended", old, old) is None
+    # contended stays exempt
+    assert bench.calibration_gate("contended", slow, slow) is None
