@@ -78,6 +78,24 @@ def test_bench_calibration_gate():
     assert bench.calibration_gate("uncontended", fast, fast)
 
 
+def test_bench_needs_another_run():
+    """r13 jitter guard: repeats that spread >3x buy one more run (a
+    tail-stall signature on a degraded host), bounded by the cap;
+    agreeing repeats stop at the protocol target."""
+    import bench
+
+    # below target: always continue
+    assert bench.needs_another_run(1, 2, best=5.0, worst=5.0)
+    # at target, agreeing runs: stop
+    assert not bench.needs_another_run(2, 2, best=5.0, worst=6.0)
+    # at target, >3x spread: one more
+    assert bench.needs_another_run(2, 2, best=5.0, worst=24.0)
+    # spread persists at the cap: terminate anyway
+    assert not bench.needs_another_run(4, 2, best=5.0, worst=24.0)
+    # flat protocol disables the guard via cap == target
+    assert not bench.needs_another_run(1, 1, best=5.0, worst=5.0, cap=1)
+
+
 def test_bench_calibration_gate_shuffle_probe(monkeypatch):
     """r13: the scheduler/scratch-dir probe gates the uncontended record
     only when its steady reference is pinned via env (opt-in — the
