@@ -78,6 +78,42 @@ def test_bench_calibration_gate():
     assert bench.calibration_gate("uncontended", fast, fast)
 
 
+def test_default_local_dir(monkeypatch, tmp_path):
+    """r13 scratch-dir policy: explicit env wins verbatim; otherwise the
+    RAM-backed default engages only when /dev/shm has ample headroom
+    (statvfs failure degrades to Spark's default, never a crash)."""
+    import os
+
+    from telemetry_parquet_spark import session as S
+
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", str(tmp_path / "scratch"))
+    assert S._default_local_dir() == str(tmp_path / "scratch")
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR", raising=False)
+
+    real_statvfs = os.statvfs
+
+    class _Small:
+        f_bavail = 10
+        f_frsize = 4096
+
+    monkeypatch.setattr(os, "statvfs", lambda p: _Small())
+    assert S._default_local_dir() is None
+
+    def _boom(p):
+        raise OSError("no statvfs")
+
+    monkeypatch.setattr(os, "statvfs", _boom)
+    assert S._default_local_dir() is None
+
+    monkeypatch.setattr(os, "statvfs", real_statvfs)
+    got = S._default_local_dir()
+    st = real_statvfs("/dev/shm")
+    if st.f_bavail * st.f_frsize >= 32 * 1024**3:
+        assert got == "/dev/shm/spark-graft-local" and os.path.isdir(got)
+    else:
+        assert got is None
+
+
 def test_bench_needs_another_run():
     """r13 jitter guard: repeats that spread >3x buy one more run (a
     tail-stall signature on a degraded host), bounded by the cap;
