@@ -63,6 +63,34 @@ ROCKSDB_STATE_PROVIDER = (
 )
 
 
+def _sweep_dead_session_dirs(base: str) -> None:
+    """Remove pid-scoped scratch dirs whose owning process is gone.
+
+    r14 (ADVICE r13, medium): a killed/crashed JVM leaves its local dirs
+    in tmpfs, leaking RAM until reboot. Each session scopes its scratch
+    under ``<base>/<pid>`` (pid of the Python driver that created the
+    JVM), so liveness is checkable — at every session creation, sibling
+    pid dirs with no live owner are deleted. Non-numeric entries (from
+    pre-r14 sessions, which used ``base`` directly) are left alone; they
+    disappear on reboot and nothing writes them anymore."""
+    import shutil
+
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for name in entries:
+        if not name.isdigit() or int(name) == os.getpid():
+            continue
+        try:
+            os.kill(int(name), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        except OSError:
+            # PermissionError etc.: owner may be alive under another uid
+            continue
+
+
 def _default_local_dir() -> str | None:
     """Scratch directory for shuffle files / spilled blocks.
 
@@ -80,7 +108,18 @@ def _default_local_dir() -> str | None:
     real clusters — pass SPARK_GRAFT_LOCAL_DIR or spark.local.dir
     there); on a single 128 GiB box the RAM-backed tmpfs is that
     storage. The 32 GiB floor keeps the default away from small-/dev/shm
-    hosts where spilled blocks could matter."""
+    hosts where spilled blocks could matter.
+
+    ENOSPC policy (r14, documented per ADVICE r13): tmpfs has no disk to
+    fall back to — a shuffle/spill that exhausts /dev/shm mid-job fails
+    the task (and after retries, the job); Spark cannot re-route block
+    writes mid-job. The guards are (a) the 32 GiB creation-time headroom
+    floor below, (b) the pid-scoped stale sweep (dead sessions release
+    their RAM at the next session creation), and (c) the env override
+    for spill-heavy deployments, where ``SPARK_GRAFT_LOCAL_DIR`` should
+    point at real disk/NVMe. Measured context: the full sf0.1 bench
+    peaks well under 1 GiB of scratch, so the 32 GiB floor is ~50× the
+    observed working set at the driver's scale."""
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         return env
@@ -88,7 +127,10 @@ def _default_local_dir() -> str | None:
     try:
         st = os.statvfs(shm)
         if st.f_bavail * st.f_frsize >= 32 * 1024**3:
-            path = os.path.join(shm, "spark-graft-local")
+            base = os.path.join(shm, "spark-graft-local")
+            os.makedirs(base, exist_ok=True)
+            _sweep_dead_session_dirs(base)
+            path = os.path.join(base, str(os.getpid()))
             os.makedirs(path, exist_ok=True)
             return path
     except OSError:

@@ -109,9 +109,39 @@ def test_default_local_dir(monkeypatch, tmp_path):
     got = S._default_local_dir()
     st = real_statvfs("/dev/shm")
     if st.f_bavail * st.f_frsize >= 32 * 1024**3:
-        assert got == "/dev/shm/spark-graft-local" and os.path.isdir(got)
+        # r14: pid-scoped so dead sessions' scratch is sweepable
+        assert got == f"/dev/shm/spark-graft-local/{os.getpid()}"
+        assert os.path.isdir(got)
     else:
         assert got is None
+
+
+def test_sweep_dead_session_dirs(tmp_path):
+    """r14 (ADVICE r13): stale pid-scoped scratch dirs from dead sessions
+    are removed at session creation; live-pid dirs, our own dir, and
+    legacy non-numeric entries are left alone."""
+    import os
+
+    from telemetry_parquet_spark import session as S
+
+    base = tmp_path / "scratch"
+    base.mkdir()
+    # a pid that cannot be alive (kernel pid_max is < 2**22 by default,
+    # and this one is far above any real allocation)
+    dead = base / "99999999"
+    dead.mkdir()
+    (dead / "blockmgr-x").mkdir()
+    mine = base / str(os.getpid())
+    mine.mkdir()
+    live = base / "1"  # init is always alive
+    live.mkdir()
+    legacy = base / "blockmgr-legacy"
+    legacy.mkdir()
+    S._sweep_dead_session_dirs(str(base))
+    assert not dead.exists()
+    assert mine.exists() and live.exists() and legacy.exists()
+    # a vanished base is a no-op, never a crash
+    S._sweep_dead_session_dirs(str(tmp_path / "missing"))
 
 
 def test_bench_needs_another_run():
@@ -156,3 +186,76 @@ def test_bench_calibration_gate_shuffle_probe(monkeypatch):
     assert bench.calibration_gate("uncontended", old, old) is None
     # contended stays exempt
     assert bench.calibration_gate("contended", slow, slow) is None
+
+
+def test_bench_per_query_top_line():
+    """r14 (VERDICT r13 item 1a): the per-query record the driver's
+    bounded stdout tail actually captures — largest-first subset, valid
+    JSON, deterministic, and ALWAYS under the byte budget (the full
+    119-query dict is ~3.5 KB and can never fit a ~2000-char tail)."""
+    import json
+
+    import bench
+
+    # a synthetic headline-sized dict with realistic name lengths
+    timings = {
+        f"query_family_{i:03d}_with_a_long_name": round(0.1 + i * 0.037, 3)
+        for i in range(119)
+    }
+    line = bench.per_query_top_line(timings, 0.1)
+    assert len(line) <= 1780
+    rec = json.loads(line)
+    assert rec["metric"] == "per_query_top"
+    assert rec["n_total"] == 119
+    picked = rec["queries"]
+    assert 0 < len(picked) < 119
+    # largest-first: every picked entry >= every unpicked entry
+    floor = min(picked.values())
+    assert all(v <= floor for k, v in timings.items() if k not in picked)
+    # values ride through unmodified
+    assert all(timings[k] == v for k, v in picked.items())
+    # deterministic
+    assert line == bench.per_query_top_line(timings, 0.1)
+    # degenerate inputs stay valid JSON under budget
+    assert json.loads(bench.per_query_top_line({}, 0.1))["queries"] == {}
+    one = bench.per_query_top_line({"q": 1.0}, 0.1)
+    assert json.loads(one)["queries"] == {"q": 1.0}
+
+
+def test_bench_futex_probe_is_time_bounded():
+    """r14 (ADVICE r13): the wakeup probe must return quickly even when
+    each round-trip is slow — bounded by elapsed time, not a fixed
+    round-trip count (on r13's degraded hosts the fixed count took up
+    to ~69 s, twice per bench)."""
+    import time
+
+    import bench
+
+    # even with a huge requested round-trip count, a tiny time budget
+    # returns promptly and still yields a sane per-wakeup figure
+    t0 = time.perf_counter()
+    us = bench.futex_wakeup_us(n=10_000_000, budget_s=0.05)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 2.0  # bounded by budget + one wakeup + join, not by n
+    assert us > 0.0
+    # a small n still terminates before the budget (counts, not hangs)
+    us2 = bench.futex_wakeup_us(n=10, budget_s=5.0)
+    assert us2 > 0.0
+
+
+def test_bench_calibration_gate_malformed_env(monkeypatch):
+    """r14 (ADVICE r13): malformed steady-reference env values disable
+    the affected gate with a warning instead of crashing after the full
+    bench loop has already run."""
+    import bench
+
+    ok = {"numpy_matmul_s": 3.15, "jvm_codegen_sum_s": 1.0,
+          "spark_shuffle_probe_s": 0.70, "futex_wakeup_us": 30.0}
+    monkeypatch.setenv("SPARK_GRAFT_STEADY_SHUFFLE_S", "not-a-number")
+    assert bench.calibration_gate("uncontended", ok, ok) is None
+    monkeypatch.delenv("SPARK_GRAFT_STEADY_SHUFFLE_S", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_STEADY_NUMPY_S", "garbage")
+    # falls back to the 3.15 default: ok probes still pass
+    assert bench.calibration_gate("uncontended", ok, ok) is None
+    hot = dict(ok, numpy_matmul_s=4.2)
+    assert bench.calibration_gate("uncontended", hot, ok)
